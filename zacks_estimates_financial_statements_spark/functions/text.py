@@ -1,0 +1,154 @@
+"""Text-analysis kit for large-scale training-data pipelines.
+
+All functions are Column-in/Column-out built on native Spark SQL
+expressions (regexp, split, aggregate) so they run JVM-side inside
+whole-stage codegen — no Python in the hot path. Designed for the
+``documents`` table shape: ``(doc_id, text, lang, source, n_chars)``.
+
+Each operator has an exact ANSI-SQL twin (used by the DuckDB oracle in
+``__spark_entry__``), which also documents the semantics precisely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish word/number/symbol tokenizer: letter runs, digit runs, or a
+# single non-alnum non-space symbol each count as one token.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword panels for the n-gram/stopword language
+# heuristic. Chosen to be discriminative and regex-safe.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "que", "una", "para"],
+}
+
+_STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that",
+]
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Token count by whitespace split; empty/blank text counts 0."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("bigint")
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count: number of ``TOKEN_REGEX`` matches."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0))).cast("bigint")
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def word_marker_count(col: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whole lowercase word."""
+    return _count_matches(F.lower(col), rf"\b{word}\b")
+
+
+def detect_language(col: Column,
+                    markers: dict[str, list[str]] | None = None) -> Column:
+    """Stopword-panel language ID: per language, count whole-word marker
+    hits; return the language with the max count (ties broken by language
+    code order, 'und' when nothing matches)."""
+    markers = markers or LANG_MARKERS
+    scores = {
+        lang: sum_cols([word_marker_count(col, w) for w in words])
+        for lang, words in sorted(markers.items())
+    }
+    best = None
+    # argmax with deterministic first-wins tie-break over sorted languages
+    for lang, score in scores.items():
+        is_best = (score > 0)
+        for other_lang, other in scores.items():
+            if other_lang == lang:
+                continue
+            cond = (score > other) if other_lang > lang else (score >= other)
+            is_best = is_best & cond
+        best = F.when(is_best, F.lit(lang)) if best is None else best.when(is_best, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    n = F.length(col)
+    p = _count_matches(col, r"[.,;:!?'\"()\[\]{}-]")
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """English stopword tokens / whitespace tokens (0 for empty text)."""
+    stopwords = stopwords or _STOPWORDS_EN
+    hits = sum_cols([word_marker_count(col, w) for w in stopwords])
+    toks = whitespace_token_count(col)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / toks.cast("double")
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    """Mean length of whitespace tokens (0 for empty text)."""
+    t = F.trim(col)
+    toks = whitespace_token_count(col)
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        nonspace.cast("double") / toks.cast("double")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+
+    - length component: ``least(1, n_tokens / 100)`` (longer is better,
+      saturating at 100 tokens);
+    - stopword component: saturating ``least(1, stopword_ratio * 4)``
+      (natural prose has stopwords);
+    - punctuation sanity: ``1 - least(1, punct_ratio * 5)`` (symbol soup
+      scores low).
+
+    Score = mean of the three components.
+    """
+    length_c = F.least(F.lit(1.0), whitespace_token_count(col).cast("double") / F.lit(100.0))
+    stop_c = F.least(F.lit(1.0), stopword_ratio(col) * F.lit(4.0))
+    punct_c = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * F.lit(5.0))
+    return (length_c + stop_c + punct_c) / F.lit(3.0)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse all
+    non-alphanumeric runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. Exact-dup detector
+    robust to case/punctuation/whitespace differences."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text as ``array<string>``
+    (consecutive k-grams joined by single spaces). Documents shorter than
+    k words yield a single shingle of the whole text."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]`` in one JVM; the configs below are the ones
+that matter on a real multi-executor cluster too (AQE, skew handling,
+Arrow batching for the Pandas-UDF parse path). Nothing here is
+environment-specific — callers may pass overrides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the driver's local[32]/128GiB harness; on a real
+# cluster these come from spark-submit conf and the builder only adds the
+# ones not already set (``config`` does not override explicit submit conf).
+_DEFAULT_CONF: dict[str, str] = {
+    # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+    # At 100 TB this is what keeps a static shuffle.partitions number from
+    # being wrong in both directions at once.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Start from core count locally; AQE coalesces down. On a cluster this
+    # should be ~2-3x total cores (set via submit conf, not here).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Arrow transfer for every pandas_udf / mapInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # The symbol dimension and per-batch upserts are broadcast-sized.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Deterministic timestamp/date behavior for the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: split files for parallelism at local scale.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def get_spark(app_name: str = "zacks-estimates-financial-statements-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER",
+                                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
