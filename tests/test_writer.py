@@ -1,0 +1,121 @@
+"""Writer-library semantics: W1 idempotent upsert, W4 windowed replace,
+W6 delete-via-join, validation split (FIXTURES.md scenarios 1-3)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from zacks_estimates_financial_statements_spark.operators.writer import TableStore, split_valid
+
+D = datetime.date
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path), "earnings_calendar")
+
+
+def _rows(store):
+    return sorted((r["act_symbol"], r["date"], r["when"])
+                  for r in store.read().collect())
+
+
+def test_upsert_ignore_idempotent(spark, store):
+    batch = spark.createDataFrame(
+        [("AAPL", D(2024, 5, 1), "After market close"),
+         ("MSFT", D(2024, 5, 2), None)],
+        "act_symbol string, date date, `when` string")
+    store.upsert_ignore(batch)
+    first = _rows(store)
+    # re-run: no-op (FIXTURES scenario 1)
+    store.upsert_ignore(batch)
+    assert _rows(store) == first
+    # conflicting second write for same PK: first wins (ON CONFLICT DO NOTHING)
+    batch2 = spark.createDataFrame(
+        [("AAPL", D(2024, 5, 1), "Before market open"),
+         ("NVDA", D(2024, 5, 3), "Before market open")],
+        "act_symbol string, date date, `when` string")
+    store.upsert_ignore(batch2)
+    rows = _rows(store)
+    assert ("AAPL", D(2024, 5, 1), "After market close") in rows
+    assert ("NVDA", D(2024, 5, 3), "Before market open") in rows
+    assert len(rows) == 3
+
+
+def test_upsert_batch_dedup_deterministic(spark, store):
+    # two rows with same PK in ONE batch: order_by picks the winner
+    batch = spark.createDataFrame(
+        [("AAPL", D(2024, 5, 1), "Before market open", 2),
+         ("AAPL", D(2024, 5, 1), "After market close", 1)],
+        "act_symbol string, date date, `when` string, seq int")
+    store.upsert_ignore(batch, pk=("act_symbol", "date"),
+                        order_by=[F.col("seq")])
+    rows = store.read().drop("seq").collect()
+    assert len(rows) == 1
+    assert rows[0]["when"] == "After market close"
+
+
+def test_replace_window(spark, store):
+    folder_date = D(2024, 5, 10)
+    store.upsert_ignore(spark.createDataFrame(
+        [("AAPL", D(2024, 5, 5), None),     # past: kept
+         ("MSFT", D(2024, 5, 15), None),    # future: replaced
+         ("NVDA", D(2024, 6, 1), None)],    # future: replaced
+        "act_symbol string, date date, `when` string"))
+    new = spark.createDataFrame(
+        [("MSFT", D(2024, 5, 16), "Before market open")],
+        "act_symbol string, date date, `when` string")
+    # W4: delete stored date >= folder_date, then insert the new horizon
+    store.replace_window(new, keep_condition=F.col("date") < F.lit(folder_date))
+    rows = _rows(store)
+    assert rows == [("AAPL", D(2024, 5, 5), None),
+                    ("MSFT", D(2024, 5, 16), "Before market open")]
+
+
+def test_delete_where_equi_and_condition(spark, store):
+    store.upsert_ignore(spark.createDataFrame(
+        [("AAPL", D(2024, 5, 1), None), ("AAPL", D(2024, 8, 1), None),
+         ("MSFT", D(2024, 5, 2), None)],
+        "act_symbol string, date date, `when` string"))
+    condemned = spark.createDataFrame([("AAPL", D(2024, 5, 1))],
+                                      "act_symbol string, date date")
+    store.delete_where(condemned, on=["act_symbol", "date"])
+    assert _rows(store) == [("AAPL", D(2024, 8, 1), None),
+                            ("MSFT", D(2024, 5, 2), None)]
+
+
+def test_split_valid_enum_and_not_null(spark):
+    df = spark.createDataFrame(
+        [("AAPL", D(2024, 5, 1), "After market close"),   # valid
+         ("MSFT", D(2024, 5, 2), None),                   # valid (when nullable)
+         ("BAD", D(2024, 5, 3), "at noon"),               # enum violation
+         (None, D(2024, 5, 4), None)],                    # NOT NULL violation
+        "act_symbol string, date date, `when` string")
+    valid, quarantined = split_valid(df, "earnings_calendar")
+    assert valid.count() == 2
+    q = [(r["act_symbol"]) for r in quarantined.collect()]
+    assert sorted(q, key=str) == ["BAD", None]
+
+
+def test_read_empty_table_has_declared_schema(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), "rank_score")
+    df = store.read()
+    assert df.count() == 0
+    assert df.schema.fieldNames() == ["act_symbol", "date", "rank", "value",
+                                      "growth", "momentum", "vgm"]
+
+
+def test_upsert_antijoin_is_broadcast(spark, store):
+    store.upsert_ignore(spark.createDataFrame(
+        [("AAPL", D(2024, 5, 1), None)],
+        "act_symbol string, date date, `when` string"))
+    batch = spark.createDataFrame([("MSFT", D(2024, 5, 2), None)],
+                                  "act_symbol string, date date, `when` string")
+    existing_keys = store.read().select("act_symbol", "date").distinct()
+    plan = batch.join(F.broadcast(existing_keys),
+                      on=["act_symbol", "date"], how="left_anti") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
