@@ -1,0 +1,56 @@
+"""CSV export tests (W8): per-date files, headers, ordering, NULL
+rendering, not-null gate, decimal text trimming."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+from zacks_estimates_financial_statements_spark import export as X
+
+D = datetime.date
+
+
+def _eps_estimate_df(spark):
+    return spark.createDataFrame(
+        [("MSFT", D(2025, 1, 15), "Current Quarter", D(2024, 12, 31),
+          Decimal("1.5"), Decimal("1.52"), 5, Decimal("1.6"), Decimal("1.4"),
+          Decimal("1.3")),
+         ("AAPL", D(2025, 1, 15), "Current Quarter", D(2024, 12, 31),
+          Decimal("2.25"), None, 7, Decimal("2.4"), Decimal("2.1"),
+          Decimal("2.0")),
+         ("AAPL", D(2025, 1, 22), "Current Quarter", D(2024, 12, 31),
+          Decimal("2.30"), Decimal("2.31"), 7, Decimal("2.5"), Decimal("2.2"),
+          Decimal("2.0"))],
+        "act_symbol string, date date, period string, period_end_date date, "
+        "consensus decimal(38,6), recent decimal(38,6), count short, "
+        "high decimal(38,6), low decimal(38,6), year_ago decimal(38,6)")
+
+
+def test_dump_dat_not_null_gate_and_per_date_files(spark, tmp_path):
+    out = str(tmp_path / "dat")
+    files = X.dump_dat(_eps_estimate_df(spark), "eps_estimate", out)
+    assert [f.split("/")[-1] for f in files] == ["2025-01-15.csv", "2025-01-22.csv"]
+    lines = open(files[0]).read().strip().split("\n")
+    # AAPL row dropped by the recent-is-null gate; header preserved
+    assert lines[0] == "act_symbol,date,period,period_end_date,consensus,recent,count,high,low,year_ago"
+    assert lines[1:] == ["MSFT,2025-01-15,Current Quarter,2024-12-31,1.5,1.52,5,1.6,1.4,1.3"]
+
+
+def test_dump_dolt_coalesces_null_and_orders(spark, tmp_path):
+    out = str(tmp_path / "dolt")
+    files = X.dump_dolt(_eps_estimate_df(spark), "eps_estimate", out)
+    lines = open(files[0]).read().strip().split("\n")
+    assert lines[0].startswith("date,act_symbol,period")
+    # AAPL sorts first; its NULL recent renders as empty string
+    assert lines[1] == "2025-01-15,AAPL,Current Quarter,2024-12-31,2.25,,7,2.4,2.1,2"
+    assert lines[2].startswith("2025-01-15,MSFT")
+
+
+def test_decimal_text_trims_trailing_zeros(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(Decimal("1.500000"),), (Decimal("2.000000"),), (Decimal("0.123456"),),
+         (None,)], "x decimal(38,6)")
+    vals = [r[0] for r in df.select(X.decimal_text(F.col("x")).alias("t")).collect()]
+    assert vals == ["1.5", "2", "0.123456", None]

@@ -1,0 +1,170 @@
+"""CSV export surface — SURVEY §2.8 W8/W9 + §2.2 P6/P7 + §2.7 O1.
+
+The reference writes one CSV per distinct date per table, with a fixed
+header, ``::text`` casts, NULL→'' coalescing, and multi-column ordering
+(dump-dat.rkt:44-134, dump-dolt-estimates.rkt:46-140). Two dump flavors:
+
+- **dat** dumps (eps/sales estimate): all-columns-NOT-NULL gate (P6);
+- **dolt** dumps: every nullable column ``coalesce(x::text, '')`` (F14).
+
+Spark-first shape: ONE distributed job per table — repartition by the
+date column, sort within partitions, write with ``partitionBy`` so each
+date lands in its own file; a driver-side metadata pass renames
+``date=YYYY-MM-DD/part-*.csv`` to ``YYYY-MM-DD.csv``. No per-date query
+loop, no ``collect()`` of data — at scale this is a single shuffle
+instead of N scans.
+
+The dolt publish step (``dolt table import`` + commit/push, W9) is out of
+engine scope: ``publish_command`` returns the subprocess argv for a thin
+publisher script to run.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zacks_estimates_financial_statements_spark.functions.expressions import export_text
+
+
+def decimal_text(col: Column) -> Column:
+    """Postgres ``numeric::text`` renders without trailing zeros; Spark's
+    decimal cast keeps full scale ("1.500000"). Trim to match."""
+    s = col.cast("string")
+    trimmed = F.regexp_replace(
+        F.regexp_replace(s, r"(\.\d*?)0+$", "$1"), r"\.$", "")
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(trimmed)
+
+
+def _text_cols(df: DataFrame, decimal_cols: set[str],
+               coalesce_null: bool) -> list[Column]:
+    out = []
+    for f in df.schema.fields:
+        c = decimal_text(F.col(f.name)) if f.name in decimal_cols \
+            else F.col(f.name).cast("string")
+        out.append((F.coalesce(c, F.lit("")) if coalesce_null else c)
+                   .alias(f.name))
+    return out
+
+
+def dump_per_date_csv(df: DataFrame, out_dir: str, date_col: str,
+                      order_by: list[str],
+                      start_date: str | None = None,
+                      end_date: str | None = None,
+                      not_null: list[str] | None = None,
+                      coalesce_null: bool = True) -> list[str]:
+    """Write one ordered, headered CSV per distinct ``date_col`` value in
+    [start_date, end_date]; returns the written file paths.
+
+    ``not_null``: dat-flavor all-not-null row gate (dump-dat.rkt:66-71).
+    """
+    decimal_cols = {f.name for f in df.schema.fields
+                    if f.dataType.typeName().startswith("decimal")}
+    if start_date:
+        df = df.filter(F.col(date_col) >= F.lit(start_date).cast("date"))
+    if end_date:
+        df = df.filter(F.col(date_col) <= F.lit(end_date).cast("date"))
+    if not_null:
+        df = df.na.drop(subset=not_null)
+
+    staged = (df
+              .withColumn("__pdate", F.col(date_col).cast("string"))
+              .repartition(F.col("__pdate"))
+              # leading __pdate satisfies the partitioned-write's required
+              # ordering, so the writer does not inject its own (unstable)
+              # sort and the within-file order survives
+              .sortWithinPartitions("__pdate", *order_by)
+              .select(*_text_cols(df, decimal_cols, coalesce_null),
+                      F.col("__pdate")))
+    tmp = os.path.join(out_dir, "_staging")
+    (staged.write.mode("overwrite")
+     .option("header", True).option("emptyValue", "")
+     .partitionBy("__pdate").csv(tmp))
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for d in sorted(glob.glob(os.path.join(tmp, "__pdate=*"))):
+        date_val = os.path.basename(d).split("=", 1)[1]
+        parts = sorted(glob.glob(os.path.join(d, "part-*.csv")))
+        target = os.path.join(out_dir, f"{date_val}.csv")
+        if len(parts) == 1:
+            shutil.move(parts[0], target)
+        else:  # defensive: concatenate preserving single header
+            with open(target, "w") as out:
+                for i, p in enumerate(parts):
+                    with open(p) as f_in:
+                        lines = f_in.readlines()
+                    out.writelines(lines if i == 0 else lines[1:])
+        written.append(target)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return written
+
+
+# -- reference dump shapes ---------------------------------------------------
+
+#: (columns, order_by, not_null gate) per dat dump (dump-dat.rkt:50-75,
+#: :96-121)
+DAT_DUMPS = {
+    "eps_estimate": (
+        ["act_symbol", "date", "period", "period_end_date", "consensus",
+         "recent", "count", "high", "low", "year_ago"],
+        ["act_symbol", "date", "period", "period_end_date"],
+        ["consensus", "recent", "count", "high", "low", "year_ago"]),
+    "sales_estimate": (
+        ["act_symbol", "date", "period", "period_end_date", "consensus",
+         "count", "high", "low", "year_ago"],
+        ["act_symbol", "date", "period", "period_end_date"],
+        ["consensus", "count", "high", "low", "year_ago"]),
+}
+
+#: dolt dumps: (columns, order_by) — date leads, NULLs coalesce to ''
+#: (dump-dolt-estimates.rkt:54-66 etc., dump-dolt-statements.rkt:53-78)
+DOLT_DUMPS = {
+    "rank_score": (["date", "act_symbol", "rank", "value", "growth",
+                    "momentum", "vgm"], ["act_symbol", "date"]),
+    "eps_estimate": (["date", "act_symbol", "period", "period_end_date",
+                      "consensus", "recent", "count", "high", "low",
+                      "year_ago"], ["act_symbol", "date", "period"]),
+    "sales_estimate": (["date", "act_symbol", "period", "period_end_date",
+                        "consensus", "count", "high", "low", "year_ago"],
+                       ["act_symbol", "date", "period"]),
+    "eps_history": (["act_symbol", "period_end_date", "reported",
+                     "estimate"], ["act_symbol", "period_end_date"]),
+}
+
+
+def dump_dat(df: DataFrame, table: str, out_dir: str,
+             start_date: str | None = None,
+             end_date: str | None = None) -> list[str]:
+    cols, order, gate = DAT_DUMPS[table]
+    return dump_per_date_csv(df.select(*cols), out_dir, "date", order,
+                             start_date, end_date, not_null=gate,
+                             coalesce_null=False)
+
+
+def dump_dolt(df: DataFrame, table: str, out_dir: str,
+              start_date: str | None = None,
+              end_date: str | None = None) -> list[str]:
+    cols, order = DOLT_DUMPS.get(table) or (df.columns, df.columns[:2])
+    date_col = "period_end_date" if table == "eps_history" else "date"
+    d = df.select(*cols)
+    if table == "eps_history":
+        d = d.distinct()  # dump-dolt-estimates.rkt:191 (select distinct)
+    return dump_per_date_csv(d, out_dir, date_col, order, start_date,
+                             end_date, coalesce_null=True)
+
+
+def publish_command(base_folder: str, table: str, csv_file: str,
+                    end_date: str) -> list[list[str]]:
+    """W9 — the dolt import/commit/push subprocess steps as argv lists for
+    an external publisher (dump-dolt-estimates.rkt:71, 86-87)."""
+    return [
+        ["dolt", "table", "import", "-u", "--continue", table, csv_file],
+        ["dolt", "add", table],
+        ["dolt", "commit", "-m", f"{table} {end_date} update"],
+        ["dolt", "push", "--silent"],
+    ]

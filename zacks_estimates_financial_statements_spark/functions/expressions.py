@@ -107,10 +107,13 @@ def scale_millions(col: Column) -> Column:
 
 
 def month_end_from_mm_yyyy(col: Column) -> Column:
-    """F8 — ``"MM/YYYY"`` header cell → month-end date:
+    """F8 — ``"MM/YYYY"`` (or ``"M/YYYY"``) header cell → month-end date:
     ``to_date('01/'||cell) + 1 month - 1 day``
-    (estimate-transform-load.rkt:226, 253, 281, 311)."""
-    return F.last_day(F.to_date(F.concat(F.lit("01/"), trim_cell(col)), "dd/MM/yyyy"))
+    (estimate-transform-load.rkt:226, 253, 281, 311). Postgres ``DD/MM/YYYY``
+    parses single-digit months; Spark needs ``d/M/yyyy`` for that.
+    ``try_to_date``: malformed (e.g. "NA") → NULL, checked by the loader's
+    document-validity gate instead of throwing (ANSI mode)."""
+    return F.last_day(F.try_to_date(F.concat(F.lit("01/"), trim_cell(col)), "d/M/yyyy"))
 
 
 def parse_statement_date(col: Column, fmt: str = "M/dd/yyyy") -> Column:
@@ -118,7 +121,7 @@ def parse_statement_date(col: Column, fmt: str = "M/dd/yyyy") -> Column:
     balance/cash-flow ``"M/dd/yyyy"``
     (income-statement-transform-load.rkt:100-102,
     balance-sheet-transform-load.rkt:123-125)."""
-    return F.to_date(trim_cell(col), fmt)
+    return F.try_to_date(trim_cell(col), fmt)
 
 
 def prior_period_date(date_col: Column, period_col: Column) -> Column:
