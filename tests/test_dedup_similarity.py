@@ -1,0 +1,108 @@
+"""Dedup + similarity operators on the real testdata tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zacks_estimates_financial_statements_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant known duplicates: copy of doc 0 (new id 9001) and a
+    # case/punct-variant of doc 1 (9002)
+    base = {r["doc_id"]: r["text"] for r in
+            df.filter(F.col("doc_id").isin(0, 1)).collect()}
+    extra = spark.createDataFrame(
+        [(9001, base[0], "en", "dup", len(base[0])),
+         (9002, base[1].upper() + "!!!", "en", "neardup", len(base[1]) + 3)],
+        df.schema)
+    return df.unionByName(extra).persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+
+def test_exact_dedup_and_groups(docs):
+    groups = dedup.exact_dup_groups(docs, "doc_id", "text")
+    dup = groups.filter(F.col("group_size") > 1).collect()
+    pairs = {tuple(r["doc_ids"]) for r in dup}
+    assert (0, 9001) in pairs
+    assert (1, 9002) in pairs  # normalization-invariant
+    kept = dedup.dedup_exact(docs, "doc_id", "text")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 9001 not in ids and 9002 not in ids and 0 in ids and 1 in ids
+
+
+def test_minhash_lsh_finds_planted_dup(docs):
+    pairs = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                         k=12, bands=4)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((0, 9001)) == 1.0
+    assert got.get((1, 9002)) == 1.0  # same normalized shingles
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      min_jaccard=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 9001) in got and (1, 9002) in got
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text",
+                                         max_hamming=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 9001)) == 0
+    assert got.get((1, 9002)) == 0
+
+
+def test_embedding_near_dup_pairs(emb):
+    # exact vs bucketed must agree on high-threshold pairs found by both
+    exact = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                           min_cosine=0.95)
+    assert exact.filter("id_a = id_b").count() == 0
+    bucketed = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                              min_cosine=0.95, bucket_bits=4)
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
+    assert b <= e  # bucketing may miss but never invents pairs
+
+
+def _queries(emb, n=3):
+    return (emb.orderBy("vec_id").limit(n)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def test_topk_bruteforce_self_is_top1(emb):
+    out = similarity.topk_bruteforce(emb, _queries(emb), k=5)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.filter("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    assert out.groupBy("query_id").count().filter("count != 5").count() == 0
+
+
+def test_topk_lsh_recall_vs_bruteforce(emb):
+    q = _queries(emb, 5)
+    exact = similarity.topk_bruteforce(emb, q, k=5)
+    approx = similarity.topk_lsh(emb, q, k=5, bucket_bits=4, probe_hamming=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # self-match always survives bucketing (hamming 0)
+    assert all((i, i) in a for i in range(5))
+    recall = len(a & e) / len(e)
+    assert recall >= 0.4, recall
+
+
+def test_topk_ivf_shapes_and_self_match(emb):
+    q = _queries(emb, 3)
+    out = similarity.topk_ivf(emb, q, k=3, n_centroids=8, nprobe=3)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    # query vectors are corpus members of probed lists -> self is top-1
+    assert top1 == {0: 0, 1: 1, 2: 2}

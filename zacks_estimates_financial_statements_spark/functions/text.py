@@ -122,12 +122,14 @@ def quality_score(col: Column) -> Column:
     - punctuation sanity: ``1 - least(1, punct_ratio * 5)`` (symbol soup
       scores low).
 
-    Score = mean of the three components.
+    Score = mean of the three components; empty/blank text scores 0.
     """
-    length_c = F.least(F.lit(1.0), whitespace_token_count(col).cast("double") / F.lit(100.0))
+    toks = whitespace_token_count(col)
+    length_c = F.least(F.lit(1.0), toks.cast("double") / F.lit(100.0))
     stop_c = F.least(F.lit(1.0), stopword_ratio(col) * F.lit(4.0))
     punct_c = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * F.lit(5.0))
-    return (length_c + stop_c + punct_c) / F.lit(3.0)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        (length_c + stop_c + punct_c) / F.lit(3.0))
 
 
 def normalize_text(col: Column) -> Column:

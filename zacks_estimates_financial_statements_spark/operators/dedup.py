@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are built from native Spark SQL expressions (no Python UDFs)
+and use **md5-derived hashes** as the shared deterministic primitive so
+every operator has an exact ANSI-SQL twin runnable in DuckDB::
+
+    h_i(x) = int(substr(md5(i || '|' || x), 1, 15), 16)   -- 60-bit
+
+Spark: ``conv(substr(md5(..),1,15),16,10)::bigint``;
+DuckDB: ``('0x' || substr(md5(..),1,15))::bigint``.
+
+Operators:
+
+- ``exact_dup_groups`` / ``dedup_exact`` — full-row (or fingerprint) hash
+  groupBy; one shuffle on the hash, min-id winner is deterministic.
+- ``minhash_signatures`` / ``minhash_near_dup_pairs`` — MinHash + banded
+  LSH: shingle → k minhashes → band buckets → bucket self-join. The
+  pair-join runs on band-bucket keys only (no all-pairs blowup); at 100 TB
+  the bucket join is the standard scalable path and the shingle explode is
+  the dominant (linear) cost.
+- ``simhash_bits`` / ``simhash_near_dup_pairs`` — 64-bit SimHash over
+  tokens; near-dups = hamming distance ≤ t via xor+bit_count on a single
+  equi-prefilter (top-b bits band) to avoid the quadratic join.
+- ``ngram_jaccard_pairs`` — exact Jaccard over word shingles via
+  explode + shared-shingle join (the verification stage for LSH
+  candidates; quadratic only within shingle-sharing groups).
+- ``embedding_near_dup_pairs`` — cosine ≥ threshold pairs, LSH-bucketed by
+  sign bits (see operators.similarity for the ANN variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zacks_estimates_financial_statements_spark.functions import text as T
+from zacks_estimates_financial_statements_spark.functions import vectors as V
+
+
+def hash60(col, salt=None):
+    """The shared 60-bit md5 hash; ``salt`` (int or Column) prepends
+    ``"<salt>|"`` for hash-family indexing."""
+    if salt is not None:
+        col = F.concat(F.lit(str(salt)) if isinstance(salt, int) else salt.cast("string"),
+                       F.lit("|"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Exact / fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str,
+                     normalized: bool = True) -> DataFrame:
+    """Groups of exact (or normalization-invariant) duplicates:
+    (fingerprint, group_size, keep_id, doc_ids)."""
+    fp = T.fingerprint(F.col(text_col)) if normalized else F.md5(F.col(text_col))
+    return (df.select(fp.alias("fingerprint"), F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("group_size"),
+                 F.min(id_col).alias("keep_id"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids")))
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str,
+                normalized: bool = True) -> DataFrame:
+    """Keep the min-id representative of each duplicate group — one
+    shuffle on the fingerprint, map-side combinable."""
+    fp = T.fingerprint(F.col(text_col)) if normalized else F.md5(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 12, shingle_k: int = 3) -> DataFrame:
+    """(id, hash_idx, minhash): k MinHash values per document over word
+    ``shingle_k``-shingles. Explode-then-aggregate keeps everything in
+    native expressions; partial aggregation (min) combines map-side."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(T.shingles(F.col(text_col), shingle_k)).alias("shingle"))
+    indexed = shingled.join(
+        F.broadcast(df.sparkSession.range(k).withColumnRenamed("id", "hash_idx")))
+    return (indexed
+            .groupBy(id_col, "hash_idx")
+            .agg(F.min(hash60(F.col("shingle"), salt=F.col("hash_idx")))
+                 .alias("minhash")))
+
+
+def minhash_bands(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """Fold signatures into band buckets: (id, band, bucket). The bucket
+    key is md5 over "hash_idx:minhash" pairs sorted by hash_idx — a
+    dialect-portable construction (DuckDB: ``string_agg(.. ORDER BY ..)``)."""
+    banded = sigs.withColumn("band", F.col("hash_idx") % bands)
+    pair = F.array_sort(F.collect_list(
+        F.concat_ws(":", F.lpad(F.col("hash_idx").cast("string"), 4, "0"),
+                    F.col("minhash").cast("string"))))
+    return (banded.groupBy(id_col, "band")
+            .agg(F.md5(F.array_join(pair, ",")).alias("bucket")))
+
+
+def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 12, bands: int = 4,
+                           shingle_k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing ≥1 LSH band bucket,
+    with the fraction of matching minhashes (the Jaccard estimate).
+
+    Returns (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).persist()
+    try:
+        buckets = minhash_bands(sigs, id_col, bands)
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = (a.join(b, ["band", "bucket"])
+                .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+                .distinct())
+        sa = sigs.select(F.col(id_col).alias("id_a"), "hash_idx",
+                         F.col("minhash").alias("mh_a"))
+        sb = sigs.select(F.col(id_col).alias("id_b"), "hash_idx",
+                         F.col("minhash").alias("mh_b"))
+        est = (cand.join(sa, "id_a").join(sb, ["id_b", "hash_idx"])
+               .groupBy("id_a", "id_b")
+               .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1)
+                           .otherwise(0)) / F.lit(float(k)))
+                    .alias("est_jaccard")))
+        return est
+    finally:
+        sigs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str,
+                 nbits: int = 64) -> DataFrame:
+    """(id, simhash): per-bit majority vote over token hashes. Tokens are
+    the whitespace tokens of the normalized text; token weight 1."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(T.normalize_text(F.col(text_col)), " ")).alias("tok"))
+    toks = toks.filter(F.col("tok") != "")
+    h = toks.withColumn("th", hash60(F.col("tok")))
+    bits = h.join(F.broadcast(
+        df.sparkSession.range(nbits).withColumnRenamed("id", "bit")))
+    bit_set = F.expr("(th >> cast(bit as int)) & 1") == 1
+    votes = (bits.groupBy(id_col, "bit")
+             .agg(F.sum(F.when(bit_set, 1).otherwise(-1)).alias("vote")))
+    return (votes.groupBy(id_col)
+            .agg(F.sum(F.when(F.col("vote") > 0,
+                              F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+                       .otherwise(0)).alias("simhash")))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 8,
+                           prefix_bits: int = 16) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming, prefiltered
+    by equal top ``prefix_bits`` (single-band LSH; multi-table banding is
+    the production extension). Returns (id_a, id_b, hamming)."""
+    sh = simhash_bits(df, id_col, text_col)
+    sh = sh.withColumn("prefix", F.shiftright(F.col("simhash"),
+                                              64 - prefix_bits))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, "prefix")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (LSH verification stage)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = 3,
+                        min_jaccard: float = 0.5) -> DataFrame:
+    """Exact Jaccard over distinct word shingles for documents sharing at
+    least one shingle. Returns (id_a, id_b, jaccard) ≥ min_jaccard."""
+    sh = (df.select(F.col(id_col),
+                    F.explode(T.shingles(F.col(text_col), shingle_k))
+                    .alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("shared")))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (shared.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard",
+                        F.col("shared")
+                        / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             min_cosine: float = 0.9,
+                             bucket_bits: int = 0) -> DataFrame:
+    """Pairs with cosine ≥ threshold. ``bucket_bits`` > 0 prefilters by
+    equal sign-bit sketch (axis-aligned SRP LSH) — the scale path;
+    0 = exact all-pairs (baseline/verification)."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if bucket_bits > 0:
+        base = base.withColumn("__bucket",
+                               V.sign_bits(F.col(vec_col), bucket_bits))
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(b, "__bucket")
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.crossJoin(b)
+    cos = V.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (joined
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    cos.alias("cosine"))
+            .filter(F.col("cosine") >= min_cosine))

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, matching the standard large-scale ANN architecture:
+
+- ``topk_bruteforce`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus; one pass, no shuffle of the corpus, window
+  top-k per query. The correctness baseline and the verifier for the
+  approximate tier.
+- ``topk_lsh`` — sign-bit (axis-aligned SRP) bucketing: corpus and
+  queries hash to ``bucket_bits``-bit sketches; candidates come from
+  buckets within ``probe_hamming`` of the query's bucket (multi-probe),
+  then exact cosine re-ranks. At 100 TB the bucket equi-join replaces the
+  cross product; recall is tunable via bits/probes.
+- ``ivf_assign`` / ``topk_ivf`` — IVF-style coarse quantization with
+  deterministic seed centroids: corpus vectors are assigned to their
+  nearest of C centroids (sampled deterministically by id), queries probe
+  the ``nprobe`` nearest centroids' inverted lists.
+
+All math is native Spark (higher-order functions, see
+``functions.vectors``); nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zacks_estimates_financial_statements_spark.functions import vectors as V
+
+
+def _rank_topk(scored: DataFrame, query_id: str, k: int,
+               order_cols: list) -> DataFrame:
+    w = Window.partitionBy(query_id).orderBy(*order_cols)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, cosine, rank).
+    Ties break deterministically by id."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
+    scored = joined.select(F.col(query_id_col), F.col(id_col),
+                           cos.alias("cosine"))
+    return _rank_topk(scored, query_id_col, k,
+                      [F.desc("cosine"), F.col(id_col)])
+
+
+def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             bucket_bits: int = 8, probe_hamming: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """Approximate top-k: sign-bit buckets + multi-probe + exact re-rank.
+    Same output shape as ``topk_bruteforce`` (fewer rows if a bucket has
+    < k candidates)."""
+    c = corpus.withColumn("__bucket", V.sign_bits(F.col(vec_col), bucket_bits))
+    q = queries.withColumn("__qbucket",
+                           V.sign_bits(F.col(query_vec_col), bucket_bits))
+    cand = (c.join(F.broadcast(q),
+                   F.bit_count(F.col("__bucket")
+                               .bitwiseXOR(F.col("__qbucket")))
+                   <= probe_hamming))
+    cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
+    scored = cand.select(F.col(query_id_col), F.col(id_col),
+                         cos.alias("cosine"))
+    return _rank_topk(scored, query_id_col, k,
+                      [F.desc("cosine"), F.col(id_col)])
+
+
+def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization with deterministic seed centroids: the
+    ``n_centroids`` lowest-id vectors serve as centroids (deterministic,
+    oracle-reproducible; k-means refinement is the production upgrade).
+    Returns (assignments(id, centroid_id), centroids(centroid_id, vec))."""
+    centroids = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).alias("centroid_vec")))
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col("centroid_id"),
+        V.cosine(F.col(vec_col), F.col("centroid_vec")).alias("__cos"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"),
+                                           F.col("centroid_id"))
+    assign = (scored.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select(id_col, "centroid_id"))
+    return assign, centroids
+
+
+def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` closest centroids'
+    lists, exact cosine re-rank within them."""
+    assign, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"),
+        V.cosine(F.col(query_vec_col), F.col("centroid_vec")).alias("__cos"))
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"),
+                                                  F.col("centroid_id"))
+    probes = (qc.withColumn("__rn", F.row_number().over(wq))
+              .filter(F.col("__rn") <= nprobe)
+              .select(query_id_col, query_vec_col, "centroid_id"))
+    corpus_assigned = corpus.join(assign, id_col)
+    cand = corpus_assigned.join(F.broadcast(probes), "centroid_id")
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col),
+        V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"))
+    return _rank_topk(scored, query_id_col, k,
+                      [F.desc("cosine"), F.col(id_col)])
