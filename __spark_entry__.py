@@ -1,38 +1,866 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is one operator family from SURVEY.md §2 (or
+a training-data-pipeline operator from the extension surface) expressed
+on the driver's testdata tables, with an exact ANSI-SQL twin in
+``oracle_sql()`` for the DuckDB cross-check.
+
+Determinism rules used throughout (so value hashes match):
+- double aggregation is always routed through ``decimal(38,6)`` casts
+  (per-element cast → exact decimal sums in both engines);
+- per-row double math (cosine etc.) uses identical left-fold order in
+  both engines and is rounded to 6 digits;
+- every computed column is aliased identically on both sides;
+- hash-family primitive is md5-derived in both dialects
+  (``conv(substr(md5(x),1,15),16,10)`` ≡ ``('0x'||substr(md5(x),1,15))::bigint``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
+from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
+from zacks_estimates_financial_statements_spark.functions import vectors as V  # noqa: E402
+from zacks_estimates_financial_statements_spark.operators import dedup, similarity  # noqa: E402
+
+DEC = "decimal(38,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    Spark cannot read natively — read nanos as long (legacy conf) and
+    convert to microsecond timestamps with exact integer division,
+    matching DuckDB's nanos→micros truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long")))
+
+
+def _dec(c) -> F.Column:
+    return c.cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_predicates(spark, sf):
+    """P1/P2/P3: boolean equality, regex (pos+neg), CASE-in-WHERE."""
+    part = _t(spark, sf, "part")
+    cond = ((F.col("p_retailprice") > 1200)
+            & F.col("p_name").rlike("a")
+            & ~F.col("p_brand").rlike("Brand#3")
+            & F.when(F.col("p_size") >= 25, ~F.col("p_type").rlike("BRASS"))
+               .otherwise(F.lit(True)))
+    return part.filter(cond).select("p_partkey", "p_name", "p_size")
+
+
+ORACLE_FILTER_PREDICATES = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_retailprice > 1200
+  AND regexp_matches(p_name, 'a')
+  AND NOT regexp_matches(p_brand, 'Brand#3')
+  AND (CASE WHEN p_size >= 25 THEN NOT regexp_matches(p_type, 'BRASS')
+       ELSE TRUE END)
+"""
+
+
+def q_scalar_subquery_latest(spark, sf):
+    """P4/A1: uncorrelated scalar-subquery max (latest snapshot)."""
+    orders = _t(spark, sf, "orders")
+    latest = orders.select(F.max("o_orderdate").alias("m"))
+    return (orders.join(F.broadcast(latest),
+                        F.col("o_orderdate") == F.col("m"))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+"""
+
+
+def q_range_filter(spark, sf):
+    """P5/P7: BETWEEN range filters (string + date)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate").cast("date")
+                      .between("1995-01-01", "1995-12-31")
+                      & F.col("l_returnflag").between("A", "N"))
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    F.col("l_shipdate").cast("date").alias("ship_date")))
+
+
+ORACLE_RANGE_FILTER = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+  AND l_returnflag BETWEEN 'A' AND 'N'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function kit (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_grammar(spark, sf):
+    """F1-F5: the estimate-cell grammar (magnitude suffixes, parens,
+    commas, NA) applied to synthesized cells."""
+    part = _t(spark, sf, "part")
+    cell = (F.when(F.col("p_partkey") % 6 == 0,
+                   F.concat(F.col("p_size").cast("string"), F.lit(".5B")))
+            .when(F.col("p_partkey") % 6 == 1,
+                  F.concat(F.lit("("), F.col("p_size").cast("string"),
+                           F.lit(")")))
+            .when(F.col("p_partkey") % 6 == 2, F.lit("NA"))
+            .when(F.col("p_partkey") % 6 == 3, F.lit("M"))
+            .when(F.col("p_partkey") % 6 == 4,
+                  F.concat(F.col("p_size").cast("string"), F.lit("T")))
+            .otherwise(F.concat(F.lit("1,"),
+                                F.lpad(F.col("p_size").cast("string"), 3, "0"))))
+    return part.select("p_partkey",
+                       E.clean_numeric_cell(cell).alias("cleaned"))
+
+
+ORACLE_CELL_GRAMMAR = """
+WITH cells AS (
+  SELECT p_partkey,
+    CASE p_partkey % 6
+      WHEN 0 THEN p_size::VARCHAR || '.5B'
+      WHEN 1 THEN '(' || p_size::VARCHAR || ')'
+      WHEN 2 THEN 'NA'
+      WHEN 3 THEN 'M'
+      WHEN 4 THEN p_size::VARCHAR || 'T'
+      ELSE '1,' || lpad(p_size::VARCHAR, 3, '0')
+    END AS cell
+  FROM part)
+SELECT p_partkey,
+  TRY_CAST(
+    CASE norm WHEN 'NA' THEN NULL ELSE norm END AS DECIMAL(38,6)) AS cleaned
+FROM (
+  SELECT p_partkey,
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(trim(cell), '^M$', 'NA'),
+      'T', 'e12'), 'B', 'e9'), 'M', 'e6'), '(', ''), ')', ''), ',', '') AS norm
+  FROM cells)
+"""
+
+
+def q_date_arithmetic(spark, sf):
+    """F8/F10 + A4 projection: month-end from "M/YYYY", prior-period keys,
+    next-quarter-end — on real date columns, incl. month-end edges."""
+    orders = _t(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    mm_yyyy = F.concat(F.month(d).cast("string"), F.lit("/"),
+                       F.year(d).cast("string"))
+    return orders.select(
+        "o_orderkey",
+        E.month_end_from_mm_yyyy(mm_yyyy).alias("month_end"),
+        E.prior_period_date(F.last_day(d), F.lit("Quarter")).alias("prior_quarter"),
+        E.prior_period_date(F.last_day(d), F.lit("Year")).alias("prior_year"),
+        E.next_quarter_end(F.last_day(d)).alias("next_quarter"))
+
+
+ORACLE_DATE_ARITHMETIC = """
+SELECT o_orderkey,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(last_day(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY
+       - INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS prior_quarter,
+  CAST(last_day(CAST(o_orderdate AS DATE)) - INTERVAL 1 YEAR AS DATE) AS prior_year,
+  CAST(last_day(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY
+       + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS next_quarter
+FROM orders
+"""
+
+
+def q_rank_to_int(spark, sf):
+    """F12/F13: enum decode + to_integer_rank."""
+    cust = _t(spark, sf, "customer")
+    rank = (F.when(F.col("c_custkey") % 5 == 0, "Strong Buy")
+            .when(F.col("c_custkey") % 5 == 1, "Buy")
+            .when(F.col("c_custkey") % 5 == 2, "Hold")
+            .when(F.col("c_custkey") % 5 == 3, "Sell")
+            .otherwise("Strong Sell"))
+    return cust.select("c_custkey", rank.alias("rank"),
+                       E.to_integer_rank(rank).alias("int_rank"))
+
+
+ORACLE_RANK_TO_INT = """
+WITH r AS (
+  SELECT c_custkey,
+    CASE c_custkey % 5 WHEN 0 THEN 'Strong Buy' WHEN 1 THEN 'Buy'
+      WHEN 2 THEN 'Hold' WHEN 3 THEN 'Sell' ELSE 'Strong Sell' END AS rank
+  FROM customer)
+SELECT c_custkey, rank,
+  CASE rank WHEN 'Strong Buy' THEN 1 WHEN 'Buy' THEN 2 WHEN 'Hold' THEN 3
+    WHEN 'Sell' THEN 4 WHEN 'Strong Sell' THEN 5 END AS int_rank
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """A1-A5 composite (TPC-H Q1 shape): grouped sums/counts with exact
+    decimal accumulation."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate").cast("date") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+                 F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+                 F.sum(_dec(F.col("l_extendedprice"))
+                       * _dec(F.lit(1) - F.col("l_discount"))).cast(DEC)
+                 .alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+  sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))
+      * CAST(1 - l_discount AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_bool_and_guard(spark, sf):
+    """A2: bool_and with three-valued logic (the sni guard's aggregate)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.bool_and(F.col("l_discount") < 0.05).alias("all_low_disc"),
+                 F.bool_and(F.when(F.col("l_tax") > 0,
+                                   F.col("l_quantity") > 0)).alias("mixed_null"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_BOOL_AND = """
+SELECT l_returnflag,
+  bool_and(l_discount < 0.05) AS all_low_disc,
+  bool_and(CASE WHEN l_tax > 0 THEN l_quantity > 0 END) AS mixed_null,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_grouped_max_projection(spark, sf):
+    """A3/A4: group-wise max + date projection (next expected quarter-end
+    per customer)."""
+    orders = _t(spark, sf, "orders")
+    return (orders.groupBy("o_custkey")
+            .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_order"))
+            .select("o_custkey", "last_order",
+                    E.next_quarter_end(F.col("last_order"))
+                    .alias("projected_next")))
+
+
+ORACLE_GROUPED_MAX = """
+SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+  CAST(max(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY + INTERVAL 3 MONTH
+       - INTERVAL 1 DAY AS DATE) AS projected_next
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_distinct_dates(spark, sf):
+    """A5: DISTINCT projection (the dump-driver loop source)."""
+    orders = _t(spark, sf, "orders")
+    return (orders.select(F.col("o_orderdate").cast("date").alias("d"),
+                          "o_orderpriority").distinct())
+
+
+ORACLE_DISTINCT = """
+SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_orderpriority FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins / set ops (SURVEY §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_star_join(spark, sf):
+    """J1/J4 + O1: the star-schema equi-join chain with broadcast dims."""
+    orders, cust = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    nation, region = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (orders
+            .join(F.broadcast(cust),
+                  orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nation),
+                  cust["c_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region),
+                  nation["n_regionkey"] == region["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("orders_cnt"),
+                 F.sum(_dec(F.col("o_totalprice"))).alias("revenue")))
+
+
+ORACLE_STAR_JOIN = """
+SELECT r_name, n_name, count(*) AS orders_cnt,
+  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_range_join(spark, sf):
+    """J2: equi + range-residual join (the reporting-window assignment)."""
+    orders, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    od = F.col("o_orderdate").cast("date")
+    sd = F.col("l_shipdate").cast("date")
+    joined = li.join(orders,
+                     (li["l_orderkey"] == orders["o_orderkey"])
+                     & (sd > od) & (sd <= F.date_add(od, 60)))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("shipped_in_window")))
+
+
+ORACLE_RANGE_JOIN = """
+SELECT o_orderpriority, count(*) AS shipped_in_window
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+  AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 60
+GROUP BY o_orderpriority
+"""
+
+
+def q_keep_latest_antijoin(spark, sf):
+    """A3+J3 (delete-via-join): keep only each order's latest-shipped
+    lines; the stale-row delete expressed as anti-join on the
+    (key, date) identity."""
+    li = _t(spark, sf, "lineitem") \
+        .withColumn("ship_date", F.col("l_shipdate").cast("date"))
+    latest = (li.groupBy("l_orderkey")
+              .agg(F.max("ship_date").alias("max_ship")))
+    condemned = (li.join(latest, "l_orderkey")
+                 .filter(F.col("ship_date") != F.col("max_ship"))
+                 .select("l_orderkey", "ship_date").distinct())
+    return (li.join(condemned, ["l_orderkey", "ship_date"], "left_anti")
+            .select("l_orderkey", "l_linenumber", "ship_date"))
+
+
+ORACLE_KEEP_LATEST = """
+SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem li
+WHERE NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS max_ship
+    FROM lineitem GROUP BY l_orderkey) m
+  WHERE m.l_orderkey = li.l_orderkey
+    AND CAST(li.l_shipdate AS DATE) != m.max_ship)
+"""
+
+
+def q_union_distinct(spark, sf):
+    """J5/O2: UNION with dedup."""
+    orders, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    a = orders.select(F.col("o_orderkey").alias("k"),
+                      F.col("o_orderdate").cast("date").alias("d"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_shipdate").cast("date").alias("d"))
+    return a.unionByName(b).distinct()
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d FROM orders
+UNION
+SELECT l_orderkey AS k, CAST(l_shipdate AS DATE) AS d FROM lineitem
+"""
+
+
+def q_keep_latest_window(spark, sf):
+    """§2.7 note: the idiomatic window-function equivalent of group-wise
+    max (row_number over partition, keep first)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+ORACLE_KEEP_LATEST_WINDOW = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Write semantics as queries over before-state (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_upsert_ignore(spark, sf):
+    """W1: first-write-wins upsert — after-state of inserting a batch
+    (order keys shifted by 7, carrying new payloads) into orders."""
+    orders = _t(spark, sf, "orders")
+    batch = orders.select((F.col("o_orderkey") + 7).alias("o_orderkey"),
+                          F.lit("BATCH").alias("src"))
+    existing = orders.select("o_orderkey", F.lit("EXISTING").alias("src"))
+    fresh = batch.join(existing.select("o_orderkey"), "o_orderkey",
+                       "left_anti")
+    return existing.unionByName(fresh)
+
+
+ORACLE_UPSERT_IGNORE = """
+SELECT o_orderkey, 'EXISTING' AS src FROM orders
+UNION ALL
+SELECT b.o_orderkey, 'BATCH' AS src FROM (
+  SELECT o_orderkey + 7 AS o_orderkey FROM orders) b
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = b.o_orderkey)
+"""
+
+
+def q_replace_window(spark, sf):
+    """W4/W5: windowed replace — rows before the cutoff survive, the batch
+    replaces the horizon."""
+    orders = _t(spark, sf, "orders")
+    cutoff = "1997-01-01"
+    kept = orders.filter(F.col("o_orderdate").cast("date") < cutoff)
+    batch = (orders.filter(F.col("o_orderdate").cast("date") >= cutoff)
+             .withColumn("o_totalprice", F.lit(0.0)))
+    return (kept.unionByName(batch)
+            .select("o_orderkey",
+                    F.col("o_orderdate").cast("date").alias("d"),
+                    _dec(F.col("o_totalprice")).alias("price")))
+
+
+ORACLE_REPLACE_WINDOW = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+       CAST(o_totalprice AS DECIMAL(38,6)) AS price
+FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+UNION ALL
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+       CAST(0.0 AS DECIMAL(38,6)) AS price
+FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+"""
+
+
+def q_stale_cleanup(spark, sf):
+    """J2+A3+J3 composite — the earnings-calendar stale-estimate cleanup
+    shape: events per user superseded within orders-derived windows are
+    removed (survivors returned)."""
+    ev = (_t(spark, sf, "events")
+          .select(F.col("user_id").alias("uid"),
+                  F.col("ts").cast("date").alias("ed"), "event_id"))
+    orders = _t(spark, sf, "orders")
+    actual = (orders.select(F.col("o_custkey").alias("uid"),
+                            F.col("o_orderdate").cast("date").alias("wd"))
+              .distinct())
+    projected = (orders.groupBy(F.col("o_custkey").alias("uid"))
+                 .agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+                 .select("uid", E.next_quarter_end(F.col("mx")).alias("wd")))
+    windows = (actual.unionByName(projected).distinct()
+               .withColumn("we", E.next_quarter_end(F.col("wd"))))
+    joined = (ev.join(windows, "uid")
+              .filter((F.col("ed") > F.col("wd")) & (F.col("ed") <= F.col("we"))))
+    ecm = (joined.groupBy("uid", "wd", "we")
+           .agg(F.max("ed").alias("max_ed")))
+    condemned = (ev.join(ecm, "uid")
+                 .filter((F.col("ed") != F.col("max_ed"))
+                         & (F.col("ed") > F.col("wd"))
+                         & (F.col("ed") <= F.col("we")))
+                 .select("event_id").distinct())
+    return (ev.join(condemned, "event_id", "left_anti")
+            .select("event_id", "uid", "ed"))
+
+
+ORACLE_STALE_CLEANUP = """
+WITH ev AS (
+  SELECT user_id AS uid, CAST(ts AS DATE) AS ed, event_id FROM events),
+windows AS (
+  SELECT uid, wd,
+    CAST(wd + INTERVAL 1 DAY + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS we
+  FROM (
+    SELECT DISTINCT o_custkey AS uid, CAST(o_orderdate AS DATE) AS wd FROM orders
+    UNION
+    SELECT o_custkey AS uid,
+      CAST(max(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY + INTERVAL 3 MONTH
+           - INTERVAL 1 DAY AS DATE) AS wd
+    FROM orders GROUP BY o_custkey)),
+condemned AS (
+  SELECT DISTINCT ev.event_id
+  FROM ev JOIN (
+    SELECT ev.uid, w.wd, w.we, max(ev.ed) AS max_ed
+    FROM ev JOIN windows w ON ev.uid = w.uid
+      AND ev.ed > w.wd AND ev.ed <= w.we
+    GROUP BY ev.uid, w.wd, w.we) ecm
+  ON ev.uid = ecm.uid AND ev.ed != ecm.max_ed
+    AND ev.ed > ecm.wd AND ev.ed <= ecm.we)
+SELECT event_id, uid, ed FROM ev
+WHERE NOT EXISTS (SELECT 1 FROM condemned c WHERE c.event_id = ev.event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data extension)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.exact_dup_groups(docs, "doc_id", "text") \
+        .select("fingerprint", "group_size", "keep_id")
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+  count(*) AS group_size, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_SQL = """
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(w) - {km1}, 1)),
+    i -> array_to_string(w[i:i+{km1}], ' '))) AS shingle
+  FROM (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents)
+"""
+
+
+def q_minhash_signatures(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", k=12, shingle_k=3)
+
+
+ORACLE_MINHASH_SIGS = f"""
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)})
+SELECT doc_id, hash_idx,
+  min(('0x' || substr(md5(hash_idx::VARCHAR || '|' || shingle), 1, 15))::BIGINT)
+  AS minhash
+FROM shingled CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS hash_idx)
+GROUP BY doc_id, hash_idx
+"""
+
+
+def q_minhash_near_dup_pairs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.minhash_near_dup_pairs(docs, "doc_id", "text", k=12, bands=4)
+
+
+ORACLE_MINHASH_PAIRS = f"""
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+sigs AS (
+  SELECT doc_id, hash_idx,
+    min(('0x' || substr(md5(hash_idx::VARCHAR || '|' || shingle), 1, 15))::BIGINT)
+    AS minhash
+  FROM shingled CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS hash_idx)
+  GROUP BY doc_id, hash_idx),
+buckets AS (
+  SELECT doc_id, hash_idx % 4 AS band,
+    md5(string_agg(lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR,
+        ',' ORDER BY lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR))
+    AS bucket
+  FROM sigs GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+  sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 12.0 AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b AND sb.hash_idx = sa.hash_idx
+GROUP BY c.id_a, c.id_b
+"""
+
+
+def q_simhash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.simhash_bits(docs, "doc_id", "text")
+
+
+ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+  FROM toks WHERE tok != ''),
+votes AS (
+  SELECT doc_id, bit,
+    sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit)
+  GROUP BY doc_id, bit)
+SELECT doc_id,
+  sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                                     min_jaccard=0.2)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, shared / (na.n + nb.n - shared) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE shared / (na.n + nb.n - shared) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (training-data extension)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+              p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform({a}, v -> v::DOUBLE * v::DOUBLE),
+          (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform({b}, v -> v::DOUBLE * v::DOUBLE),
+            (x, y) -> x + y)))
+"""
+
+
+def q_topk_cosine(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    out = similarity.topk_bruteforce(emb, queries, k=10)
+    return out.select("query_id", "vec_id",
+                      F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+
+
+ORACLE_TOPK_COSINE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+  ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    {_COS_SQL.format(a='e.embedding', b='q.query_vec')} AS cos
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_near_dup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                         min_cosine=0.5)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data extension)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        T.regex_token_count(F.col("text")).alias("rx_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"))
+
+
+ORACLE_TEXT_STATS = r"""
+WITH s AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+      ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS rx_tokens,
+    CASE WHEN len(text) = 0 THEN 0.0
+      ELSE len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]'))::DOUBLE
+           / len(text) END AS pr,
+    CASE WHEN trim(text) = '' OR len(string_split_regex(trim(text), '\s+')) = 0
+      THEN 0.0
+      ELSE len(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+           / len(string_split_regex(trim(text), '\s+')) END AS mwl,
+    (SELECT sum(len(regexp_extract_all(lower(text), '\b' || w || '\b')))
+     FROM (SELECT unnest(['the','a','an','and','or','of','to','in','is','are',
+                          'was','for','on','with','as','by','at','it','this',
+                          'that']) AS w)) AS stop_hits
+  FROM documents)
+SELECT doc_id, ws_tokens, rx_tokens,
+  round(pr, 6) AS punct_ratio,
+  round(mwl, 6) AS mean_word_len,
+  round(CASE WHEN ws_tokens = 0 THEN 0.0 ELSE
+    (least(1.0, ws_tokens / 100.0)
+     + least(1.0, (stop_hits::DOUBLE / ws_tokens) * 4.0)
+     + (1.0 - least(1.0, pr * 5.0))) / 3.0 END, 6) AS quality
+FROM s
+"""
+
+
+def q_language_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id",
+                       T.detect_language(F.col("text")).alias("lang_pred"))
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    parts = " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in words)
+    return f"({parts})"
+
+
+ORACLE_LANGUAGE_ID = f"""
+WITH scores AS (
+  SELECT doc_id,
+    {_lang_score_sql(T.LANG_MARKERS['de'])} AS s_de,
+    {_lang_score_sql(T.LANG_MARKERS['en'])} AS s_en,
+    {_lang_score_sql(T.LANG_MARKERS['es'])} AS s_es,
+    {_lang_score_sql(T.LANG_MARKERS['fr'])} AS s_fr
+  FROM documents)
+SELECT doc_id,
+  CASE
+    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es > 0 AND s_es > s_de AND s_es > s_en AND s_es >= s_fr THEN 'es'
+    WHEN s_fr > 0 AND s_fr > s_de AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+    ELSE 'und' END AS lang_pred
+FROM scores
+"""
+
+
+def q_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "filter_predicates": q_filter_predicates,
+    "scalar_subquery_latest": q_scalar_subquery_latest,
+    "range_filter": q_range_filter,
+    "cell_grammar": q_cell_grammar,
+    "date_arithmetic": q_date_arithmetic,
+    "rank_to_int": q_rank_to_int,
+    "pricing_summary": q_pricing_summary,
+    "bool_and_guard": q_bool_and_guard,
+    "grouped_max_projection": q_grouped_max_projection,
+    "distinct_dates": q_distinct_dates,
+    "star_join": q_star_join,
+    "range_join": q_range_join,
+    "keep_latest_antijoin": q_keep_latest_antijoin,
+    "union_distinct": q_union_distinct,
+    "keep_latest_window": q_keep_latest_window,
+    "upsert_ignore": q_upsert_ignore,
+    "replace_window": q_replace_window,
+    "stale_cleanup": q_stale_cleanup,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "topk_cosine": q_topk_cosine,
+    "embedding_near_dup": q_embedding_near_dup,
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "fingerprint": q_fingerprint,
+}
+
+_ORACLE: dict[str, str] = {
+    "filter_predicates": ORACLE_FILTER_PREDICATES,
+    "scalar_subquery_latest": ORACLE_SCALAR_SUBQUERY,
+    "range_filter": ORACLE_RANGE_FILTER,
+    "cell_grammar": ORACLE_CELL_GRAMMAR,
+    "date_arithmetic": ORACLE_DATE_ARITHMETIC,
+    "rank_to_int": ORACLE_RANK_TO_INT,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "bool_and_guard": ORACLE_BOOL_AND,
+    "grouped_max_projection": ORACLE_GROUPED_MAX,
+    "distinct_dates": ORACLE_DISTINCT,
+    "star_join": ORACLE_STAR_JOIN,
+    "range_join": ORACLE_RANGE_JOIN,
+    "keep_latest_antijoin": ORACLE_KEEP_LATEST,
+    "union_distinct": ORACLE_UNION_DISTINCT,
+    "keep_latest_window": ORACLE_KEEP_LATEST_WINDOW,
+    "upsert_ignore": ORACLE_UPSERT_IGNORE,
+    "replace_window": ORACLE_REPLACE_WINDOW,
+    "stale_cleanup": ORACLE_STALE_CLEANUP,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "minhash_signatures": ORACLE_MINHASH_SIGS,
+    "minhash_near_dup_pairs": ORACLE_MINHASH_PAIRS,
+    "simhash": ORACLE_SIMHASH,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "topk_cosine": ORACLE_TOPK_COSINE,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "text_stats": ORACLE_TEXT_STATS,
+    "language_id": ORACLE_LANGUAGE_ID,
+    "fingerprint": ORACLE_FINGERPRINT,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_star_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

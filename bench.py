@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",      # grouped decimal aggregation (TPC-H Q1 shape)
+    "star_join",            # broadcast star join
+    "range_join",           # equi + range residual
+    "keep_latest_antijoin", # group-wise max + anti-join delete
+    "union_distinct",       # union dedup
+    "stale_cleanup",        # calendar-cleanup composite
+    "distinct_dates",       # distinct projection
+    "cell_grammar",         # scalar expression kit
+    "minhash_near_dup_pairs",  # MinHash LSH dedup
+    "simhash",              # SimHash sketches
+    "topk_cosine",          # brute-force ANN baseline
+    "text_stats",           # text-analysis kit
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from zacks_estimates_financial_statements_spark.session import get_spark
+    spark = get_spark(app_name="zacks-spark-bench",
+                      master=f"local[{cpus}]",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.ui.showConsoleProgress": "false",
+                                  "spark.sql.shuffle.partitions": cpus})
+
+    qs = mod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables; compares row count, column names,
+and an order-insensitive value hash (columns sorted by name, rows sorted,
+values canonicalized to strings).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v) -> str:
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, (datetime.datetime,)):
+        return v.isoformat()
+    if isinstance(v, (datetime.date,)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+        else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from zacks_estimates_financial_statements_spark.session import get_spark
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.ui.showConsoleProgress": "false"})
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    names = only or list(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {str(exc)[:300]}")
+            failures += 1
+            continue
+        if name not in osql:
+            print(f"SKIP {name}: no oracle (rows={len(srows)})")
+            continue
+        try:
+            cur = con.execute(osql[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            failures += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            failures += 1
+            continue
+        sh = table_hash(scols, srows)
+        dh = table_hash(dcols, drows)
+        if sh != dh:
+            print(f"FAIL {name}: hash mismatch ({len(srows)} rows)")
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            sset = sorted("\x01".join(canon(r[i]) for i in order) for r in srows)
+            dset = sorted("\x01".join(canon(r[i]) for i in order) for r in drows)
+            for a, b in zip(sset, dset):
+                if a != b:
+                    print(f"  spark : {a[:220]}")
+                    print(f"  duckdb: {b[:220]}")
+                    break
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(srows)} rows, {dt:.1f}s")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
