@@ -1,0 +1,138 @@
+"""Streaming ingestion over the raw zone + incremental analytics on the
+events stream.
+
+The reference re-scans dated folders on a cron cadence (SURVEY §2.9); the
+Spark-native equivalent is a file-source ``readStream`` with
+``trigger(availableNow=True)``: each run incrementally processes only new
+files (checkpointed), giving the same at-least-once + idempotent-sink
+contract as the reference's ``ON CONFLICT DO NOTHING`` replays — with
+exactly-once file tracking for free.
+
+Components:
+
+- ``stream_calendar_rows``   — whole-file text stream over calendar JSON
+  day-files → the same parse surface as ``parse.calendars`` (pure SQL).
+- ``windowed_event_counts``  — event-time tumbling-window aggregation with
+  watermarked late-data handling.
+- ``sessionize_events``      — custom stateful operator
+  (``applyInPandasWithState``): gap-based sessionization per user, the
+  canonical "operator Spark lacks" shape (SURVEY §2.9 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from zacks_estimates_financial_statements_spark.parse.calendars import clean_payload
+
+CAL_PAYLOAD_SCHEMA = "struct<data: array<array<string>>>"
+
+
+def stream_calendar_files(spark: SparkSession, folder_glob: str) -> DataFrame:
+    """File-source stream of whole calendar JSON documents:
+    (path, event_date, content). ``folder_glob`` e.g.
+    ``<base>/earnings-calendar/*/``; new day-files are picked up
+    incrementally across restarts via the checkpoint."""
+    raw = (spark.readStream.format("text")
+           .option("wholetext", "true")
+           .load(folder_glob))
+    path = F.input_file_name()
+    return raw.select(
+        path.alias("path"),
+        F.to_date(F.regexp_extract(path, r"([^/]+)\.json$", 1), "yyyy-MM-dd")
+         .alias("event_date"),
+        F.col("value").alias("content"))
+
+
+def stream_calendar_rows(spark: SparkSession, folder_glob: str) -> DataFrame:
+    """Parsed positional calendar rows from the stream — same cleanup chain
+    as the batch parser (T8)."""
+    files = stream_calendar_files(spark, folder_glob)
+    parsed = files.select(
+        "event_date", "path",
+        F.from_json(clean_payload(F.col("content")), CAL_PAYLOAD_SCHEMA).alias("j"))
+    return parsed.select(
+        "event_date", "path",
+        F.posexplode_outer(F.col("j.data")).alias("row_idx", "row")) \
+        .filter(F.col("row").isNotNull())
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling-window counts per event_type with late-data
+    watermark; works on a streaming OR batch events DataFrame (same code
+    path — Spark's unified semantics)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "sum_value"))
+
+
+SESSION_SCHEMA = ("user_id bigint, session_start timestamp, "
+                  "session_end timestamp, n_events int")
+_STATE_SCHEMA = "start bigint, last bigint, n int"
+
+
+def _sessionize_fn(gap_seconds: int):
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start, unit="us"),
+                "session_end": pd.Timestamp(last, unit="us"),
+                "n_events": n,
+            }])
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_us[0], ts_us[0], 0
+        out = []
+        for t in ts_us:
+            if t - last > gap_seconds * 1_000_000:
+                out.append({"user_id": user_id,
+                            "session_start": pd.Timestamp(start, unit="us"),
+                            "session_end": pd.Timestamp(last, unit="us"),
+                            "n_events": n})
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(out, columns=["user_id", "session_start",
+                                         "session_end", "n_events"])
+
+    return fn
+
+
+def sessionize_events(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization per user as a custom stateful streaming
+    operator (``applyInPandasWithState`` + processing-time timeout to
+    flush idle sessions). Emits closed sessions."""
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return (events
+            .selectExpr("user_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_fn(gap_seconds),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
