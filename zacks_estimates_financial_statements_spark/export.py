@@ -136,6 +136,22 @@ DOLT_DUMPS = {
                      "estimate"], ["act_symbol", "period_end_date"]),
 }
 
+# statement tables (dump-dolt-statements.rkt:46-78 etc.): schema column
+# order, ordered by (act_symbol, date, period); earnings calendar
+# (dump-dolt-earnings-calendar.rkt:50-59): rolling re-export window.
+from zacks_estimates_financial_statements_spark import schemas as _schemas  # noqa: E402
+
+for _table in ("balance_sheet_assets", "balance_sheet_liabilities",
+               "balance_sheet_equity", "cash_flow_statement",
+               "income_statement"):
+    DOLT_DUMPS[_table] = (_schemas.TABLES[_table].fieldNames(),
+                          ["act_symbol", "date", "period"])
+DOLT_DUMPS["earnings_calendar"] = (["act_symbol", "date", "when"],
+                                   ["act_symbol", "date"])
+DOLT_DUMPS["dividend_calendar"] = (
+    ["act_symbol", "ex_date", "amount", "payable_date"],
+    ["act_symbol", "ex_date"])
+
 
 def dump_dat(df: DataFrame, table: str, out_dir: str,
              start_date: str | None = None,
@@ -150,7 +166,8 @@ def dump_dolt(df: DataFrame, table: str, out_dir: str,
               start_date: str | None = None,
               end_date: str | None = None) -> list[str]:
     cols, order = DOLT_DUMPS.get(table) or (df.columns, df.columns[:2])
-    date_col = "period_end_date" if table == "eps_history" else "date"
+    date_col = {"eps_history": "period_end_date",
+                "dividend_calendar": "ex_date"}.get(table, "date")
     d = df.select(*cols)
     if table == "eps_history":
         d = d.distinct()  # dump-dolt-estimates.rkt:191 (select distinct)

@@ -1,0 +1,145 @@
+"""Pipeline runner — the engine's CLI, replacing the reference's shell
+orchestrators (estimate-extract-transform-load.sh,
+financial-statement-transform-load-yesterday.sh,
+earnings-calendar-extract-transform-load.sh,
+dividend-calendar-extract-transform-load.sh).
+
+The HTTP extract stage is intentionally out of engine scope (SURVEY §2.1
+S1-S3: a thin non-Spark politeness-limited fetcher owns the raw zone);
+the runner drives transform-load + maintenance + export for a raw zone
+that already exists::
+
+    python -m zacks_estimates_financial_statements_spark.runner estimates   --raw /data/raw --tables /data/tables --date 2026-08-13
+    python -m zacks_estimates_financial_statements_spark.runner statements  --raw ... --tables ... --date ...
+    python -m zacks_estimates_financial_statements_spark.runner earnings-calendar --raw ... --tables ... --date ...
+    python -m zacks_estimates_financial_statements_spark.runner dividend-calendar --raw ... --tables ... --date ...
+    python -m zacks_estimates_financial_statements_spark.runner dump-dolt   --tables ... --out /data/dolt --table eps_estimate
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import sys
+
+from zacks_estimates_financial_statements_spark import export as X
+from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+from zacks_estimates_financial_statements_spark.parse.estimates import parse_estimates
+from zacks_estimates_financial_statements_spark.parse.statements import parse_statements
+from zacks_estimates_financial_statements_spark.pipelines import (
+    calendar_pipeline,
+    estimate_pipeline,
+    statement_pipeline,
+)
+from zacks_estimates_financial_statements_spark.session import get_spark
+from zacks_estimates_financial_statements_spark.sources.raw_zone import (
+    read_calendar_files,
+    read_documents,
+)
+
+ESTIMATE_TABLES = ["rank_score", "sales_estimate", "eps_estimate",
+                   "eps_revision", "eps_perception", "eps_history"]
+
+#: statement kind → (raw dataset dir, destination tables)
+STATEMENT_KINDS = {
+    "income": ("income-statement", ["income_statement"]),
+    "balance": ("balance-sheet", ["balance_sheet_assets",
+                                  "balance_sheet_liabilities",
+                                  "balance_sheet_equity"]),
+    "cash_flow": ("cash-flow-statement", ["cash_flow_statement"]),
+}
+
+#: the legacy cash-flow page layout retired on this date (the reference
+#: keeps both loaders; the date keys which one a folder needs)
+CASH_FLOW_LEGACY_BEFORE = datetime.date(2024, 2, 1)
+
+
+def _stores(spark, root: str, names: list[str]) -> dict[str, TableStore]:
+    return {n: TableStore(spark, root, n) for n in names}
+
+
+def run_estimates(spark, raw: str, tables: str, date: str) -> dict:
+    docs = read_documents(spark, raw, "estimates", date)
+    parsed = parse_estimates(docs)
+    return estimate_pipeline.load_estimates(
+        parsed, _stores(spark, tables, ESTIMATE_TABLES))
+
+
+def run_statements(spark, raw: str, tables: str, date: str,
+                   kinds: list[str] | None = None) -> dict:
+    out = {}
+    for kind in kinds or list(STATEMENT_KINDS):
+        dataset, dest = STATEMENT_KINDS[kind]
+        docs = read_documents(spark, raw, dataset, date)
+        parse_kind = kind
+        if (kind == "cash_flow"
+                and datetime.date.fromisoformat(date) < CASH_FLOW_LEGACY_BEFORE):
+            parse_kind = "cash_flow_legacy"
+        raw_rows = parse_statements(docs, parse_kind)
+        statement_pipeline.load_statement(
+            raw_rows, parse_kind, _stores(spark, tables, dest))
+        out[kind] = {t: TableStore(spark, tables, t).read().count()
+                     for t in dest}
+    return out
+
+
+def run_earnings_calendar(spark, raw: str, tables: str, date: str) -> dict:
+    store = TableStore(spark, tables, "earnings_calendar")
+    files = read_calendar_files(spark, raw, "earnings-calendar", date)
+    calendar_pipeline.load_earnings_calendar(
+        store, files, datetime.date.fromisoformat(date))
+    bsa = TableStore(spark, tables, "balance_sheet_assets").read()
+    calendar_pipeline.cleanup_stale_earnings(store, bsa)
+    return {"earnings_calendar": store.read().count()}
+
+
+def run_dividend_calendar(spark, raw: str, tables: str, date: str) -> dict:
+    store = TableStore(spark, tables, "dividend_calendar")
+    files = read_calendar_files(spark, raw, "dividend-calendar", date)
+    calendar_pipeline.load_dividend_calendar(
+        store, files, datetime.date.fromisoformat(date))
+    return {"dividend_calendar": store.read().count()}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="zacks_estimates_financial_statements_spark.runner")
+    ap.add_argument("pipeline",
+                    choices=["estimates", "statements", "earnings-calendar",
+                             "dividend-calendar", "dump-dat", "dump-dolt"])
+    ap.add_argument("--raw", help="raw zone root")
+    ap.add_argument("--tables", required=True, help="table store root")
+    ap.add_argument("--date", help="folder date yyyy-MM-dd")
+    ap.add_argument("--out", help="export output dir")
+    ap.add_argument("--table", help="table to export")
+    ap.add_argument("--start-date")
+    ap.add_argument("--end-date")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name=f"zacks-{args.pipeline}", master=args.master)
+    try:
+        if args.pipeline == "estimates":
+            result = run_estimates(spark, args.raw, args.tables, args.date)
+        elif args.pipeline == "statements":
+            result = run_statements(spark, args.raw, args.tables, args.date)
+        elif args.pipeline == "earnings-calendar":
+            result = run_earnings_calendar(spark, args.raw, args.tables,
+                                           args.date)
+        elif args.pipeline == "dividend-calendar":
+            result = run_dividend_calendar(spark, args.raw, args.tables,
+                                           args.date)
+        elif args.pipeline in ("dump-dat", "dump-dolt"):
+            store = TableStore(spark, args.tables, args.table)
+            fn = X.dump_dat if args.pipeline == "dump-dat" else X.dump_dolt
+            files = fn(store.read(), args.table, args.out,
+                       args.start_date, args.end_date)
+            result = {"files": files}
+        print(json.dumps({"pipeline": args.pipeline, "result": result}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
