@@ -215,6 +215,90 @@ FROM r
 """
 
 
+def q_symbol_universe(spark, sf):
+    """S4/P1-P5 + F14: the reference's symbol-universe query shape over a
+    symbol dimension synthesized deterministically from customer, incl.
+    flag filters, regex predicates, the 5th-letter CASE, the
+    latest-snapshot scalar subquery, a resumable range, and export text
+    rendering (coalesce NULL→'')."""
+    from zacks_estimates_financial_statements_spark.sources.universe import symbol_universe
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    # 5-letter symbol from the numeric suffix, A-Z alphabet
+    letter = lambda i: F.char(F.lit(65) + ((k / F.lit(26 ** i)).cast("long") % 26))  # noqa: E731
+    sym = F.concat(letter(4), letter(3), letter(2), letter(1), letter(0))
+    dim = cust.select(
+        sym.alias("act_symbol"),
+        F.when(k % 11 == 0, F.concat(sym, F.lit("$"))).otherwise(sym)
+         .alias("nasdaq_symbol"),
+        F.when(k % 13 == 0, F.lit("Acme ETN Note"))
+         .when(k % 7 == 3, F.lit("Acme Warrant"))
+         .otherwise(F.lit("Acme Common Stock")).alias("security_name"),
+        (k % 17 == 0).alias("is_etf"),
+        (k % 19 == 0).alias("is_test_issue"),
+        (k % 23 == 0).alias("is_next_shares"),
+        F.when(k % 29 == 0, F.lit("2024-01-01").cast("date"))
+         .otherwise(F.lit("2024-06-01").cast("date")).alias("last_seen"))
+    uni = symbol_universe(dim, first_symbol="AAAAA", last_symbol="ZZZZZ")
+    return uni.select("act_symbol").distinct()
+
+
+ORACLE_SYMBOL_UNIVERSE = """
+WITH dim AS (
+  SELECT
+    chr(CAST(65 + CAST(floor(c_custkey / 456976) AS INT) % 26 AS INT))
+    || chr(CAST(65 + CAST(floor(c_custkey / 17576) AS INT) % 26 AS INT))
+    || chr(CAST(65 + CAST(floor(c_custkey / 676) AS INT) % 26 AS INT))
+    || chr(CAST(65 + CAST(floor(c_custkey / 26) AS INT) % 26 AS INT))
+    || chr(CAST(65 + c_custkey % 26 AS INT)) AS act_symbol,
+    c_custkey % 11 = 0 AS has_dollar,
+    CASE WHEN c_custkey % 13 = 0 THEN 'Acme ETN Note'
+         WHEN c_custkey % 7 = 3 THEN 'Acme Warrant'
+         ELSE 'Acme Common Stock' END AS security_name,
+    c_custkey % 17 = 0 AS is_etf,
+    c_custkey % 19 = 0 AS is_test_issue,
+    c_custkey % 23 = 0 AS is_next_shares,
+    CASE WHEN c_custkey % 29 = 0 THEN DATE '2024-01-01'
+         ELSE DATE '2024-06-01' END AS last_seen
+  FROM customer),
+dim2 AS (
+  SELECT *, CASE WHEN has_dollar THEN act_symbol || '$' ELSE act_symbol END
+    AS nasdaq_symbol FROM dim)
+SELECT DISTINCT act_symbol FROM dim2
+WHERE is_etf = FALSE AND is_test_issue = FALSE AND is_next_shares = FALSE
+  AND NOT regexp_matches(security_name, 'ETN')
+  AND NOT regexp_matches(nasdaq_symbol, '[-$+*#!@%^=~]')
+  AND (CASE WHEN regexp_matches(nasdaq_symbol, '[A-Z]{4}[L-Z]')
+       THEN NOT regexp_matches(security_name, '(Note|Preferred|Right|Unit|Warrant)')
+       ELSE TRUE END)
+  AND last_seen = (SELECT max(last_seen) FROM dim2)
+  AND act_symbol >= 'AAAAA' AND act_symbol <= 'ZZZZZ'
+"""
+
+
+def q_export_text(spark, sf):
+    """F14 + decimal text rendering: the dump cast surface."""
+    from zacks_estimates_financial_statements_spark.export import decimal_text
+    orders = _t(spark, sf, "orders")
+    price = _dec(F.col("o_totalprice"))
+    nullable = F.when(F.col("o_orderkey") % 3 == 0, price)
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(decimal_text(nullable), F.lit("")).alias("price_text"),
+        E.export_text(F.col("o_orderdate").cast("date")).alias("date_text"))
+
+
+ORACLE_EXPORT_TEXT = """
+SELECT o_orderkey,
+  coalesce(CASE WHEN o_orderkey % 3 = 0 THEN
+    regexp_replace(regexp_replace(
+      CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
+      '(\\.\\d*?)0+$', '\\1'), '\\.$', '') END, '') AS price_text,
+  coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '') AS date_text
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -794,6 +878,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
     "range_filter": q_range_filter,
+    "symbol_universe": q_symbol_universe,
+    "export_text": q_export_text,
     "cell_grammar": q_cell_grammar,
     "date_arithmetic": q_date_arithmetic,
     "rank_to_int": q_rank_to_int,
@@ -825,6 +911,8 @@ _ORACLE: dict[str, str] = {
     "filter_predicates": ORACLE_FILTER_PREDICATES,
     "scalar_subquery_latest": ORACLE_SCALAR_SUBQUERY,
     "range_filter": ORACLE_RANGE_FILTER,
+    "symbol_universe": ORACLE_SYMBOL_UNIVERSE,
+    "export_text": ORACLE_EXPORT_TEXT,
     "cell_grammar": ORACLE_CELL_GRAMMAR,
     "date_arithmetic": ORACLE_DATE_ARITHMETIC,
     "rank_to_int": ORACLE_RANK_TO_INT,

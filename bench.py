@@ -54,6 +54,14 @@ def main() -> None:
                                   "spark.sql.shuffle.partitions": cpus})
 
     qs = mod.queries()
+    # untimed warmup: JVM/codegen/parquet-footer initialization should not
+    # be attributed to the first measured query
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        try:
+            mod._t(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
