@@ -144,13 +144,27 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles of the normalized text as ``array<string>``
-    (consecutive k-grams joined by single spaces). Documents shorter than
-    k words yield a single shingle of the whole text."""
-    words = F.split(normalize_text(col), " ")
+def shingles_from_words(words: Column, k: int = 3) -> Column:
+    """Word k-shingles from an already-materialized words array.
+
+    IMPORTANT: pass a *column reference* to a words array, not an inline
+    ``split(normalize_text(...))`` expression — Catalyst does not eliminate
+    common subexpressions through lambda functions, so an inline expression
+    re-runs the regexp normalization once per array element (measured 25×
+    slower at sf0.1)."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
     )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text as ``array<string>``
+    (consecutive k-grams joined by single spaces). Documents shorter than
+    k words yield a single shingle of the whole text.
+
+    For hot paths, materialize ``split(normalize_text(col), " ")`` into
+    its own projection and use ``shingles_from_words`` (see its warning).
+    """
+    return shingles_from_words(F.split(normalize_text(col), " "), k)

@@ -91,9 +91,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     alternatives on sf0.1: per-row k-hash agg columns + stack (1.6×
     slower — md5 leaves the projection codegen path), fully-nested
     higher-order functions (7× slower — no codegen, no shuffle win)."""
-    shingled = df.select(
+    words = df.select(
         F.col(id_col),
-        F.explode(T.shingles(F.col(text_col), shingle_k)).alias("shingle"))
+        F.split(T.normalize_text(F.col(text_col)), " ").alias("__words"))
+    shingled = words.select(
+        F.col(id_col),
+        F.explode(T.shingles_from_words(F.col("__words"), shingle_k))
+        .alias("shingle"))
     indexed = shingled.join(
         F.broadcast(df.sparkSession.range(k).withColumnRenamed("id", "hash_idx")))
     return (indexed
@@ -121,28 +125,57 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     with the fraction of matching minhashes (the Jaccard estimate).
 
     Returns (id_a, id_b, est_jaccard), id_a < id_b.
+
+    Plan shape: the long signatures fold once into a per-doc ordered
+    signature ARRAY (+ the band buckets from the same aggregation), so
+    the band self-join and the Jaccard estimate (a ``zip_with`` over the
+    two arrays) need no further joins against the long signature relation
+    — 2 shuffles total instead of 5. At scale only band-bucket
+    cohabitants ever meet, and each carries its fixed-size k-element
+    signature, not a k-row join fan-in.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).persist()
-    try:
-        buckets = minhash_bands(sigs, id_col, bands)
-        a, b = buckets.alias("a"), buckets.alias("b")
-        cand = (a.join(b, ["band", "bucket"])
-                .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                .select(F.col(f"a.{id_col}").alias("id_a"),
-                        F.col(f"b.{id_col}").alias("id_b"))
-                .distinct())
-        sa = sigs.select(F.col(id_col).alias("id_a"), "hash_idx",
-                         F.col("minhash").alias("mh_a"))
-        sb = sigs.select(F.col(id_col).alias("id_b"), "hash_idx",
-                         F.col("minhash").alias("mh_b"))
-        est = (cand.join(sa, "id_a").join(sb, ["id_b", "hash_idx"])
-               .groupBy("id_a", "id_b")
-               .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1)
-                           .otherwise(0)) / F.lit(float(k)))
-                    .alias("est_jaccard")))
-        return est
-    finally:
-        sigs.unpersist()
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k)
+    per_doc = (sigs
+               .groupBy(id_col)
+               .agg(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("hash_idx", "minhash"))),
+                        lambda s: s["minhash"]).alias("sig")))
+    # band buckets derived from the signature array (band b holds hash
+    # indices b, b+bands, …, ascending — matching the sorted
+    # "lpad(idx):minhash" pair order of the SQL twin); one aggregation
+    # feeds both the buckets and the Jaccard estimate.
+    rows_per_band = k // bands
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.array_join(F.transform(
+                F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
+                lambda j: F.concat_ws(
+                    ":",
+                    F.lpad((b + j * bands).cast("string"), 4, "0"),
+                    F.element_at(F.col("sig"), b + j * bands + 1)
+                     .cast("string"))), ",")).alias("bucket")))
+    buckets = (per_doc
+               .select(F.col(id_col), F.col("sig"),
+                       F.explode(band_structs).alias("bb"))
+               .select(id_col, "sig", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"))
+            .distinct())
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return cand.select("id_a", "id_b",
+                       (matches / F.lit(float(k))).alias("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -199,9 +232,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         min_jaccard: float = 0.5) -> DataFrame:
     """Exact Jaccard over distinct word shingles for documents sharing at
     least one shingle. Returns (id_a, id_b, jaccard) ≥ min_jaccard."""
-    sh = (df.select(F.col(id_col),
-                    F.explode(T.shingles(F.col(text_col), shingle_k))
-                    .alias("shingle"))
+    words = df.select(
+        F.col(id_col),
+        F.split(T.normalize_text(F.col(text_col)), " ").alias("__words"))
+    sh = (words.select(F.col(id_col),
+                       F.explode(T.shingles_from_words(F.col("__words"),
+                                                       shingle_k))
+                       .alias("shingle"))
           .distinct())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
