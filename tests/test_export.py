@@ -54,3 +54,19 @@ def test_decimal_text_trims_trailing_zeros(spark):
          (None,)], "x decimal(38,6)")
     vals = [r[0] for r in df.select(X.decimal_text(F.col("x")).alias("t")).collect()]
     assert vals == ["1.5", "2", "0.123456", None]
+
+
+def test_reexport_earnings_calendar(spark, tmp_path):
+    import datetime
+    df = spark.createDataFrame(
+        [("AAPL", datetime.date(2024, 5, 9), "After market close"),
+         ("MSFT", datetime.date(2024, 5, 1), None),      # outside window
+         ("NVDA", datetime.date(2024, 5, 20), None)],
+        "act_symbol string, date date, `when` string")
+    target, cmds = X.reexport_earnings_calendar(df, str(tmp_path), "2024-05-10")
+    lines = open(target).read().strip().split("\n")
+    assert lines[0] == "act_symbol,date,when"
+    assert lines[1:] == ["AAPL,2024-05-09,After market close",
+                         "NVDA,2024-05-20,"]
+    assert cmds[0][:2] == ["dolt", "sql"]
+    assert any("table" in c for c in cmds[1])

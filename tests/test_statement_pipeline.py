@@ -140,3 +140,21 @@ def test_uncastable_cell_drops_row_only(spark, income_store):
     assert len(rows) == 9
     assert not [r for r in rows
                 if r["period"] == "Year" and r["date"] == D(2023, 12, 31)]
+
+
+def test_legacy_cash_flow_load(spark, tmp_path):
+    from tests.fixtures import cash_flow_page
+    from zacks_estimates_financial_statements_spark.schemas import CASH_FLOW_STATEMENT_COLS
+    from decimal import Decimal
+    stores = {"cash_flow_statement": TableStore(spark, str(tmp_path), "cash_flow_statement")}
+    av = _vals(CASH_FLOW_STATEMENT_COLS)
+    html = cash_flow_page(ANNUAL_DATES, QTR_DATES, av, av, legacy=True)
+    df = spark.createDataFrame([("AAPL", D(2024, 6, 1), html)],
+                               "act_symbol string, folder_date date, content string")
+    pipe.load_statement(parse_statements(df, "cash_flow_legacy"),
+                        "cash_flow_legacy", stores)
+    rows = stores["cash_flow_statement"].read().collect()
+    assert len(rows) == 5 and {r["period"] for r in rows} == {"Year"}
+    r23 = [r for r in rows if r["date"] == D(2023, 12, 31)][0]
+    assert r23["net_income"] == Decimal("100000000")
+    assert r23["diluted_net_eps"] == Decimal("21100")

@@ -175,6 +175,32 @@ def dump_dolt(df: DataFrame, table: str, out_dir: str,
                              end_date, coalesce_null=True)
 
 
+def reexport_earnings_calendar(df: DataFrame, out_dir: str,
+                               as_of_date: str) -> tuple[str, list[list[str]]]:
+    """dump-dolt-earnings-calendar.rkt:40-62 — re-export the rolling
+    window (as_of − 7 days onward) as ONE csv named by the as-of date,
+    plus the publisher's pre-clean delete + import/commit/push argv. The
+    MySQL-dialect pre-clean (`delete … where date >= date_sub(...)`)
+    becomes the remote half of the same rolling-window replace the engine
+    applies locally (W5)."""
+    window = df.filter(
+        F.col("date") >= F.date_sub(F.lit(as_of_date).cast("date"), 7))
+    cols = [F.col("act_symbol").cast("string"),
+            F.col("date").cast("string"),
+            F.coalesce(F.col("when").cast("string"), F.lit(""))
+            .alias("when")]
+    os.makedirs(out_dir, exist_ok=True)
+    target = os.path.join(out_dir, f"earnings-calendar-{as_of_date}.csv")
+    pdf = (window.select(*cols).orderBy("act_symbol", "date")
+           .toPandas())  # rolling window is small by construction (7 days)
+    pdf.to_csv(target, index=False)
+    cmds = [["dolt", "sql", "-q",
+             ("delete from earnings_calendar where date >= "
+              f"date_sub('{as_of_date}', interval 7 day)")],
+            *publish_command("", "earnings_calendar", target, as_of_date)]
+    return target, cmds
+
+
 def publish_command(base_folder: str, table: str, csv_file: str,
                     end_date: str) -> list[list[str]]:
     """W9 — the dolt import/commit/push subprocess steps as argv lists for
