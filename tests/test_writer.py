@@ -119,3 +119,28 @@ def test_upsert_antijoin_is_broadcast(spark, store):
                       on=["act_symbol", "date"], how="left_anti") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_partitioned_layout_and_pruning(spark, tmp_path):
+    import os
+    store = TableStore(spark, str(tmp_path), "rank_score")
+    batch = spark.createDataFrame(
+        [("AAPL", D(2024, 5, 1), "Hold", "A", "B", "C", "D"),
+         ("MSFT", D(2024, 5, 8), "Buy", "A", "A", "A", "A")],
+        "act_symbol string, date date, rank string, value string, "
+        "growth string, momentum string, vgm string")
+    store.upsert_ignore(batch)
+    live = store._live_dir()
+    assert sorted(e for e in os.listdir(live) if e.startswith("date=")) == \
+        ["date=2024-05-01", "date=2024-05-08"]
+    # read restores declared column order
+    assert store.read().columns[:2] == ["act_symbol", "date"]
+    # a date filter prunes partitions
+    plan = store.read().filter("date = '2024-05-08'") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "2024-05-08" in plan
+    # incremental append touches only the new partition
+    store.upsert_ignore(spark.createDataFrame(
+        [("NVDA", D(2024, 5, 9), "Hold", "A", "B", "C", "D")], batch.schema))
+    assert store.read().count() == 3
+    assert "date=2024-05-09" in os.listdir(live)

@@ -52,6 +52,28 @@ from zacks_estimates_financial_statements_spark.schemas import (
 
 _POINTER = "_CURRENT"
 
+#: hive-style partition layout per table (SURVEY §1.4): the snapshot
+#: tables are date-driven in every loader and dump loop, so partitioning
+#: by the snapshot/event date makes the per-date dump scans, the calendar
+#: horizon deletes (date >= folder_date), and incremental upserts prune
+#: to the touched partitions. At 100 TB this is the difference between a
+#: metadata-bounded operation and a full-table scan.
+DEFAULT_PARTITIONING: dict[str, tuple[str, ...]] = {
+    "rank_score": ("date",),
+    "eps_estimate": ("date",),
+    "sales_estimate": ("date",),
+    "eps_revision": ("date",),
+    "eps_perception": ("date",),
+    "eps_history": (),            # keyed by period_end_date, small
+    "earnings_calendar": (),      # small; rewritten wholesale each run
+    "dividend_calendar": (),
+    "income_statement": ("period",),
+    "balance_sheet_assets": ("period",),
+    "balance_sheet_liabilities": ("period",),
+    "balance_sheet_equity": ("period",),
+    "cash_flow_statement": ("period",),
+}
+
 
 @dataclass
 class TableStore:
@@ -69,6 +91,14 @@ class TableStore:
     spark: SparkSession
     root: str
     name: str
+    #: "auto" → DEFAULT_PARTITIONING[name]; None/() → unpartitioned;
+    #: or an explicit tuple of columns.
+    partition_by: tuple[str, ...] | str | None = "auto"
+
+    def _partition_cols(self) -> tuple[str, ...]:
+        if self.partition_by == "auto":
+            return DEFAULT_PARTITIONING.get(self.name, ())
+        return tuple(self.partition_by or ())
 
     @property
     def path(self) -> str:
@@ -103,14 +133,24 @@ class TableStore:
                 raise ValueError(f"table {self.name} has never been written "
                                  "and has no declared schema")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(live)
+        df = self.spark.read.parquet(live)
+        declared = TABLES.get(self.name)
+        if declared is not None and set(declared.fieldNames()) <= set(df.columns):
+            # partitioned reads append partition columns at the end;
+            # restore the declared column order
+            df = df.select(*declared.fieldNames())
+        return df
 
     # -- write primitives ---------------------------------------------------
 
     def _write_version(self, df: DataFrame) -> str:
         version = f"v-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, version)
-        df.write.mode("overwrite").parquet(out)
+        writer = df.write.mode("overwrite")
+        parts = self._partition_cols()
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(out)
         return version
 
     def _flip(self, version: str) -> None:
@@ -165,7 +205,12 @@ class TableStore:
         fresh = deduped.join(F.broadcast(existing_keys), on=list(pk),
                              how="left_anti")
         # Parquet append is job-atomic (_SUCCESS); same live version dir.
-        fresh.write.mode("append").parquet(live)
+        # With a partitioned layout only the touched partitions gain files.
+        writer = fresh.write.mode("append")
+        parts = self._partition_cols()
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(live)
 
     def replace_window(self, batch: DataFrame, keep_condition) -> None:
         """W4/W5 — windowed replace: stored rows satisfying
