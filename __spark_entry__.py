@@ -782,6 +782,85 @@ WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.5
 """
 
 
+def q_sessionize_batch(spark, sf):
+    """Batch twin of the streaming sessionization operator: gap-based
+    sessions per user via window functions (new session when the gap to
+    the previous event exceeds 30 minutes)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long")
+           - F.lag(F.col("ts").cast("long")).over(w)) > 1800
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | ~gap, 0).otherwise(1))
+    sess = marked.withColumn(
+        "session_idx", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+    THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked)
+SELECT user_id, session_idx, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Approximate top-k: sign-bit LSH buckets + multi-probe + exact
+    cosine re-rank (the scale path; `topk_cosine` is its exact
+    baseline)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    out = similarity.topk_lsh(emb, queries, k=5, bucket_bits=6,
+                              probe_hamming=1)
+    return out.select("query_id", "vec_id",
+                      F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+
+
+_SIGNBITS_SQL = """
+  list_reduce(list_prepend(0::BIGINT, list_transform({v}[1:6],
+    x -> CASE WHEN x >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+    (a, b) -> a * 2 + b)
+"""
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+  ORDER BY vec_id LIMIT 5),
+cb AS (SELECT vec_id, embedding, {_SIGNBITS_SQL.format(v='embedding')} AS b
+       FROM embeddings),
+qb AS (SELECT query_id, query_vec, {_SIGNBITS_SQL.format(v='query_vec')} AS b
+       FROM q),
+cand AS (
+  SELECT qb.query_id, cb.vec_id,
+    {_COS_SQL.format(a='cb.embedding', b='qb.query_vec')} AS cos
+  FROM cb JOIN qb ON bit_count(xor(cb.b, qb.b)) <= 1),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM cand)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data extension)
 # ---------------------------------------------------------------------------
@@ -901,6 +980,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "topk_cosine": q_topk_cosine,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "sessionize_batch": q_sessionize_batch,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -934,6 +1015,8 @@ _ORACLE: dict[str, str] = {
     "simhash": ORACLE_SIMHASH,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "topk_cosine": ORACLE_TOPK_COSINE,
+    "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "sessionize_batch": ORACLE_SESSIONIZE,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
