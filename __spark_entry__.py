@@ -937,6 +937,69 @@ FROM scores
 """
 
 
+def q_clean_corpus(spark, sf):
+    """Composite training-data pipeline: language gate + quality gate +
+    exact dedup (min-id winner) in one dataflow — the shape of a real
+    corpus-cleaning job."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.detect_language(F.col("text")).alias("lang_pred"),
+        T.whitespace_token_count(F.col("text")).alias("toks"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.fingerprint(F.col("text")).alias("fp"))
+    gated = scored.filter((F.col("lang_pred") == "en")
+                          & (F.col("toks") >= 20) & (F.col("q") >= 0.5))
+    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (gated.join(keep, ["fp", "doc_id"], "left_semi")
+            .select("doc_id", "toks", F.round(F.col("q"), 6).alias("quality")))
+
+
+ORACLE_CLEAN_CORPUS = f"""
+WITH lang AS ({ORACLE_LANGUAGE_ID.replace('FROM documents',
+                                          'FROM documents', 1)}),
+stats AS (
+  SELECT doc_id, ws_tokens AS toks, quality AS q FROM (
+    {{text_stats}}
+  )),
+fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents),
+gated AS (
+  SELECT s.doc_id, s.toks, s.q, f.fp
+  FROM stats s JOIN lang l ON s.doc_id = l.doc_id
+  JOIN fp f ON f.doc_id = s.doc_id
+  WHERE l.lang_pred = 'en' AND s.toks >= 20 AND s.q >= 0.5)
+SELECT g.doc_id, g.toks, round(g.q, 6) AS quality
+FROM gated g
+JOIN (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp) k
+  ON g.fp = k.fp AND g.doc_id = k.doc_id
+"""
+# inline the text-stats subquery (un-rounded quality, gated before round)
+ORACLE_CLEAN_CORPUS = ORACLE_CLEAN_CORPUS.format(text_stats=r"""
+    SELECT doc_id,
+      CASE WHEN trim(text) = '' THEN 0
+        ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+      CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+        ELSE (least(1.0, (CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) / 100.0)
+          + least(1.0, ((SELECT sum(len(regexp_extract_all(lower(text),
+              '\b' || w || '\b')))
+             FROM (SELECT unnest(['the','a','an','and','or','of','to','in',
+                 'is','are','was','for','on','with','as','by','at','it',
+                 'this','that']) AS w))::DOUBLE
+            / (CASE WHEN trim(text) = '' THEN 1
+               ELSE len(string_split_regex(trim(text), '\s+')) END)) * 4.0)
+          + (1.0 - least(1.0, (CASE WHEN len(text) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(text,
+                  '[.,;:!?''"()\[\]{}-]'))::DOUBLE / len(text) END) * 5.0)))
+          / 3.0 END AS quality
+    FROM documents
+""")
+
+
 def q_fingerprint(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -985,6 +1048,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
+    "clean_corpus": q_clean_corpus,
     "fingerprint": q_fingerprint,
 }
 
@@ -1020,6 +1084,7 @@ _ORACLE: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
+    "clean_corpus": ORACLE_CLEAN_CORPUS,
     "fingerprint": ORACLE_FINGERPRINT,
 }
 
