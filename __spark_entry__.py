@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
-from zacks_estimates_financial_statements_spark.functions import vectors as V  # noqa: E402
 from zacks_estimates_financial_statements_spark.operators import dedup, similarity  # noqa: E402
 
 DEC = "decimal(38,6)"
