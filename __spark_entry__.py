@@ -860,6 +860,57 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF coarse-quantization top-k: deterministic seed centroids,
+    nprobe nearest lists, exact re-rank (the other scale path next to
+    the LSH variant)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    out = similarity.topk_ivf(emb, queries, k=3, n_centroids=16, nprobe=4)
+    return out.select("query_id", "vec_id",
+                      F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC, c.centroid_id)
+      AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5),
+probes AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        {_COS_SQL.format(a='q.qvec', b='c.cvec')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c)
+  WHERE rn <= 4),
+cand AS (
+  SELECT p.query_id, e.vec_id,
+    {_COS_SQL.format(a='e.embedding', b='p.qvec')} AS cos
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+    AS rank
+  FROM cand)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data extension)
 # ---------------------------------------------------------------------------
@@ -1043,6 +1094,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "topk_cosine": q_topk_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "sessionize_batch": q_sessionize_batch,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
@@ -1079,6 +1131,7 @@ _ORACLE: dict[str, str] = {
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "topk_cosine": ORACLE_TOPK_COSINE,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "sessionize_batch": ORACLE_SESSIONIZE,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "text_stats": ORACLE_TEXT_STATS,
