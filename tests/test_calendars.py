@@ -125,3 +125,22 @@ def test_stale_estimate_cleanup(spark, ec_store):
     got = sorted((r["act_symbol"], r["date"]) for r in ec_store.read().collect())
     assert got == [("AAPL", D(2024, 3, 1)), ("AAPL", D(2024, 8, 1)),
                    ("MSFT", D(2024, 7, 25))]
+
+
+def test_dividend_runner_path(spark, tmp_path):
+    """runner.run_dividend_calendar end-to-end over fixture files."""
+    import json as _json
+    from zacks_estimates_financial_statements_spark import runner
+    d = tmp_path / "raw" / "dividend-calendar" / "2024-05-10"
+    d.mkdir(parents=True)
+    (d / "2024-05-20.json").write_text(_json.dumps({"data": [
+        ["AAPL", "Apple", "x", "$0.25", "x", "2024-05-20", "x", "2024-06-01"],
+        ["MSFT", "Microsoft", "x", "$1.10", "x", "2024-05-21", "x", "--"]]}))
+    out = runner.run_dividend_calendar(
+        spark, str(tmp_path / "raw"), str(tmp_path / "tables"), "2024-05-10")
+    assert out == {"dividend_calendar": 2}
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    rows = sorted((r["act_symbol"], str(r["amount"]))
+                  for r in TableStore(spark, str(tmp_path / "tables"),
+                                      "dividend_calendar").read().collect())
+    assert rows == [("AAPL", "0.250000"), ("MSFT", "1.100000")]

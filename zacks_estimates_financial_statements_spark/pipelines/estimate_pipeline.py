@@ -38,11 +38,12 @@ _PERIOD_ENUM = {"cq": "Current Quarter", "nq": "Next Quarter",
 def _cell_ok(name: str):
     """Reference cast semantics for one numeric cell: 'NA' → NULL is legal;
     anything else must be castable after the magnitude/paren/comma grammar
-    (estimate-transform-load.rkt:118-125, :227-246)."""
-    raw = F.trim(F.col(name))
+    (estimate-transform-load.rkt:118-125, :227-246). The normalized chain
+    is built once and both branches derive from it (the grammar is ~6
+    regexps; this condition covers ~90 cells per document)."""
     normalized = E.na_to_null(E.strip_commas(E.strip_parens(
-        E.expand_magnitude(raw))))
-    return normalized.isNull() | E.clean_numeric_cell(F.col(name)).isNotNull()
+        E.expand_magnitude(E.trim_cell(F.col(name))))))
+    return normalized.isNull() | normalized.try_cast("decimal(38,6)").isNotNull()
 
 
 def doc_valid_condition():
