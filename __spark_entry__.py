@@ -34,6 +34,9 @@ DEC = "decimal(38,6)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp->date casts follow the session timezone; DuckDB's are
+    # timezone-free. Pin UTC so results don't depend on the harness TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
