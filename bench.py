@@ -28,7 +28,10 @@ HEADLINE = [
     "minhash_near_dup_pairs",  # MinHash LSH dedup
     "simhash",              # SimHash sketches
     "topk_cosine",          # brute-force ANN baseline
+    "ann_lsh_topk",         # LSH ANN scale path
+    "sessionize_batch",     # window-function sessionization
     "text_stats",           # text-analysis kit
+    "clean_corpus",         # corpus-cleaning composite
 ]
 
 
