@@ -863,6 +863,26 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_windowed_counts(spark, sf):
+    """Tumbling event-time window aggregation — the batch twin of
+    ``streaming.windowed_event_counts`` (same code path; Spark's unified
+    batch/stream semantics)."""
+    from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import windowed_event_counts
+    ev = _t(spark, sf, "events")
+    return windowed_event_counts(ev, window="1 hour", watermark="2 hours")
+
+
+ORACLE_WINDOWED_COUNTS = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def q_ann_ivf_topk(spark, sf):
     """IVF coarse-quantization top-k: deterministic seed centroids,
     nprobe nearest lists, exact re-rank (the other scale path next to
@@ -1099,6 +1119,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "sessionize_batch": q_sessionize_batch,
+    "windowed_counts": q_windowed_counts,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -1136,6 +1157,7 @@ _ORACLE: dict[str, str] = {
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "sessionize_batch": ORACLE_SESSIONIZE,
+    "windowed_counts": ORACLE_WINDOWED_COUNTS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
