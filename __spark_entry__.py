@@ -1023,8 +1023,13 @@ def q_clean_corpus(spark, sf):
         T.fingerprint(F.col("text")).alias("fp"))
     gated = scored.filter((F.col("lang_pred") == "en")
                           & (F.col("toks") >= 20) & (F.col("q") >= 0.5))
-    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return (gated.join(keep, ["fp", "doc_id"], "left_semi")
+    # min-id winner per fingerprint via window keep-first: one pass over
+    # the (expensive) scored projection instead of an agg + semi-join that
+    # would recompute it twice
+    from pyspark.sql import Window
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (gated.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
             .select("doc_id", "toks", F.round(F.col("q"), 6).alias("quality")))
 
 
