@@ -240,15 +240,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                                        shingle_k))
                        .alias("shingle"))
           .distinct())
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # per-doc shingle count attached via window so the (regex-heavy)
+    # shingle relation is derived once per join side instead of a third
+    # time for a separate sizes aggregate + two extra joins
+    sh = sh.withColumn("n", F.count("*").over(
+        Window.partitionBy(id_col)))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle",
+                  F.col("n").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle",
+                  F.col("n").alias("n_b"))
     shared = (a.join(b, "shingle")
               .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b").agg(F.count("*").alias("shared")))
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
-    return (shared.join(na, "id_a").join(nb, "id_b")
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("shared"),
+                   F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b")))
+    return (shared
             .withColumn("jaccard",
                         F.col("shared")
                         / (F.col("n_a") + F.col("n_b") - F.col("shared")))
