@@ -26,11 +26,20 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from zacks_estimates_financial_statements_spark.export import decimal_text  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
 from zacks_estimates_financial_statements_spark.operators import dedup, similarity  # noqa: E402
 
 DEC = "decimal(38,6)"
+
+# DuckDB twin of export.decimal_text: render a decimal as trailing-zero
+# trimmed VARCHAR so value hashes are engine-independent (the round-1
+# driver hash failures were all DECIMAL/TIMESTAMP physical-type rendering;
+# export_text — which already rendered through this pattern — passed).
+def _dt_sql(expr: str) -> str:
+    return ("regexp_replace(regexp_replace(CAST(" + expr +
+            " AS VARCHAR), '(\\.\\d*?)0+$', '\\1'), '\\.$', '')")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -65,20 +74,22 @@ def _dec(c) -> F.Column:
 def q_filter_predicates(spark, sf):
     """P1/P2/P3: boolean equality, regex (pos+neg), CASE-in-WHERE."""
     part = _t(spark, sf, "part")
-    cond = ((F.col("p_retailprice") > 1200)
+    # constants chosen to select a few hundred sf0.01 rows (the round-1
+    # values selected zero — a vacuously-passing oracle proves nothing)
+    cond = ((F.col("p_retailprice") > 950)
             & F.col("p_name").rlike("a")
             & ~F.col("p_brand").rlike("Brand#3")
-            & F.when(F.col("p_size") >= 25, ~F.col("p_type").rlike("BRASS"))
+            & F.when(F.col("p_size") >= 25, ~F.col("p_type").rlike("ECONOMY"))
                .otherwise(F.lit(True)))
     return part.filter(cond).select("p_partkey", "p_name", "p_size")
 
 
 ORACLE_FILTER_PREDICATES = """
 SELECT p_partkey, p_name, p_size FROM part
-WHERE p_retailprice > 1200
+WHERE p_retailprice > 950
   AND regexp_matches(p_name, 'a')
   AND NOT regexp_matches(p_brand, 'Brand#3')
-  AND (CASE WHEN p_size >= 25 THEN NOT regexp_matches(p_type, 'BRASS')
+  AND (CASE WHEN p_size >= 25 THEN NOT regexp_matches(p_type, 'ECONOMY')
        ELSE TRUE END)
 """
 
@@ -137,11 +148,13 @@ def q_cell_grammar(spark, sf):
                   F.concat(F.col("p_size").cast("string"), F.lit("T")))
             .otherwise(F.concat(F.lit("1,"),
                                 F.lpad(F.col("p_size").cast("string"), 3, "0"))))
+    # decimal rendered as trimmed text so the value hash is engine-neutral
     return part.select("p_partkey",
-                       E.clean_numeric_cell(cell).alias("cleaned"))
+                       F.coalesce(decimal_text(E.clean_numeric_cell(cell)),
+                                  F.lit("")).alias("cleaned"))
 
 
-ORACLE_CELL_GRAMMAR = """
+ORACLE_CELL_GRAMMAR = f"""
 WITH cells AS (
   SELECT p_partkey,
     CASE p_partkey % 6
@@ -154,8 +167,7 @@ WITH cells AS (
     END AS cell
   FROM part)
 SELECT p_partkey,
-  TRY_CAST(
-    CASE norm WHEN 'NA' THEN NULL ELSE norm END AS DECIMAL(38,6)) AS cleaned
+  coalesce({_dt_sql("TRY_CAST(CASE norm WHEN 'NA' THEN NULL ELSE norm END AS DECIMAL(38,6))")}, '') AS cleaned
 FROM (
   SELECT p_partkey,
     replace(replace(replace(replace(replace(replace(
@@ -310,22 +322,28 @@ def q_pricing_summary(spark, sf):
     """A1-A5 composite (TPC-H Q1 shape): grouped sums/counts with exact
     decimal accumulation."""
     li = _t(spark, sf, "lineitem")
-    return (li.filter(F.col("l_shipdate").cast("date") <= "1998-09-02")
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
-                 F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-                 F.sum(_dec(F.col("l_extendedprice"))
-                       * _dec(F.lit(1) - F.col("l_discount"))).cast(DEC)
-                 .alias("sum_disc_price"),
-                 F.count(F.lit(1)).alias("count_order")))
+    agg = (li.filter(F.col("l_shipdate").cast("date") <= "1998-09-02")
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(_dec(F.col("l_quantity"))).cast(DEC).alias("sq"),
+                F.sum(_dec(F.col("l_extendedprice"))).cast(DEC).alias("sbp"),
+                F.sum(_dec(F.col("l_extendedprice"))
+                      * _dec(F.lit(1) - F.col("l_discount"))).cast(DEC)
+                .alias("sdp"),
+                F.count(F.lit(1)).alias("count_order")))
+    # decimal sums rendered as trimmed text (engine-neutral value hash)
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        decimal_text(F.col("sq")).alias("sum_qty"),
+        decimal_text(F.col("sbp")).alias("sum_base_price"),
+        decimal_text(F.col("sdp")).alias("sum_disc_price"),
+        "count_order")
 
 
-ORACLE_PRICING_SUMMARY = """
+ORACLE_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-  sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))
-      * CAST(1 - l_discount AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+  {_dt_sql("CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_qty,
+  {_dt_sql("CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_base_price,
+  {_dt_sql("CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(1 - l_discount AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_disc_price,
   count(*) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -401,12 +419,14 @@ def q_star_join(spark, sf):
                   nation["n_regionkey"] == region["r_regionkey"])
             .groupBy("r_name", "n_name")
             .agg(F.count(F.lit(1)).alias("orders_cnt"),
-                 F.sum(_dec(F.col("o_totalprice"))).alias("revenue")))
+                 F.sum(_dec(F.col("o_totalprice"))).cast(DEC).alias("rev"))
+            .select("r_name", "n_name", "orders_cnt",
+                    decimal_text(F.col("rev")).alias("revenue")))
 
 
-ORACLE_STAR_JOIN = """
+ORACLE_STAR_JOIN = f"""
 SELECT r_name, n_name, count(*) AS orders_cnt,
-  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+  {_dt_sql("CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -538,16 +558,16 @@ def q_replace_window(spark, sf):
     return (kept.unionByName(batch)
             .select("o_orderkey",
                     F.col("o_orderdate").cast("date").alias("d"),
-                    _dec(F.col("o_totalprice")).alias("price")))
+                    decimal_text(_dec(F.col("o_totalprice"))).alias("price")))
 
 
-ORACLE_REPLACE_WINDOW = """
+ORACLE_REPLACE_WINDOW = f"""
 SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
-       CAST(o_totalprice AS DECIMAL(38,6)) AS price
+       {_dt_sql("CAST(o_totalprice AS DECIMAL(38,6))")} AS price
 FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
 UNION ALL
 SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
-       CAST(0.0 AS DECIMAL(38,6)) AS price
+       {_dt_sql("CAST(0.0 AS DECIMAL(38,6))")} AS price
 FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
 """
 
@@ -701,7 +721,8 @@ votes AS (
   FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit)
   GROUP BY doc_id, bit)
 SELECT doc_id,
-  sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+       AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -798,9 +819,11 @@ def q_sessionize_batch(spark, sf):
     sess = marked.withColumn(
         "session_idx", F.sum("new_session").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
-    return (sess.groupBy("user_id", "session_idx")
-            .agg(F.min("ts").alias("session_start"),
-                 F.max("ts").alias("session_end"),
+    # timestamps surfaced as epoch-microsecond BIGINT (engine-neutral hash)
+    return (sess.groupBy("user_id",
+                         F.col("session_idx").cast("long").alias("session_idx"))
+            .agg(F.unix_micros(F.min("ts")).alias("session_start_us"),
+                 F.unix_micros(F.max("ts")).alias("session_end_us"),
                  F.count(F.lit(1)).alias("n_events")))
 
 
@@ -816,8 +839,9 @@ sess AS (
     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM marked)
-SELECT user_id, session_idx, min(ts) AS session_start,
-       max(ts) AS session_end, count(*) AS n_events
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us, count(*) AS n_events
 FROM sess GROUP BY user_id, session_idx
 """
 
@@ -869,15 +893,21 @@ def q_windowed_counts(spark, sf):
     batch/stream semantics)."""
     from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import windowed_event_counts
     ev = _t(spark, sf, "events")
-    return windowed_event_counts(ev, window="1 hour", watermark="2 hours")
+    out = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
+    # window bounds as epoch-µs BIGINT, decimal sum as trimmed text
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        F.unix_micros(F.col("window_end")).alias("window_end_us"),
+        "event_type", "n",
+        decimal_text(F.col("sum_value")).alias("sum_value"))
 
 
-ORACLE_WINDOWED_COUNTS = """
-SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+ORACLE_WINDOWED_COUNTS = f"""
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+       epoch_us(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR) AS window_end_us,
        event_type,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+       {_dt_sql("CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """

@@ -35,10 +35,15 @@ def canon(v) -> str:
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    # Strict rendering: preserve decimal scale, timestamp precision, and
+    # the decimal-vs-integer physical type. (Round 1 lesson: normalize()
+    # and bare isoformat here masked driver hash failures — e.g. DuckDB
+    # sum(BIGINT) surfaces as decimal128(38,0) through Arrow while Spark
+    # emits bigint; those must NOT canonicalize equal.)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        return "dec:" + str(v)
     if isinstance(v, (datetime.datetime,)):
-        return v.isoformat()
+        return v.isoformat(timespec="microseconds")
     if isinstance(v, (datetime.date,)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -97,9 +102,12 @@ def main() -> int:
             print(f"SKIP {name}: no oracle (rows={len(srows)})")
             continue
         try:
-            cur = con.execute(osql[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # Fetch through Arrow (not fetchall) so DuckDB's physical
+            # output types surface the way the driver sees them —
+            # e.g. HUGEINT sums arrive as decimal128(38,0) Decimals.
+            tbl = con.execute(osql[name]).arrow()
+            dcols = list(tbl.column_names)
+            drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
             failures += 1
