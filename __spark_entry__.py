@@ -761,6 +761,12 @@ _COS_SQL = """
             (x, y) -> x + y)))
 """
 
+_SIGNBITS_SQL = """
+  list_reduce(list_prepend(0::BIGINT, list_transform({v}[1:6],
+    x -> CASE WHEN x >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+    (a, b) -> a * 2 + b)
+"""
+
 
 def q_topk_cosine(spark, sf):
     emb = _t(spark, sf, "embeddings")
@@ -790,18 +796,25 @@ FROM ranked WHERE rank <= 10
 
 
 def q_embedding_near_dup(spark, sf):
+    """Embedding near-dup via the sign-bit-bucketed scale path
+    (bucket_bits>0 → equi-join on the SRP sketch, never all-pairs; the
+    exact crossJoin baseline is covered by unit tests instead)."""
     emb = _t(spark, sf, "embeddings")
     out = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding",
-                                         min_cosine=0.5)
+                                         min_cosine=0.2, bucket_bits=6)
     return out.select("id_a", "id_b",
                       F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 ORACLE_EMBEDDING_NEAR_DUP = f"""
+WITH bk AS (
+  SELECT vec_id, embedding,
+    {_SIGNBITS_SQL.format(v='embedding')} AS bkt
+  FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.5
+FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.2
 """
 
 
@@ -859,12 +872,6 @@ def q_ann_lsh_topk(spark, sf):
     return out.select("query_id", "vec_id",
                       F.round(F.col("cosine"), 6).alias("cosine"), "rank")
 
-
-_SIGNBITS_SQL = """
-  list_reduce(list_prepend(0::BIGINT, list_transform({v}[1:6],
-    x -> CASE WHEN x >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
-    (a, b) -> a * 2 + b)
-"""
 
 ORACLE_ANN_LSH_TOPK = f"""
 WITH q AS (

@@ -106,3 +106,64 @@ def test_topk_ivf_shapes_and_self_match(emb):
     top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
     # query vectors are corpus members of probed lists -> self is top-1
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket guards + scale-path plan shape
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    """50%-identical corpus: 40 copies of one text (a degenerate hot
+    bucket), 38 unique docs, plus one small planted dup pair (200, 201)
+    that a bucket cap must NOT drop."""
+    boiler = "the same repeated degenerate boilerplate text body here again"
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100 + i,
+              f"unique document number {i} carrying words w{i} x{i} "
+              f"q{i} r{i} s{i} t{i}") for i in range(38)]
+    pair_text = "a rare planted duplicate pair that lives in a tiny bucket"
+    rows += [(200, pair_text), (201, pair_text)]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(degenerate_docs):
+    uncapped = dedup.minhash_near_dup_pairs(
+        degenerate_docs, "doc_id", "text", k=12, bands=4,
+        max_bucket_size=None)
+    # the hot bucket alone is quadratic: C(40,2) = 780 pairs
+    assert uncapped.filter("id_a < 40 AND id_b < 40").count() == 780
+    capped = dedup.minhash_near_dup_pairs(
+        degenerate_docs, "doc_id", "text", k=12, bands=4,
+        max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # hot bucket dropped entirely...
+    assert not any(a < 40 and b < 40 for a, b in got)
+    # ...but small buckets still produce their candidates
+    assert (200, 201) in got
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(degenerate_docs):
+    uncapped = dedup.simhash_near_dup_pairs(
+        degenerate_docs, "doc_id", "text", max_bucket_size=None)
+    assert uncapped.filter("id_a < 40 AND id_b < 40").count() == 780
+    capped = dedup.simhash_near_dup_pairs(
+        degenerate_docs, "doc_id", "text", max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a < 40 and b < 40 for a, b in got)
+    assert (200, 201) in got
+
+
+def test_embedding_bucketed_path_is_equi_join(emb):
+    """bucket_bits>0 must plan as a bucket equi-join — never a cartesian
+    product / broadcast nested loop (the all-pairs scale-killer)."""
+    out = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                         min_cosine=0.2, bucket_bits=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                           min_cosine=0.2, bucket_bits=0)
+    eplan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in eplan or "BroadcastNestedLoopJoin" in eplan

@@ -120,7 +120,8 @@ def minhash_bands(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
 
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            k: int = 12, bands: int = 4,
-                           shingle_k: int = 3) -> DataFrame:
+                           shingle_k: int = 3,
+                           max_bucket_size: int | None = 10000) -> DataFrame:
     """Candidate near-dup pairs: documents sharing ≥1 LSH band bucket,
     with the fraction of matching minhashes (the Jaccard estimate).
 
@@ -132,7 +133,17 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     two arrays) need no further joins against the long signature relation
     — 2 shuffles total instead of 5. At scale only band-bucket
     cohabitants ever meet, and each carries its fixed-size k-element
-    signature, not a k-row join fan-in.
+    signature, not a k-row join fan-in. The Jaccard estimate is computed
+    map-side in the join projection, so the final pair dedup shuffles
+    narrow (id_a, id_b, est) rows — never the signature arrays.
+
+    ``max_bucket_size`` guards the self-join against degenerate hot
+    buckets (e.g. millions of empty/boilerplate docs landing in one
+    bucket would otherwise go quadratic): buckets with more cohabitants
+    are dropped from candidate generation. Such buckets are near-always
+    pathological content whose members are also exact/fingerprint dups —
+    route those through ``dedup_exact`` instead. ``None`` disables the
+    guard. The SQL oracle twin omits the cap (identical below the cap).
     """
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_k)
     per_doc = (sigs
@@ -162,20 +173,24 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                        F.explode(band_structs).alias("bb"))
                .select(id_col, "sig", F.col("bb.band").alias("band"),
                        F.col("bb.bucket").alias("bucket")))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        buckets = (buckets.withColumn("__bsz", F.count("*").over(wb))
+                   .filter(F.col("__bsz") <= max_bucket_size)
+                   .drop("__bsz"))
     a, b = buckets.alias("a"), buckets.alias("b")
+    matches = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"),
-                    F.col("b.sig").alias("sig_b"))
-            .distinct())
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b",
-                   lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0), lambda acc, v: acc + v)
-    return cand.select("id_a", "id_b",
-                       (matches / F.lit(float(k))).alias("est_jaccard"))
+                    (matches / F.lit(float(k))).alias("est_jaccard")))
+    # a pair sharing several band buckets appears ≤ bands times with the
+    # same deterministic estimate — dedup on the narrow 3-column row
+    return cand.distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -205,13 +220,21 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            max_hamming: int = 8,
-                           prefix_bits: int = 16) -> DataFrame:
+                           prefix_bits: int = 16,
+                           max_bucket_size: int | None = 10000) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming, prefiltered
     by equal top ``prefix_bits`` (single-band LSH; multi-table banding is
-    the production extension). Returns (id_a, id_b, hamming)."""
+    the production extension). Returns (id_a, id_b, hamming).
+
+    ``max_bucket_size`` drops degenerate hot prefix buckets before the
+    self-join (same guard + rationale as ``minhash_near_dup_pairs``)."""
     sh = simhash_bits(df, id_col, text_col)
     sh = sh.withColumn("prefix", F.shiftright(F.col("simhash"),
                                               64 - prefix_bits))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("prefix")
+        sh = (sh.withColumn("__bsz", F.count("*").over(wb))
+              .filter(F.col("__bsz") <= max_bucket_size).drop("__bsz"))
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, "prefix")
