@@ -70,3 +70,77 @@ def test_reexport_earnings_calendar(spark, tmp_path):
                          "NVDA,2024-05-20,"]
     assert cmds[0][:2] == ["dolt", "sql"]
     assert any("table" in c for c in cmds[1])
+
+
+# ---------------------------------------------------------------------------
+# Reference dump windows + W9 publish
+# ---------------------------------------------------------------------------
+
+
+def test_default_dump_window_statements_250_days():
+    today = D(2026, 8, 13)
+    start, end = X.default_dump_window("income_statement", today=today)
+    assert end == "2026-08-13"
+    assert start == (today - datetime.timedelta(days=250)).isoformat()
+    # explicit end anchors the lookback
+    start, end = X.default_dump_window("balance_sheet_assets",
+                                       end_date="2025-01-01")
+    assert (start, end) == ("2024-04-26", "2025-01-01")
+
+
+def test_default_dump_window_snapshot_and_eps_history():
+    today = D(2026, 8, 13)
+    assert X.default_dump_window("rank_score", today=today) == \
+        ("2026-08-13", "2026-08-13")
+    # eps_history widens start by 6 months even when start is explicit
+    assert X.default_dump_window("eps_history", today=today) == \
+        ("2026-02-13", "2026-08-13")
+    assert X.default_dump_window("eps_history", start_date="2025-03-31",
+                                 end_date="2025-06-30") == \
+        ("2024-09-30", "2025-06-30")
+    # month-end clamp (May 31 - 3 months style edge)
+    assert X._months_back(D(2025, 3, 31), 1) == D(2025, 2, 28)
+
+
+def test_publish_sequence_matches_reference_argv():
+    cmds = X.publish_sequence(
+        "eps_estimate", ["/d/2025-01-15.csv", "/d/2025-01-22.csv"],
+        "2025-01-22")
+    assert cmds == [
+        ["dolt", "table", "import", "-u", "--continue", "eps_estimate",
+         "/d/2025-01-15.csv"],
+        ["dolt", "table", "import", "-u", "--continue", "eps_estimate",
+         "/d/2025-01-22.csv"],
+        ["dolt", "add", "eps_estimate"],
+        ["dolt", "commit", "-m", "eps_estimate 2025-01-22 update"],
+        ["dolt", "push", "--silent"],
+    ]
+
+
+def test_publish_dry_run_and_injected_runner(capsys):
+    ran = []
+    X.publish("rank_score", ["/d/a.csv"], "/dolt", "2025-01-22",
+              run=ran.append)
+    assert [c[0:2] for c in ran] == [["dolt", "table"], ["dolt", "add"],
+                                     ["dolt", "commit"], ["dolt", "push"]]
+    ran.clear()
+    X.publish("rank_score", ["/d/a.csv"], "/dolt", "2025-01-22",
+              dry_run=True, run=ran.append)
+    assert ran == []
+    out = capsys.readouterr().out
+    assert "DRY-RUN [/dolt] dolt table import -u --continue rank_score" in out
+    assert "dolt push --silent" in out
+
+
+def test_runner_publish_subcommand_dry_run(tmp_path, capsys):
+    from zacks_estimates_financial_statements_spark import runner
+    (tmp_path / "2025-01-15.csv").write_text("a,b\n1,2\n")
+    (tmp_path / "2025-01-22.csv").write_text("a,b\n3,4\n")
+    rc = runner.main(["publish", "--table", "eps_estimate",
+                      "--out", str(tmp_path), "--dolt-dir", "/var/dolt",
+                      "--end-date", "2025-01-22", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("dolt table import") == 2
+    assert "eps_estimate 2025-01-22 update" in out
+    assert '"csv_files": 2' in out

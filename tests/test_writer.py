@@ -144,3 +144,30 @@ def test_partitioned_layout_and_pruning(spark, tmp_path):
         [("NVDA", D(2024, 5, 9), "Hold", "A", "B", "C", "D")], batch.schema))
     assert store.read().count() == 3
     assert "date=2024-05-09" in os.listdir(live)
+
+
+def test_concurrent_writer_detected_and_lock_released(spark, store):
+    from zacks_estimates_financial_statements_spark.operators.writer import (
+        ConcurrentWriteError,
+    )
+    df = spark.createDataFrame(
+        [("MSFT", D(2025, 1, 15), "Before market open")],
+        "act_symbol string, date date, when string")
+    store.overwrite(df)
+
+    # a second store over the same table dir, mid-write (lock held)
+    other = TableStore(spark, store.root, store.name)
+    with store.write_lock():
+        with pytest.raises(ConcurrentWriteError, match="locked by another"):
+            other.overwrite(df)
+        with pytest.raises(ConcurrentWriteError):
+            other.upsert_ignore(df)
+        with pytest.raises(ConcurrentWriteError):
+            other.delete_where(df.select("act_symbol", "date"),
+                               on=["act_symbol", "date"])
+    # lock released on exit -> writes proceed again, data intact
+    other.upsert_ignore(spark.createDataFrame(
+        [("AAPL", D(2025, 1, 15), "After market close")], df.schema))
+    assert len(_rows(store)) == 2
+    # failed attempts never flipped the pointer or corrupted the table
+    assert store.read().count() == 2

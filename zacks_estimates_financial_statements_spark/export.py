@@ -14,16 +14,21 @@ date lands in its own file; a driver-side metadata pass renames
 loop, no ``collect()`` of data — at scale this is a single shuffle
 instead of N scans.
 
-The dolt publish step (``dolt table import`` + commit/push, W9) is out of
-engine scope: ``publish_command`` returns the subprocess argv for a thin
-publisher script to run.
+The dolt publish step (``dolt table import`` + commit/push, W9) runs
+outside Spark: ``publish_sequence`` builds the reference's exact argv
+sequence and ``publish`` executes it (or prints it with dry_run) inside
+the dolt working dir — wired to ``runner.py publish`` / ``dump-dolt
+--publish``.
 """
 
 from __future__ import annotations
 
+import calendar
+import datetime
 import glob
 import os
 import shutil
+import subprocess
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -153,6 +158,50 @@ DOLT_DUMPS["dividend_calendar"] = (
     ["act_symbol", "ex_date"])
 
 
+#: reference dump-window defaults: statements look back 250 days
+#: (dump-dolt-statements.rkt:11), estimates/dat dumps default to a
+#: same-day snapshot (dump-dolt-estimates.rkt:11-13, dump-dat.rkt:8),
+#: and eps_history always widens its start by 6 months
+#: (dump-dolt-estimates.rkt:212-213).
+STATEMENT_LOOKBACK_DAYS = 250
+EPS_HISTORY_LOOKBACK_MONTHS = 6
+
+_STATEMENT_DUMP_TABLES = frozenset({
+    "income_statement", "balance_sheet_assets", "balance_sheet_liabilities",
+    "balance_sheet_equity", "cash_flow_statement"})
+
+
+def _months_back(d: datetime.date, months: int) -> datetime.date:
+    """Postgres ``date - interval 'N months'`` semantics (day clamped to
+    the target month's length)."""
+    y, m0 = divmod(d.year * 12 + d.month - 1 - months, 12)
+    return datetime.date(y, m0 + 1,
+                         min(d.day, calendar.monthrange(y, m0 + 1)[1]))
+
+
+def default_dump_window(table: str,
+                        start_date: str | None = None,
+                        end_date: str | None = None,
+                        today: datetime.date | None = None
+                        ) -> tuple[str, str]:
+    """Resolve the (start, end) dump window the reference scripts would
+    use for ``table`` when flags are omitted — a no-arg dump must bound
+    its window exactly like the reference, not dump full history."""
+    end = (datetime.date.fromisoformat(end_date) if end_date
+           else (today or datetime.date.today()))
+    if table == "eps_history":
+        base = (datetime.date.fromisoformat(start_date) if start_date
+                else end)
+        start = _months_back(base, EPS_HISTORY_LOOKBACK_MONTHS)
+    elif start_date:
+        start = datetime.date.fromisoformat(start_date)
+    elif table in _STATEMENT_DUMP_TABLES:
+        start = end - datetime.timedelta(days=STATEMENT_LOOKBACK_DAYS)
+    else:
+        start = end
+    return start.isoformat(), end.isoformat()
+
+
 def dump_dat(df: DataFrame, table: str, out_dir: str,
              start_date: str | None = None,
              end_date: str | None = None) -> list[str]:
@@ -211,3 +260,37 @@ def publish_command(base_folder: str, table: str, csv_file: str,
         ["dolt", "commit", "-m", f"{table} {end_date} update"],
         ["dolt", "push", "--silent"],
     ]
+
+
+def publish_sequence(table: str, csv_files: list[str],
+                     end_date: str) -> list[list[str]]:
+    """The full per-table publish: import every per-date CSV, then one
+    add + commit + push — exactly the reference's loop-then-commit shape
+    (dump-dolt-estimates.rkt:71 per-date import, :86-87 tail)."""
+    cmds = [["dolt", "table", "import", "-u", "--continue", table, f]
+            for f in csv_files]
+    cmds += [
+        ["dolt", "add", table],
+        ["dolt", "commit", "-m", f"{table} {end_date} update"],
+        ["dolt", "push", "--silent"],
+    ]
+    return cmds
+
+
+def publish(table: str, csv_files: list[str], dolt_dir: str,
+            end_date: str, dry_run: bool = False,
+            run=None) -> list[list[str]]:
+    """Execute (or, with ``dry_run``, print) the publish sequence inside
+    the dolt working dir — closes W9 end-to-end. Returns the argv lists.
+    ``run`` is injectable for tests; the default shells out with
+    check=True so a failed import aborts before commit/push."""
+    cmds = publish_sequence(table, csv_files, end_date)
+    if run is None:
+        def run(argv):  # pragma: no cover - exercised via injection
+            subprocess.run(argv, cwd=dolt_dir, check=True)
+    for argv in cmds:
+        if dry_run:
+            print("DRY-RUN [" + dolt_dir + "] " + " ".join(argv))
+        else:
+            run(argv)
+    return cmds

@@ -21,7 +21,10 @@ Atomicity & scale:
 - Appends use Spark's job-level atomic commit (``_SUCCESS`` protocol) — at
   1000-executor scale this is the same guarantee a Delta append gives minus
   concurrent-writer isolation, which the reference never needed (single
-  sequential loader per table).
+  sequential loader per table). The single-writer assumption is *enforced*,
+  not assumed: every mutating method takes an advisory per-table lock file
+  and a second concurrent writer fails fast with ``ConcurrentWriteError``
+  (swap in Delta/Iceberg when true multi-writer transactions are needed).
 - Rewrites (replace/delete) write to a fresh versioned directory and flip a
   pointer file, so readers never observe a half-written table and the swap
   is O(1) metadata, not data movement. This is the plain-Parquet stand-in
@@ -35,6 +38,8 @@ Atomicity & scale:
 
 from __future__ import annotations
 
+import contextlib
+import datetime
 import os
 import shutil
 import uuid
@@ -51,6 +56,14 @@ from zacks_estimates_financial_statements_spark.schemas import (
 )
 
 _POINTER = "_CURRENT"
+_LOCK = "_LOCK"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer touched a table mid-write. The store is
+    single-writer by design (the reference got real transactions from
+    Postgres; its loaders are sequential per table) — this error makes
+    the assumption *detected* instead of silently corrupting."""
 
 #: hive-style partition layout per table (SURVEY §1.4): the snapshot
 #: tables are date-driven in every loader and dump loop, so partitioning
@@ -168,12 +181,47 @@ class TableStore:
             if entry.startswith("v-") and entry != keep:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
-    def overwrite(self, df: DataFrame) -> None:
+    @contextlib.contextmanager
+    def write_lock(self):
+        """Advisory single-writer lock: an O_EXCL-created ``_LOCK`` file
+        under the table dir (atomic on POSIX/HDFS; object stores need a
+        conditional PUT — documented limitation). Every mutating method
+        takes it, so two concurrent pipelines writing one table fail fast
+        with ``ConcurrentWriteError`` instead of racing the pointer flip.
+        A crashed writer leaves the lock behind — the file records
+        pid/time for the operator to inspect and remove."""
+        os.makedirs(self.path, exist_ok=True)
+        lock = os.path.join(self.path, _LOCK)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    holder = fh.read().strip()
+            except OSError:
+                holder = "unknown"
+            raise ConcurrentWriteError(
+                f"table {self.name} is locked by another writer ({holder}); "
+                f"remove {lock} if that writer is dead") from None
+        try:
+            now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+            os.write(fd, f"pid={os.getpid()} at={now}".encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+
+    def _overwrite_locked(self, df: DataFrame) -> None:
         version = self._write_version(df)
         old = self.current_version()
         self._flip(version)
         if old:
             self._gc(keep=version)
+
+    def overwrite(self, df: DataFrame) -> None:
+        with self.write_lock():
+            self._overwrite_locked(df)
 
     # -- reference write semantics -----------------------------------------
 
@@ -197,20 +245,22 @@ class TableStore:
         deduped = (batch.withColumn("__rn", F.row_number().over(w))
                    .filter(F.col("__rn") == 1).drop("__rn"))
 
-        live = self._live_dir()
-        if live is None:
-            self.overwrite(deduped)
-            return
-        existing_keys = self.spark.read.parquet(live).select(*pk).distinct()
-        fresh = deduped.join(F.broadcast(existing_keys), on=list(pk),
-                             how="left_anti")
-        # Parquet append is job-atomic (_SUCCESS); same live version dir.
-        # With a partitioned layout only the touched partitions gain files.
-        writer = fresh.write.mode("append")
-        parts = self._partition_cols()
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(live)
+        with self.write_lock():
+            live = self._live_dir()
+            if live is None:
+                self._overwrite_locked(deduped)
+                return
+            existing_keys = self.spark.read.parquet(live).select(*pk).distinct()
+            fresh = deduped.join(F.broadcast(existing_keys), on=list(pk),
+                                 how="left_anti")
+            # Parquet append is job-atomic (_SUCCESS); same live version
+            # dir. With a partitioned layout only the touched partitions
+            # gain files.
+            writer = fresh.write.mode("append")
+            parts = self._partition_cols()
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(live)
 
     def replace_window(self, batch: DataFrame, keep_condition) -> None:
         """W4/W5 — windowed replace: stored rows satisfying
@@ -220,23 +270,25 @@ class TableStore:
         folder_date``; W5 rolling-week per-symbol replace is expressed by
         ``delete_where`` + ``upsert_ignore`` in the pipeline.
         """
-        existing = self.read()
-        kept = existing.filter(keep_condition)
-        self.overwrite(kept.unionByName(batch))
+        with self.write_lock():
+            existing = self.read()
+            kept = existing.filter(keep_condition)
+            self._overwrite_locked(kept.unionByName(batch))
 
     def delete_where(self, condemned_keys: DataFrame,
                      on: list[str] | None = None, condition=None) -> None:
         """W6/J3 — delete-via-join: remove stored rows matching
         ``condemned_keys`` (equi on ``on`` plus optional extra
         ``condition``), via left_anti + rewrite."""
-        existing = self.read()
-        if on is not None and condition is None:
-            kept = existing.join(F.broadcast(condemned_keys), on=on,
-                                 how="left_anti")
-        else:
-            kept = existing.join(F.broadcast(condemned_keys), on=condition,
-                                 how="left_anti")
-        self.overwrite(kept)
+        with self.write_lock():
+            existing = self.read()
+            if on is not None and condition is None:
+                kept = existing.join(F.broadcast(condemned_keys), on=on,
+                                     how="left_anti")
+            else:
+                kept = existing.join(F.broadcast(condemned_keys), on=condition,
+                                     how="left_anti")
+            self._overwrite_locked(kept)
 
 
 # ---------------------------------------------------------------------------

@@ -14,13 +14,22 @@ that already exists::
     python -m zacks_estimates_financial_statements_spark.runner earnings-calendar --raw ... --tables ... --date ...
     python -m zacks_estimates_financial_statements_spark.runner dividend-calendar --raw ... --tables ... --date ...
     python -m zacks_estimates_financial_statements_spark.runner dump-dolt   --tables ... --out /data/dolt --table eps_estimate
+    python -m zacks_estimates_financial_statements_spark.runner publish     --table eps_estimate --out /data/dolt --dolt-dir /var/dolt --dry-run
+
+Dump windows default to the reference's bounds when --start-date /
+--end-date are omitted (250-day statements lookback, same-day estimate
+snapshots, 6-month eps_history widening); pass --all-dates for full
+history. The raw zone itself is written by the thin fetcher
+(``python -m zacks_estimates_financial_statements_spark.ingest``, S1-S3).
 """
 
 from __future__ import annotations
 
 import argparse
 import datetime
+import glob
 import json
+import os
 import sys
 
 from zacks_estimates_financial_statements_spark import export as X
@@ -106,17 +115,39 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="zacks_estimates_financial_statements_spark.runner")
     ap.add_argument("pipeline",
                     choices=["estimates", "statements", "earnings-calendar",
-                             "dividend-calendar", "dump-dat", "dump-dolt"])
+                             "dividend-calendar", "dump-dat", "dump-dolt",
+                             "publish"])
     ap.add_argument("--raw", help="raw zone root")
-    ap.add_argument("--tables", required=True, help="table store root")
+    ap.add_argument("--tables", help="table store root")
     ap.add_argument("--date", help="folder date yyyy-MM-dd")
     ap.add_argument("--out", help="export output dir")
-    ap.add_argument("--table", help="table to export")
+    ap.add_argument("--table", help="table to export/publish")
     ap.add_argument("--start-date")
     ap.add_argument("--end-date")
+    ap.add_argument("--all-dates", action="store_true",
+                    help="dump full history (disable reference windows)")
+    ap.add_argument("--publish", action="store_true",
+                    help="after dump-dolt, run the dolt publish sequence")
+    ap.add_argument("--dolt-dir", help="dolt working dir for publish")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="print publish commands instead of running them")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
+    if args.pipeline == "publish":
+        # W9 executor — no Spark session needed: import the already-dumped
+        # per-date CSVs, then add/commit/push (dump-dolt-estimates.rkt:71-87)
+        csvs = sorted(glob.glob(os.path.join(args.out, "*.csv")))
+        end = args.end_date or datetime.date.today().isoformat()
+        cmds = X.publish(args.table, csvs, args.dolt_dir or args.out, end,
+                         dry_run=args.dry_run)
+        print(json.dumps({"pipeline": "publish",
+                          "result": {"commands": len(cmds),
+                                     "csv_files": len(csvs)}}))
+        return 0
+
+    if not args.tables:
+        ap.error("--tables is required for this pipeline")
     spark = get_spark(app_name=f"zacks-{args.pipeline}", master=args.master)
     try:
         if args.pipeline == "estimates":
@@ -132,9 +163,19 @@ def main(argv: list[str] | None = None) -> int:
         elif args.pipeline in ("dump-dat", "dump-dolt"):
             store = TableStore(spark, args.tables, args.table)
             fn = X.dump_dat if args.pipeline == "dump-dat" else X.dump_dolt
-            files = fn(store.read(), args.table, args.out,
-                       args.start_date, args.end_date)
-            result = {"files": files}
+            if args.all_dates:
+                start, end = args.start_date, args.end_date
+            else:
+                start, end = X.default_dump_window(
+                    args.table, args.start_date, args.end_date)
+            files = fn(store.read(), args.table, args.out, start, end)
+            result = {"files": files, "window": [start, end]}
+            if args.publish and args.pipeline == "dump-dolt":
+                cmds = X.publish(args.table, files,
+                                 args.dolt_dir or args.out,
+                                 end or datetime.date.today().isoformat(),
+                                 dry_run=args.dry_run)
+                result["published"] = len(cmds)
         print(json.dumps({"pipeline": args.pipeline, "result": result}))
         return 0
     finally:
