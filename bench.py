@@ -32,6 +32,7 @@ HEADLINE = [
     "sessionize_batch",     # window-function sessionization
     "text_stats",           # text-analysis kit
     "clean_corpus",         # corpus-cleaning composite
+    "embedding_near_dup",   # sign-bit-bucketed embedding dedup scale path
 ]
 
 
