@@ -82,3 +82,82 @@ def test_metadata_projection_prunes_payload(spark, tmp_path):
     plan = meta._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan  # column pruned at the scan
     assert meta.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (PPM / BMP / WAV) inside the multimodal operators
+# ---------------------------------------------------------------------------
+
+
+def _real_media_df(spark):
+    import numpy as np
+
+    from zacks_estimates_financial_statements_spark.functions import codecs
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    img[:2] = 255  # top half white, bottom half black
+    wav = codecs.encode_wav(
+        np.sin(2 * np.pi * 440 * np.arange(8000) / 8000.0), rate=8000)
+    rows = [
+        (10, "image", bytearray(codecs.encode_ppm(img)), "image/x-ppm",
+         None, None, None),
+        (11, "image", bytearray(codecs.encode_bmp(img)), "image/bmp",
+         None, None, None),
+        (12, "image", bytearray(b"\x89PNG fake"), "image/png",
+         9, 9, None),
+        (13, "image", bytearray(b"P6\n2 2\n255\n\x00"), "image/x-ppm",
+         None, None, None),  # truncated -> quarantine
+        (20, "audio", bytearray(wav), "audio/wav", None, None, None),
+        (21, "audio", bytearray(b"\x00" * 16), "audio/mp3",
+         None, None, None),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_real_image_decode_ppm_and_bmp(spark):
+    feats = {r["media_id"]: r for r in
+             M.decode_image_features(_real_media_df(spark), dims=4).collect()}
+    for mid in (10, 11):  # both encodings decode to the same pixels
+        r = feats[mid]
+        assert (r["width"], r["height"]) == (6, 4)
+        assert r["decode_error"] is None
+        # half black (bin 0), half white (top bin)
+        assert abs(r["features"][0] - 0.5) < 1e-6
+        assert abs(r["features"][3] - 0.5) < 1e-6
+    # no in-container codec -> flagged stub fallback, metadata passthrough
+    assert feats[12]["decode_error"].startswith("stub:byte-histogram")
+    assert (feats[12]["width"], feats[12]["height"]) == (9, 9)
+    # truncated PPM -> quarantined, features NULL
+    assert feats[13]["features"] is None
+    assert feats[13]["decode_error"]
+
+
+def test_real_audio_decode_wav(spark):
+    out = {r["media_id"]: r for r in
+           M.decode_audio_features(_real_media_df(spark)).collect()}
+    sine = out[20]
+    assert sine["decode_error"] is None
+    assert sine["duration_ms"] == 1000
+    assert sine["sample_rate"] == 8000 and sine["n_channels"] == 1
+    assert abs(sine["rms"] - 0.7071) < 0.01   # sine RMS = 1/sqrt(2)
+    assert abs(sine["peak"] - 1.0) < 0.01
+    # 440 Hz -> 880 zero crossings/s -> rate 880/8000
+    assert abs(sine["zero_crossing_rate"] - 0.11) < 0.005
+    assert out[21]["decode_error"].startswith("no codec")
+
+
+def test_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from zacks_estimates_financial_statements_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+    assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+    small = codecs.resize_nn(img, 2, 3)
+    assert small.shape == (2, 3, 3)
+    x = rng.uniform(-1, 1, size=(100, 2))
+    samples, rate = codecs.decode_wav(codecs.encode_wav(x, 44100))
+    assert rate == 44100 and samples.shape == (100, 2)
+    assert np.abs(samples - x).max() < 1e-3  # 16-bit quantization
