@@ -1,0 +1,63 @@
+"""Plan-shape regression tests: the properties that make the headline
+queries survive a 100 TB scale-up, asserted on the executed plans so a
+refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_plans", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _plan(entry, spark, sf_dir, name: str) -> str:
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_date_bound_to_scan(entry, spark, sf_dir):
+    plan = _plan(entry, spark, sf_dir, "pricing_summary")
+    # the cast(date)<=d filter must reach the parquet scan as a raw
+    # timestamp bound (Catalyst rewrites it; a regression would show an
+    # empty PushedFilters and a full scan)
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_star_join_broadcasts_all_dims(entry, spark, sf_dir):
+    plan = _plan(entry, spark, sf_dir, "star_join")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_uses_equi_key_not_bnlj(entry, spark, sf_dir):
+    plan = _plan(entry, spark, sf_dir, "range_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_probes_equi_join_not_nested_loop(entry, spark, sf_dir):
+    plan = _plan(entry, spark, sf_dir, "ann_lsh_topk")
+    # multi-probe expansion + bucket equi-join; a hamming-predicate join
+    # would reappear as a BroadcastNestedLoopJoin over the corpus
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_scale_paths_never_cartesian(entry, spark, sf_dir):
+    for name in ("minhash_near_dup_pairs", "embedding_near_dup",
+                 "simhash"):
+        plan = _plan(entry, spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name

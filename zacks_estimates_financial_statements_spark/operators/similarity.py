@@ -49,6 +49,22 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       [F.desc("cosine"), F.col(id_col)])
 
 
+def _hamming_ball_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks within ``radius`` bit flips of 0 over ``bits`` bits —
+    the multi-probe neighborhood (C(bits, ≤radius) masks; e.g. 7 for
+    6 bits/r=1, 22 for r=2)."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(radius + 1):
+        for pos in combinations(range(bits), r):
+            m = 0
+            for p in pos:
+                m |= 1 << p
+            masks.append(m)
+    return masks
+
+
 def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
              bucket_bits: int = 8, probe_hamming: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -56,14 +72,27 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
              query_vec_col: str = "query_vec") -> DataFrame:
     """Approximate top-k: sign-bit buckets + multi-probe + exact re-rank.
     Same output shape as ``topk_bruteforce`` (fewer rows if a bucket has
-    < k candidates)."""
+    < k candidates).
+
+    Plan shape: each query expands to its hamming-ball of probe buckets
+    (explode over the C(bits, ≤r) XOR masks), then an **equi-join** on
+    the bucket key against the corpus. A ``hamming(a, b) <= r`` join
+    predicate would be non-equi → nested-loop corpus × queries, which is
+    the all-pairs scale-killer; the probe expansion trades a constant
+    per-query fan-out for a hash join the corpus side never loops over.
+    """
     c = corpus.withColumn("__bucket", V.sign_bits(F.col(vec_col), bucket_bits))
     q = queries.withColumn("__qbucket",
                            V.sign_bits(F.col(query_vec_col), bucket_bits))
-    cand = (c.join(F.broadcast(q),
-                   F.bit_count(F.col("__bucket")
-                               .bitwiseXOR(F.col("__qbucket")))
-                   <= probe_hamming))
+    masks = F.array(*[F.lit(m) for m in
+                      _hamming_ball_masks(bucket_bits, probe_hamming)])
+    probes = (q.select(F.col(query_id_col), F.col(query_vec_col),
+                       F.explode(masks).alias("__mask"),
+                       F.col("__qbucket"))
+              .withColumn("__bucket",
+                          F.col("__qbucket").bitwiseXOR(F.col("__mask")))
+              .drop("__qbucket", "__mask"))
+    cand = c.join(F.broadcast(probes), "__bucket")
     cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
     scored = cand.select(F.col(query_id_col), F.col(id_col),
                          cos.alias("cosine"))
