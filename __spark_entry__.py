@@ -920,6 +920,22 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_stream_dedup(spark, sf):
+    """Batch twin of ``streaming.dedup_events`` (watermarked
+    first-occurrence dedup): replaying the events feed twice must yield
+    each event once — the streaming analog of the W1 idempotent upsert."""
+    from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import dedup_events
+    ev = _t(spark, sf, "events")
+    replayed = ev.unionByName(ev)
+    out = dedup_events(replayed, keys=["event_id"])
+    return out.select("event_id").distinct()
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT event_id FROM events
+"""
+
+
 def q_ann_ivf_topk(spark, sf):
     """IVF coarse-quantization top-k: deterministic seed centroids,
     nprobe nearest lists, exact re-rank (the other scale path next to
@@ -1115,6 +1131,34 @@ ORACLE_CLEAN_CORPUS = ORACLE_CLEAN_CORPUS.format(text_stats=r"""
 """)
 
 
+def q_winnow_fingerprint(spark, sf):
+    """Winnowing rolling-hash fingerprints (k-gram hashes → sliding-window
+    minima → distinct selected hashes per doc)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+ORACLE_WINNOW_FINGERPRINT = """
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents),
+grams AS (
+  SELECT doc_id, i,
+    ('0x' || substr(md5(substr(n, i, 5)), 1, 15))::BIGINT AS h,
+    len(n) - 4 AS ng
+  FROM norm, LATERAL (
+    SELECT unnest(generate_series(1, len(n) - 4)) AS i)
+  WHERE len(n) >= 5),
+wins AS (
+  SELECT doc_id, i, ng,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+  FROM grams)
+SELECT DISTINCT doc_id, wm AS fp FROM wins WHERE i <= ng - 3
+"""
+
+
 def q_fingerprint(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -1162,11 +1206,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "sessionize_batch": q_sessionize_batch,
     "windowed_counts": q_windowed_counts,
+    "stream_dedup": q_stream_dedup,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "clean_corpus": q_clean_corpus,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprint": q_winnow_fingerprint,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1200,11 +1246,13 @@ _ORACLE: dict[str, str] = {
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "sessionize_batch": ORACLE_SESSIONIZE,
     "windowed_counts": ORACLE_WINDOWED_COUNTS,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "clean_corpus": ORACLE_CLEAN_CORPUS,
     "fingerprint": ORACLE_FINGERPRINT,
+    "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
 }
 
 

@@ -167,3 +167,37 @@ def test_embedding_bucketed_path_is_equi_join(emb):
                                            min_cosine=0.2, bucket_bits=0)
     eplan = exact._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" in eplan or "BroadcastNestedLoopJoin" in eplan
+
+
+def test_winnow_fingerprints_overlap_properties(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    edited = base.replace("deep dark", "deep very dark")  # small insertion
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, "completely different "
+          "words about spark query engines and shuffles"), (5, "tiny")],
+        "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] == by_doc[2]          # exact copy: identical set
+    sim = len(by_doc[1] & by_doc[3]) / len(by_doc[1] | by_doc[3])
+    assert sim > 0.5                        # small edit: high overlap
+    dis = len(by_doc[1] & by_doc[4]) / len(by_doc[1] | by_doc[4])
+    assert dis < 0.1                        # unrelated: near-disjoint
+    assert 5 not in by_doc                  # shorter than k: no grams
+
+
+def test_topk_ivf_kmeans_refinement(emb):
+    q = _queries(emb, 5)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.topk_bruteforce(emb, q, k=5).collect()}
+    refined = similarity.topk_ivf(emb, q, k=5, n_centroids=8, nprobe=3,
+                                  kmeans_iters=2)
+    rows = refined.collect()
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+    # self-match survives refinement (a vector's list is always probed
+    # by its own query) and recall stays useful
+    assert all((i, i) in got for i in range(5))
+    assert len(got & exact) / len(exact) >= 0.3

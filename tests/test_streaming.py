@@ -79,3 +79,26 @@ def test_sessionize_events_stream(spark, tmp_path):
     # the 10:00-10:10 session closed when the 12:00 event arrived; the
     # still-open sessions (12:00 and user 2) remain in state
     assert got == [(1, "2024-05-01 10:00:00", 2)]
+
+
+def test_dedup_events_stream_and_batch(spark, tmp_path):
+    events = spark.createDataFrame(
+        [(1, D(2024, 5, 1, 10, 0), "click", 1.0),
+         (1, D(2024, 5, 1, 10, 0), "click", 1.0),   # exact replay
+         (2, D(2024, 5, 1, 10, 1), "view", 2.0),
+         (2, D(2024, 5, 1, 10, 2), "view", 2.0),    # same key, later ts
+         (3, D(2024, 5, 1, 10, 3), "click", 3.0)],
+        "event_id long, ts timestamp, event_type string, value double")
+    # batch path (unified semantics)
+    assert S.dedup_events(events).count() == 3
+    # streaming path: file source -> dedup -> memory sink
+    src = str(tmp_path / "events")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (S.dedup_events(stream).writeStream.format("memory")
+         .queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_out").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]

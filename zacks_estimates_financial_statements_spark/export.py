@@ -240,9 +240,15 @@ def reexport_earnings_calendar(df: DataFrame, out_dir: str,
             .alias("when")]
     os.makedirs(out_dir, exist_ok=True)
     target = os.path.join(out_dir, f"earnings-calendar-{as_of_date}.csv")
-    pdf = (window.select(*cols).orderBy("act_symbol", "date")
-           .toPandas())  # rolling window is small by construction (7 days)
-    pdf.to_csv(target, index=False)
+    # same Spark CSV writer as the per-date dumps (no driver-side pandas):
+    # the 7-day window is single-file by contract, so sort + coalesce(1)
+    tmp = os.path.join(out_dir, "_reexport_staging")
+    (window.select(*cols).orderBy("act_symbol", "date").coalesce(1)
+     .write.mode("overwrite").option("header", True)
+     .option("emptyValue", "").csv(tmp))
+    part = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))[0]
+    shutil.move(part, target)
+    shutil.rmtree(tmp, ignore_errors=True)
     cmds = [["dolt", "sql", "-q",
              ("delete from earnings_calendar where date >= "
               f"date_sub('{as_of_date}', interval 7 day)")],

@@ -286,6 +286,53 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every character ``k``-gram of the normalized text,
+    slide a ``w``-wide window over the hash sequence, keep each window's
+    minimum; the distinct selected hashes are the document's fingerprint
+    set — robust to insertions/reordering in ways the whole-document md5
+    (``functions.text.fingerprint``) is not.
+
+    Returns (id, fp) rows, one per distinct selected hash.
+
+    Plan shape: the normalized text is materialized once (lambda-CSE
+    trap), positions explode to one row per k-gram, the hash is a codegen
+    projection, and the sliding min is a single window pass — one shuffle
+    on the doc id, linear in text size. Docs shorter than ``k + w - 1``
+    normalized chars contribute their (possibly empty) full-window grams
+    only, matching the SQL twin exactly.
+    """
+    norm = (df.select(F.col(id_col),
+                      T.normalize_text(F.col(text_col)).alias("__norm"))
+            # Spark's sequence(1, 0) counts DOWN — guard short docs out
+            # before generating gram positions
+            .filter(F.length("__norm") >= k))
+    grams = (norm
+             .select(F.col(id_col), F.col("__norm"),
+                     F.explode(F.sequence(
+                         F.lit(1), F.length("__norm") - (k - 1)))
+                     .alias("pos"))
+             .select(F.col(id_col), F.col("pos"),
+                     (F.length("__norm") - (k - 1)).alias("__ng"),
+                     F.expr(f"substring(__norm, pos, {k})").alias("__gram")))
+    hashed = grams.select(id_col, "pos", "__ng",
+                          hash60(F.col("__gram")).alias("h"))
+    win = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(Window.currentRow, w - 1)
+    return (hashed
+            .withColumn("__wm", F.min("h").over(win))
+            .filter(F.col("pos") <= F.col("__ng") - (w - 1))
+            .select(F.col(id_col), F.col("__wm").alias("fp"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -100,24 +100,57 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       [F.desc("cosine"), F.col(id_col)])
 
 
-def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantization with deterministic seed centroids: the
-    ``n_centroids`` lowest-id vectors serve as centroids (deterministic,
-    oracle-reproducible; k-means refinement is the production upgrade).
-    Returns (assignments(id, centroid_id), centroids(centroid_id, vec))."""
-    centroids = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
-                 .select(F.col(id_col).alias("centroid_id"),
-                         F.col(vec_col).alias("centroid_vec")))
+def _nearest_centroid(corpus: DataFrame, centroids: DataFrame,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """(id, centroid_id): each vector's nearest centroid by cosine
+    (centroids broadcast; corpus never shuffles for the scoring)."""
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col), F.col("centroid_id"),
         V.cosine(F.col(vec_col), F.col("centroid_vec")).alias("__cos"))
     w = Window.partitionBy(id_col).orderBy(F.desc("__cos"),
                                            F.col("centroid_id"))
-    assign = (scored.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1)
-              .select(id_col, "centroid_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "centroid_id"))
+
+
+def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               kmeans_iters: int = 0) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization. Seed centroids are the ``n_centroids``
+    lowest-id vectors (deterministic, oracle-reproducible);
+    ``kmeans_iters`` Lloyd iterations refine them (assign → per-centroid
+    elementwise mean via posexplode + partial-agg avg → reassign). Empty
+    clusters keep their previous centroid. Returns
+    (assignments(id, centroid_id), centroids(centroid_id, centroid_vec)).
+
+    At scale each iteration is one broadcast-scored pass + one shuffle
+    bounded by n_centroids × dims; persist/checkpoint the centroids
+    between iterations on a real cluster to cut lineage replay. Float
+    means make refined runs deterministic up to summation order — the
+    exact-SQL oracle covers the seed path (``kmeans_iters=0``), recall
+    tests cover refinement."""
+    centroids = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).alias("centroid_vec")))
+    for _ in range(kmeans_iters):
+        assign = _nearest_centroid(corpus, centroids, id_col, vec_col)
+        comp = (corpus.join(assign, id_col)
+                .select("centroid_id",
+                        F.posexplode(F.col(vec_col)).alias("pos", "v")))
+        means = (comp.groupBy("centroid_id", "pos")
+                 .agg(F.avg("v").alias("m")))
+        refreshed = (means.groupBy("centroid_id")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                         lambda s: s["m"].cast("float"))
+                         .alias("__new_vec")))
+        centroids = (centroids.join(refreshed, "centroid_id", "left")
+                     .select("centroid_id",
+                             F.coalesce(F.col("__new_vec"),
+                                        F.col("centroid_vec"))
+                             .alias("centroid_vec")))
+    assign = _nearest_centroid(corpus, centroids, id_col, vec_col)
     return assign, centroids
 
 
@@ -125,10 +158,13 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
-             query_vec_col: str = "query_vec") -> DataFrame:
+             query_vec_col: str = "query_vec",
+             kmeans_iters: int = 0) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` closest centroids'
-    lists, exact cosine re-rank within them."""
-    assign, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    lists, exact cosine re-rank within them. ``kmeans_iters`` > 0 turns
+    on Lloyd refinement of the coarse quantizer."""
+    assign, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col,
+                                   kmeans_iters)
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"),
         V.cosine(F.col(query_vec_col), F.col("centroid_vec")).alias("__cos"))

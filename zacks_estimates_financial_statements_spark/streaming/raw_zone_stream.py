@@ -120,6 +120,24 @@ def _sessionize_fn(gap_seconds: int):
     return fn
 
 
+def dedup_events(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key, with
+    state evicted once the watermark passes (``dropDuplicatesWithinWatermark``
+    — unbounded-key ``dropDuplicates`` state would grow forever on an
+    infinite stream). Works on a batch DataFrame identically (unified
+    semantics): the streaming twin of the writer's idempotent-upsert
+    replay guard (W1)."""
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        # batch twin: the watermark horizon is irrelevant when the whole
+        # input is present — plain key dedup is the same result
+        return events.dropDuplicates(keys)
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def sessionize_events(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessionization per user as a custom stateful streaming
     operator (``applyInPandasWithState`` + processing-time timeout to
