@@ -33,6 +33,7 @@ HEADLINE = [
     "text_stats",           # text-analysis kit
     "clean_corpus",         # corpus-cleaning composite
     "embedding_near_dup",   # sign-bit-bucketed embedding dedup scale path
+    "winnow_fingerprint",   # rolling-hash winnowing fingerprints
 ]
 
 
