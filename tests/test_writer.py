@@ -171,3 +171,23 @@ def test_concurrent_writer_detected_and_lock_released(spark, store):
     assert len(_rows(store)) == 2
     # failed attempts never flipped the pointer or corrupted the table
     assert store.read().count() == 2
+
+
+def test_empty_partitioned_write_reads_back_empty(spark, tmp_path):
+    # a load where every row was filtered writes a version dir with no
+    # parquet files; read() must fall back to the declared schema
+    store = TableStore(spark, str(tmp_path), "eps_estimate")  # partitioned
+    empty = spark.createDataFrame(
+        [], TableStore(spark, str(tmp_path), "eps_estimate").read().schema)
+    store.overwrite(empty)
+    assert store.exists()
+    assert store.read().count() == 0
+    # and the table recovers on the next real write
+    import datetime as dt
+    from decimal import Decimal
+    store.upsert_ignore(spark.createDataFrame(
+        [("MSFT", dt.date(2025, 1, 15), "Current Quarter",
+          dt.date(2024, 12, 31), Decimal("1.5"), Decimal("1.5"), 5,
+          Decimal("1.6"), Decimal("1.4"), Decimal("1.3"))],
+        store.read().schema))
+    assert store.read().count() == 1

@@ -47,6 +47,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from zacks_estimates_financial_statements_spark.schemas import (
     ENUM_DOMAINS,
@@ -146,7 +147,16 @@ class TableStore:
                 raise ValueError(f"table {self.name} has never been written "
                                  "and has no declared schema")
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(live)
+        try:
+            df = self.spark.read.parquet(live)
+        except AnalysisException:
+            # a zero-row partitioned write leaves a version dir with no
+            # parquet files — schema inference fails, but the table is
+            # legitimately empty
+            schema = TABLES.get(self.name)
+            if schema is None:
+                raise
+            return self.spark.createDataFrame([], schema)
         declared = TABLES.get(self.name)
         if declared is not None and set(declared.fieldNames()) <= set(df.columns):
             # partitioned reads append partition columns at the end;
@@ -250,7 +260,8 @@ class TableStore:
             if live is None:
                 self._overwrite_locked(deduped)
                 return
-            existing_keys = self.spark.read.parquet(live).select(*pk).distinct()
+            # via read(): survives a zero-row live dir (no parquet files)
+            existing_keys = self.read().select(*pk).distinct()
             fresh = deduped.join(F.broadcast(existing_keys), on=list(pk),
                                  how="left_anti")
             # Parquet append is job-atomic (_SUCCESS); same live version

@@ -76,9 +76,13 @@ def run_estimates(spark, raw: str, tables: str, date: str) -> dict:
 
 
 def run_statements(spark, raw: str, tables: str, date: str,
-                   kinds: list[str] | None = None) -> dict:
-    out = {}
-    for kind in kinds or list(STATEMENT_KINDS):
+                   kinds: list[str] | None = None,
+                   parallel: bool = True) -> dict:
+    """The three statement kinds read disjoint raw datasets and write
+    disjoint destination tables, so they load concurrently by default
+    (thread-pool job submission; the balance sheet's 3-table coupling
+    stays inside its kind). ``parallel=False`` restores the loop."""
+    def one(kind: str) -> tuple[str, dict]:
         dataset, dest = STATEMENT_KINDS[kind]
         docs = read_documents(spark, raw, dataset, date)
         parse_kind = kind
@@ -88,9 +92,16 @@ def run_statements(spark, raw: str, tables: str, date: str,
         raw_rows = parse_statements(docs, parse_kind)
         statement_pipeline.load_statement(
             raw_rows, parse_kind, _stores(spark, tables, dest))
-        out[kind] = {t: TableStore(spark, tables, t).read().count()
-                     for t in dest}
-    return out
+        return kind, {t: TableStore(spark, tables, t).read().count()
+                      for t in dest}
+
+    todo = kinds or list(STATEMENT_KINDS)
+    if parallel and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(todo)) as ex:
+            return dict(ex.map(one, todo))
+    return dict(one(k) for k in todo)
 
 
 def run_earnings_calendar(spark, raw: str, tables: str, date: str) -> dict:
