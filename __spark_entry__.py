@@ -727,6 +727,52 @@ FROM votes GROUP BY doc_id
 """
 
 
+def q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs via pigeonhole banding (hamming ≤ 3 →
+    4 16-bit bands; any qualifying pair matches ≥1 band exactly, so the
+    candidate step is an equi-join with exact recall)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.simhash_near_dup_pairs(docs, "doc_id", "text",
+                                        max_hamming=3)
+
+
+ORACLE_SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+  FROM toks WHERE tok != ''),
+votes AS (
+  SELECT doc_id, bit,
+    sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit)
+  GROUP BY doc_id, bit),
+sh AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+         AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+u AS (
+  SELECT doc_id, simhash,
+    CASE WHEN simhash >= 0 THEN simhash::HUGEINT
+         ELSE simhash::HUGEINT + 18446744073709551616::HUGEINT END AS us
+  FROM sh),
+bands AS (
+  SELECT doc_id, simhash, band, CAST((us // d) % 65536 AS BIGINT) AS bits
+  FROM u CROSS JOIN (VALUES (0, 281474976710656::HUGEINT),
+                            (1, 4294967296::HUGEINT),
+                            (2, 65536::HUGEINT),
+                            (3, 1::HUGEINT)) AS t(band, d))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf):
     docs = _t(spark, sf, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
@@ -1200,6 +1246,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "topk_cosine": q_topk_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1240,6 +1287,7 @@ _ORACLE: dict[str, str] = {
     "minhash_signatures": ORACLE_MINHASH_SIGS,
     "minhash_near_dup_pairs": ORACLE_MINHASH_PAIRS,
     "simhash": ORACLE_SIMHASH,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "topk_cosine": ORACLE_TOPK_COSINE,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,

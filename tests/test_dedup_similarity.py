@@ -201,3 +201,20 @@ def test_topk_ivf_kmeans_refinement(emb):
     # by its own query) and recall stays useful
     assert all((i, i) in got for i in range(5))
     assert len(got & exact) / len(exact) >= 0.3
+
+
+def test_simhash_banding_exact_recall(docs):
+    """Pigeonhole guarantee: the banded equi-join finds EXACTLY the pairs
+    with hamming <= max_hamming (verified against Python brute force)."""
+    import itertools
+
+    sketches = sorted(
+        ((r["doc_id"], r["simhash"] & ((1 << 64) - 1)) for r in
+         dedup.simhash_bits(docs, "doc_id", "text").collect()))
+    expect = {(a_id, b_id)
+              for (a_id, a_s), (b_id, b_s) in itertools.combinations(sketches, 2)
+              if bin(a_s ^ b_s).count("1") <= 3}
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_near_dup_pairs(docs, "doc_id", "text",
+                                        max_hamming=3).collect()}
+    assert got == expect and expect  # non-vacuous: planted dups hit

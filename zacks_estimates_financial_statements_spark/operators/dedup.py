@@ -19,8 +19,9 @@ Operators:
   the bucket join is the standard scalable path and the shingle explode is
   the dominant (linear) cost.
 - ``simhash_bits`` / ``simhash_near_dup_pairs`` — 64-bit SimHash over
-  tokens; near-dups = hamming distance ≤ t via xor+bit_count on a single
-  equi-prefilter (top-b bits band) to avoid the quadratic join.
+  tokens; near-dups = hamming ≤ t via pigeonhole banding (t+1 blocks →
+  block-value equi-join with exact recall, WWW'07 design), hamming
+  verified by xor+bit_count on the candidates.
 - ``ngram_jaccard_pairs`` — exact Jaccard over word shingles via
   explode + shared-shingle join (the verification stage for LSH
   candidates; quadratic only within shingle-sharing groups).
@@ -219,30 +220,60 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                           max_hamming: int = 8,
-                           prefix_bits: int = 16,
+                           max_hamming: int = 3,
+                           bands: int | None = None,
                            max_bucket_size: int | None = 10000) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming, prefiltered
-    by equal top ``prefix_bits`` (single-band LSH; multi-table banding is
-    the production extension). Returns (id_a, id_b, hamming).
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming via
+    pigeonhole banding (the Manku/Jain/Sarma WWW'07 simhash design): the
+    64-bit sketch splits into ``bands`` contiguous blocks, and a pair
+    within the hamming budget differs in at most ``max_hamming`` blocks,
+    so with ``bands = max_hamming + 1`` (the default) it must agree on
+    ≥1 whole block — candidates come from a block-value **equi-join**
+    with EXACT recall, never a quadratic hamming-predicate join. Returns
+    (id_a, id_b, hamming).
 
-    ``max_bucket_size`` drops degenerate hot prefix buckets before the
-    self-join (same guard + rationale as ``minhash_near_dup_pairs``)."""
+    Tradeoff: more bands → narrower blocks → more accidental block
+    collisions (false candidates ~ n²/2^width per band). Keep
+    ``max_hamming`` small (≤3 with 64-bit sketches → 16-bit blocks, the
+    WWW'07 operating point); ``max_bucket_size`` additionally drops
+    degenerate hot blocks (same guard + rationale as
+    ``minhash_near_dup_pairs``)."""
+    nbands = bands or (max_hamming + 1)
+    width = 64 // nbands
     sh = simhash_bits(df, id_col, text_col)
-    sh = sh.withColumn("prefix", F.shiftright(F.col("simhash"),
-                                              64 - prefix_bits))
+    # band b covers bits [64 - (b+1)*width - rem, 64 - b*width); band 0
+    # absorbs the 64 % nbands remainder bits (shift amounts are Python
+    # ints, computed per band here)
+    rem = 64 % nbands
+    band_cols = []
+    for b in range(nbands):
+        if b == 0:
+            bits = F.shiftrightunsigned(F.col("simhash"), 64 - width - rem)
+        else:
+            bits = (F.shiftrightunsigned(F.col("simhash"),
+                                         64 - (b + 1) * width - rem)
+                    .bitwiseAND(F.lit((1 << width) - 1)))
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  bits.alias("bits")))
+    band_structs = F.array(*band_cols)
+    buckets = (sh.select(F.col(id_col), F.col("simhash"),
+                         F.explode(band_structs).alias("bb"))
+               .select(id_col, "simhash", F.col("bb.band").alias("band"),
+                       F.col("bb.bits").alias("bits")))
     if max_bucket_size is not None:
-        wb = Window.partitionBy("prefix")
-        sh = (sh.withColumn("__bsz", F.count("*").over(wb))
-              .filter(F.col("__bsz") <= max_bucket_size).drop("__bsz"))
-    a, b = sh.alias("a"), sh.alias("b")
+        wb = Window.partitionBy("band", "bits")
+        buckets = (buckets.withColumn("__bsz", F.count("*").over(wb))
+                   .filter(F.col("__bsz") <= max_bucket_size)
+                   .drop("__bsz"))
+    a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, "prefix")
+    return (a.join(b, ["band", "bits"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
