@@ -218,3 +218,27 @@ def test_simhash_banding_exact_recall(docs):
            dedup.simhash_near_dup_pairs(docs, "doc_id", "text",
                                         max_hamming=3).collect()}
     assert got == expect and expect  # non-vacuous: planted dups hit
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df excludes boilerplate shingles from the join (the
+    quadratic driver) while keeping true near-dups with distinctive
+    overlap; reported jaccard never exceeds the exact value."""
+    boiler = "all rights reserved contact us for more information today"
+    rows = [(i, f"doc number {i} unique body text {i} " + boiler)
+            for i in range(30)]
+    pair = "a very distinctive sentence that repeats almost verbatim here"
+    rows += [(100, pair + " one"), (101, pair + " one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                       min_jaccard=0.05).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                        min_jaccard=0.05,
+                                        max_shingle_df=5).collect()}
+    # boilerplate-only pairs vanish; the distinctive pair survives exactly
+    assert any(a < 100 and b < 100 for a, b in exact)
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert capped[(100, 101)] == exact[(100, 101)] == 1.0
+    assert all(capped[p] <= exact[p] + 1e-9 for p in capped)

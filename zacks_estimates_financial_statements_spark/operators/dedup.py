@@ -283,9 +283,19 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3,
-                        min_jaccard: float = 0.5) -> DataFrame:
+                        min_jaccard: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact Jaccard over distinct word shingles for documents sharing at
-    least one shingle. Returns (id_a, id_b, jaccard) ≥ min_jaccard."""
+    least one shingle. Returns (id_a, id_b, jaccard) ≥ min_jaccard.
+
+    ``max_shingle_df`` is the scale knob: shingles occurring in more than
+    that many documents are excluded from the *join* (a boilerplate
+    shingle shared by 10⁶ docs alone creates 10¹² candidate rows) while
+    per-doc sizes still count every shingle — so the reported Jaccard is
+    a LOWER bound for pairs whose overlap survives only through hot
+    shingles, and exact for everything else. ``None`` (default) keeps
+    the operator fully exact — appropriate for its role as the LSH
+    verification stage, where candidates are already bucketed."""
     words = df.select(
         F.col(id_col),
         F.split(T.normalize_text(F.col(text_col)), " ").alias("__words"))
@@ -299,6 +309,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # time for a separate sizes aggregate + two extra joins
     sh = sh.withColumn("n", F.count("*").over(
         Window.partitionBy(id_col)))
+    if max_shingle_df is not None:
+        sh = (sh.withColumn("__df", F.count("*").over(
+                  Window.partitionBy("shingle")))
+              .filter(F.col("__df") <= max_shingle_df).drop("__df"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle",
                   F.col("n").alias("n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), "shingle",
