@@ -144,3 +144,10 @@ def test_runner_publish_subcommand_dry_run(tmp_path, capsys):
     assert out.count("dolt table import") == 2
     assert "eps_estimate 2025-01-22 update" in out
     assert '"csv_files": 2' in out
+
+
+def test_publish_gc_appended():
+    cmds = X.publish_sequence("income_statement", ["/d/a.csv"],
+                              "2025-01-22", gc=True)
+    assert cmds[-1] == ["dolt", "gc"]
+    assert cmds[-2] == ["dolt", "push", "--silent"]

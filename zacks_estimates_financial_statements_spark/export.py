@@ -269,10 +269,12 @@ def publish_command(base_folder: str, table: str, csv_file: str,
 
 
 def publish_sequence(table: str, csv_files: list[str],
-                     end_date: str) -> list[list[str]]:
+                     end_date: str, gc: bool = False) -> list[list[str]]:
     """The full per-table publish: import every per-date CSV, then one
     add + commit + push — exactly the reference's loop-then-commit shape
-    (dump-dolt-estimates.rkt:71 per-date import, :86-87 tail)."""
+    (dump-dolt-estimates.rkt:71 per-date import, :86-87 tail). ``gc``
+    appends the final ``dolt gc`` the statements dump runs once after
+    its last table (dump-dolt-statements.rkt:326)."""
     cmds = [["dolt", "table", "import", "-u", "--continue", table, f]
             for f in csv_files]
     cmds += [
@@ -280,17 +282,19 @@ def publish_sequence(table: str, csv_files: list[str],
         ["dolt", "commit", "-m", f"{table} {end_date} update"],
         ["dolt", "push", "--silent"],
     ]
+    if gc:
+        cmds.append(["dolt", "gc"])
     return cmds
 
 
 def publish(table: str, csv_files: list[str], dolt_dir: str,
-            end_date: str, dry_run: bool = False,
+            end_date: str, dry_run: bool = False, gc: bool = False,
             run=None) -> list[list[str]]:
     """Execute (or, with ``dry_run``, print) the publish sequence inside
     the dolt working dir — closes W9 end-to-end. Returns the argv lists.
     ``run`` is injectable for tests; the default shells out with
     check=True so a failed import aborts before commit/push."""
-    cmds = publish_sequence(table, csv_files, end_date)
+    cmds = publish_sequence(table, csv_files, end_date, gc=gc)
     if run is None:
         def run(argv):  # pragma: no cover - exercised via injection
             subprocess.run(argv, cwd=dolt_dir, check=True)

@@ -150,6 +150,11 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
                              F.coalesce(F.col("__new_vec"),
                                         F.col("centroid_vec"))
                              .alias("centroid_vec")))
+        # centroids are n_centroids rows — localize them so the next
+        # iteration (and the final assignment) broadcasts a literal
+        # relation instead of replaying the whole per-iteration lineage
+        centroids = corpus.sparkSession.createDataFrame(
+            centroids.collect(), schema=centroids.schema)
     assign = _nearest_centroid(corpus, centroids, id_col, vec_col)
     return assign, centroids
 

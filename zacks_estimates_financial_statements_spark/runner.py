@@ -142,6 +142,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dolt-dir", help="dolt working dir for publish")
     ap.add_argument("--dry-run", action="store_true",
                     help="print publish commands instead of running them")
+    ap.add_argument("--gc", action="store_true",
+                    help="append the reference's final 'dolt gc' to publish")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -151,7 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         csvs = sorted(glob.glob(os.path.join(args.out, "*.csv")))
         end = args.end_date or datetime.date.today().isoformat()
         cmds = X.publish(args.table, csvs, args.dolt_dir or args.out, end,
-                         dry_run=args.dry_run)
+                         dry_run=args.dry_run, gc=args.gc)
         print(json.dumps({"pipeline": "publish",
                           "result": {"commands": len(cmds),
                                      "csv_files": len(csvs)}}))
