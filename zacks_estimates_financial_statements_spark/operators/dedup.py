@@ -74,6 +74,44 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
+                  bucket_cols: list[str],
+                  max_bucket_size: int | None,
+                  score) -> DataFrame:
+    """Shared LSH candidate generator: group bucket cohabitants, explode
+    the i<j member pairs, score each map-side, dedup the narrow result.
+
+    ``buckets``: one row per (doc, bucket) carrying ``payload_col`` (the
+    signature/sketch the scorer needs). ``score(pa, pb)`` returns the
+    aliased score Column from the two payload columns. Output:
+    (id_a, id_b, <score>), distinct, id_a < id_b.
+
+    One shuffle (the bucket groupBy) + the final distinct; the upstream
+    sketch lineage is evaluated exactly once — a bucket self-join would
+    evaluate it per side because Spark does not reuse the exchange
+    across aliases of this shape. Hot buckets are dropped with a free
+    ``size()`` filter."""
+    grouped = (buckets.groupBy(*bucket_cols)
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col(id_col).alias("id"),
+                   F.col(payload_col).alias("payload")))).alias("m"))
+               .filter(F.size("m") >= 2))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("m") <= max_bucket_size)
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("m") - 1),
+        lambda i: F.transform(
+            F.slice(F.col("m"), i + 1, F.size("m") - i),
+            lambda mj: F.struct(
+                F.element_at(F.col("m"), i)["id"].alias("id_a"),
+                mj["id"].alias("id_b"),
+                score(F.element_at(F.col("m"), i)["payload"],
+                      mj["payload"])))))
+    return (grouped.select(F.explode(pair_structs).alias("p"))
+            .select("p.*")
+            .distinct())
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
@@ -174,24 +212,20 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                        F.explode(band_structs).alias("bb"))
                .select(id_col, "sig", F.col("bb.band").alias("band"),
                        F.col("bb.bucket").alias("bucket")))
-    if max_bucket_size is not None:
-        wb = Window.partitionBy("band", "bucket")
-        buckets = (buckets.withColumn("__bsz", F.count("*").over(wb))
-                   .filter(F.col("__bsz") <= max_bucket_size)
-                   .drop("__bsz"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    matches = F.aggregate(
-        F.zip_with(F.col("a.sig"), F.col("b.sig"),
-                   lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0), lambda acc, v: acc + v)
-    cand = (a.join(b, ["band", "bucket"])
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    (matches / F.lit(float(k))).alias("est_jaccard")))
-    # a pair sharing several band buckets appears ≤ bands times with the
-    # same deterministic estimate — dedup on the narrow 3-column row
-    return cand.distinct()
+    # Pairs are generated WITHIN each bucket group (collect cohabitants,
+    # explode i<j combinations) rather than by self-joining the buckets
+    # relation: Spark does not reuse the exchange across the two aliased
+    # sides of that self-join, so the whole shingle→hash→signature
+    # lineage would compute twice — the dominant linear cost at scale.
+    # The grouped shape computes it once, and the hot-bucket cap becomes
+    # a free size() filter instead of an extra window pass.
+    return _bucket_pairs(
+        buckets, id_col, "sig", ["band", "bucket"], max_bucket_size,
+        lambda sa, sb: (F.aggregate(
+            F.zip_with(sa, sb,
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0), lambda acc, v: acc + v)
+            / F.lit(float(k))).alias("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -260,20 +294,10 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                          F.explode(band_structs).alias("bb"))
                .select(id_col, "simhash", F.col("bb.band").alias("band"),
                        F.col("bb.bits").alias("bits")))
-    if max_bucket_size is not None:
-        wb = Window.partitionBy("band", "bits")
-        buckets = (buckets.withColumn("__bsz", F.count("*").over(wb))
-                   .filter(F.col("__bsz") <= max_bucket_size)
-                   .drop("__bsz"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, ["band", "bits"])
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    pairs = _bucket_pairs(
+        buckets, id_col, "simhash", ["band", "bits"], max_bucket_size,
+        lambda sa, sb: F.bit_count(sa.bitwiseXOR(sb)).alias("hamming"))
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
