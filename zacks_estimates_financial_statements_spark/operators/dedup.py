@@ -408,21 +408,25 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              min_cosine: float = 0.9,
-                             bucket_bits: int = 0) -> DataFrame:
-    """Pairs with cosine ≥ threshold. ``bucket_bits`` > 0 prefilters by
-    equal sign-bit sketch (axis-aligned SRP LSH) — the scale path;
-    0 = exact all-pairs (baseline/verification)."""
+                             bucket_bits: int = 0,
+                             max_bucket_size: int | None = 10000) -> DataFrame:
+    """Pairs with cosine ≥ threshold. ``bucket_bits`` > 0 buckets by the
+    sign-bit sketch (axis-aligned SRP LSH) — the scale path, generating
+    pairs within each bucket group so the corpus scans once (a bucket
+    self-join would scan it per side) and a degenerate hot bucket is
+    dropped by the ``max_bucket_size`` guard. 0 = exact all-pairs
+    crossJoin (baseline/verification)."""
     base = df.select(F.col(id_col), F.col(vec_col))
     if bucket_bits > 0:
-        base = base.withColumn("__bucket",
-                               V.sign_bits(F.col(vec_col), bucket_bits))
-        a, b = base.alias("a"), base.alias("b")
-        joined = a.join(b, "__bucket")
-    else:
-        a, b = base.alias("a"), base.alias("b")
-        joined = a.crossJoin(b)
+        buckets = base.withColumn("__bucket",
+                                  V.sign_bits(F.col(vec_col), bucket_bits))
+        pairs = _bucket_pairs(
+            buckets, id_col, vec_col, ["__bucket"], max_bucket_size,
+            lambda va, vb: V.cosine(va, vb).alias("cosine"))
+        return pairs.filter(F.col("cosine") >= min_cosine)
+    a, b = base.alias("a"), base.alias("b")
     cos = V.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return (joined
+    return (a.crossJoin(b)
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
