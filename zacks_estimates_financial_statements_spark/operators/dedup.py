@@ -333,16 +333,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # time for a separate sizes aggregate + two extra joins
     sh = sh.withColumn("n", F.count("*").over(
         Window.partitionBy(id_col)))
+    # group cohabitants per shingle and explode the i<j pairs (instead of
+    # a shared-shingle self-join, whose two aliased sides would each
+    # re-run the regex-heavy shingle lineage — no exchange reuse); the
+    # document-frequency cap becomes a free group-size filter
+    grouped = (sh.groupBy("shingle")
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col(id_col).alias("id"), F.col("n")))).alias("m"))
+               .filter(F.size("m") >= 2))
     if max_shingle_df is not None:
-        sh = (sh.withColumn("__df", F.count("*").over(
-                  Window.partitionBy("shingle")))
-              .filter(F.col("__df") <= max_shingle_df).drop("__df"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle",
-                  F.col("n").alias("n_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle",
-                  F.col("n").alias("n_b"))
-    shared = (a.join(b, "shingle")
-              .filter(F.col("id_a") < F.col("id_b"))
+        grouped = grouped.filter(F.size("m") <= max_shingle_df)
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("m") - 1),
+        lambda i: F.transform(
+            F.slice(F.col("m"), i + 1, F.size("m") - i),
+            lambda mj: F.struct(
+                F.element_at(F.col("m"), i)["id"].alias("id_a"),
+                mj["id"].alias("id_b"),
+                F.element_at(F.col("m"), i)["n"].alias("n_a"),
+                mj["n"].alias("n_b")))))
+    shared = (grouped.select(F.explode(pair_structs).alias("p"))
+              .select("p.*")
               .groupBy("id_a", "id_b")
               .agg(F.count("*").alias("shared"),
                    F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b")))
