@@ -145,18 +145,6 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                  .alias("minhash")))
 
 
-def minhash_bands(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
-    """Fold signatures into band buckets: (id, band, bucket). The bucket
-    key is md5 over "hash_idx:minhash" pairs sorted by hash_idx — a
-    dialect-portable construction (DuckDB: ``string_agg(.. ORDER BY ..)``)."""
-    banded = sigs.withColumn("band", F.col("hash_idx") % bands)
-    pair = F.array_sort(F.collect_list(
-        F.concat_ws(":", F.lpad(F.col("hash_idx").cast("string"), 4, "0"),
-                    F.col("minhash").cast("string"))))
-    return (banded.groupBy(id_col, "band")
-            .agg(F.md5(F.array_join(pair, ",")).alias("bucket")))
-
-
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            k: int = 12, bands: int = 4,
                            shingle_k: int = 3,
