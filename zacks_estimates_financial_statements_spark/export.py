@@ -33,7 +33,6 @@ import subprocess
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from zacks_estimates_financial_statements_spark.functions.expressions import export_text
 
 
 def decimal_text(col: Column) -> Column:

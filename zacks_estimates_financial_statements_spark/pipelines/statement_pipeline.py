@@ -34,7 +34,6 @@ validity below reproduces that: every raw cell must either be absent
 from __future__ import annotations
 
 import datetime
-from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,7 +46,6 @@ from zacks_estimates_financial_statements_spark.schemas import (
     BALANCE_SHEET_LIABILITIES_COLS,
     CASH_FLOW_STATEMENT_COLS,
     INCOME_STATEMENT_COLS,
-    SCALED_COLUMNS,
 )
 
 _DATE_FMT = {"income": "M/dd/yy", "balance": "M/dd/yyyy",
