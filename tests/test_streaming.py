@@ -57,6 +57,19 @@ def test_windowed_event_counts_batch_parity(spark):
     assert out[("2024-05-01 11:00:00", "view")] == (1, "3.000000")
 
 
+def _await_rows(spark, q, table, n, timeout_s=90):
+    """Poll a memory sink until ``n`` rows arrive (state-timeout queries
+    never self-terminate under availableNow), then stop the query."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if spark.sql(f"select count(*) from {table}").collect()[0][0] >= n:
+            break
+        time.sleep(0.5)
+    q.stop()
+
+
 def test_sessionize_events_stream(spark, tmp_path):
     src = tmp_path / "events_src"
     src.mkdir()
@@ -73,7 +86,7 @@ def test_sessionize_events_stream(spark, tmp_path):
     q = (sessions.writeStream.format("memory").queryName("sessions")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _await_rows(spark, q, "sessions", 1)
     got = sorted((r["user_id"], str(r["session_start"]), r["n_events"])
                  for r in spark.sql("select * from sessions").collect())
     # the 10:00-10:10 session closed when the 12:00 event arrived; the
@@ -102,3 +115,52 @@ def test_dedup_events_stream_and_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select event_id from dedup_out").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+
+def test_sessionize_stream_batch_parity(spark, tmp_path):
+    """The applyInPandasWithState sessionizer and the window-function
+    batch twin must produce identical sessions. A far-future sentinel
+    event per user forces every real session closed in the stream."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    rows = []
+    for user in range(1, 4):
+        t = 1_700_000_000 + user
+        for _ in range(12):
+            t += rng.choice([60, 300, 900, 2400, 7200])  # mixed gaps
+            rows.append((user, datetime.datetime.utcfromtimestamp(t)))
+    sentinel = datetime.datetime(2030, 1, 1)
+    stream_rows = rows + [(u, sentinel) for u in range(1, 4)]
+
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (F.col("ts").cast("long")
+           - F.lag(F.col("ts").cast("long")).over(w)) > 1800
+    sess = (ev.withColumn("ns", F.when(gap.isNull() | ~gap, 0).otherwise(1))
+            .withColumn("sid", F.sum("ns").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+                 F.count(F.lit(1)).alias("n")))
+    batch = {(r["user_id"], r["s"], r["e"], r["n"])
+             for r in sess.collect()}
+
+    src = tmp_path / "ev"
+    spark.createDataFrame(stream_rows, "user_id long, ts timestamp") \
+        .write.parquet(str(src))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(str(src)))
+    q = (S.sessionize_events(stream, gap_seconds=1800)
+         .writeStream.format("memory").queryName("parity_sessions")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    _await_rows(spark, q, "parity_sessions", len(batch))
+    streamed = {(r["user_id"], r["session_start"], r["session_end"],
+                 r["n_events"])
+                for r in spark.sql("select * from parity_sessions").collect()
+                if r["session_start"] < sentinel}
+    assert streamed == batch and len(batch) > 5
