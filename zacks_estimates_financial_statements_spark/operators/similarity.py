@@ -69,7 +69,8 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
              bucket_bits: int = 8, probe_hamming: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
-             query_vec_col: str = "query_vec") -> DataFrame:
+             query_vec_col: str = "query_vec",
+             broadcast_queries: bool = True) -> DataFrame:
     """Approximate top-k: sign-bit buckets + multi-probe + exact re-rank.
     Same output shape as ``topk_bruteforce`` (fewer rows if a bucket has
     < k candidates).
@@ -92,7 +93,12 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .withColumn("__bucket",
                           F.col("__qbucket").bitwiseXOR(F.col("__mask")))
               .drop("__qbucket", "__mask"))
-    cand = c.join(F.broadcast(probes), "__bucket")
+    # the bucket join stays a hash equi-join either way; the hint only
+    # decides whether the probe side ships to every executor (right for
+    # interactive query sets) or shuffles (right for huge batch query
+    # sets — pass broadcast_queries=False)
+    cand = c.join(F.broadcast(probes) if broadcast_queries else probes,
+                  "__bucket")
     cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
     scored = cand.select(F.col(query_id_col), F.col(id_col),
                          cos.alias("cosine"))
@@ -164,10 +170,14 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
              query_vec_col: str = "query_vec",
-             kmeans_iters: int = 0) -> DataFrame:
+             kmeans_iters: int = 0,
+             broadcast_queries: bool = True) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` closest centroids'
     lists, exact cosine re-rank within them. ``kmeans_iters`` > 0 turns
-    on Lloyd refinement of the coarse quantizer."""
+    on Lloyd refinement of the coarse quantizer; ``broadcast_queries``
+    controls whether the probe set ships to executors or shuffles (set
+    False for huge batch query sets — the centroid-list join stays an
+    equi-join either way)."""
     assign, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col,
                                    kmeans_iters)
     qc = queries.crossJoin(F.broadcast(centroids)).select(
@@ -179,7 +189,8 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .filter(F.col("__rn") <= nprobe)
               .select(query_id_col, query_vec_col, "centroid_id"))
     corpus_assigned = corpus.join(assign, id_col)
-    cand = corpus_assigned.join(F.broadcast(probes), "centroid_id")
+    cand = corpus_assigned.join(
+        F.broadcast(probes) if broadcast_queries else probes, "centroid_id")
     scored = cand.select(
         F.col(query_id_col), F.col(id_col),
         V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"))
