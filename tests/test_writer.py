@@ -191,3 +191,44 @@ def test_empty_partitioned_write_reads_back_empty(spark, tmp_path):
           Decimal("1.6"), Decimal("1.4"), Decimal("1.3"))],
         store.read().schema))
     assert store.read().count() == 1
+
+
+def test_compact_consolidates_small_files(spark, tmp_path):
+    import glob
+    store = TableStore(spark, str(tmp_path), "earnings_calendar")
+    for i in range(5):  # each upsert appends its own files
+        store.upsert_ignore(spark.createDataFrame(
+            [(f"SYM{i}{j}", D(2025, 1, 10 + i), "Before market open")
+             for j in range(3)],
+            "act_symbol string, date date, when string"))
+    live = store._live_dir()
+    before = len(glob.glob(f"{live}/**/*.parquet", recursive=True))
+    assert before >= 5
+    rows_before = _rows(store)
+    store.compact()
+    after = len(glob.glob(f"{store._live_dir()}/**/*.parquet",
+                          recursive=True))
+    assert after < before
+    assert _rows(store) == rows_before
+
+
+def test_version_retention_and_time_travel(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), "earnings_calendar",
+                       keep_versions=2)
+    df1 = spark.createDataFrame(
+        [("AAA", D(2025, 1, 1), "Before market open")],
+        "act_symbol string, date date, when string")
+    store.overwrite(df1)
+    v1 = store.current_version()
+    store.overwrite(df1.withColumn("when", F.lit("After market close")))
+    # previous version still readable (time travel within the window)
+    assert store.versions()[-1] == store.current_version()
+    assert v1 in store.versions()
+    assert store.read(version=v1).collect()[0]["when"] == "Before market open"
+    assert store.read().collect()[0]["when"] == "After market close"
+    # third write evicts v1
+    store.overwrite(df1)
+    assert v1 not in store.versions()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not retained"):
+        store.read(version=v1)

@@ -108,6 +108,10 @@ class TableStore:
     #: "auto" → DEFAULT_PARTITIONING[name]; None/() → unpartitioned;
     #: or an explicit tuple of columns.
     partition_by: tuple[str, ...] | str | None = "auto"
+    #: how many version dirs to retain (newest-first, including the live
+    #: one). 1 = reference behavior (vacuum right after the flip); more
+    #: keeps a short time-travel window readable via ``read(version=)``.
+    keep_versions: int = 1
 
     def _partition_cols(self) -> tuple[str, ...]:
         if self.partition_by == "auto":
@@ -138,8 +142,27 @@ class TableStore:
 
     # -- read ---------------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        """Current table contents; empty (schema-correct) DF if never written."""
+    def versions(self) -> list[str]:
+        """Retained version dir names, oldest → newest (by mtime); the
+        last entry is normally the live one."""
+        if not os.path.isdir(self.path):
+            return []
+        vs = [e for e in os.listdir(self.path) if e.startswith("v-")]
+        return sorted(vs, key=lambda v: os.path.getmtime(
+            os.path.join(self.path, v)))
+
+    def read(self, version: str | None = None) -> DataFrame:
+        """Current table contents (or a retained ``version`` — time
+        travel within the ``keep_versions`` window); empty
+        (schema-correct) DF if never written."""
+        if version is not None:
+            vdir = os.path.join(self.path, version)
+            if not os.path.isdir(vdir):
+                raise ValueError(
+                    f"version {version} of table {self.name} is not "
+                    f"retained (keep_versions={self.keep_versions}; "
+                    f"have: {self.versions()})")
+            return self.spark.read.parquet(vdir)
         live = self._live_dir()
         if live is None:
             schema = TABLES.get(self.name)
@@ -184,12 +207,32 @@ class TableStore:
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
 
     def _gc(self, keep: str) -> None:
-        """Drop superseded version dirs (reference W7 ``vacuum`` analog)."""
-        if not os.path.isdir(self.path):
-            return
-        for entry in os.listdir(self.path):
-            if entry.startswith("v-") and entry != keep:
-                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        """Drop superseded version dirs beyond the retention window
+        (reference W7 ``vacuum`` analog; ``keep_versions`` > 1 leaves a
+        short readable history)."""
+        retained = set(self.versions()[-max(self.keep_versions, 1):])
+        retained.add(keep)
+        for entry in self.versions():
+            if entry not in retained:
+                shutil.rmtree(os.path.join(self.path, entry),
+                              ignore_errors=True)
+
+    def compact(self, files_per_partition: int = 1) -> None:
+        """Rewrite the live version with consolidated files — the plain-
+        Parquet analog of Delta ``OPTIMIZE`` for the small-file buildup
+        that incremental ``upsert_ignore`` appends create (each append
+        adds files; at scale a dump or scan then reads thousands of tiny
+        files per partition). Partitioned tables repartition on their
+        partition columns so each value lands in ~``files_per_partition``
+        files; unpartitioned tables coalesce outright."""
+        with self.write_lock():
+            df = self.read()
+            parts = self._partition_cols()
+            if parts:
+                df = df.repartition(*[F.col(c) for c in parts])
+            else:
+                df = df.coalesce(max(files_per_partition, 1))
+            self._overwrite_locked(df)
 
     @contextlib.contextmanager
     def write_lock(self):
