@@ -164,3 +164,33 @@ def test_sessionize_stream_batch_parity(spark, tmp_path):
                 for r in spark.sql("select * from parity_sessions").collect()
                 if r["session_start"] < sentinel}
     assert streamed == batch and len(batch) > 5
+
+
+def test_estimates_stream_incremental_load(spark, tmp_path):
+    """File-stream estimates ingest: first pass loads day 1, second pass
+    picks up ONLY day 2 (checkpointed), and the idempotent upserts keep
+    PK counts exact across replays."""
+    from fixtures import estimate_page
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    base, ckpt, tables = (str(tmp_path / "raw"), str(tmp_path / "ck"),
+                          str(tmp_path / "tables"))
+    d1 = tmp_path / "raw" / "estimates" / "2024-06-01"
+    d1.mkdir(parents=True)
+    (d1 / "AAPL.detailed-estimates.html").write_text(estimate_page())
+
+    q = S.run_estimates_stream(spark, base, tables, ckpt)
+    q.awaitTermination(120)
+    rank = TableStore(spark, tables, "rank_score")
+    first = {(r["act_symbol"], r["date"]) for r in rank.read().collect()}
+    assert first == {("AAPL", datetime.date(2024, 6, 1))}
+
+    d2 = tmp_path / "raw" / "estimates" / "2024-06-02"
+    d2.mkdir()
+    (d2 / "MSFT.detailed-estimates.html").write_text(estimate_page())
+    q = S.run_estimates_stream(spark, base, tables, ckpt)
+    q.awaitTermination(120)
+    got = {(r["act_symbol"], r["date"]) for r in rank.read().collect()}
+    assert got == {("AAPL", datetime.date(2024, 6, 1)),
+                   ("MSFT", datetime.date(2024, 6, 2))}

@@ -154,6 +154,9 @@ _BUILDERS = {
     "eps_history": eps_history_rows,
 }
 
+#: the 6 destination tables of the estimate fan-out (canonical order)
+ESTIMATE_TABLES = list(_BUILDERS)
+
 
 def load_estimates(parsed: DataFrame,
                    stores: dict[str, TableStore],

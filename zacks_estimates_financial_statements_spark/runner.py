@@ -47,8 +47,9 @@ from zacks_estimates_financial_statements_spark.sources.raw_zone import (
     read_documents,
 )
 
-ESTIMATE_TABLES = ["rank_score", "sales_estimate", "eps_estimate",
-                   "eps_revision", "eps_perception", "eps_history"]
+from zacks_estimates_financial_statements_spark.pipelines.estimate_pipeline import (  # noqa: E402,E501
+    ESTIMATE_TABLES,
+)
 
 #: statement kind → (raw dataset dir, destination tables)
 STATEMENT_KINDS = {

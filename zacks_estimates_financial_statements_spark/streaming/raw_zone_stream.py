@@ -59,6 +59,54 @@ def stream_calendar_rows(spark: SparkSession, folder_glob: str) -> DataFrame:
         .filter(F.col("row").isNotNull())
 
 
+def stream_estimate_documents(spark: SparkSession, base: str) -> DataFrame:
+    """File-source stream of whole estimate HTML documents across ALL
+    dated folders: (act_symbol, folder_date, content) — the streaming
+    twin of ``sources.raw_zone.read_documents``. New files (a new day's
+    crawl, or stragglers inside a day) are picked up incrementally via
+    the checkpoint."""
+    raw = (spark.readStream.format("text")
+           .option("wholetext", "true")
+           .load(f"{base}/estimates/*/"))
+    path = F.input_file_name()
+    return raw.select(
+        F.regexp_extract(path, r"([^/]+)\.detailed-estimates\.html$", 1)
+         .alias("act_symbol"),
+        F.to_date(F.regexp_extract(path, r"/(\d{4}-\d{2}-\d{2})/[^/]+$", 1),
+                  "yyyy-MM-dd").alias("folder_date"),
+        F.col("value").alias("content"))
+
+
+def run_estimates_stream(spark: SparkSession, base: str, tables_root: str,
+                         checkpoint: str):
+    """Incremental estimates transform-load: each microbatch of newly
+    crawled documents flows through the SAME parse + validity gate +
+    6-table fan-out as the batch runner (``foreachBatch``); the loader's
+    idempotent PK upserts make the at-least-once replay of a restarted
+    batch a no-op — the streaming analog of the reference's
+    ``ON CONFLICT DO NOTHING`` re-runs. Returns the started query
+    (``trigger(availableNow=True)`` — one incremental pass per
+    invocation, matching the reference's cron cadence)."""
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    from zacks_estimates_financial_statements_spark.parse.estimates import parse_estimates
+    from zacks_estimates_financial_statements_spark.pipelines.estimate_pipeline import (
+        ESTIMATE_TABLES,
+        load_estimates,
+    )
+
+    stores = {t: TableStore(spark, tables_root, t) for t in ESTIMATE_TABLES}
+
+    def _load(batch_df: DataFrame, _epoch: int) -> None:
+        load_estimates(parse_estimates(batch_df), stores)
+
+    docs = stream_estimate_documents(spark, base)
+    return (docs.writeStream
+            .foreachBatch(_load)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling-window counts per event_type with late-data
