@@ -128,7 +128,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("pipeline",
                     choices=["estimates", "statements", "earnings-calendar",
                              "dividend-calendar", "dump-dat", "dump-dolt",
-                             "publish"])
+                             "publish", "compact"])
     ap.add_argument("--raw", help="raw zone root")
     ap.add_argument("--tables", help="table store root")
     ap.add_argument("--date", help="folder date yyyy-MM-dd")
@@ -174,6 +174,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.pipeline == "dividend-calendar":
             result = run_dividend_calendar(spark, args.raw, args.tables,
                                            args.date)
+        elif args.pipeline == "compact":
+            # W7 maintenance: consolidate small files from incremental
+            # appends; --table limits to one table, default = all known
+            names = [args.table] if args.table else [
+                n for n in sorted(os.listdir(args.tables))
+                if os.path.isdir(os.path.join(args.tables, n))]
+            for n in names:
+                TableStore(spark, args.tables, n).compact()
+            result = {"compacted": names}
         elif args.pipeline in ("dump-dat", "dump-dolt"):
             store = TableStore(spark, args.tables, args.table)
             fn = X.dump_dat if args.pipeline == "dump-dat" else X.dump_dolt
