@@ -194,3 +194,38 @@ def test_estimates_stream_incremental_load(spark, tmp_path):
     got = {(r["act_symbol"], r["date"]) for r in rank.read().collect()}
     assert got == {("AAPL", datetime.date(2024, 6, 1)),
                    ("MSFT", datetime.date(2024, 6, 2))}
+
+
+def test_statements_stream_incremental_load(spark, tmp_path):
+    """Per-kind statement streams load through the batch loaders and
+    pick up new dated folders incrementally."""
+    from fixtures import income_statement_page
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    av = {f: [str(100 + i * 1000 + c) for c in range(5)]
+          for i, f in enumerate(__import__("fixtures")._INCOME_FIELDS)}
+    html = income_statement_page(
+        ["12/31/23", "12/31/22", "12/31/21", "12/31/20", "12/31/19"],
+        ["3/31/24", "12/31/23", "9/30/23", "6/30/23", "3/31/23"], av, av)
+    base = tmp_path / "raw"
+    d1 = base / "income-statement" / "2024-06-01"
+    d1.mkdir(parents=True)
+    (d1 / "AAPL.income-statement.html").write_text(html)
+
+    qs = S.run_statements_stream(spark, str(base), str(tmp_path / "t"),
+                                 str(tmp_path / "ck"), kinds=["income"])
+    for q in qs:
+        q.awaitTermination(120)
+    store = TableStore(spark, str(tmp_path / "t"), "income_statement")
+    assert store.read().filter("act_symbol = 'AAPL'").count() == 10
+
+    d2 = base / "income-statement" / "2024-06-02"
+    d2.mkdir()
+    (d2 / "MSFT.income-statement.html").write_text(html)
+    qs = S.run_statements_stream(spark, str(base), str(tmp_path / "t"),
+                                 str(tmp_path / "ck"), kinds=["income"])
+    for q in qs:
+        q.awaitTermination(120)
+    got = {r["act_symbol"] for r in store.read().collect()}
+    assert got == {"AAPL", "MSFT"}

@@ -59,22 +59,29 @@ def stream_calendar_rows(spark: SparkSession, folder_glob: str) -> DataFrame:
         .filter(F.col("row").isNotNull())
 
 
-def stream_estimate_documents(spark: SparkSession, base: str) -> DataFrame:
-    """File-source stream of whole estimate HTML documents across ALL
-    dated folders: (act_symbol, folder_date, content) — the streaming
-    twin of ``sources.raw_zone.read_documents``. New files (a new day's
-    crawl, or stragglers inside a day) are picked up incrementally via
-    the checkpoint."""
+def stream_documents(spark: SparkSession, base: str,
+                     dataset: str) -> DataFrame:
+    """File-source stream of whole HTML documents for one raw-zone
+    dataset across ALL dated folders: (act_symbol, folder_date, content)
+    — the streaming twin of ``sources.raw_zone.read_documents``. New
+    files (a new day's crawl, or stragglers inside a day) are picked up
+    incrementally via the checkpoint."""
+    from zacks_estimates_financial_statements_spark.sources.raw_zone import SUFFIXES
+
+    suffix = SUFFIXES[dataset].replace(".", r"\.")
     raw = (spark.readStream.format("text")
            .option("wholetext", "true")
-           .load(f"{base}/estimates/*/"))
+           .load(f"{base}/{dataset}/*/"))
     path = F.input_file_name()
     return raw.select(
-        F.regexp_extract(path, r"([^/]+)\.detailed-estimates\.html$", 1)
-         .alias("act_symbol"),
+        F.regexp_extract(path, rf"([^/]+){suffix}$", 1).alias("act_symbol"),
         F.to_date(F.regexp_extract(path, r"/(\d{4}-\d{2}-\d{2})/[^/]+$", 1),
                   "yyyy-MM-dd").alias("folder_date"),
         F.col("value").alias("content"))
+
+
+def stream_estimate_documents(spark: SparkSession, base: str) -> DataFrame:
+    return stream_documents(spark, base, "estimates")
 
 
 def run_estimates_stream(spark: SparkSession, base: str, tables_root: str,
@@ -105,6 +112,60 @@ def run_estimates_stream(spark: SparkSession, base: str, tables_root: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def run_statements_stream(spark: SparkSession, base: str, tables_root: str,
+                          checkpoint_root: str, kinds=None):
+    """Incremental statements transform-load: one checkpointed stream
+    per kind (disjoint raw datasets and destination tables), each
+    microbatch routed through the batch loader. The cash-flow era
+    dispatch is per-row: a microbatch spanning the 2024-02-01 layout
+    change splits on folder_date and parses each side with its era's
+    extractor. Returns the started queries."""
+    import datetime as _dt
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    from zacks_estimates_financial_statements_spark.parse.statements import parse_statements
+    from zacks_estimates_financial_statements_spark.pipelines.statement_pipeline import (
+        load_statement,
+    )
+
+    #: kind → (raw dataset, destination tables) — mirrors runner.py
+    kind_map = {
+        "income": ("income-statement", ["income_statement"]),
+        "balance": ("balance-sheet", ["balance_sheet_assets",
+                                      "balance_sheet_liabilities",
+                                      "balance_sheet_equity"]),
+        "cash_flow": ("cash-flow-statement", ["cash_flow_statement"]),
+    }
+    legacy_before = _dt.date(2024, 2, 1)
+    queries = []
+    for kind in kinds or list(kind_map):
+        dataset, dest = kind_map[kind]
+        stores = {t: TableStore(spark, tables_root, t) for t in dest}
+
+        def _load(batch_df: DataFrame, _epoch: int, kind=kind,
+                  stores=stores) -> None:
+            if kind == "cash_flow":
+                legacy = batch_df.filter(
+                    F.col("folder_date") < F.lit(legacy_before))
+                current = batch_df.filter(
+                    F.col("folder_date") >= F.lit(legacy_before))
+                load_statement(parse_statements(legacy, "cash_flow_legacy"),
+                               "cash_flow_legacy", stores)
+                load_statement(parse_statements(current, "cash_flow"),
+                               "cash_flow", stores)
+            else:
+                load_statement(parse_statements(batch_df, kind), kind,
+                               stores)
+
+        queries.append(
+            stream_documents(spark, base, dataset).writeStream
+            .foreachBatch(_load)
+            .option("checkpointLocation", f"{checkpoint_root}/{kind}")
+            .trigger(availableNow=True)
+            .start())
+    return queries
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
