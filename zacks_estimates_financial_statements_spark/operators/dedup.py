@@ -23,10 +23,16 @@ Operators:
   block-value equi-join with exact recall, WWW'07 design), hamming
   verified by xor+bit_count on the candidates.
 - ``ngram_jaccard_pairs`` — exact Jaccard over word shingles via
-  explode + shared-shingle join (the verification stage for LSH
-  candidates; quadratic only within shingle-sharing groups).
+  grouped shared-shingle pair generation (the verification stage for
+  LSH candidates; quadratic only within shingle-sharing groups).
+- ``winnow_fingerprints`` — rolling-hash winnowing fingerprints
+  (SIGMOD'03): k-gram hashes → sliding-window minima → distinct set.
 - ``embedding_near_dup_pairs`` — cosine ≥ threshold pairs, LSH-bucketed by
   sign bits (see operators.similarity for the ANN variants).
+
+Every pair stage generates candidates WITHIN bucket groups (see
+``_bucket_pairs``) so the sketch lineage evaluates once, and every
+banded join carries a hot-bucket cap.
 """
 
 from __future__ import annotations
