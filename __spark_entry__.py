@@ -966,6 +966,57 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_approx_distinct(spark, sf):
+    """HLL cardinality sketches (approx_count_distinct) per event_type.
+    Sketch estimates differ across engines by construction, so the
+    cross-engine contract is: the exact count (comparable) plus each
+    engine's own within-2%-of-exact flag — proving the sketch works
+    without demanding bit-identical estimates."""
+    ev = _t(spark, sf, "events")
+    agg = (ev.groupBy("event_type")
+           .agg(F.countDistinct("user_id").alias("exact_users"),
+                F.approx_count_distinct("user_id", 0.02).alias("a")))
+    ok = (F.abs(F.col("a") - F.col("exact_users"))
+          <= F.col("exact_users") * 0.05)
+    return agg.select("event_type", "exact_users",
+                      ok.alias("approx_within_5pct"))
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type,
+  count(DISTINCT user_id) AS exact_users,
+  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+    <= count(DISTINCT user_id) * 0.05 AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_quantiles(spark, sf):
+    """Approximate quantiles (Greenwald-Khanna percentile_approx) per
+    event_type, same engine-local-tolerance contract as the HLL query:
+    exact interpolated median (comparable cross-engine, rounded) + each
+    engine's own sketch-error flag."""
+    ev = _t(spark, sf, "events")
+    agg = (ev.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("m"),
+                F.percentile_approx("value", 0.5, 10000).alias("am"),
+                F.max("value").alias("mx"), F.min("value").alias("mn")))
+    ok = (F.abs(F.col("am") - F.col("m"))
+          <= (F.col("mx") - F.col("mn")) * 0.01)
+    return agg.select("event_type",
+                      F.round(F.col("m").cast("double"), 6).alias("median"),
+                      ok.alias("approx_within_1pct_range"))
+
+
+ORACLE_APPROX_QUANTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS median,
+  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+    <= (max(value) - min(value)) * 0.01 AS approx_within_1pct_range
+FROM events GROUP BY event_type
+"""
+
+
 def q_stream_dedup(spark, sf):
     """Batch twin of ``streaming.dedup_events`` (watermarked
     first-occurrence dedup): replaying the events feed twice must yield
@@ -1254,6 +1305,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_batch": q_sessionize_batch,
     "windowed_counts": q_windowed_counts,
     "stream_dedup": q_stream_dedup,
+    "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -1295,6 +1348,8 @@ _ORACLE: dict[str, str] = {
     "sessionize_batch": ORACLE_SESSIONIZE,
     "windowed_counts": ORACLE_WINDOWED_COUNTS,
     "stream_dedup": ORACLE_STREAM_DEDUP,
+    "approx_distinct": ORACLE_APPROX_DISTINCT,
+    "approx_quantiles": ORACLE_APPROX_QUANTILES,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
