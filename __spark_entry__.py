@@ -1141,23 +1141,38 @@ def _lang_score_sql(words: list[str]) -> str:
     return f"({parts})"
 
 
-ORACLE_LANGUAGE_ID = f"""
+def _lang_oracle_sql() -> str:
+    """DuckDB twin of ``T.detect_language`` GENERATED from the same
+    marker table and the same first-wins-over-sorted-codes tie-break, so
+    the two can never drift when languages are added."""
+    langs = sorted(T.LANG_MARKERS)
+    score_cols = ",\n    ".join(
+        f"{_lang_score_sql(T.LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in langs)
+    branches = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        branches.append(
+            "    WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return (f"""
 WITH scores AS (
   SELECT doc_id,
-    {_lang_score_sql(T.LANG_MARKERS['de'])} AS s_de,
-    {_lang_score_sql(T.LANG_MARKERS['en'])} AS s_en,
-    {_lang_score_sql(T.LANG_MARKERS['es'])} AS s_es,
-    {_lang_score_sql(T.LANG_MARKERS['fr'])} AS s_fr
+    {score_cols}
   FROM documents)
 SELECT doc_id,
   CASE
-    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-    WHEN s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-    WHEN s_es > 0 AND s_es > s_de AND s_es > s_en AND s_es >= s_fr THEN 'es'
-    WHEN s_fr > 0 AND s_fr > s_de AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+{chr(10).join(branches)}
     ELSE 'und' END AS lang_pred
 FROM scores
-"""
+""")
+
+
+ORACLE_LANGUAGE_ID = _lang_oracle_sql()
 
 
 def q_clean_corpus(spark, sf):

@@ -161,3 +161,15 @@ def test_codec_roundtrip_and_resize():
     samples, rate = codecs.decode_wav(codecs.encode_wav(x, 44100))
     assert rate == 44100 and samples.shape == (100, 2)
     assert np.abs(samples - x).max() < 1e-3  # 16-bit quantization
+
+
+def test_detect_language_widened_panel_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("il cane che corre non sono di qui",),          # it
+         ("os gatos com mais fome como sempre uma vez",), # pt
+         ("der hund the dog",),                           # tie de/en -> de
+         ("zzz qqq",)], "text string")
+    out = [r[0] for r in df.select(T.detect_language(F.col("text"))).collect()]
+    # "der hund": de score 1 ('der'); "the dog": en score 1 ('the') —
+    # first-wins over sorted codes gives 'de'
+    assert out == ["it", "pt", "de", "und"]

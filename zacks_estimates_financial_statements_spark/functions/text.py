@@ -25,6 +25,8 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "und", "nicht", "ist"],
     "fr": ["le", "la", "les", "est", "une"],
     "es": ["el", "los", "que", "una", "para"],
+    "it": ["il", "che", "di", "non", "sono"],
+    "pt": ["os", "uma", "com", "mais", "como"],
 }
 
 _STOPWORDS_EN = [
@@ -66,13 +68,15 @@ def detect_language(col: Column,
         for lang, words in sorted(markers.items())
     }
     best = None
-    # argmax with deterministic first-wins tie-break over sorted languages
+    # argmax with deterministic first-wins tie-break over sorted
+    # languages: a language keeps ties against LATER codes (>=) but must
+    # strictly beat EARLIER ones (>)
     for lang, score in scores.items():
         is_best = (score > 0)
         for other_lang, other in scores.items():
             if other_lang == lang:
                 continue
-            cond = (score > other) if other_lang > lang else (score >= other)
+            cond = (score >= other) if other_lang > lang else (score > other)
             is_best = is_best & cond
         best = F.when(is_best, F.lit(lang)) if best is None else best.when(is_best, F.lit(lang))
     return best.otherwise(F.lit("und"))
