@@ -966,6 +966,33 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_json_extract(spark, sf):
+    """Semi-structured extraction (the analytics-side twin of the T8
+    calendar JSON cleanup): pull a typed field out of the events JSON
+    props column and aggregate it — pure JVM expressions, pushable scan."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (ev.withColumn("k", k)
+            .filter(F.col("k").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type, count(*) AS n,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  min(k) AS min_k, max(k) AS max_k
+FROM (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_approx_distinct(spark, sf):
     """HLL cardinality sketches (approx_count_distinct) per event_type.
     Sketch estimates differ across engines by construction, so the
@@ -1322,6 +1349,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
+    "json_extract": q_json_extract,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -1365,6 +1393,7 @@ _ORACLE: dict[str, str] = {
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "approx_quantiles": ORACLE_APPROX_QUANTILES,
+    "json_extract": ORACLE_JSON_EXTRACT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
