@@ -12,6 +12,11 @@ Components:
 
 - ``stream_calendar_rows``   — whole-file text stream over calendar JSON
   day-files → the same parse surface as ``parse.calendars`` (pure SQL).
+  The calendar *load* stays batch-only on purpose: ``merge_calendar`` is
+  run-scoped (last-file-wins within one complete folder), and a file
+  stream may split a folder across microbatches, silently changing the
+  winner — document-level loads (estimates, statements) have no such
+  cross-file ordering dependency, so only they get streaming loaders.
 - ``windowed_event_counts``  — event-time tumbling-window aggregation with
   watermarked late-data handling.
 - ``sessionize_events``      — custom stateful operator
