@@ -76,7 +76,7 @@ def q_filter_predicates(spark, sf):
     part = _t(spark, sf, "part")
     # constants chosen to select a few hundred sf0.01 rows (the round-1
     # values selected zero — a vacuously-passing oracle proves nothing)
-    cond = ((F.col("p_retailprice") > 950)
+    cond = ((F.col("p_retailprice") > 905)
             & F.col("p_name").rlike("a")
             & ~F.col("p_brand").rlike("Brand#3")
             & F.when(F.col("p_size") >= 25, ~F.col("p_type").rlike("ECONOMY"))
@@ -86,7 +86,7 @@ def q_filter_predicates(spark, sf):
 
 ORACLE_FILTER_PREDICATES = """
 SELECT p_partkey, p_name, p_size FROM part
-WHERE p_retailprice > 950
+WHERE p_retailprice > 905
   AND regexp_matches(p_name, 'a')
   AND NOT regexp_matches(p_brand, 'Brand#3')
   AND (CASE WHEN p_size >= 25 THEN NOT regexp_matches(p_type, 'ECONOMY')
