@@ -108,17 +108,33 @@ def test_read_empty_table_has_declared_schema(spark, tmp_path):
                                       "growth", "momentum", "vgm"]
 
 
-def test_upsert_antijoin_is_broadcast(spark, store):
+def test_upsert_antijoin_prunes_stored_side_to_batch_partitions(spark, tmp_path):
+    # W1 at scale: the stored side of the anti-join must be partition-
+    # pruned to the batch's own dates (metadata-bounded scan), never a
+    # forced broadcast of the full stored PK history.
+    store = TableStore(spark, str(tmp_path), "rank_score")
+    schema = ("act_symbol string, date date, rank string, value string, "
+              "growth string, momentum string, vgm string")
     store.upsert_ignore(spark.createDataFrame(
-        [("AAPL", D(2024, 5, 1), None)],
-        "act_symbol string, date date, `when` string"))
-    batch = spark.createDataFrame([("MSFT", D(2024, 5, 2), None)],
-                                  "act_symbol string, date date, `when` string")
-    existing_keys = store.read().select("act_symbol", "date").distinct()
-    plan = batch.join(F.broadcast(existing_keys),
-                      on=["act_symbol", "date"], how="left_anti") \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        [("AAPL", D(2024, 5, 1), "Hold", "A", "B", "C", "D"),
+         ("MSFT", D(2024, 5, 8), "Buy", "A", "A", "A", "A")], schema))
+    batch = spark.createDataFrame(
+        [("NVDA", D(2024, 5, 8), "Buy", "A", "A", "A", "A"),
+         ("MSFT", D(2024, 5, 8), "Sell", "F", "F", "F", "F")], schema)
+    fresh = store._fresh_rows(batch, ("act_symbol", "date"))
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    # stored scan pruned to the batch's date only
+    assert "PartitionFilters: [" in plan and "2024-05-08" in plan
+    assert "2024-05-01" not in plan
+    # no hint forces the stored history through the driver
+    assert "ResolvedHint" not in plan
+    # semantics unchanged: existing PK skipped, new PK survives
+    assert [(r.act_symbol, r.rank) for r in fresh.collect()] == \
+        [("NVDA", "Buy")]
+    # end-to-end: append only the fresh key
+    store.upsert_ignore(batch)
+    assert store.read().count() == 3
+    assert store.read().filter("act_symbol='MSFT'").first().rank == "Buy"
 
 
 def test_partitioned_layout_and_pruning(spark, tmp_path):

@@ -30,10 +30,13 @@ Atomicity & scale:
   is O(1) metadata, not data movement. This is the plain-Parquet stand-in
   for Delta's transaction log, per BASELINE.json's "DataFrame ops + Parquet
   write" approach.
-- Every PK anti-join broadcasts the smaller side: batches are small
-  relative to stored tables, so Catalyst picks BroadcastHashJoin via the
-  explicit hint; the stored side is only scanned on its PK columns
-  (column-pruned) — verified in tests via ``explain``.
+- The W1 anti-join never materializes the full stored history on one
+  machine: the stored side is partition-pruned to the batch's own
+  partition values (a metadata-bounded scan on the hive layout) and
+  column-pruned to the PK before the join, and no broadcast is forced —
+  AQE broadcasts the pruned key set when it fits and falls back to a
+  shuffle join when it doesn't. At 100 TB the join cost is O(touched
+  partitions), not O(table history) — verified in tests via ``explain``.
 """
 
 from __future__ import annotations
@@ -58,6 +61,13 @@ from zacks_estimates_financial_statements_spark.schemas import (
 
 _POINTER = "_CURRENT"
 _LOCK = "_LOCK"
+
+#: upper bound on distinct partition values collected from a batch for
+#: stored-side partition pruning in ``upsert_ignore``. Real loader
+#: batches touch one or a handful of dates; a batch touching more
+#: partitions than this skips the literal predicate (the broad scan is
+#: then legitimate) instead of building a megabyte IN-list.
+_MAX_PRUNE_PARTITIONS = 1000
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -278,6 +288,48 @@ class TableStore:
 
     # -- reference write semantics -----------------------------------------
 
+    def _fresh_rows(self, deduped: DataFrame,
+                    pk: tuple[str, ...]) -> DataFrame:
+        """The W1 anti-join: batch rows whose PK is not already stored.
+
+        The stored side is pruned two ways before it reaches the join:
+
+        - **partition-pruned** to the batch's own partition values (the
+          touched dates/periods — collected from the batch, bounded by
+          ``_MAX_PRUNE_PARTITIONS``). On the hive layout this is a
+          metadata-bounded scan of only the touched partitions, mirroring
+          the O(batch) cost of the reference's ``ON CONFLICT DO NOTHING``
+          (estimate-transform-load.rkt:195) — Postgres probes a PK index
+          per row; we scan only the partitions the batch can collide with.
+        - **column-pruned** to the PK.
+
+        No broadcast is forced: after pruning, AQE broadcasts the key set
+        when it fits and picks a shuffle join when it doesn't, so an
+        unbounded table history can never be pushed through the driver.
+        (Only the join's right side could be broadcast in a left_anti —
+        hinting it with the *stored* set, as a naive reading suggests,
+        inverts the intended plan.)
+        """
+        # via read(): survives a zero-row live dir (no parquet files)
+        stored = self.read()
+        parts = [c for c in self._partition_cols() if c in deduped.columns]
+        if parts:
+            vals = (deduped.select(*parts).distinct()
+                    .limit(_MAX_PRUNE_PARTITIONS + 1).collect())
+            if len(vals) <= _MAX_PRUNE_PARTITIONS:
+                if len(parts) == 1:
+                    pred = F.col(parts[0]).isin([r[0] for r in vals])
+                else:
+                    pred = F.lit(False)
+                    for r in vals:
+                        conj = F.lit(True)
+                        for c in parts:
+                            conj = conj & F.col(c).eqNullSafe(F.lit(r[c]))
+                        pred = pred | conj
+                stored = stored.filter(pred)
+        existing_keys = stored.select(*pk).distinct()
+        return deduped.join(existing_keys, on=list(pk), how="left_anti")
+
     def upsert_ignore(self, batch: DataFrame,
                       pk: tuple[str, ...] | None = None,
                       order_by: list | None = None) -> None:
@@ -286,8 +338,9 @@ class TableStore:
         1. dedup the batch on PK (``order_by`` gives a deterministic
            winner; default: arbitrary-but-stable via row_number over the
            batch's own column order),
-        2. anti-join against stored PKs (stored side column-pruned to the
-           PK; batch side broadcast),
+        2. anti-join against stored PKs, with the stored side partition-
+           pruned to the batch's partition values and column-pruned to
+           the PK (see ``_fresh_rows`` for the at-scale rationale),
         3. append.
         """
         pk = pk or PRIMARY_KEYS[self.name]
@@ -303,10 +356,7 @@ class TableStore:
             if live is None:
                 self._overwrite_locked(deduped)
                 return
-            # via read(): survives a zero-row live dir (no parquet files)
-            existing_keys = self.read().select(*pk).distinct()
-            fresh = deduped.join(F.broadcast(existing_keys), on=list(pk),
-                                 how="left_anti")
+            fresh = self._fresh_rows(deduped, pk)
             # Parquet append is job-atomic (_SUCCESS); same live version
             # dir. With a partitioned layout only the touched partitions
             # gain files.
