@@ -242,3 +242,41 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert not any(a < 100 and b < 100 for a, b in capped)
     assert capped[(100, 101)] == exact[(100, 101)] == 1.0
     assert all(capped[p] <= exact[p] + 1e-9 for p in capped)
+
+
+def test_bucket_pairs_duplicate_ids_emit_no_self_pairs(spark):
+    """Testdata PKs are documented non-unique: a duplicated id landing
+    twice in one bucket must not produce an id_a == id_b self-pair (the
+    self-join formulation's strict id_a < id_b contract)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                           min_cosine=0.5, bucket_bits=2)
+    rows = pairs.collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows)
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+
+
+def test_bucket_pairs_hot_bucket_streams_bounded_rows(spark):
+    """A bucket near the cap must stream O(m) pair structs per row, not
+    materialize C(m,2) in a single array value: n=3000 cohabitants →
+    4,498,500 pairs flow through the explode and land exactly."""
+    n = 3000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).cast("array<float>")
+        .alias("embedding"))
+    pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                           min_cosine=0.0, bucket_bits=1,
+                                           max_bucket_size=n)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "flatten" not in plan.lower()  # the all-i single-row shape
+    assert pairs.count() == n * (n - 1) // 2
+
+
+def test_simhash_bands_must_exceed_hamming(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dup_pairs(df, "doc_id", "text",
+                                     max_hamming=3, bands=3)

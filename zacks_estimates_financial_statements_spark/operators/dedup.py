@@ -96,7 +96,22 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
     sketch lineage is evaluated exactly once — a bucket self-join would
     evaluate it per side because Spark does not reuse the exchange
     across aliases of this shape. Hot buckets are dropped with a free
-    ``size()`` filter."""
+    ``size()`` filter.
+
+    Memory shape: the anchor index ``i`` explodes FIRST (one row per
+    bucket member), then only that anchor's slice is transformed — so no
+    single row ever materializes more than O(m) pair structs. The
+    flattened all-i form would build all C(m,2) structs inside one
+    unspillable row (~5×10⁷ at the default cap — an executor OOM, not a
+    spillable shuffle). ``max_bucket_size`` therefore bounds *quadratic
+    work*, not survival: a cap-sized bucket is ~5×10⁷ narrow pair rows
+    streamed through the explode, never one giant array value.
+
+    With duplicate ids in the input (testdata PKs are documented
+    non-unique) the sorted member array holds the id twice; the
+    ``id_a != id_b`` filter drops the self-pairs the grouped generator
+    would otherwise emit, preserving the strict ``id_a < id_b`` contract
+    of the self-join formulation it replaced."""
     grouped = (buckets.groupBy(*bucket_cols)
                .agg(F.array_sort(F.collect_list(F.struct(
                    F.col(id_col).alias("id"),
@@ -104,17 +119,19 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
                .filter(F.size("m") >= 2))
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("m") <= max_bucket_size)
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), F.size("m") - 1),
-        lambda i: F.transform(
-            F.slice(F.col("m"), i + 1, F.size("m") - i),
-            lambda mj: F.struct(
-                F.element_at(F.col("m"), i)["id"].alias("id_a"),
-                mj["id"].alias("id_b"),
-                score(F.element_at(F.col("m"), i)["payload"],
-                      mj["payload"])))))
-    return (grouped.select(F.explode(pair_structs).alias("p"))
+    anchored = grouped.select(
+        F.col("m"),
+        F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i"))
+    pair_structs = F.transform(
+        F.slice(F.col("m"), F.col("i") + 1, F.size("m") - F.col("i")),
+        lambda mj: F.struct(
+            F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+            mj["id"].alias("id_b"),
+            score(F.element_at(F.col("m"), F.col("i"))["payload"],
+                  mj["payload"])))
+    return (anchored.select(F.explode(pair_structs).alias("p"))
             .select("p.*")
+            .filter(F.col("id_a") != F.col("id_b"))
             .distinct())
 
 
@@ -265,8 +282,17 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     ``max_hamming`` small (≤3 with 64-bit sketches → 16-bit blocks, the
     WWW'07 operating point); ``max_bucket_size`` additionally drops
     degenerate hot blocks (same guard + rationale as
-    ``minhash_near_dup_pairs``)."""
+    ``minhash_near_dup_pairs``).
+
+    ``bands`` must exceed ``max_hamming`` — with fewer bands the
+    pigeonhole argument is void (a pair inside the hamming budget could
+    differ in every block and share no band), so that configuration is
+    rejected rather than silently losing the exact-recall guarantee."""
     nbands = bands or (max_hamming + 1)
+    if nbands <= max_hamming:
+        raise ValueError(
+            f"bands={nbands} <= max_hamming={max_hamming}: pigeonhole "
+            f"exact recall requires bands >= max_hamming + 1")
     width = 64 // nbands
     sh = simhash_bits(df, id_col, text_col)
     # band b covers bits [64 - (b+1)*width - rem, 64 - b*width); band 0
@@ -337,17 +363,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                .filter(F.size("m") >= 2))
     if max_shingle_df is not None:
         grouped = grouped.filter(F.size("m") <= max_shingle_df)
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), F.size("m") - 1),
-        lambda i: F.transform(
-            F.slice(F.col("m"), i + 1, F.size("m") - i),
-            lambda mj: F.struct(
-                F.element_at(F.col("m"), i)["id"].alias("id_a"),
-                mj["id"].alias("id_b"),
-                F.element_at(F.col("m"), i)["n"].alias("n_a"),
-                mj["n"].alias("n_b")))))
-    shared = (grouped.select(F.explode(pair_structs).alias("p"))
+    # anchor-first explode: per-row pair-struct size stays O(m) even for
+    # an uncapped hot shingle (same memory rationale as _bucket_pairs)
+    anchored = (grouped.select(
+        F.col("m"),
+        F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i")))
+    pair_structs = F.transform(
+        F.slice(F.col("m"), F.col("i") + 1, F.size("m") - F.col("i")),
+        lambda mj: F.struct(
+            F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+            mj["id"].alias("id_b"),
+            F.element_at(F.col("m"), F.col("i"))["n"].alias("n_a"),
+            mj["n"].alias("n_b")))
+    shared = (anchored.select(F.explode(pair_structs).alias("p"))
               .select("p.*")
+              .filter(F.col("id_a") != F.col("id_b"))
               .groupBy("id_a", "id_b")
               .agg(F.count("*").alias("shared"),
                    F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b")))
