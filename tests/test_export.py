@@ -4,6 +4,7 @@ rendering, not-null gate, decimal text trimming."""
 from __future__ import annotations
 
 import datetime
+import os
 from decimal import Decimal
 
 from zacks_estimates_financial_statements_spark import export as X
@@ -151,3 +152,43 @@ def test_publish_gc_appended():
                               "2025-01-22", gc=True)
     assert cmds[-1] == ["dolt", "gc"]
     assert cmds[-2] == ["dolt", "push", "--silent"]
+
+
+def test_publish_resolves_relative_csv_paths(capsys):
+    # commands run with cwd=dolt_dir: a relative dump path must be
+    # resolved before it lands in the import argv, or dolt looks for the
+    # file under the dolt dir and the publish aborts
+    ran = []
+    X.publish("rank_score", ["rel/a.csv"], "/dolt", "2025-01-22",
+              run=ran.append)
+    assert ran[0][-1] == os.path.abspath("rel/a.csv")
+    assert os.path.isabs(ran[0][-1])
+
+
+def test_runner_dump_dolt_forwards_gc(monkeypatch, tmp_path):
+    # the dump-dolt --publish branch must forward --gc like the
+    # standalone publish subcommand does (the reference's statements dump
+    # ends with one 'dolt gc', dump-dolt-statements.rkt:326)
+    from zacks_estimates_financial_statements_spark import runner
+    seen = {}
+
+    def fake_publish(table, files, dolt_dir, end, dry_run=False, gc=False,
+                     run=None):
+        seen["gc"] = gc
+        return []
+
+    monkeypatch.setattr(runner.X, "publish", fake_publish)
+    monkeypatch.setattr(runner.X, "dump_dolt",
+                        lambda df, t, out, s, e: [])
+    monkeypatch.setattr(runner, "get_spark",
+                        lambda **kw: __import__("types").SimpleNamespace(
+                            stop=lambda: None))
+    monkeypatch.setattr(runner, "TableStore",
+                        lambda spark, root, name:
+                        __import__("types").SimpleNamespace(read=lambda: None))
+    rc = runner.main(["dump-dolt", "--table", "eps_estimate",
+                      "--tables", str(tmp_path), "--out", str(tmp_path),
+                      "--publish", "--gc", "--dry-run",
+                      "--start-date", "2025-01-01",
+                      "--end-date", "2025-01-22"])
+    assert rc == 0 and seen["gc"] is True

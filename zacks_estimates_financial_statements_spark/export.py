@@ -292,8 +292,15 @@ def publish(table: str, csv_files: list[str], dolt_dir: str,
     """Execute (or, with ``dry_run``, print) the publish sequence inside
     the dolt working dir — closes W9 end-to-end. Returns the argv lists.
     ``run`` is injectable for tests; the default shells out with
-    check=True so a failed import aborts before commit/push."""
-    cmds = publish_sequence(table, csv_files, end_date, gc=gc)
+    check=True so a failed import aborts before commit/push.
+
+    CSV paths are resolved to absolute first: the commands execute with
+    ``cwd=dolt_dir``, so a relative dump path (the default when
+    ``--dolt-dir`` falls back to ``--out``) would otherwise make
+    ``dolt table import`` look for the files under the dolt dir and
+    abort the publish."""
+    cmds = publish_sequence(table, [os.path.abspath(f) for f in csv_files],
+                            end_date, gc=gc)
     if run is None:
         def run(argv):  # pragma: no cover - exercised via injection
             subprocess.run(argv, cwd=dolt_dir, check=True)

@@ -197,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
                 cmds = X.publish(args.table, files,
                                  args.dolt_dir or args.out,
                                  end or datetime.date.today().isoformat(),
-                                 dry_run=args.dry_run)
+                                 dry_run=args.dry_run, gc=args.gc)
                 result["published"] = len(cmds)
         print(json.dumps({"pipeline": args.pipeline, "result": result}))
         return 0
