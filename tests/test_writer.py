@@ -248,3 +248,46 @@ def test_version_retention_and_time_travel(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not retained"):
         store.read(version=v1)
+
+
+def test_stale_lock_reclaimed_live_lock_respected(spark, store):
+    import os
+    from zacks_estimates_financial_statements_spark.operators.writer import (
+        ConcurrentWriteError, _LOCK, _HOSTNAME,
+    )
+    df = spark.createDataFrame(
+        [("MSFT", D(2025, 1, 15), "Before market open")],
+        "act_symbol string, date date, when string")
+    os.makedirs(store.path, exist_ok=True)
+    lock = os.path.join(store.path, _LOCK)
+
+    # 1) same host, dead pid -> reclaimed without manual removal
+    with open(lock, "w") as fh:
+        fh.write(f"pid=999999999 host={_HOSTNAME} "
+                 f"at=2026-01-01T00:00:00+00:00")
+    store.overwrite(df)                      # takes over, then releases
+    assert not os.path.exists(lock)
+    assert store.read().count() == 1
+
+    # 2) unknown host, expired lease -> reclaimed
+    with open(lock, "w") as fh:
+        fh.write("pid=1 host=elsewhere at=2020-01-01T00:00:00+00:00")
+    store.upsert_ignore(spark.createDataFrame(
+        [("AAPL", D(2025, 1, 15), "After market close")], df.schema))
+    assert store.read().count() == 2
+
+    # 3) unknown host, fresh lease -> still fails fast
+    import datetime as _dt
+    now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    with open(lock, "w") as fh:
+        fh.write(f"pid=1 host=elsewhere at={now}")
+    with pytest.raises(ConcurrentWriteError, match="locked by another"):
+        store.overwrite(df)
+    os.unlink(lock)
+
+    # 4) same host, LIVE pid (ours) -> fails fast even though lease fresh
+    with open(lock, "w") as fh:
+        fh.write(f"pid={os.getpid()} host={_HOSTNAME} at={now}")
+    with pytest.raises(ConcurrentWriteError):
+        store.overwrite(df)
+    os.unlink(lock)

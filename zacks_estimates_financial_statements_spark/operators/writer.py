@@ -45,6 +45,7 @@ import contextlib
 import datetime
 import os
 import shutil
+import socket
 import uuid
 from dataclasses import dataclass
 
@@ -61,6 +62,8 @@ from zacks_estimates_financial_statements_spark.schemas import (
 
 _POINTER = "_CURRENT"
 _LOCK = "_LOCK"
+
+_HOSTNAME = socket.gethostname()
 
 #: upper bound on distinct partition values collected from a batch for
 #: stored-side partition pruning in ``upsert_ignore``. Real loader
@@ -122,6 +125,10 @@ class TableStore:
     #: one). 1 = reference behavior (vacuum right after the flip); more
     #: keeps a short time-travel window readable via ``read(version=)``.
     keep_versions: int = 1
+    #: write-lock lease: a lock older than this (or whose recorded pid is
+    #: dead on this host) may be taken over by a new writer instead of
+    #: requiring manual removal after a crash.
+    lease_seconds: float = 3600.0
 
     def _partition_cols(self) -> tuple[str, ...]:
         if self.partition_by == "auto":
@@ -244,6 +251,38 @@ class TableStore:
                 df = df.coalesce(max(files_per_partition, 1))
             self._overwrite_locked(df)
 
+    def _lock_is_stale(self, lock: str) -> bool:
+        """A holder is provably dead when it ran on this host and its pid
+        is gone, or when its lease (``at`` + ``lease_seconds``) expired —
+        the cross-host case, where liveness can't be probed. Unparsable
+        lock files fall back to the file mtime for the lease check."""
+        try:
+            with open(lock) as fh:
+                fields = dict(kv.split("=", 1) for kv in
+                              fh.read().strip().split(" ") if "=" in kv)
+        except OSError:
+            return False  # vanished or unreadable: let the retry decide
+        host = fields.get("host")
+        pid = fields.get("pid")
+        if host == _HOSTNAME and pid and pid.isdigit():
+            try:
+                os.kill(int(pid), 0)
+            except ProcessLookupError:
+                return True       # same host, pid gone: provably dead
+            except PermissionError:
+                pass              # alive under another uid
+        try:
+            at = datetime.datetime.fromisoformat(fields["at"])
+            age = (datetime.datetime.now(datetime.timezone.utc)
+                   - at).total_seconds()
+        except (KeyError, ValueError):
+            try:
+                age = max(0.0, (datetime.datetime.now().timestamp()
+                                - os.path.getmtime(lock)))
+            except OSError:
+                return False
+        return age > self.lease_seconds
+
     @contextlib.contextmanager
     def write_lock(self):
         """Advisory single-writer lock: an O_EXCL-created ``_LOCK`` file
@@ -251,24 +290,43 @@ class TableStore:
         conditional PUT — documented limitation). Every mutating method
         takes it, so two concurrent pipelines writing one table fail fast
         with ``ConcurrentWriteError`` instead of racing the pointer flip.
-        A crashed writer leaves the lock behind — the file records
-        pid/time for the operator to inspect and remove."""
+
+        The lock is a LEASE: it records pid/host/timestamp, and a new
+        writer may take over when the holder is provably dead (same host,
+        pid gone) or the lease aged past ``lease_seconds`` — so a crashed
+        pipeline no longer needs manual lock removal. Takeover claims the
+        stale file via atomic rename before recreating it, so two
+        simultaneous reclaimers can't each unlink the other's fresh lock;
+        the rename loser sees the file gone and retries the O_EXCL create.
+        """
         os.makedirs(self.path, exist_ok=True)
         lock = os.path.join(self.path, _LOCK)
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        fd = None
+        for attempt in range(2):
             try:
-                with open(lock) as fh:
-                    holder = fh.read().strip()
-            except OSError:
-                holder = "unknown"
-            raise ConcurrentWriteError(
-                f"table {self.name} is locked by another writer ({holder}); "
-                f"remove {lock} if that writer is dead") from None
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if attempt == 0 and self._lock_is_stale(lock):
+                    claimed = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                    with contextlib.suppress(OSError):
+                        os.rename(lock, claimed)
+                        os.unlink(claimed)
+                    continue
+                try:
+                    with open(lock) as fh:
+                        holder = fh.read().strip()
+                except OSError:
+                    holder = "unknown"
+                raise ConcurrentWriteError(
+                    f"table {self.name} is locked by another writer "
+                    f"({holder}); lease expires {self.lease_seconds}s "
+                    f"after its 'at' stamp, or remove {lock} manually"
+                ) from None
         try:
             now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-            os.write(fd, f"pid={os.getpid()} at={now}".encode())
+            os.write(fd, f"pid={os.getpid()} host={_HOSTNAME} "
+                         f"at={now}".encode())
             os.close(fd)
             yield
         finally:
