@@ -280,3 +280,25 @@ def test_simhash_bands_must_exceed_hamming(spark):
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_near_dup_pairs(df, "doc_id", "text",
                                      max_hamming=3, bands=3)
+
+
+def test_ivf_index_reused_across_query_batches(emb):
+    """ivf_build materializes the assignment once; subsequent topk_ivf
+    calls must read the inverted lists from the cache (InMemoryTableScan)
+    instead of replaying the corpus lineage, and return exactly what the
+    build-per-call path returns."""
+    idx = similarity.ivf_build(emb, n_centroids=8)
+    try:
+        q1, q2 = _queries(emb, 3), _queries(emb, 5)
+        for q in (q1, q2):
+            out = similarity.topk_ivf(emb, q, k=5, nprobe=3, index=idx)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+            direct = similarity.topk_ivf(emb, q, k=5, n_centroids=8,
+                                         nprobe=3)
+            assert sorted((r["query_id"], r["vec_id"], r["rank"])
+                          for r in out.collect()) == \
+                   sorted((r["query_id"], r["vec_id"], r["rank"])
+                          for r in direct.collect())
+    finally:
+        idx.unpersist()

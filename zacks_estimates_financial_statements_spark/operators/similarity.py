@@ -22,8 +22,11 @@ All math is native Spark (higher-order functions, see
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from zacks_estimates_financial_statements_spark.functions import vectors as V
 
@@ -165,21 +168,73 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
     return assign, centroids
 
 
+@dataclass
+class IvfIndex:
+    """A built IVF index — the build/probe split of a real ANN service.
+
+    ``assigned`` is the corpus already joined with its centroid
+    assignments and **persisted**: the expensive part of ``topk_ivf``
+    (scoring every corpus vector against every centroid, the row_number
+    window shuffle, and the assignment join) runs ONCE at build time;
+    every subsequent query batch starts from the cached, pre-partitioned
+    lists instead of replaying the corpus lineage per call. ``centroids``
+    is localized to a literal relation (n_centroids rows), so the probe
+    side never touches the corpus lineage either.
+
+    Call ``unpersist()`` when done — mirrors dropping the index."""
+
+    assigned: DataFrame    # corpus columns + centroid_id, persisted
+    centroids: DataFrame   # (centroid_id, centroid_vec), literal relation
+    id_col: str
+    vec_col: str
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def ivf_build(corpus: DataFrame, n_centroids: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              kmeans_iters: int = 0,
+              storage_level: StorageLevel | None = None) -> IvfIndex:
+    """Build (and materialize) the IVF index once, for reuse across
+    query batches via ``topk_ivf(..., index=...)``. MEMORY_AND_DISK by
+    default: at 100 TB the inverted lists spill rather than evict."""
+    assign, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col,
+                                   kmeans_iters)
+    assigned = (corpus.join(assign, id_col)
+                .persist(storage_level or StorageLevel.MEMORY_AND_DISK))
+    assigned.count()   # materialize eagerly: build cost is paid here
+    centroids = corpus.sparkSession.createDataFrame(
+        centroids.collect(), schema=centroids.schema)
+    return IvfIndex(assigned=assigned, centroids=centroids,
+                    id_col=id_col, vec_col=vec_col)
+
+
 def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
              query_vec_col: str = "query_vec",
              kmeans_iters: int = 0,
-             broadcast_queries: bool = True) -> DataFrame:
+             broadcast_queries: bool = True,
+             index: IvfIndex | None = None) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` closest centroids'
     lists, exact cosine re-rank within them. ``kmeans_iters`` > 0 turns
     on Lloyd refinement of the coarse quantizer; ``broadcast_queries``
     controls whether the probe set ships to executors or shuffles (set
     False for huge batch query sets — the centroid-list join stays an
-    equi-join either way)."""
-    assign, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col,
-                                   kmeans_iters)
+    equi-join either way).
+
+    Pass a prebuilt ``index`` (``ivf_build``) when running repeated query
+    batches: without it each call re-derives the corpus assignments —
+    two corpus shuffles per batch that the persisted index pays once."""
+    if index is not None:
+        corpus_assigned, centroids = index.assigned, index.centroids
+        id_col, vec_col = index.id_col, index.vec_col
+    else:
+        assign, centroids = ivf_assign(corpus, n_centroids, id_col,
+                                       vec_col, kmeans_iters)
+        corpus_assigned = corpus.join(assign, id_col)
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"),
         V.cosine(F.col(query_vec_col), F.col("centroid_vec")).alias("__cos"))
@@ -188,7 +243,6 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     probes = (qc.withColumn("__rn", F.row_number().over(wq))
               .filter(F.col("__rn") <= nprobe)
               .select(query_id_col, query_vec_col, "centroid_id"))
-    corpus_assigned = corpus.join(assign, id_col)
     cand = corpus_assigned.join(
         F.broadcast(probes) if broadcast_queries else probes, "centroid_id")
     scored = cand.select(
