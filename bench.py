@@ -1,9 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Each query runs $SPARK_GRAFT_BENCH_N times (default 3) round-robin —
+suite pass 1 for every query, then pass 2, ... — and the reported
+per-query number is the MEDIAN, so a stray GC pause or page-cache miss
+in one pass can't masquerade as a regression (the shared-harness noise
+band was measured at ±20% with single-shot timings).
+
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1, "n": 3}
 """
 
 from __future__ import annotations
@@ -11,6 +17,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -67,17 +74,22 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+    n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for it in range(n_iters):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            rows = df.count()
+            dt = time.time() - t0
+            samples[name].append(dt)
+            print(f"# pass {it + 1}/{n_iters} {name}: {rows} rows "
+                  f"in {dt:.2f}s", file=sys.stderr)
+
+    timings = {name: round(statistics.median(s), 3)
+               for name, s in samples.items()}
+    total = sum(timings.values())
 
     spark.stop()
     print(json.dumps({
@@ -86,6 +98,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n": n_iters,
     }))
 
 
