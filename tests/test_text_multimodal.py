@@ -107,6 +107,8 @@ def _real_media_df(spark):
          9, 9, None),
         (13, "image", bytearray(b"P6\n2 2\n255\n\x00"), "image/x-ppm",
          None, None, None),  # truncated -> quarantine
+        (14, "image", bytearray(codecs.encode_png(img)), "image/png",
+         None, None, None),  # REAL PNG: stdlib inflate + unfilter
         (20, "audio", bytearray(wav), "audio/wav", None, None, None),
         (21, "audio", bytearray(b"\x00" * 16), "audio/mp3",
          None, None, None),
@@ -117,13 +119,14 @@ def _real_media_df(spark):
 def test_real_image_decode_ppm_and_bmp(spark):
     feats = {r["media_id"]: r for r in
              M.decode_image_features(_real_media_df(spark), dims=4).collect()}
-    for mid in (10, 11):  # both encodings decode to the same pixels
+    for mid in (10, 11, 14):  # all three encodings decode to the same pixels
         r = feats[mid]
         assert (r["width"], r["height"]) == (6, 4)
         assert r["decode_error"] is None
         # half black (bin 0), half white (top bin)
         assert abs(r["features"][0] - 0.5) < 1e-6
         assert abs(r["features"][3] - 0.5) < 1e-6
+    assert feats[14]["features"] == feats[10]["features"]
     # no in-container codec -> flagged stub fallback, metadata passthrough
     assert feats[12]["decode_error"].startswith("stub:byte-histogram")
     assert (feats[12]["width"], feats[12]["height"]) == (9, 9)
@@ -173,3 +176,75 @@ def test_detect_language_widened_panel_and_tiebreak(spark):
     # "der hund": de score 1 ('der'); "the dog": en score 1 ('the') —
     # first-wins over sorted codes gives 'de'
     assert out == ["it", "pt", "de", "und"]
+
+
+def test_png_codec_all_filters_and_color_types():
+    """decode_png reverses every scanline filter (None/Sub/Up/Avg/Paeth)
+    and resolves gray/palette/RGBA to RGB — against hand-filtered
+    streams, not just our own filter-0 encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_png(C.encode_png(img)), img)
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    def png(w, h, depth, ctype, raw, extra=b""):
+        return (C._PNG_MAGIC
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0))
+                + extra + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    # forward-filter each row with filter type y % 5, then decode back
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw, prev = b"", np.zeros(stride, np.int32)
+    for y in range(h):
+        ft, cur, f = y % 5, flat[y], flat[y].copy()
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            else:
+                pred = 0
+            f[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([ft]) + f.astype(np.uint8).tobytes()
+        prev = cur
+    assert np.array_equal(C.decode_png(png(w, h, 8, 2, raw)), img)
+
+    # palette
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idxs = rng.integers(0, 4, (5, 6, 1), dtype=np.uint8)
+    raw_p = b"".join(b"\x00" + idxs[y].tobytes() for y in range(5))
+    out = C.decode_png(png(6, 5, 8, 3, raw_p, chunk(b"PLTE", pal.tobytes())))
+    assert np.array_equal(out, pal[idxs[:, :, 0]])
+
+    # RGBA drops alpha; 16-bit raises
+    rgba = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    raw_a = b"".join(b"\x00" + rgba[y].tobytes() for y in range(5))
+    assert np.array_equal(C.decode_png(png(6, 5, 8, 6, raw_a)),
+                          rgba[:, :, :3])
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        C.decode_png(png(6, 5, 16, 2, b"\x00" * 5 * 37))

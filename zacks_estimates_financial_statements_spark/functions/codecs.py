@@ -2,16 +2,20 @@
 
 REAL codecs (no external libraries, fully decoded content):
 
+- **PNG** — 8-bit gray/RGB/palette/gray-alpha/RGBA, non-interlaced
+  (stdlib ``zlib`` inflate + per-scanline unfilter of all five PNG
+  filter types per RFC 2083 §6)
 - **PPM (P6)** — binary NetPBM RGB images (header parse + numpy reshape)
 - **BMP** — uncompressed 24-bit Windows bitmaps (BITMAPINFOHEADER,
   bottom-up row order, 4-byte row padding, BGR→RGB)
 - **WAV** — PCM audio via the stdlib ``wave`` module (8/16/32-bit)
 
-Everything else (JPEG/PNG/MP4/…) needs codec libraries this container
-does not ship and raises ``NotImplementedError`` — callers decide
-whether to quarantine the row or substitute a clearly-flagged
-deterministic stand-in. Encoders for the real formats exist so tests can
-round-trip content without fixture binaries.
+Everything else (JPEG/MP4/…, plus PNG's interlaced/16-bit variants)
+needs codec libraries this container does not ship and raises
+``NotImplementedError`` — callers decide whether to quarantine the row
+or substitute a clearly-flagged deterministic stand-in. Encoders for the
+real formats exist so tests can round-trip content without fixture
+binaries.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -27,8 +32,13 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff(data: bytes) -> str | None:
     """Best-effort container detection for the formats we can decode."""
+    if data[:8] == _PNG_MAGIC:
+        return "png"
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"BM":
@@ -36,6 +46,126 @@ def sniff(data: bytes) -> str | None:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return None
+
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083) — stdlib zlib inflate + scanline unfilter
+# ---------------------------------------------------------------------------
+
+#: color type → samples per pixel at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6.3-6.6) → (h, stride) uint8 of reconstructed samples.
+
+    Sub/Average/Paeth recurrences are sequential along the row, so those
+    rows loop per byte — correct-first; the multimodal pipeline batches
+    documents via Arrow and quarantines per row, it never decodes one
+    giant image per task."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride,
+                            y * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:                                   # None
+            rec = row
+        elif ft == 1:                                 # Sub
+            rec = row.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif ft == 2:                                 # Up
+            rec = (row + prev) & 0xFF
+        elif ft == 3:                                 # Average
+            rec = row.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                                 # Paeth
+            rec = row.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → (height, width, 3) uint8 RGB array.
+
+    Supports the 8-bit non-interlaced profiles (gray, RGB, palette,
+    gray+alpha, RGBA — alpha dropped, gray replicated, palette resolved
+    via PLTE). 16-bit, sub-byte depths and Adam7 interlace raise
+    ``NotImplementedError`` (quarantined upstream like JPEG)."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / interlace {interlace} not "
+            f"supported (8-bit non-interlaced only)")
+    if comp != 0 or filt != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG header {hdr}")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if ctype == 0:                       # grayscale
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:                       # RGB
+        return px.copy()
+    if ctype == 3:                       # palette
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[px[:, :, 0]]
+    if ctype == 4:                       # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()           # RGBA → RGB
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → non-interlaced 8-bit RGB PNG (filter 0
+    scanlines) — fixture generator for round-trip tests."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
 
 
 # ---------------------------------------------------------------------------
@@ -170,15 +300,17 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes; NotImplementedError for formats needing
-    libraries absent from this container (JPEG, PNG, …)."""
+    libraries absent from this container (JPEG, …)."""
     kind = sniff(data)
+    if kind == "png":
+        return decode_png(data)
     if kind == "ppm":
         return decode_ppm(data)
     if kind == "bmp":
         return decode_bmp(data)
     raise NotImplementedError(
-        "no codec for this image format (supported here: PPM P6, "
-        "24-bit BMP; JPEG/PNG need external libraries)")
+        "no codec for this image format (supported here: PNG 8-bit, "
+        "PPM P6, 24-bit BMP; JPEG needs external libraries)")
 
 
 def luma(arr: np.ndarray) -> np.ndarray:
