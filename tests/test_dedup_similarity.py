@@ -302,3 +302,39 @@ def test_ivf_index_reused_across_query_batches(emb):
                           for r in direct.collect())
     finally:
         idx.unpersist()
+
+
+def test_minhash_recall_meets_banding_theory(spark):
+    """Retrieval quality, not just determinism: on a corpus of planted
+    pairs with graded overlap, measured LSH candidate recall must clear
+    the banding-theory expectation E[1-(1-s^r)^b] minus sampling slack
+    (pairs are Bernoulli trials; the corpus/hashes are deterministic)."""
+    words = [f"w{i}" for i in range(60)]
+    rows, pid = [], 0
+    for tenths in (5, 6, 7, 8, 9, 10):   # shared-prefix fraction
+        for rep in range(8):
+            n = 40
+            shared = [f"p{pid}s{j}" for j in range(n * tenths // 10)]
+            a = shared + [f"p{pid}a{j}" for j in range(n - len(shared))]
+            b = shared + [f"p{pid}b{j}" for j in range(n - len(shared))]
+            rows.append((pid * 2, " ".join(a)))
+            rows.append((pid * 2 + 1, " ".join(b)))
+            pid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                      shingle_k=3, min_jaccard=0.3)
+    cand = dedup.minhash_near_dup_pairs(df, "doc_id", "text",
+                                        k=12, bands=4, shingle_k=3)
+    truth = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert truth, "fixture produced no ground-truth pairs"
+    hits = sum(1 for p in truth if p in got)
+    recall = hits / len(truth)
+    r, b = 3, 4
+    expected = sum(1 - (1 - s ** r) ** b for s in truth.values()) / len(truth)
+    # ~48 Bernoulli trials -> std ~0.07; 0.2 slack is >2 sigma
+    assert recall >= expected - 0.2, (recall, expected)
+    # identical-content pairs (s=1) are ALWAYS candidates
+    ones = [p for p, s in truth.items() if s == 1.0]
+    assert ones and all(p in got for p in ones)
