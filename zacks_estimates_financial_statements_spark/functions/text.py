@@ -57,29 +57,46 @@ def word_marker_count(col: Column, word: str) -> Column:
     return _count_matches(F.lower(col), rf"\b{word}\b")
 
 
+def let_once(bindings: dict[str, Column], body) -> Column:
+    """Single-evaluation let-binding: compute ``bindings`` once per row and
+    evaluate ``body`` over cheap references to them.
+
+    Catalyst duplicates an alias's expression subtree wherever the alias is
+    referenced (predicate pushdown, collapsed projections), so an argmax
+    over L expensive scores expands to O(L^2) copies of each score — which
+    both recomputes regexps per copy and can push the generated method past
+    the JVM's 64 KB limit, silently dropping the whole stage to interpreted
+    mode. Wrapping the values in a one-element array and binding them to a
+    ``transform`` lambda variable makes every reference in ``body`` a bound
+    variable read: each binding is evaluated exactly once per row no matter
+    how the optimizer rewrites the surrounding plan.
+    """
+    s = F.struct(*[v.alias(k) for k, v in bindings.items()])
+    return F.element_at(F.transform(F.array(s), body), 1)
+
+
 def detect_language(col: Column,
                     markers: dict[str, list[str]] | None = None) -> Column:
     """Stopword-panel language ID: per language, count whole-word marker
     hits; return the language with the max count (ties broken by language
     code order, 'und' when nothing matches)."""
     markers = markers or LANG_MARKERS
-    scores = {
-        lang: sum_cols([word_marker_count(col, w) for w in words])
-        for lang, words in sorted(markers.items())
-    }
-    best = None
-    # argmax with deterministic first-wins tie-break over sorted
-    # languages: a language keeps ties against LATER codes (>=) but must
-    # strictly beat EARLIER ones (>)
-    for lang, score in scores.items():
-        is_best = (score > 0)
-        for other_lang, other in scores.items():
-            if other_lang == lang:
-                continue
-            cond = (score >= other) if other_lang > lang else (score > other)
-            is_best = is_best & cond
-        best = F.when(is_best, F.lit(lang)) if best is None else best.when(is_best, F.lit(lang))
-    return best.otherwise(F.lit("und"))
+    langs = sorted(markers)
+    counts = [sum_cols([word_marker_count(col, w) for w in markers[lang]])
+              for lang in langs]
+    names = F.array(*[F.lit(lang) for lang in langs])
+    # argmax with deterministic first-wins tie-break over sorted language
+    # codes: array_position returns the FIRST index holding the max, which
+    # is exactly "keeps ties against later codes, must beat earlier ones".
+    # let_once keeps each marker regexp evaluated once per row (the naive
+    # pairwise-comparison argmax repeats every score ~2L times).
+    return let_once(
+        {"c": F.array(*counts)},
+        lambda x: F.when(
+            F.array_max(x["c"]) > 0,
+            F.element_at(names, F.array_position(x["c"], F.array_max(x["c"])).cast("int")),
+        ).otherwise(F.lit("und")),
+    )
 
 
 def sum_cols(cols: list[Column]) -> Column:
@@ -128,12 +145,16 @@ def quality_score(col: Column) -> Column:
 
     Score = mean of the three components; empty/blank text scores 0.
     """
-    toks = whitespace_token_count(col)
-    length_c = F.least(F.lit(1.0), toks.cast("double") / F.lit(100.0))
-    stop_c = F.least(F.lit(1.0), stopword_ratio(col) * F.lit(4.0))
-    punct_c = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * F.lit(5.0))
-    return F.when(toks == 0, F.lit(0.0)).otherwise(
-        (length_c + stop_c + punct_c) / F.lit(3.0))
+    return let_once(
+        {"toks": whitespace_token_count(col),
+         "sr": stopword_ratio(col),
+         "pr": punct_ratio(col)},
+        lambda x: F.when(x["toks"] == F.lit(0), F.lit(0.0)).otherwise(
+            (F.least(F.lit(1.0), x["toks"].cast("double") / F.lit(100.0))
+             + F.least(F.lit(1.0), x["sr"] * F.lit(4.0))
+             + (F.lit(1.0) - F.least(F.lit(1.0), x["pr"] * F.lit(5.0))))
+            / F.lit(3.0)),
+    )
 
 
 def normalize_text(col: Column) -> Column:
