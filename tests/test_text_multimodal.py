@@ -33,6 +33,31 @@ def test_detect_language_markers(spark):
     assert out == ["en", "de", "fr", "und"]
 
 
+def test_token_split_matches_duckdb_word_boundary(spark):
+    # The panels count whole-word hits via one split on [^a-z0-9_]+ (the
+    # ASCII \w class); the DuckDB oracles count \bword\b regexp matches
+    # (RE2, ASCII \b). Pin the cross-engine equivalence on
+    # boundary-hostile inputs: underscores and digits are word chars (no
+    # boundary), punctuation and non-ASCII letters are boundaries.
+    import duckdb
+
+    rows = [("the cat, the_cat and the9 cats; don't it's a-b THE «the»",),
+            ("éthe the|and__of 0the the0 the",), ("",), ("___ the ___",)]
+    df = spark.createDataFrame(rows, "text string")
+    words = sorted({w for ws in T.LANG_MARKERS.values() for w in ws}
+                   | set(T._STOPWORDS_EN))
+    toks = T.word_tokens(F.col("text"))
+    spark_counts = df.select(F.array(*[
+        F.size(F.filter(toks, lambda t: t == F.lit(w))) for w in words
+    ]).alias("c")).collect()
+    con = duckdb.connect()
+    for i, (text,) in enumerate(rows):
+        duck = [con.execute(
+            "SELECT len(regexp_extract_all(lower(?), '\\b' || ? || '\\b'))",
+            [text, w]).fetchone()[0] for w in words]
+        assert list(spark_counts[i]["c"]) == duck, (i, text)
+
+
 def test_fingerprint_invariance(spark):
     df = spark.createDataFrame(
         [("Hello,  World!",), ("hello world",), ("different",)], "t string")

@@ -52,9 +52,18 @@ def _count_matches(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
-def word_marker_count(col: Column, word: str) -> Column:
-    """Occurrences of ``word`` as a whole lowercase word."""
-    return _count_matches(F.lower(col), rf"\b{word}\b")
+def word_tokens(col: Column) -> Column:
+    """Lowercased word tokens split on ``[^a-z0-9_]+``.
+
+    The split class is the ASCII regex word class (``\\w`` =
+    ``[A-Za-z0-9_]`` in DuckDB's RE2), so counting exact-match tokens in
+    this array is equivalent to counting ``\\b<word>\\b`` matches in the
+    DuckDB oracles — but costs ONE pass over the text instead of one full
+    regexp scan per panel word. (Java regex ``\\b`` is Unicode-aware, so
+    a java-side ``\\bthe\\b`` would MISS "the" in "éthe" while RE2 and
+    this split both count it; the split form is the one that matches the
+    documented SQL-twin semantics. Pinned by a cross-engine unit test.)"""
+    return F.split(F.lower(col), r"[^a-z0-9_]+")
 
 
 def let_once(bindings: dict[str, Column], body) -> Column:
@@ -82,28 +91,26 @@ def detect_language(col: Column,
     code order, 'und' when nothing matches)."""
     markers = markers or LANG_MARKERS
     langs = sorted(markers)
-    counts = [sum_cols([word_marker_count(col, w) for w in markers[lang]])
-              for lang in langs]
     names = F.array(*[F.lit(lang) for lang in langs])
-    # argmax with deterministic first-wins tie-break over sorted language
-    # codes: array_position returns the FIRST index holding the max, which
-    # is exactly "keeps ties against later codes, must beat earlier ones".
-    # let_once keeps each marker regexp evaluated once per row (the naive
-    # pairwise-comparison argmax repeats every score ~2L times).
+    # One tokenization pass, then per-language hit counts over the bound
+    # token array (vs one full-text regexp scan per marker word). argmax
+    # with deterministic first-wins tie-break over sorted language codes:
+    # array_position returns the FIRST index holding the max, which is
+    # exactly "keeps ties against later codes, must beat earlier ones".
+    # let_once keeps the token array and count array evaluated once per
+    # row (the naive pairwise-comparison argmax repeats every score ~2L
+    # times, and optimizer rewrites would re-split per reference).
     return let_once(
-        {"c": F.array(*counts)},
-        lambda x: F.when(
-            F.array_max(x["c"]) > 0,
-            F.element_at(names, F.array_position(x["c"], F.array_max(x["c"])).cast("int")),
-        ).otherwise(F.lit("und")),
+        {"t": word_tokens(col)},
+        lambda x: let_once(
+            {"c": F.array(*[
+                F.size(F.filter(x["t"], lambda tok: tok.isin(*markers[lang])))
+                for lang in langs])},
+            lambda y: F.when(
+                F.array_max(y["c"]) > 0,
+                F.element_at(names, F.array_position(y["c"], F.array_max(y["c"])).cast("int")),
+            ).otherwise(F.lit("und"))),
     )
-
-
-def sum_cols(cols: list[Column]) -> Column:
-    out = cols[0]
-    for c in cols[1:]:
-        out = out + c
-    return out
 
 
 def punct_ratio(col: Column) -> Column:
@@ -114,12 +121,17 @@ def punct_ratio(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
-    """English stopword tokens / whitespace tokens (0 for empty text)."""
+    """English stopword tokens / whitespace tokens (0 for empty text).
+
+    Stopword hits are counted in one tokenization pass (see
+    ``word_tokens``) instead of one regexp scan per stopword."""
     stopwords = stopwords or _STOPWORDS_EN
-    hits = sum_cols([word_marker_count(col, w) for w in stopwords])
-    toks = whitespace_token_count(col)
-    return F.when(toks == 0, F.lit(0.0)).otherwise(
-        hits.cast("double") / toks.cast("double")
+    return let_once(
+        {"hits": F.size(F.filter(word_tokens(col),
+                                 lambda tok: tok.isin(*stopwords))),
+         "toks": whitespace_token_count(col)},
+        lambda x: F.when(x["toks"] == F.lit(0), F.lit(0.0)).otherwise(
+            x["hits"].cast("double") / x["toks"].cast("double")),
     )
 
 
