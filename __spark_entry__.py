@@ -660,13 +660,28 @@ def q_minhash_signatures(spark, sf):
     return dedup.minhash_signatures(docs, "doc_id", "text", k=12, shingle_k=3)
 
 
+# The universal multiply-mod hash family shared with the Spark side:
+# one md5 per shingle, then h_i = (a_i*base + b_i) mod 2^31-1 from the
+# fixed MINHASH_PARAMS table (dedup.py).
+_MINHASH_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.MINHASH_PARAMS[:12]))
+
+_MINHASH_SIGS_CTE = f"""
+base AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.MINHASH_P} AS b
+  FROM shingled),
+params(hash_idx, ha, hb) AS (VALUES {_MINHASH_PARAMS_SQL}),
+sigs AS (
+  SELECT doc_id, hash_idx::BIGINT AS hash_idx,
+    min((ha * b + hb) % {dedup.MINHASH_P}) AS minhash
+  FROM base CROSS JOIN params
+  GROUP BY doc_id, hash_idx)"""
+
 ORACLE_MINHASH_SIGS = f"""
-WITH shingled AS ({_SHINGLE_SQL.format(km1=2)})
-SELECT doc_id, hash_idx,
-  min(('0x' || substr(md5(hash_idx::VARCHAR || '|' || shingle), 1, 15))::BIGINT)
-  AS minhash
-FROM shingled CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS hash_idx)
-GROUP BY doc_id, hash_idx
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+{_MINHASH_SIGS_CTE}
+SELECT doc_id, hash_idx, minhash FROM sigs
 """
 
 
@@ -677,12 +692,7 @@ def q_minhash_near_dup_pairs(spark, sf):
 
 ORACLE_MINHASH_PAIRS = f"""
 WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
-sigs AS (
-  SELECT doc_id, hash_idx,
-    min(('0x' || substr(md5(hash_idx::VARCHAR || '|' || shingle), 1, 15))::BIGINT)
-    AS minhash
-  FROM shingled CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS hash_idx)
-  GROUP BY doc_id, hash_idx),
+{_MINHASH_SIGS_CTE},
 buckets AS (
   SELECT doc_id, hash_idx % 4 AS band,
     md5(string_agg(lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR,

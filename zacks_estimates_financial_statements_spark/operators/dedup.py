@@ -53,6 +53,26 @@ def hash60(col, salt=None):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+# Universal multiply-mod hash family over the Mersenne prime 2^31-1:
+# h_i(x) = (a_i*x + b_i) mod P, the standard MinHash construction
+# (Broder 1997; Carter-Wegman 2-universal family). One md5 per shingle
+# replaces k salted md5s, and the k derived hashes are two arithmetic
+# ops each — products stay < 2^62 so the same expression is exact BIGINT
+# math in both Spark and DuckDB. Parameters are a fixed table (seeded
+# once) so the DuckDB oracle can inline the identical family.
+MINHASH_P = 2147483647
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (304421255, 1836435294), (1317016046, 875424808), (421060966, 1255111736), (1858959911, 1760892882),
+    (901865199, 1375823314), (1032573392, 666550374), (1320671556, 1683497692), (1638461524, 1734674000),
+    (740751845, 474759081), (1885041032, 1572479927), (873515665, 1245340700), (1359527323, 1367669501),
+    (1291406679, 2088798602), (853482072, 850667823), (974347029, 1930316807), (1333742723, 2040025221),
+    (715041703, 479988512), (1751766369, 120994845), (738198214, 1284782988), (1707367833, 1901732561),
+    (1607381208, 555486236), (1619614216, 598578556), (305969688, 1320794893), (1712586462, 1388530616),
+    (520304286, 108330589), (801806062, 538093310), (1348224564, 1598573495), (1292363125, 1672632354),
+    (1427884308, 111702067), (417926054, 239387588), (833231784, 684276013), (755017778, 1718416179),
+]
+
+
 # ---------------------------------------------------------------------------
 # Exact / fingerprint dedup
 # ---------------------------------------------------------------------------
@@ -140,19 +160,22 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       k: int = 12, shingle_k: int = 3) -> DataFrame:
-    """(id, hash_idx, minhash): k MinHash values per document over word
-    ``shingle_k``-shingles.
+def _minhash_wide(df: DataFrame, id_col: str, text_col: str,
+                  k: int, shingle_k: int) -> DataFrame:
+    """(id, sig): per-document k-element MinHash signature ARRAY.
 
-    Shape: explode shingles, broadcast-join the k-row hash-index range,
-    one md5 per row in a codegen projection, then groupBy(id, hash_idx)
-    min. The k× row blowup is collapsed by map-side partial aggregation
-    before the shuffle (the shuffled data is ≤ one row per (id, hash_idx)
-    per mapper), so this is also the 100 TB-safe shape. Measured
-    alternatives on sf0.1: per-row k-hash agg columns + stack (1.6×
-    slower — md5 leaves the projection codegen path), fully-nested
-    higher-order functions (7× slower — no codegen, no shuffle win)."""
+    Shape: explode shingles, ONE md5 per shingle in a codegen
+    projection, derive the k hash-family values as multiply-mod columns
+    (``MINHASH_PARAMS``), then a single groupBy(id) with k partial-agg
+    mins. Compared to the salted-md5 formulation (explode × k hash
+    indices, groupBy(id, hash_idx)) this computes 1/k-th the md5s, sends
+    1/k-th the rows into the shuffle, and needs one aggregation instead
+    of two — the earlier "k-agg columns + stack is 1.6× slower" finding
+    no longer applies because the expensive md5 stays in the projection
+    and only cheap bigint mins enter the aggregate update."""
+    if k > len(MINHASH_PARAMS):
+        raise ValueError(
+            f"k={k} exceeds the fixed hash family ({len(MINHASH_PARAMS)})")
     words = df.select(
         F.col(id_col),
         F.split(T.normalize_text(F.col(text_col)), " ").alias("__words"))
@@ -160,12 +183,28 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col),
         F.explode(T.shingles_from_words(F.col("__words"), shingle_k))
         .alias("shingle"))
-    indexed = shingled.join(
-        F.broadcast(df.sparkSession.range(k).withColumnRenamed("id", "hash_idx")))
-    return (indexed
-            .groupBy(id_col, "hash_idx")
-            .agg(F.min(hash60(F.col("shingle"), salt=F.col("hash_idx")))
-                 .alias("minhash")))
+    base = shingled.select(
+        F.col(id_col),
+        (hash60(F.col("shingle")) % F.lit(MINHASH_P)).alias("__b"))
+    mins = base.groupBy(id_col).agg(*[
+        F.min((F.lit(a) * F.col("__b") + F.lit(b)) % F.lit(MINHASH_P))
+        .alias(f"__h{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:k])])
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 12, shingle_k: int = 3) -> DataFrame:
+    """(id, hash_idx, minhash): k MinHash values per document over word
+    ``shingle_k``-shingles (long form of ``_minhash_wide``)."""
+    wide = _minhash_wide(df, id_col, text_col, k, shingle_k)
+    return (wide
+            .select(F.col(id_col), F.posexplode("sig"))
+            .select(F.col(id_col),
+                    F.col("pos").cast("bigint").alias("hash_idx"),
+                    F.col("col").alias("minhash")))
 
 
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -177,15 +216,15 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Returns (id_a, id_b, est_jaccard), id_a < id_b.
 
-    Plan shape: the long signatures fold once into a per-doc ordered
-    signature ARRAY (+ the band buckets from the same aggregation), so
-    the band self-join and the Jaccard estimate (a ``zip_with`` over the
-    two arrays) need no further joins against the long signature relation
-    — 2 shuffles total instead of 5. At scale only band-bucket
-    cohabitants ever meet, and each carries its fixed-size k-element
-    signature, not a k-row join fan-in. The Jaccard estimate is computed
-    map-side in the join projection, so the final pair dedup shuffles
-    narrow (id_a, id_b, est) rows — never the signature arrays.
+    Plan shape: ``_minhash_wide`` produces the per-doc signature ARRAY
+    in one shuffle (k partial-agg mins over a single base hash), so the
+    band buckets and the Jaccard estimate (a ``zip_with`` over the two
+    arrays) need no joins against a long signature relation. At scale
+    only band-bucket cohabitants ever meet, and each carries its
+    fixed-size k-element signature, not a k-row join fan-in. The Jaccard
+    estimate is computed map-side in the join projection, so the final
+    pair dedup shuffles narrow (id_a, id_b, est) rows — never the
+    signature arrays.
 
     ``max_bucket_size`` guards the self-join against degenerate hot
     buckets (e.g. millions of empty/boilerplate docs landing in one
@@ -195,13 +234,7 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     route those through ``dedup_exact`` instead. ``None`` disables the
     guard. The SQL oracle twin omits the cap (identical below the cap).
     """
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k)
-    per_doc = (sigs
-               .groupBy(id_col)
-               .agg(F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("hash_idx", "minhash"))),
-                        lambda s: s["minhash"]).alias("sig")))
+    per_doc = _minhash_wide(df, id_col, text_col, k, shingle_k)
     # band buckets derived from the signature array (band b holds hash
     # indices b, b+bands, …, ascending — matching the sorted
     # "lpad(idx):minhash" pair order of the SQL twin); one aggregation
