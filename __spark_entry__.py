@@ -1284,7 +1284,11 @@ def q_winnow_fingerprint(spark, sf):
     """Winnowing rolling-hash fingerprints (k-gram hashes → sliding-window
     minima → distinct selected hashes per doc)."""
     docs = _t(spark, sf, "documents")
-    return dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    # the testdata parquet is a single split; round-robin the raw text so
+    # the shuffle-free winnowing projection still uses every core
+    return dedup.winnow_fingerprints(
+        docs, "doc_id", "text", k=5, w=4,
+        parallelism=spark.sparkContext.defaultParallelism)
 
 
 ORACLE_WINNOW_FINGERPRINT = """
