@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from zacks_estimates_financial_statements_spark.export import decimal_text  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
-from zacks_estimates_financial_statements_spark.operators import dedup, similarity  # noqa: E402
+from zacks_estimates_financial_statements_spark.operators import curation, dedup, similarity  # noqa: E402
 
 DEC = "decimal(38,6)"
 
@@ -1328,6 +1328,99 @@ FROM documents
 # Contract functions
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Dataset curation (training-corpus extension surface, operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def q_dataset_split(spark, sf):
+    """Deterministic hash-keyed train/val/test assignment — stable under
+    repartitioning and engines (unlike randomSplit); zero shuffles."""
+    docs = _t(spark, sf, "documents")
+    return (curation.hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+            .select("doc_id", "bucket", "split"))
+
+
+def _oracle_dataset_split() -> str:
+    """Generated from ``curation.split_thresholds`` so the SQL twin can
+    never drift from the engine's rounding."""
+    th = curation.split_thresholds(_SPLIT_WEIGHTS)
+    branches = "\n    ".join(f"WHEN bucket < {t} THEN '{name}'"
+                             for name, t in th[:-1])
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 1000000 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+  CASE {branches} ELSE '{th[-1][0]}' END AS split
+FROM b
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Per-language deterministic sample (en 50 %, de 25 %, rest 10 %)."""
+    docs = _t(spark, sf, "documents")
+    return (curation.stratified_sample(
+        docs, "lang", "doc_id", _SAMPLE_FRACTIONS,
+        default_fraction=_SAMPLE_DEFAULT)
+        .select("doc_id", "lang", "bucket"))
+
+
+def _oracle_stratified_sample() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{name}' THEN {int(round(frac * 1_000_000))}"
+        for name, frac in _SAMPLE_FRACTIONS.items())
+    default = int(round(_SAMPLE_DEFAULT * 1_000_000))
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 1000000 AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE {branches} ELSE {default} END
+"""
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style duplicate/top n-gram fractions (n = 1, 2, 3)."""
+    docs = _t(spark, sf, "documents")
+    return curation.repetition_stats(docs, "doc_id", "text", ns=(1, 2, 3))
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+  FROM toks, unnest(range(1, len(t))) AS g(i)
+  UNION ALL
+  SELECT doc_id, 3 AS n, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, unnest(range(1, len(t)-1)) AS g(i)
+),
+per_gram AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+SELECT doc_id, n,
+  sum(c)::BIGINT AS total_ngrams,
+  count(*)::BIGINT AS distinct_ngrams,
+  max(c)::BIGINT AS top_count,
+  round((sum(c) - count(*))::DOUBLE / sum(c), 6) AS dup_frac,
+  round(max(c)::DOUBLE / sum(c), 6) AS top_frac
+FROM per_gram GROUP BY doc_id, n
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -1370,6 +1463,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "dataset_split": q_dataset_split,
+    "stratified_sample": q_stratified_sample,
+    "repetition_stats": q_repetition_stats,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1414,6 +1510,9 @@ _ORACLE: dict[str, str] = {
     "clean_corpus": ORACLE_CLEAN_CORPUS,
     "fingerprint": ORACLE_FINGERPRINT,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
+    "dataset_split": _oracle_dataset_split(),
+    "stratified_sample": _oracle_stratified_sample(),
+    "repetition_stats": ORACLE_REPETITION_STATS,
 }
 
 

@@ -41,6 +41,7 @@ HEADLINE = [
     "clean_corpus",         # corpus-cleaning composite
     "embedding_near_dup",   # sign-bit-bucketed embedding dedup scale path
     "winnow_fingerprint",   # rolling-hash winnowing fingerprints
+    "repetition_stats",     # Gopher-style duplicate/top n-gram fractions
 ]
 
 

@@ -1,0 +1,137 @@
+"""Dataset-curation operators: deterministic splits, stratified
+sampling, repetition signals (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zacks_estimates_financial_statements_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_disjoint_exhaustive_and_proportional(ids):
+    out = curation.hash_split(
+        ids, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 10_000          # exhaustive
+    assert set(counts) == {"train", "val", "test"}  # every split non-empty
+    # md5 buckets are uniform: 3σ binomial tolerance on each weight
+    for name, w in [("train", 0.8), ("val", 0.1), ("test", 0.1)]:
+        sigma = (10_000 * w * (1 - w)) ** 0.5
+        assert abs(counts[name] - 10_000 * w) < 3 * sigma + 1
+
+
+def test_hash_split_stable_under_repartitioning(ids):
+    a = curation.hash_split(ids, "doc_id", {"train": 0.9, "test": 0.1})
+    b = curation.hash_split(ids.repartition(13), "doc_id",
+                            {"train": 0.9, "test": 0.1})
+    assert a.select("doc_id", "split").exceptAll(
+        b.select("doc_id", "split")).count() == 0
+    # and a different seed reshuffles assignments
+    c = curation.hash_split(ids, "doc_id", {"train": 0.9, "test": 0.1},
+                            seed="other")
+    assert a.select("doc_id", "split").exceptAll(
+        c.select("doc_id", "split")).count() > 0
+
+
+def test_hash_split_unnormalized_weights_and_validation(ids):
+    frac = curation.hash_split(ids, "doc_id", {"a": 0.5, "b": 0.5})
+    whole = curation.hash_split(ids, "doc_id", {"a": 1, "b": 1})
+    assert frac.select("doc_id", "split").exceptAll(
+        whole.select("doc_id", "split")).count() == 0
+    with pytest.raises(ValueError):
+        curation.hash_split(ids, "doc_id", {})
+    with pytest.raises(ValueError):
+        curation.hash_split(ids, "doc_id", {"a": 0.0})
+
+
+def test_split_thresholds_match_assignment(ids):
+    weights = {"train": 8, "val": 1, "test": 1}
+    th = dict(curation.split_thresholds(weights))
+    assert th["test"] == 1_000_000
+    out = curation.hash_split(ids, "doc_id", weights)
+    over = out.filter(
+        (F.col("split") == "train") & (F.col("bucket") >= th["train"]))
+    assert over.count() == 0
+
+
+def test_stratified_sample_rates_subset_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = curation.stratified_sample(
+        df, "lang", "doc_id", {"en": 0.4}, default_fraction=0.1)
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, frac in [("en", 0.4), ("de", 0.1)]:
+        n = 5_000
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(counts.get(lang, 0) - n * frac) < 3 * sigma + 1
+    # subset of the input, deterministic across invocations
+    assert out.select("doc_id").exceptAll(df.select("doc_id")).count() == 0
+    again = curation.stratified_sample(
+        df.repartition(7), "lang", "doc_id", {"en": 0.4},
+        default_fraction=0.1)
+    assert out.select("doc_id").exceptAll(
+        again.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_uniform_fraction(spark):
+    df = spark.range(0, 2_000).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.lit("xx"))
+    out = curation.stratified_sample(df, "lang", "doc_id", 0.25)
+    n = out.count()
+    sigma = (2_000 * 0.25 * 0.75) ** 0.5
+    assert abs(n - 500) < 3 * sigma + 1
+
+
+def test_repetition_stats_known_document(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"),           # pure repetition
+         (2, "w x y z"),           # all distinct
+         (3, "go go stop go"),     # modal token 'go' ×3
+         (4, "ab"),                # 1 token: no bigrams/trigrams
+         (5, "")],                 # empty: no rows at all
+        ["doc_id", "text"])
+    out = {(r["doc_id"], r["n"]): r for r in
+           curation.repetition_stats(df, "doc_id", "text").collect()}
+
+    r = out[(1, 1)]
+    assert (r["total_ngrams"], r["distinct_ngrams"], r["top_count"]) == (4, 1, 4)
+    assert r["dup_frac"] == 0.75 and r["top_frac"] == 1.0
+    assert out[(1, 2)]["distinct_ngrams"] == 1      # 'a a' ×3
+    assert out[(1, 2)]["dup_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+    assert out[(2, 1)]["dup_frac"] == 0.0
+    assert out[(2, 3)]["total_ngrams"] == 2          # 'w x y', 'x y z'
+
+    r3 = out[(3, 1)]
+    assert r3["top_count"] == 3 and r3["top_frac"] == 0.75
+
+    assert (4, 1) in out and (4, 2) not in out       # too short for n=2
+    assert all(doc != 5 for doc, _ in out)           # empty doc drops out
+
+
+def test_repetition_stats_tokenization_ignores_case_and_punct(spark):
+    df = spark.createDataFrame([(1, "The THE the."), (2, "a-b a b")],
+                               ["doc_id", "text"])
+    out = {(r["doc_id"], r["n"]): r for r in
+           curation.repetition_stats(df, "doc_id", "text", ns=(1, 2))
+           .collect()}
+    assert out[(1, 1)]["distinct_ngrams"] == 1       # case-folded
+    assert out[(1, 1)]["total_ngrams"] == 3          # trailing '.' dropped
+    # 'a-b' splits into tokens a, b → bigrams: 'a b' ×2, 'b a'
+    assert out[(2, 2)]["top_count"] == 2
+
+
+def test_repetition_stats_validates_ns(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        curation.repetition_stats(df, "doc_id", "text", ns=(0, 2))
+    with pytest.raises(ValueError):
+        curation.repetition_stats(df, "doc_id", "text", ns=())

@@ -1,0 +1,192 @@
+"""Dataset-curation operators for training-corpus pipelines.
+
+Beyond dedup/similarity (operators/dedup.py, operators/similarity.py), a
+large-scale training-data pipeline needs to *partition* and *grade* the
+corpus: deterministic train/val/test assignment, per-stratum sampling,
+and repetition ("boilerplate") signals of the kind used for corpus
+quality filtering (Rae et al., *Scaling Language Models: Gopher*,
+arXiv:2112.11446 §A1.1 — duplicate-n-gram and top-n-gram fractions).
+No reference equivalent (the reference has no corpus surface); these are
+extension scope like the rest of the document-shaped operators.
+
+Scale notes (the point of doing these in Spark):
+
+- ``hash_split`` / ``stratified_sample`` are pure projections over a
+  keyed md5 — ZERO shuffles at any corpus size, and deterministic, so
+  re-running a 100 TB split is embarrassingly parallel, idempotent and
+  stable under repartitioning (unlike ``df.sample``/``randomSplit``,
+  whose output depends on partition layout and seed plumbing).
+- ``repetition_stats`` explodes one row per token n-gram and combines
+  map-side: the shuffle carries narrow ``(doc, n, gram)`` rows bounded
+  by corpus token count, and the second aggregation input is one row
+  per distinct (doc, n, gram) — never a per-doc quadratic structure.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame, functions as F
+
+from zacks_estimates_financial_statements_spark.operators.dedup import hash60
+
+#: bucket resolution for hash-based assignment: the keyed 60-bit hash is
+#: reduced mod 1e6, so split weights / sample fractions are honored to
+#: ±1e-6 — and the SAME integer thresholds are computable in ANSI SQL,
+#: which keeps the DuckDB oracle twin exact.
+_BUCKETS = 1_000_000
+
+
+def _bucket(id_col, seed: str):
+    """Deterministic bucket in [0, 1e6) from a seed-keyed md5 of the id.
+
+    Cross-engine contract (CLAUDE.md): ``conv(substr(md5(x),1,15),16,10)``
+    ≡ DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``; both are
+    non-negative (< 2^60), so ``% 1e6`` agrees without pmod care.
+    """
+    key = F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    return (hash60(key) % _BUCKETS).alias("bucket")
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: Mapping[str, float],
+               seed: str = "split") -> DataFrame:
+    """Deterministic dataset split: adds ``bucket`` and ``split`` columns.
+
+    Each row lands in the split whose cumulative weight interval contains
+    its keyed hash bucket — disjoint, exhaustive, independent of
+    partitioning and execution order, and stable across runs and engines
+    (same assignment in the DuckDB oracle). Weights are normalized, so
+    ``{"train": 8, "val": 1, "test": 1}`` works as well as fractions.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    out = df.withColumn("bucket", _bucket(id_col, seed))
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        threshold = int(round(cum * _BUCKETS))
+        cond = F.col("bucket") < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return out.withColumn("split", split)
+
+
+def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket) pairs matching ``hash_split`` —
+    exposed so SQL twins/tests can be generated from the same arithmetic
+    instead of re-deriving (and drifting from) the rounding."""
+    total = float(sum(weights.values()))
+    out, cum = [], 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, int(round(cum * _BUCKETS))))
+    out.append((names[-1], _BUCKETS))
+    return out
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      fractions: Mapping[str, float] | float,
+                      default_fraction: float = 0.0,
+                      seed: str = "sample") -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff its keyed hash
+    bucket falls below its stratum's fraction threshold.
+
+    Unlike ``DataFrame.sampleBy`` this is exactly reproducible across
+    runs, engines and repartitioning (the keep decision is a pure
+    function of ``(seed, id)``), and it needs no per-stratum counts —
+    one filter projection, zero shuffles, any corpus size. Strata not
+    named in ``fractions`` use ``default_fraction``.
+    """
+    if isinstance(fractions, Mapping):
+        thresh = None
+        for name, frac in fractions.items():
+            cond = F.col(strata_col) == F.lit(name)
+            t = F.lit(int(round(float(frac) * _BUCKETS)))
+            thresh = F.when(cond, t) if thresh is None else \
+                thresh.when(cond, t)
+        thresh = thresh.otherwise(
+            F.lit(int(round(float(default_fraction) * _BUCKETS)))) \
+            if thresh is not None else \
+            F.lit(int(round(float(default_fraction) * _BUCKETS)))
+    else:
+        thresh = F.lit(int(round(float(fractions) * _BUCKETS)))
+    return (df.withColumn("bucket", _bucket(id_col, seed))
+            .filter(F.col("bucket") < thresh))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     ns: Iterable[int] = (1, 2, 3)) -> DataFrame:
+    """Gopher-style repetition signals per (document, n):
+
+    - ``total_ngrams`` / ``distinct_ngrams`` — token n-gram counts,
+    - ``top_count`` — occurrences of the modal n-gram,
+    - ``dup_frac``  — fraction of n-grams that repeat an earlier one
+      (``1 - distinct/total``),
+    - ``top_frac``  — fraction claimed by the most frequent n-gram.
+
+    High ``dup_frac``/``top_frac`` flags boilerplate and degenerate
+    repetition for corpus filtering (Gopher §A1.1 uses exactly these
+    duplicate/top n-gram fractions as quality gates).
+
+    Tokenization matches ``functions.text.word_tokens`` (lowercase,
+    split on ``[^a-z0-9_]+``) with empties dropped, so the DuckDB twin
+    is the shared ``string_split_regex`` + ``list_filter`` pattern.
+    Documents with fewer than ``n`` tokens yield no ``(doc, n)`` row.
+
+    Plan shape: the token array is materialized ONCE per row (lambda-CSE
+    trap — Catalyst will not share a ``split`` nested inside each
+    lambda), every requested n-gram length is generated from it in the
+    same projection, and one ``explode`` feeds a two-level aggregation:
+    ``(doc, n, gram)`` counts combine map-side, then collapse to one row
+    per (doc, n). The modal count comes from the grouped counts — never
+    from a per-row pairwise scan, which would be quadratic in document
+    length for long documents.
+    """
+    ns = sorted(set(int(n) for n in ns))
+    if not ns or ns[0] < 1:
+        raise ValueError(f"n-gram lengths must be >= 1, got {ns}")
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+                     lambda x: x != "")
+    base = df.select(F.col(id_col), words.alias("__w"))
+
+    def tagged(n: int):
+        # sequence(1, 0) counts DOWN — guard short docs before
+        # generating gram positions
+        gram = F.transform(
+            F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+            lambda i: F.struct(F.lit(n).alias("n"),
+                               F.concat_ws(" ", F.slice("__w", i, n))
+                               .alias("gram")))
+        return F.when(F.size("__w") >= n, gram).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>"))
+
+    all_grams = F.concat(*[tagged(n) for n in ns]) if len(ns) > 1 \
+        else tagged(ns[0])
+    exploded = (base.select(F.col(id_col),
+                            F.explode(all_grams).alias("__g"))
+                .select(id_col, F.col("__g.n").alias("n"),
+                        F.col("__g.gram").alias("gram")))
+    # two-level aggregation: per-gram counts first, then per-(doc, n)
+    per_gram = (exploded.groupBy(id_col, "n", "gram")
+                .agg(F.count("*").alias("__c")))
+    return (per_gram.groupBy(id_col, "n")
+            .agg(F.sum("__c").alias("total_ngrams"),
+                 F.count("*").alias("distinct_ngrams"),
+                 F.max("__c").alias("top_count"))
+            .withColumn(
+                "dup_frac",
+                F.round(
+                    (F.col("total_ngrams") - F.col("distinct_ngrams"))
+                    / F.col("total_ngrams"), 6))
+            .withColumn(
+                "top_frac",
+                F.round(F.col("top_count") / F.col("total_ngrams"), 6)))
