@@ -273,3 +273,68 @@ def test_png_codec_all_filters_and_color_types():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         C.decode_png(png(6, 5, 16, 2, b"\x00" * 5 * 37))
+
+
+def test_jpeg_baseline_roundtrip_and_real_file():
+    """Baseline JPEG codec: flat blocks are exact (only DC survives
+    quantization), smooth content round-trips at high PSNR, 4:2:0 and
+    restart-marker streams decode, and a real-world baseline JPEG from
+    this container parses to its header dimensions."""
+    import numpy as np
+
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    # flat color → exact reconstruction
+    flat = np.full((16, 24, 3), 200, np.uint8)
+    assert np.array_equal(C.decode_jpeg(C.encode_jpeg(flat)), flat)
+
+    # smooth content: PSNR bounded by quantization only
+    rng = np.random.default_rng(11)
+    coarse = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+    img = C.resize_nn(coarse, 48, 64)
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 10 * np.log10(255 ** 2 / mse)
+
+    assert psnr(C.decode_jpeg(C.encode_jpeg(img)), img) > 35.0
+    # restart markers resync the entropy stream to the same pixels
+    with_rst = C.decode_jpeg(C.encode_jpeg(img, restart_interval=2))
+    assert np.array_equal(with_rst, C.decode_jpeg(C.encode_jpeg(img)))
+
+    # 4:2:0: gray content has flat chroma, so subsampling is lossless
+    # in chroma and the luma path must still round-trip at high PSNR
+    gray3 = np.repeat(C.luma(img).astype(np.uint8)[:, :, None], 3, 2)
+    got = C.decode_jpeg(C.encode_jpeg(gray3, subsampling="420"))
+    assert psnr(got, gray3) > 35.0
+    # odd (non-MCU-multiple) dims crop correctly
+    odd = C.decode_jpeg(C.encode_jpeg(img[:37, :51], subsampling="420"))
+    assert odd.shape == (37, 51, 3)
+
+    import os
+    real = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+            "requests/ext/flower-of-life.jpg")
+    if os.path.exists(real):  # real-corpus fixture when present
+        with open(real, "rb") as fh:
+            arr = C.decode_jpeg(fh.read())
+        assert arr.shape == (161, 161, 3)
+        assert 150 < arr.mean() < 250  # light background pattern
+
+
+def test_jpeg_unsupported_variants_flagged():
+    """Progressive JPEG raises NotImplementedError (→ quarantine path),
+    garbage raises ValueError."""
+    import numpy as np
+    import pytest
+
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    flat = np.full((8, 8, 3), 90, np.uint8)
+    data = bytearray(C.encode_jpeg(flat))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2                        # rewrite SOF0 → SOF2
+    with pytest.raises(NotImplementedError):
+        C.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        C.decode_jpeg(b"\xff\xd8\xff\xe0garbage")
+    assert C.sniff(C.encode_jpeg(flat)) == "jpeg"

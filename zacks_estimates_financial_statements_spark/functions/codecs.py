@@ -9,13 +9,18 @@ REAL codecs (no external libraries, fully decoded content):
 - **BMP** — uncompressed 24-bit Windows bitmaps (BITMAPINFOHEADER,
   bottom-up row order, 4-byte row padding, BGR→RGB)
 - **WAV** — PCM audio via the stdlib ``wave`` module (8/16/32-bit)
+- **JPEG** — baseline sequential DCT (ITU-T T.81): huffman entropy
+  decode with byte-stuffing and restart markers, dequantize + batched
+  numpy IDCT, chroma upsampling (4:4:4/4:2:2/4:2:0), BT.601 YCbCr→RGB.
+  Quantization and huffman tables come from the DQT/DHT segments; the
+  matching encoder uses the public Annex K example tables.
 
-Everything else (JPEG/MP4/…, plus PNG's interlaced/16-bit variants)
-needs codec libraries this container does not ship and raises
-``NotImplementedError`` — callers decide whether to quarantine the row
-or substitute a clearly-flagged deterministic stand-in. Encoders for the
-real formats exist so tests can round-trip content without fixture
-binaries.
+Everything else (MP4, progressive/arithmetic/12-bit JPEG, plus PNG's
+interlaced/16-bit variants) needs codec libraries this container does
+not ship and raises ``NotImplementedError`` — callers decide whether to
+quarantine the row or substitute a clearly-flagged deterministic
+stand-in. Encoders for the real formats exist so tests can round-trip
+content without fixture binaries.
 """
 
 from __future__ import annotations
@@ -39,6 +44,8 @@ def sniff(data: bytes) -> str | None:
     """Best-effort container detection for the formats we can decode."""
     if data[:8] == _PNG_MAGIC:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"BM":
@@ -255,6 +262,505 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT)
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order: position k in the entropy stream → raster index
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+#: orthonormal 8-point DCT basis: A[x, u] = c_u/2 · cos((2x+1)uπ/16);
+#: IDCT of a coefficient block C is A @ C @ A.T, FDCT is A.T @ B @ A.
+_DCT_A = np.array([[
+    (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+    * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    for u in range(8)] for x in range(8)])
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: un-stuffs
+    0xFF00, stops at markers, and resynchronizes at RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartPending()
+            else:
+                raise ValueError(
+                    f"marker 0xFF{nxt:02X} inside entropy data")
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and reset the bit buffer."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        # tolerate pad bits already discarded; marker must be next
+        if d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+class _RestartPending(Exception):
+    """Internal: a RSTn marker arrived where data was expected."""
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bits(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _build_huff(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """DHT (bits-per-length, values) → {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG → (height, width, 3) uint8 RGB array.
+
+    Supports baseline sequential huffman (SOF0/SOF1-with-8-bit),
+    grayscale and 3-component YCbCr at any integral sampling
+    (4:4:4/4:2:2/4:2:0), restart intervals, single interleaved scan.
+    Progressive (SOF2), arithmetic coding, 12-bit precision and
+    multi-scan files raise ``NotImplementedError`` — quarantined
+    upstream like the other undecodable formats.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None           # (w, h, [(cid, hi, vi, tq), ...])
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:                       # EOI
+            break
+        seg_len = (data[pos + 2] << 8) | data[pos + 3]
+        body = data[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:                       # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 15
+                i += 1
+                if prec:                          # 16-bit entries
+                    tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(body, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                qt[tid] = tbl                     # zigzag order
+        elif marker == 0xC4:                     # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = body[i + 17:i + 17 + n]
+                (huff_ac if cls else huff_dc)[tid] = _build_huff(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):             # SOF0/SOF1 (baseline)
+            if body[0] != 8:
+                raise NotImplementedError(
+                    f"JPEG sample precision {body[0]} not supported")
+            h = (body[1] << 8) | body[2]
+            w = (body[3] << 8) | body[4]
+            ncomp = body[5]
+            comps = [(body[6 + 3 * c], body[7 + 3 * c] >> 4,
+                      body[7 + 3 * c] & 15, body[8 + 3 * c])
+                     for c in range(ncomp)]
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
+                "hierarchical) not supported — baseline sequential only")
+        elif marker == 0xDD:                     # DRI
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDA:                     # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            w, h, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG not "
+                    "supported")
+            tabsel = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4,
+                                        body[2 + 2 * i] & 15)
+                      for i in range(ns)}
+            return _jpeg_scan(data, pos, frame, qt, huff_dc, huff_ac,
+                              tabsel, restart_interval)
+        # APPn/COM/others: skipped
+    raise ValueError("truncated JPEG (no SOS)")
+
+
+def _jpeg_scan(data, pos, frame, qt, huff_dc, huff_ac, tabsel,
+               restart_interval) -> np.ndarray:
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _BitReader(data, pos)
+    # per component: zigzag coefficient rows, one row per decoded block
+    coef_rows = {c[0]: np.zeros((mcuy * c[2] * mcux * c[1], 64),
+                                dtype=np.int32) for c in comps}
+    pred = {c[0]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = {c[0]: 0 for c in comps}
+            mcu_count += 1
+            for cid, hi, vi, tq in comps:
+                dc_tab = huff_dc[tabsel[cid][0]]
+                ac_tab = huff_ac[tabsel[cid][1]]
+                q = qt[tq]
+                rows = coef_rows[cid]
+                row_blocks = mcux * hi      # blocks per block-row
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:      # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break            # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        idx = (my * vi + by) * row_blocks + mx * hi + bx
+                        rows[idx] = zz * q
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        rows = coef_rows[cid]
+        blocks = np.zeros((len(rows), 64))
+        blocks[:, _ZIGZAG] = rows                # un-zigzag
+        blocks = blocks.reshape(-1, 8, 8)
+        # batched IDCT: A @ C @ A.T over every block at once
+        px = np.einsum("xu,nuv,yv->nxy", _DCT_A, blocks, _DCT_A)
+        px = np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
+        bw = mcux * hi                           # blocks per row
+        bh = mcuy * vi
+        plane = (px.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        # nearest-neighbor chroma upsample to the luma grid, then crop
+        plane = np.repeat(np.repeat(plane, vmax // vi, 0), hmax // hi, 1)
+        planes[cid] = plane[:h, :w]
+    if len(comps) == 1:
+        g = planes[comps[0][0]]
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (planes[c[0]].astype(np.float64) for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)),
+                   0, 255).astype(np.uint8)
+
+
+# Annex K example tables (ITU-T T.81 §K.1/K.3) — used by the encoder;
+# the decoder always reads tables from the file's own DQT/DHT segments.
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99])
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = bytes(range(12))
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROM_VALS = bytes(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+_AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROM_VALS = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:                        # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)      # 1-pad to byte boundary
+
+
+def _enc_codes(bits: list[int],
+               vals: bytes) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for the encoder side."""
+    table: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(writer: _BitWriter, block: np.ndarray,
+                  qtab: np.ndarray, dc_tab, ac_tab, pred: int) -> int:
+    """FDCT + quantize + huffman-encode one 8×8 sample block; returns
+    the new DC predictor."""
+    coef = _DCT_A.T @ (block - 128.0) @ _DCT_A
+    zz = np.round(coef / qtab).astype(np.int32).reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    code, ln = dc_tab[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]              # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tab[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]                  # EOB
+        writer.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(arr: np.ndarray, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JPEG with the Annex K example
+    tables — fixture generator for round-trip tests (the same transform
+    chain as the decoder, so round-trip error is bounded by quantization
+    plus, for ``"420"``, the 2×2 chroma average). ``restart_interval``
+    emits DRI + RSTn markers so the decoder's resync path is testable."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    rgb = arr.astype(np.float64)
+    y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+         + 0.114 * rgb[:, :, 2])
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+        + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+        - 0.081312 * rgb[:, :, 2]
+
+    sub = 2 if subsampling == "420" else 1
+    hmax = vmax = sub
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        return np.pad(plane, ((0, ph - plane.shape[0]),
+                              (0, pw - plane.shape[1])), "edge")
+
+    y_p = pad_to(y, mcuy * vmax * 8, mcux * hmax * 8)
+    if sub == 2:                                 # 2×2 box-average chroma
+        cbp = pad_to(cb, mcuy * 16, mcux * 16)
+        crp = pad_to(cr, mcuy * 16, mcux * 16)
+        cb_p = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        cr_p = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cb_p = pad_to(cb, mcuy * 8, mcux * 8)
+        cr_p = pad_to(cr, mcuy * 8, mcux * 8)
+
+    q_lum_r = np.empty(64, np.int32)
+    q_lum_r[_ZIGZAG] = _Q_LUM                    # raster-order tables
+    q_chrom_r = np.empty(64, np.int32)
+    q_chrom_r[_ZIGZAG] = _Q_CHROM
+    dc_tabs = (_enc_codes(_DC_LUM_BITS, _DC_LUM_VALS),
+               _enc_codes(_DC_CHROM_BITS, _DC_CHROM_VALS))
+    ac_tabs = (_enc_codes(_AC_LUM_BITS, _AC_LUM_VALS),
+               _enc_codes(_AC_CHROM_BITS, _AC_CHROM_VALS))
+    # (plane, table-id, h-factor, v-factor) per component
+    comps = [(y_p, 0, sub, sub), (cb_p, 1, 1, 1), (cr_p, 1, 1, 1)]
+
+    writer = _BitWriter()
+    entropy = bytearray()
+    pred = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                writer.flush()
+                entropy += writer.out
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                writer = _BitWriter()
+                pred = [0, 0, 0]
+            mcu_count += 1
+            for ci, (p, ti, hi, vi) in enumerate(comps):
+                qtab = (q_lum_r if ti == 0 else q_chrom_r).reshape(8, 8)
+                for by in range(vi):
+                    for bx in range(hi):
+                        r0 = (my * vi + by) * 8
+                        c0 = (mx * hi + bx) * 8
+                        block = p[r0:r0 + 8, c0:c0 + 8]
+                        pred[ci] = _encode_block(
+                            writer, block, qtab,
+                            dc_tabs[ti], ac_tabs[ti], pred[ci])
+    writer.flush()
+    entropy += writer.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in _Q_LUM))
+    out += seg(0xDB, bytes([1]) + bytes(int(x) for x in _Q_CHROM))
+    samp = (sub << 4) | sub
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) + \
+        bytes([1, samp, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for cls, tid, bits, vals in [
+            (0, 0, _DC_LUM_BITS, _DC_LUM_VALS),
+            (0, 1, _DC_CHROM_BITS, _DC_CHROM_VALS),
+            (1, 0, _AC_LUM_BITS, _AC_LUM_VALS),
+            (1, 1, _AC_CHROM_BITS, _AC_CHROM_VALS)]:
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV (PCM via stdlib wave)
 # ---------------------------------------------------------------------------
 
@@ -304,13 +810,15 @@ def decode_image(data: bytes) -> np.ndarray:
     kind = sniff(data)
     if kind == "png":
         return decode_png(data)
+    if kind == "jpeg":
+        return decode_jpeg(data)
     if kind == "ppm":
         return decode_ppm(data)
     if kind == "bmp":
         return decode_bmp(data)
     raise NotImplementedError(
-        "no codec for this image format (supported here: PNG 8-bit, "
-        "PPM P6, 24-bit BMP; JPEG needs external libraries)")
+        "no codec for this image format (supported here: baseline JPEG, "
+        "PNG 8-bit, PPM P6, 24-bit BMP)")
 
 
 def luma(arr: np.ndarray) -> np.ndarray:

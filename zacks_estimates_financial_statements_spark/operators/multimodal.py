@@ -4,13 +4,14 @@ columns with typed metadata.
 The Spark-side machinery (schemas, batching, partition sizing, UDF
 signatures) is real and tested. Codec status per modality:
 
-- **images** — REAL decode for PNG (8-bit non-interlaced, stdlib zlib
-  inflate + scanline unfilter), PPM (P6) and uncompressed 24-bit BMP
-  (``functions/codecs.py``, pure numpy): true width/height and
-  content-derived luma-histogram features. Formats needing external
-  libraries (JPEG; 16-bit/interlaced PNG) fall back to a clearly-flagged
-  deterministic byte-histogram stand-in (``decode_error`` records the
-  stub) or raise in ``strict`` mode.
+- **images** — REAL decode for baseline JPEG (huffman + IDCT,
+  4:4:4/4:2:2/4:2:0, restart markers), PNG (8-bit non-interlaced,
+  stdlib zlib inflate + scanline unfilter), PPM (P6) and uncompressed
+  24-bit BMP (``functions/codecs.py``, pure numpy): true width/height
+  and content-derived luma-histogram features. Remaining exclusions
+  (progressive/arithmetic/12-bit JPEG; 16-bit/interlaced PNG) fall back
+  to a clearly-flagged deterministic byte-histogram stand-in
+  (``decode_error`` records the stub) or raise in ``strict`` mode.
 - **audio** — REAL decode for PCM WAV (stdlib ``wave``): duration, RMS,
   peak, zero-crossing rate from the decoded samples. Other containers
   are quarantined per row.
