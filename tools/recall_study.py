@@ -17,6 +17,18 @@ so the comparison is apples-to-apples.
   recall within the hamming budget (proven against brute force in
   test_simhash_banding_exact_recall).
 
+- **ANN recall@k**: the LSH and IVF top-k paths against the exact
+  brute-force cosine ranking — mean fraction of each query's true top-k
+  the approximate method returns, at the operator defaults the oracles
+  cover plus one wider-probe setting, so the speed/recall dial is
+  documented with measured points. Two corpora, because the regime
+  matters: the **testdata embeddings are i.i.d.-random** (measured: zero
+  pairs above cosine 0.8, median nearest neighbor ≈0.37), which is the
+  documented WORST case for any bucketing index — top-k is a ranking of
+  statistical near-ties carrying no bucket signal — so the study also
+  plants a **clustered corpus** (anchors + σ-noise copies, the
+  structure ANN indexes exist for) and reports both.
+
 Usage: python tools/recall_study.py [sf_dir] [tau]
 Prints one JSON line.
 """
@@ -31,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from zacks_estimates_financial_statements_spark.operators import dedup  # noqa: E402
+from zacks_estimates_financial_statements_spark.operators import dedup, similarity  # noqa: E402
 from zacks_estimates_financial_statements_spark.session import get_spark  # noqa: E402
 
 K, BANDS = 12, 4          # the operator defaults the oracle covers
@@ -69,6 +81,72 @@ def main() -> None:
         1.0 - F.pow(1.0 - F.pow("jaccard", F.lit(R)), F.lit(BANDS)))
         .alias("e")).first()["e"]) if n_truth else None
 
+    # --- ANN recall@k vs exact brute force --------------------------------
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_queries, topk = 50, 10
+    queries = (emb.orderBy("vec_id").limit(n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    exact_k = (similarity.topk_bruteforce(emb, queries, k=topk)
+               .select("query_id", "vec_id").persist())
+    n_exact = exact_k.count()          # n_queries × topk
+
+    def recall_at_k(approx) -> float:
+        hits = exact_k.join(approx.select("query_id", "vec_id"),
+                            ["query_id", "vec_id"], "left_semi").count()
+        return round(hits / n_exact, 4)
+
+    ann = {
+        # oracle-covered defaults, then one wider-probe point each
+        "lsh_bits8_probe1": recall_at_k(similarity.topk_lsh(
+            emb, queries, k=topk, bucket_bits=8, probe_hamming=1)),
+        "lsh_bits8_probe2": recall_at_k(similarity.topk_lsh(
+            emb, queries, k=topk, bucket_bits=8, probe_hamming=2)),
+        "ivf_c16_probe4": recall_at_k(similarity.topk_ivf(
+            emb, queries, k=topk, n_centroids=16, nprobe=4)),
+        "ivf_c16_probe8": recall_at_k(similarity.topk_ivf(
+            emb, queries, k=topk, n_centroids=16, nprobe=8)),
+    }
+
+    # --- same measurement on a clustered corpus (the ANN regime) ----------
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n_clusters, copies, dim, sigma = 60, 9, 64, 0.4
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        a = rng.normal(size=dim)
+        a /= np.linalg.norm(a)
+        rows.append((vid, [float(x) for x in a]))
+        vid += 1
+        for _ in range(copies):
+            g = rng.normal(size=dim)
+            g /= np.linalg.norm(g)
+            v = a + sigma * g                   # E[cos(a, v)] ≈ 0.93
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = (planted.filter(F.col("vec_id") % (copies + 1) == 0)
+          .limit(n_queries)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    exact_k.unpersist()
+    exact_k = (similarity.topk_bruteforce(planted, pq, k=topk)
+               .select("query_id", "vec_id").persist())
+    n_exact = exact_k.count()
+    ann_planted = {
+        "lsh_bits8_probe1": recall_at_k(similarity.topk_lsh(
+            planted, pq, k=topk, bucket_bits=8, probe_hamming=1)),
+        "lsh_bits8_probe2": recall_at_k(similarity.topk_lsh(
+            planted, pq, k=topk, bucket_bits=8, probe_hamming=2)),
+        "ivf_c16_probe4": recall_at_k(similarity.topk_ivf(
+            planted, pq, k=topk, n_centroids=16, nprobe=4)),
+        "ivf_c16_probe8": recall_at_k(similarity.topk_ivf(
+            planted, pq, k=topk, n_centroids=16, nprobe=8)),
+    }
+
     print(json.dumps({
         "sf_dir": sf_dir, "tau": tau, "k": K, "bands": BANDS,
         "n_docs": docs.count(),
@@ -77,6 +155,9 @@ def main() -> None:
         "recall": round(hit / n_truth, 4) if n_truth else None,
         "expected_recall_theory": round(exp, 4) if exp is not None else None,
         "precision_at_tau": round(good / n_cand, 4) if n_cand else None,
+        "ann_recall_at_10": ann,
+        "ann_recall_at_10_planted": ann_planted,
+        "ann_queries": n_queries,
     }))
     spark.stop()
 
