@@ -459,14 +459,21 @@ GROUP BY o_orderpriority
 def q_keep_latest_antijoin(spark, sf):
     """A3+J3 (delete-via-join): keep only each order's latest-shipped
     lines; the stale-row delete expressed as anti-join on the
-    (key, date) identity."""
+    (key, date) identity.
+
+    The condemned set is derived from the DISTINCT (key, date) pairs
+    (map-side-combined before the shuffle) with a window max over that
+    reduced relation — not by re-joining a grouped max against the full
+    fact table, which would scan lineitem a third time for the same
+    answer. Two fact scans, two narrow shuffles, broadcast anti-join."""
+    from pyspark.sql import Window
     li = _t(spark, sf, "lineitem") \
         .withColumn("ship_date", F.col("l_shipdate").cast("date"))
-    latest = (li.groupBy("l_orderkey")
-              .agg(F.max("ship_date").alias("max_ship")))
-    condemned = (li.join(latest, "l_orderkey")
-                 .filter(F.col("ship_date") != F.col("max_ship"))
-                 .select("l_orderkey", "ship_date").distinct())
+    pairs = li.select("l_orderkey", "ship_date").distinct()
+    w = Window.partitionBy("l_orderkey")
+    condemned = (pairs.withColumn("__mx", F.max("ship_date").over(w))
+                 .filter(F.col("ship_date") != F.col("__mx"))
+                 .drop("__mx"))
     return (li.join(condemned, ["l_orderkey", "ship_date"], "left_anti")
             .select("l_orderkey", "l_linenumber", "ship_date"))
 
