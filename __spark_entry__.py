@@ -1395,6 +1395,32 @@ WHERE bucket < CASE {branches} ELSE {default} END
 """
 
 
+def q_token_frequencies(spark, sf):
+    """Corpus vocabulary build: TF + document frequency + smoothed IDF
+    per token (min_tf=2 prunes the hapax tail)."""
+    docs = _t(spark, sf, "documents")
+    return curation.token_frequencies(docs, "doc_id", "text", min_tf=2)
+
+
+ORACLE_TOKEN_FREQUENCIES = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                       x -> x <> '')) AS token
+  FROM documents),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token,
+  sum(c)::BIGINT AS tf,
+  count(*)::BIGINT AS doc_freq,
+  round(ln((n.n_docs + 1.0) / (count(*) + 1.0)) + 1.0, 6) AS idf
+FROM per_doc, n
+GROUP BY token, n.n_docs
+HAVING sum(c) >= 2
+"""
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style duplicate/top n-gram fractions (n = 1, 2, 3)."""
     docs = _t(spark, sf, "documents")
@@ -1473,6 +1499,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
     "repetition_stats": q_repetition_stats,
+    "token_frequencies": q_token_frequencies,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1520,6 +1547,7 @@ _ORACLE: dict[str, str] = {
     "dataset_split": _oracle_dataset_split(),
     "stratified_sample": _oracle_stratified_sample(),
     "repetition_stats": ORACLE_REPETITION_STATS,
+    "token_frequencies": ORACLE_TOKEN_FREQUENCIES,
 }
 
 

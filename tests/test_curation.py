@@ -135,3 +135,25 @@ def test_repetition_stats_validates_ns(spark):
         curation.repetition_stats(df, "doc_id", "text", ns=(0, 2))
     with pytest.raises(ValueError):
         curation.repetition_stats(df, "doc_id", "text", ns=())
+
+
+def test_token_frequencies_vocab_and_idf(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog fish"), (3, "dog!")],
+        ["doc_id", "text"])
+    out = {r["token"]: r for r in
+           curation.token_frequencies(df, "doc_id", "text").collect()}
+    assert out["cat"]["tf"] == 2 and out["cat"]["doc_freq"] == 1
+    assert out["dog"]["tf"] == 3 and out["dog"]["doc_freq"] == 3
+    assert out["fish"]["doc_freq"] == 1
+    assert out["dog"]["idf"] == pytest.approx(
+        math.log(4.0 / 4.0) + 1.0, abs=1e-6)
+    assert out["cat"]["idf"] == pytest.approx(
+        math.log(4.0 / 2.0) + 1.0, abs=1e-6)
+    # min_tf prunes the hapax tail
+    pruned = curation.token_frequencies(df, "doc_id", "text", min_tf=2)
+    assert {r["token"] for r in pruned.collect()} == {"cat", "dog"}
+    with pytest.raises(ValueError):
+        curation.token_frequencies(df, "doc_id", "text", min_tf=0)

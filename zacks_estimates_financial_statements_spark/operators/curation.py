@@ -123,6 +123,36 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
             .filter(F.col("bucket") < thresh))
 
 
+def token_frequencies(df: DataFrame, id_col: str, text_col: str,
+                      min_tf: int = 1) -> DataFrame:
+    """Corpus vocabulary: per-token term frequency, document frequency
+    and smoothed IDF (``ln((N+1)/(df+1)) + 1``, the scikit-learn smooth
+    variant) — the vocabulary/IDF build step of a tokenizer or TF-IDF
+    quality pipeline. ``min_tf`` prunes the long hapax tail (at corpus
+    scale most of the vocabulary is singletons).
+
+    Plan shape: one token explode combined map-side into (token, doc)
+    counts, then a per-token aggregation — two narrow shuffles, linear
+    in corpus tokens; the corpus size ``N`` is a parquet-metadata count,
+    not a shuffle. Tokenization matches ``functions.text.word_tokens``
+    (empties dropped), same as ``repetition_stats``.
+    """
+    if min_tf < 1:
+        raise ValueError(f"min_tf must be >= 1, got {min_tf}")
+    n_docs = df.count()
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+                     lambda x: x != "")
+    toks = (df.select(F.col(id_col), F.explode(words).alias("token")))
+    per_doc = toks.groupBy("token", id_col).agg(F.count("*").alias("__c"))
+    return (per_doc.groupBy("token")
+            .agg(F.sum("__c").alias("tf"),
+                 F.count("*").alias("doc_freq"))
+            .filter(F.col("tf") >= min_tf)
+            .withColumn("idf", F.round(
+                F.log((n_docs + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0,
+                6)))
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str,
                      ns: Iterable[int] = (1, 2, 3)) -> DataFrame:
     """Gopher-style repetition signals per (document, n):
