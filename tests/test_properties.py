@@ -119,3 +119,64 @@ def test_cell_grammar_fuzz_parity_with_duckdb(spark, ddb):
                           and Decimal(got[i]) != Decimal(want[i])))
                   and not known_divergence(i)}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+# --- curation operators vs a pure-Python model -----------------------------
+
+_CORPUS_TEXTS = st.lists(
+    st.text(alphabet=" abcdeXYZ012_.,-!?\t", max_size=60),
+    min_size=1, max_size=8)
+
+
+def _py_tokens(t: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9_]+", t.lower()) if w]
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_CORPUS_TEXTS)
+def test_repetition_stats_matches_python_model(spark, texts):
+    """The explode + two-level-agg dataflow computes exactly the
+    counts a per-document reference implementation computes, for every
+    n, including punctuation-only / empty / too-short documents."""
+    from collections import Counter
+
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {(r["doc_id"], r["n"]):
+           (r["total_ngrams"], r["distinct_ngrams"], r["top_count"])
+           for r in curation.repetition_stats(
+               df, "doc_id", "text", ns=(1, 2)).collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        for n in (1, 2):
+            grams = [" ".join(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)]
+            if grams:
+                c = Counter(grams)
+                want[(i, n)] = (len(grams), len(c), max(c.values()))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_CORPUS_TEXTS)
+def test_token_frequencies_matches_python_model(spark, texts):
+    from collections import Counter
+
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["token"]: (r["tf"], r["doc_freq"])
+           for r in curation.token_frequencies(
+               df, "doc_id", "text").collect()}
+    tf: Counter = Counter()
+    docf: Counter = Counter()
+    for t in texts:
+        toks = _py_tokens(t)
+        tf.update(toks)
+        docf.update(set(toks))
+    want = {w: (tf[w], docf[w]) for w in tf}
+    assert got == want
