@@ -157,3 +157,15 @@ def test_token_frequencies_vocab_and_idf(spark):
     assert {r["token"] for r in pruned.collect()} == {"cat", "dog"}
     with pytest.raises(ValueError):
         curation.token_frequencies(df, "doc_id", "text", min_tf=0)
+
+
+def test_repetition_stats_hashed_grams_equal_raw(spark):
+    df = spark.createDataFrame(
+        [(i, f"go go stop {i} alpha beta go") for i in range(20)],
+        ["doc_id", "text"])
+    raw = curation.repetition_stats(df, "doc_id", "text").collect()
+    hashed = curation.repetition_stats(
+        df, "doc_id", "text", hash_grams=True).collect()
+    key = lambda r: (r["doc_id"], r["n"])  # noqa: E731
+    assert sorted(map(tuple, raw), key=lambda t: t[:2]) == \
+        sorted(map(tuple, hashed), key=lambda t: t[:2])

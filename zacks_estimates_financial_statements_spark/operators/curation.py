@@ -154,7 +154,8 @@ def token_frequencies(df: DataFrame, id_col: str, text_col: str,
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str,
-                     ns: Iterable[int] = (1, 2, 3)) -> DataFrame:
+                     ns: Iterable[int] = (1, 2, 3),
+                     hash_grams: bool = False) -> DataFrame:
     """Gopher-style repetition signals per (document, n):
 
     - ``total_ngrams`` / ``distinct_ngrams`` — token n-gram counts,
@@ -180,6 +181,20 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     per (doc, n). The modal count comes from the grouped counts — never
     from a per-row pairwise scan, which would be quadratic in document
     length for long documents.
+
+    ``hash_grams=True`` reduces each gram to ``xxhash64`` BEFORE the
+    shuffle (fixed-width ``(id, n, int64)`` rows instead of gram text).
+    Measured at sf0.1 it is NOT a win and stays off by default: the
+    hash evaluates inside the gram-building ``transform`` lambda —
+    outside whole-stage codegen, like all HOF bodies — and that
+    per-element overhead exceeds the ~10-15 shuffle bytes saved on
+    word-sized grams (an md5 reduction was ~1.5× slower end-to-end;
+    xxhash64 still no better than strings). Flip it on for corpora with
+    long tokens or large ``n``, where gram bytes dominate: the output
+    columns are hash-agnostic counts, so results agree with the raw
+    form exactly unless a 64-bit collision merges two grams within one
+    document (~n_grams²/2⁶⁵, deterministic, perturbs
+    ``distinct``/``top`` by ±1).
     """
     ns = sorted(set(int(n) for n in ns))
     if not ns or ns[0] < 1:
@@ -191,13 +206,23 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     def tagged(n: int):
         # sequence(1, 0) counts DOWN — guard short docs before
         # generating gram positions
+        if hash_grams:
+            def one(i):
+                return F.struct(
+                    F.lit(n).alias("n"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("__w", i, n)))
+                    .alias("gram"))
+            elem = "bigint"
+        else:
+            def one(i):
+                return F.struct(F.lit(n).alias("n"),
+                                F.concat_ws(" ", F.slice("__w", i, n))
+                                .alias("gram"))
+            elem = "string"
         gram = F.transform(
-            F.sequence(F.lit(1), F.size("__w") - (n - 1)),
-            lambda i: F.struct(F.lit(n).alias("n"),
-                               F.concat_ws(" ", F.slice("__w", i, n))
-                               .alias("gram")))
+            F.sequence(F.lit(1), F.size("__w") - (n - 1)), one)
         return F.when(F.size("__w") >= n, gram).otherwise(
-            F.array().cast("array<struct<n:int,gram:string>>"))
+            F.array().cast(f"array<struct<n:int,gram:{elem}>>"))
 
     all_grams = F.concat(*[tagged(n) for n in ns]) if len(ns) > 1 \
         else tagged(ns[0])
