@@ -302,14 +302,15 @@ def test_jpeg_baseline_roundtrip_and_real_file():
     with_rst = C.decode_jpeg(C.encode_jpeg(img, restart_interval=2))
     assert np.array_equal(with_rst, C.decode_jpeg(C.encode_jpeg(img)))
 
-    # 4:2:0: gray content has flat chroma, so subsampling is lossless
-    # in chroma and the luma path must still round-trip at high PSNR
+    # 4:2:2/4:2:0: gray content has flat chroma, so subsampling is
+    # lossless in chroma and the luma path must round-trip at high PSNR
     gray3 = np.repeat(C.luma(img).astype(np.uint8)[:, :, None], 3, 2)
-    got = C.decode_jpeg(C.encode_jpeg(gray3, subsampling="420"))
-    assert psnr(got, gray3) > 35.0
-    # odd (non-MCU-multiple) dims crop correctly
-    odd = C.decode_jpeg(C.encode_jpeg(img[:37, :51], subsampling="420"))
-    assert odd.shape == (37, 51, 3)
+    for sub in ("422", "420"):
+        got = C.decode_jpeg(C.encode_jpeg(gray3, subsampling=sub))
+        assert psnr(got, gray3) > 35.0
+        # odd (non-MCU-multiple) dims crop correctly
+        odd = C.decode_jpeg(C.encode_jpeg(img[:37, :51], subsampling=sub))
+        assert odd.shape == (37, 51, 3)
 
     import os
     real = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"

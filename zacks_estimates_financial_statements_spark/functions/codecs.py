@@ -664,8 +664,8 @@ def encode_jpeg(arr: np.ndarray, subsampling: str = "444",
     chain as the decoder, so round-trip error is bounded by quantization
     plus, for ``"420"``, the 2×2 chroma average). ``restart_interval``
     emits DRI + RSTn markers so the decoder's resync path is testable."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     h, w, _ = arr.shape
     rgb = arr.astype(np.float64)
@@ -676,8 +676,8 @@ def encode_jpeg(arr: np.ndarray, subsampling: str = "444",
     cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
         - 0.081312 * rgb[:, :, 2]
 
-    sub = 2 if subsampling == "420" else 1
-    hmax = vmax = sub
+    # luma sampling factors; chroma is always 1×1
+    hmax, vmax = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
@@ -686,14 +686,12 @@ def encode_jpeg(arr: np.ndarray, subsampling: str = "444",
                               (0, pw - plane.shape[1])), "edge")
 
     y_p = pad_to(y, mcuy * vmax * 8, mcux * hmax * 8)
-    if sub == 2:                                 # 2×2 box-average chroma
-        cbp = pad_to(cb, mcuy * 16, mcux * 16)
-        crp = pad_to(cr, mcuy * 16, mcux * 16)
-        cb_p = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
-        cr_p = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
-    else:
-        cb_p = pad_to(cb, mcuy * 8, mcux * 8)
-        cr_p = pad_to(cr, mcuy * 8, mcux * 8)
+    # box-average chroma down by the luma sampling factors
+    ch_h, ch_w = mcuy * 8, mcux * 8
+    cbp = pad_to(cb, ch_h * vmax, ch_w * hmax)
+    crp = pad_to(cr, ch_h * vmax, ch_w * hmax)
+    cb_p = cbp.reshape(ch_h, vmax, ch_w, hmax).mean(axis=(1, 3))
+    cr_p = crp.reshape(ch_h, vmax, ch_w, hmax).mean(axis=(1, 3))
 
     q_lum_r = np.empty(64, np.int32)
     q_lum_r[_ZIGZAG] = _Q_LUM                    # raster-order tables
@@ -704,7 +702,7 @@ def encode_jpeg(arr: np.ndarray, subsampling: str = "444",
     ac_tabs = (_enc_codes(_AC_LUM_BITS, _AC_LUM_VALS),
                _enc_codes(_AC_CHROM_BITS, _AC_CHROM_VALS))
     # (plane, table-id, h-factor, v-factor) per component
-    comps = [(y_p, 0, sub, sub), (cb_p, 1, 1, 1), (cr_p, 1, 1, 1)]
+    comps = [(y_p, 0, hmax, vmax), (cb_p, 1, 1, 1), (cr_p, 1, 1, 1)]
 
     writer = _BitWriter()
     entropy = bytearray()
@@ -741,7 +739,7 @@ def encode_jpeg(arr: np.ndarray, subsampling: str = "444",
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0]) + bytes(int(x) for x in _Q_LUM))
     out += seg(0xDB, bytes([1]) + bytes(int(x) for x in _Q_CHROM))
-    samp = (sub << 4) | sub
+    samp = (hmax << 4) | vmax
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) + \
         bytes([1, samp, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     out += seg(0xC0, sof)
