@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from zacks_estimates_financial_statements_spark.export import decimal_text  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
-from zacks_estimates_financial_statements_spark.operators import curation, dedup, similarity  # noqa: E402
+from zacks_estimates_financial_statements_spark.operators import curation, dedup, graph, similarity  # noqa: E402
 
 DEC = "decimal(38,6)"
 
@@ -1454,6 +1454,51 @@ FROM per_gram GROUP BY doc_id, n
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Cluster resolution over the MinHash near-dup graph: transitive
+    closure via large-star/small-star connected components, one
+    canonical keeper per cluster (operators/graph.py). The step that
+    turns pair lists into an actual deduplicated corpus."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                         k=12, bands=4)
+    return (graph.resolve_duplicate_clusters(docs, pairs, "doc_id")
+            .select("doc_id", "component", "cluster_size", "keep"))
+
+
+# Oracle: same LSH candidate edges as ORACLE_MINHASH_PAIRS, then the
+# transitive closure as a recursive CTE (min reachable id = component).
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+{_MINHASH_SIGS_CTE},
+buckets AS (
+  SELECT doc_id, hash_idx % 4 AS band,
+    md5(string_agg(lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR,
+        ',' ORDER BY lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR))
+    AS bucket
+  FROM sigs GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u),
+comp AS (
+  SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.doc_id, c.component, s.cluster_size,
+  (c.doc_id = c.component) AS keep
+FROM comp c JOIN sizes s USING (component)
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -1500,6 +1545,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "repetition_stats": q_repetition_stats,
     "token_frequencies": q_token_frequencies,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1548,6 +1594,7 @@ _ORACLE: dict[str, str] = {
     "stratified_sample": _oracle_stratified_sample(),
     "repetition_stats": ORACLE_REPETITION_STATS,
     "token_frequencies": ORACLE_TOKEN_FREQUENCIES,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }
 
 

@@ -1,0 +1,86 @@
+"""Connected components (operators/graph.py) vs a pure-Python union-find."""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from zacks_estimates_financial_statements_spark.operators import graph
+
+
+def _uf_labels(edges):
+    """Min-id component label per touched node, via union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    return {n: find(n) for n in touched}
+
+
+def _spark_labels(spark, edges):
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    return {r["node"]: r["component"]
+            for r in graph.connected_components(df).collect()}
+
+
+def test_matches_union_find_on_random_graphs(spark):
+    rng = random.Random(11)
+    for _ in range(3):
+        n = 80
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert _spark_labels(spark, edges) == _uf_labels(edges)
+
+
+def test_long_path_worst_case_diameter(spark):
+    # A 30-node path exercises the O(log n)-round convergence; naive
+    # 1-hop label propagation would need ~30 rounds.
+    edges = list(zip(range(100, 129), range(101, 130)))
+    labels = _spark_labels(spark, edges)
+    assert set(labels.values()) == {100}
+    assert len(labels) == 30
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    edges = [(2, 1), (1, 2), (2, 1), (3, 3), (3, 4)]
+    labels = _spark_labels(spark, edges)
+    # self-loop (3,3) contributes nothing on its own; (3,4) links it
+    assert labels == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a: long, id_b: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, max_iter=0)
+
+
+def test_resolve_duplicate_clusters_marks_one_keeper(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], "doc_id: long, text: string")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (2, 6)], "id_a: long, id_b: long")
+    out = graph.resolve_duplicate_clusters(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["component"] == 0 and rows[3]["component"] == 0 \
+        and rows[5]["component"] == 0
+    assert rows[0]["cluster_size"] == 3 and not rows[3]["keep"]
+    assert rows[2]["component"] == 2 and rows[6]["cluster_size"] == 2
+    # singletons keep themselves
+    assert rows[1]["keep"] and rows[1]["cluster_size"] == 1
+    kept = [r for r in rows.values() if r["keep"]]
+    assert len(kept) == 4  # {0,3,5}, {2,6}, {1}, {4}
+    # dedup decision: exactly one keeper per component
+    per_comp = (out.groupBy("component")
+                .agg(F.sum(F.col("keep").cast("int")).alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_comp)
