@@ -1499,6 +1499,139 @@ FROM comp c JOIN sizes s USING (component)
 """
 
 
+def q_decontaminate(spark, sf):
+    """GPT-3-style benchmark decontamination: a 10 % hash-held-out
+    "benchmark" slice, and per remaining corpus doc the count of
+    distinct token 4-grams that collide with it (n=4 keeps the check
+    non-vacuous on the small-vocabulary testdata; real corpora use
+    n=13)."""
+    docs = _t(spark, sf, "documents")
+    split = curation.hash_split(docs, "doc_id", {"bench": 1, "corpus": 9},
+                                seed="decontam")
+    bench = split.filter("split = 'bench'")
+    corpus = split.filter("split = 'corpus'")
+    return curation.benchmark_contamination(corpus, bench, "doc_id",
+                                            "text", n=4)
+
+
+ORACLE_DECONTAMINATE = """
+WITH b AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5('decontam|' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 1000000 AS bucket
+  FROM documents),
+toks AS (
+  SELECT doc_id, bucket,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM b),
+grams AS (
+  SELECT DISTINCT doc_id, bucket, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 4),
+bench AS (SELECT DISTINCT gram FROM grams WHERE bucket < 100000),
+corp AS (SELECT doc_id, gram FROM grams WHERE bucket >= 100000),
+totals AS (
+  SELECT b.doc_id, count(c.gram)::BIGINT AS total_grams
+  FROM b LEFT JOIN corp c ON b.doc_id = c.doc_id
+  WHERE b.bucket >= 100000 GROUP BY b.doc_id),
+hits AS (
+  SELECT c.doc_id, count(*)::BIGINT AS overlap_grams
+  FROM corp c JOIN bench USING (gram) GROUP BY c.doc_id)
+SELECT t.doc_id, t.total_grams,
+  coalesce(h.overlap_grams, 0)::BIGINT AS overlap_grams,
+  coalesce(h.overlap_grams, 0) > 0 AS contaminated
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+def q_pii_scan(spark, sf):
+    """PII detection + redaction. The synthetic corpus has no PII, so
+    deterministic fakes are planted first (identically in the oracle):
+    the operator then has to find exactly those and scrub them."""
+    docs = _t(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com soon")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from host 10.0."),
+                            (F.col("doc_id") % 250).cast("string"),
+                            F.lit("."),
+                            (F.col("doc_id") % 100).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" ssn 123-45-"),
+                            F.lpad((F.col("doc_id") % 10000)
+                                   .cast("string"), 4, "0")))
+            .otherwise(F.lit(""))).alias("text"))
+    out = curation.pii_scan(planted, "doc_id", "text")
+    return out.select("doc_id", "email_count", "ipv4_count", "ssn_count",
+                      F.md5("redacted").alias("redacted_md5"))
+
+
+# the same deterministic planting, then RE2 counts/replaces — patterns
+# are generated from curation.PII_PATTERNS so both engines compile the
+# identical regex source.
+def _oracle_pii_scan() -> str:
+    p = curation.PII_PATTERNS
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com soon'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from host 10.0.' || (doc_id % 250)::VARCHAR || '.'
+                 || (doc_id % 100)::VARCHAR
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{p["email"]}'))::BIGINT AS email_count,
+  len(regexp_extract_all(text, '{p["ipv4"]}'))::BIGINT AS ipv4_count,
+  len(regexp_extract_all(text, '{p["ssn"]}'))::BIGINT AS ssn_count,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{p["email"]}', '[EMAIL]', 'g'),
+      '{p["ipv4"]}', '[IPV4]', 'g'),
+      '{p["ssn"]}', '[SSN]', 'g')) AS redacted_md5
+FROM planted
+"""
+
+
+def q_chunk_tokens(spark, sf):
+    """Fixed-size training-context chunking: 32-token windows per doc
+    (ragged tail kept), content-addressed by md5."""
+    docs = _t(spark, sf, "documents")
+    return curation.chunk_tokens(docs, "doc_id", "text", chunk_size=32)
+
+
+ORACLE_CHUNK_TOKENS = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+    t[i * 32 + 1 : least((i + 1) * 32, len(t))] AS chunk
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT))) AS g(i)
+  WHERE len(t) >= 1)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+  len(chunk)::BIGINT AS n_tokens,
+  md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -1546,6 +1679,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "token_frequencies": q_token_frequencies,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
+    "pii_scan": q_pii_scan,
+    "chunk_tokens": q_chunk_tokens,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1595,6 +1731,9 @@ _ORACLE: dict[str, str] = {
     "repetition_stats": ORACLE_REPETITION_STATS,
     "token_frequencies": ORACLE_TOKEN_FREQUENCIES,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "pii_scan": _oracle_pii_scan(),
+    "chunk_tokens": ORACLE_CHUNK_TOKENS,
 }
 
 

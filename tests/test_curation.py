@@ -169,3 +169,82 @@ def test_repetition_stats_hashed_grams_equal_raw(spark):
     key = lambda r: (r["doc_id"], r["n"])  # noqa: E731
     assert sorted(map(tuple, raw), key=lambda t: t[:2]) == \
         sorted(map(tuple, hashed), key=lambda t: t[:2])
+
+
+def test_benchmark_contamination_flags_shared_grams(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id: long, text: string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix alpha beta gamma delta suffix words here"),  # 2 hits
+         (2, "totally different words in this one right here"),   # clean
+         (3, "tiny doc")],                                        # < n tokens
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in curation.benchmark_contamination(
+        corpus, bench, "doc_id", "text", n=4).collect()}
+    # doc 1 shares "alpha beta gamma delta" and "beta gamma delta epsilon"?
+    # no — only grams doc 1 actually contains: "alpha beta gamma delta"
+    # plus "beta gamma delta suffix"(not in bench) → 1 overlap of its 5
+    assert out[1]["total_grams"] == 5 and out[1]["overlap_grams"] == 1
+    assert out[1]["contaminated"]
+    assert out[2]["overlap_grams"] == 0 and not out[2]["contaminated"]
+    assert out[3]["total_grams"] == 0 and not out[3]["contaminated"]
+    assert len(out) == 3  # every corpus doc present, benchmark docs absent
+
+
+def test_benchmark_contamination_counts_distinct_grams_once(spark):
+    bench = spark.createDataFrame(
+        [(9, "a b c d")], "doc_id: long, text: string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c d x a b c d")], "doc_id: long, text: string")
+    row = curation.benchmark_contamination(
+        corpus, bench, "doc_id", "text", n=4).collect()[0]
+    # "a b c d" occurs twice in the doc but is one distinct gram
+    # (9 tokens → 6 positional 4-grams, 5 distinct)
+    assert row["overlap_grams"] == 1 and row["total_grams"] == 5
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.user+tag@site.org and b@x.io, ip 10.0.0.1, "
+             "ssn 123-45-6789"),
+         (2, "no pii here"),
+         (3, "ip-ish 999.999.999.999 still matches the naive pattern")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           curation.pii_scan(df, "doc_id", "text").collect()}
+    assert out[1]["email_count"] == 2
+    assert out[1]["ipv4_count"] == 1
+    assert out[1]["ssn_count"] == 1
+    assert out[1]["redacted"] == ("mail [EMAIL] and [EMAIL], ip [IPV4], "
+                                  "ssn [SSN]")
+    assert out[2]["email_count"] == 0 and out[2]["redacted"] == "no pii here"
+    assert out[3]["ipv4_count"] == 1  # documented naive \d{1,3} quadrant
+    with pytest.raises(ValueError):
+        curation.pii_scan(df, "doc_id", "text", patterns={})
+
+
+def test_chunk_tokens_exact_windows(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(7))),  # 7 tokens → 3+3+1
+         (2, "one two three"),                      # single ragged chunk
+         (3, "...")],                               # zero tokens → no rows
+        "doc_id: long, text: string")
+    rows = curation.chunk_tokens(df, "doc_id", "text", chunk_size=3) \
+        .collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["n_tokens"] for r in by_doc[1]) == [1, 3, 3]
+    assert [r["chunk_idx"] for r in
+            sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [0, 1, 2]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    assert 3 not in by_doc
+    # content-addressing: same chunk text → same hash across docs
+    df2 = spark.createDataFrame([(9, "one two three")],
+                                "doc_id: long, text: string")
+    h2 = curation.chunk_tokens(df2, "doc_id", "text", chunk_size=3) \
+        .collect()[0]["chunk_hash"]
+    assert by_doc[2][0]["chunk_hash"] == h2
+    with pytest.raises(ValueError):
+        curation.chunk_tokens(df, "doc_id", "text", chunk_size=0)

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Iterable, Mapping
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from zacks_estimates_financial_statements_spark.operators.dedup import hash60
 
@@ -151,6 +151,139 @@ def token_frequencies(df: DataFrame, id_col: str, text_col: str,
             .withColumn("idf", F.round(
                 F.log((n_docs + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0,
                 6)))
+
+
+def _word_array(text_col: str) -> Column:
+    """Token array matching ``functions.text.word_tokens`` (lowercase,
+    split on ``[^a-z0-9_]+``, empties dropped)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+                    lambda x: x != "")
+
+
+def _gram_array(words: Column, n: int) -> Column:
+    """Distinct token n-grams of a materialized token-array column.
+    ``sequence(1, 0)`` counts DOWN — short docs are guarded to empty."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams)
+        .otherwise(F.array().cast("array<string>")))
+
+
+def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
+                            id_col: str, text_col: str, n: int = 13,
+                            broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct token ``n``-grams also occur in the benchmark set (the
+    GPT-3-style n-gram overlap check — Brown et al., arXiv:2005.14165
+    §C uses 13-gram collisions; pass ``n=13`` for that convention).
+
+    Returns one row per corpus document: ``total_grams`` (distinct
+    n-grams in the doc), ``overlap_grams`` (of those, how many appear
+    anywhere in the benchmark) and ``contaminated`` (overlap > 0).
+    Documents shorter than ``n`` tokens have 0/0/false.
+
+    Scale shape: benchmarks are tiny next to a training corpus, so the
+    distinct benchmark gram set is broadcast (flip
+    ``broadcast_benchmark=False`` if it is not small) — the corpus-side
+    gram stream joins it map-side and never shuffles at corpus width;
+    the only aggregations after the join carry matched grams (bounded
+    by the benchmark's gram count × collision rate). The final attach
+    of counts onto per-document totals is a narrow two-column join
+    left to AQE — overlap counts are usually tiny (auto-broadcast) but
+    nothing breaks when a corpus is pervasively contaminated.
+    ``total_grams`` itself is a per-row projection.
+    """
+    words = _word_array(text_col)
+    per_doc = corpus.select(
+        F.col(id_col), _gram_array(words, n).alias("__grams"))
+    totals = per_doc.select(
+        id_col, F.size("__grams").cast("bigint").alias("total_grams"))
+    bench_grams = (benchmark
+                   .select(F.explode(_gram_array(_word_array(text_col), n))
+                           .alias("gram"))
+                   .distinct())
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = per_doc.select(id_col,
+                                  F.explode("__grams").alias("gram"))
+    overlaps = (corpus_grams.join(bench_grams, "gram")
+                .groupBy(id_col)
+                .agg(F.count("*").alias("overlap_grams")))
+    return (totals.join(overlaps, id_col, "left")
+            .select(id_col, "total_grams",
+                    F.coalesce("overlap_grams", F.lit(0)).cast("bigint")
+                    .alias("overlap_grams"))
+            .withColumn("contaminated", F.col("overlap_grams") > 0))
+
+
+#: PII patterns restricted to constructs with identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+#: repetition and word boundaries only — no alternation or backtracking
+#: constructs, so leftmost-match counts agree across engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str,
+             patterns: Mapping[str, str] | None = None) -> DataFrame:
+    """Per-document PII detection and redaction: one ``<kind>_count``
+    column per pattern plus ``redacted`` text with every match replaced
+    by its ``[KIND]`` tag (patterns applied in mapping order).
+
+    A pure projection — regexp_count/regexp_replace run inside
+    whole-stage codegen, zero shuffles at any corpus size. The default
+    patterns stay within the Java-regex ∩ RE2 common subset so a SQL
+    twin on another engine counts the same matches.
+    """
+    pats = dict(patterns) if patterns is not None else dict(PII_PATTERNS)
+    if not pats:
+        raise ValueError("patterns must name at least one PII kind")
+    out = df.select(
+        F.col(id_col),
+        *[F.regexp_count(F.col(text_col), F.lit(p)).cast("bigint")
+          .alias(f"{kind}_count") for kind, p in pats.items()],
+        F.col(text_col).alias("redacted"))
+    for kind, p in pats.items():
+        out = out.withColumn(
+            "redacted",
+            F.regexp_replace("redacted", p, f"[{kind.upper()}]"))
+    return out
+
+
+def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
+                 chunk_size: int = 512) -> DataFrame:
+    """Split each document's token stream into training-context chunks:
+    one row per ``chunk_size``-token window (last chunk ragged), with
+    ``n_tokens`` and an md5 ``chunk_hash`` of the space-joined chunk.
+
+    The sequence-prep step of an LLM data pipeline (fixed context
+    windows from variable-length documents). Pure projection + explode:
+    chunk boundaries depend only on the row itself, so there is no
+    shuffle at any corpus size and Catalyst keeps the whole plan in one
+    codegen stage. Zero-token documents yield no rows.
+    """
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    base = df.select(F.col(id_col), _word_array(text_col).alias("__w"))
+    n_chunks = F.ceil(F.size("__w") / F.lit(float(chunk_size))).cast("int")
+    idx = F.when(F.size("__w") >= 1,
+                 F.sequence(F.lit(0), n_chunks - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    chunked = (base.select(id_col, "__w",
+                           F.explode(idx).alias("__i"))
+               .withColumn("__chunk",
+                           F.slice("__w", F.col("__i") * chunk_size + 1,
+                                   chunk_size)))
+    return chunked.select(
+        id_col,
+        F.col("__i").cast("bigint").alias("chunk_idx"),
+        F.size("__chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "__chunk")).alias("chunk_hash"))
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str,
