@@ -1632,6 +1632,37 @@ FROM c
 """
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style sequence packing: documents laid end-to-end into 8
+    hash-dealt token streams, 256-token training windows; each doc's
+    landing position is fully deterministic."""
+    docs = _t(spark, sf, "documents")
+    return curation.pack_sequences(docs, "doc_id", "text",
+                                   budget=256, n_streams=8)
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH base AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                    x -> x <> ''))::BIGINT AS n_tokens,
+    ('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 1000000 AS bucket
+  FROM documents),
+laid AS (
+  SELECT doc_id, bucket % 8 AS stream, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY bucket % 8 ORDER BY bucket, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS start_offset
+  FROM base)
+SELECT doc_id, stream::BIGINT AS stream, n_tokens,
+  start_offset::BIGINT AS start_offset,
+  (start_offset // 256)::BIGINT AS pack_id,
+  (start_offset % 256)::BIGINT AS pack_offset
+FROM laid
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -1682,6 +1713,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pii_scan": q_pii_scan,
     "chunk_tokens": q_chunk_tokens,
+    "pack_sequences": q_pack_sequences,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1734,6 +1766,7 @@ _ORACLE: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "pii_scan": _oracle_pii_scan(),
     "chunk_tokens": ORACLE_CHUNK_TOKENS,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
 }
 
 

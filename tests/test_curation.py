@@ -248,3 +248,36 @@ def test_chunk_tokens_exact_windows(spark):
     assert by_doc[2][0]["chunk_hash"] == h2
     with pytest.raises(ValueError):
         curation.chunk_tokens(df, "doc_id", "text", chunk_size=0)
+
+
+def test_pack_sequences_streams_are_gapless_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join("tok" for _ in range(1 + i % 9)))
+         for i in range(200)],
+        "doc_id: long, text: string")
+    out = curation.pack_sequences(docs, "doc_id", "text",
+                                  budget=16, n_streams=4).collect()
+    assert len(out) == 200
+    by_stream = {}
+    for r in out:
+        by_stream.setdefault(r["stream"], []).append(r)
+    assert set(by_stream) <= set(range(4))
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        # gapless concatenation: each doc starts where the previous ended
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            assert r["pack_id"] == off // 16
+            assert r["pack_offset"] == off % 16
+            off += r["n_tokens"]
+    # layout is invariant to input partitioning
+    again = curation.pack_sequences(docs.repartition(17), "doc_id", "text",
+                                    budget=16, n_streams=4)
+    assert again.exceptAll(
+        curation.pack_sequences(docs, "doc_id", "text",
+                                budget=16, n_streams=4)).count() == 0
+    with pytest.raises(ValueError):
+        curation.pack_sequences(docs, "doc_id", "text", budget=0)
+    with pytest.raises(ValueError):
+        curation.pack_sequences(docs, "doc_id", "text", n_streams=0)

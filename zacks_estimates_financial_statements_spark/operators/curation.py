@@ -286,6 +286,54 @@ def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
         F.md5(F.concat_ws(" ", "__chunk")).alias("chunk_hash"))
 
 
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   budget: int = 2048, n_streams: int = 64,
+                   seed: str = "pack") -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end into
+    token streams and record where each document lands, so a training
+    job can cut ``budget``-token windows with documents crossing window
+    boundaries (the standard GPT-style packing, as opposed to
+    ``chunk_tokens``'s per-document windows).
+
+    Documents are dealt into ``n_streams`` independent streams by keyed
+    hash and ordered deterministically within each stream (hash bucket,
+    then id), so the layout is reproducible across runs, engines and
+    partitioning. Output per document: ``stream``, ``n_tokens``,
+    ``start_offset`` (tokens before it in its stream), ``pack_id``
+    (which budget-window its first token falls in) and ``pack_offset``
+    (position within that window).
+
+    Scale shape: a single global running sum would serialize the corpus
+    through one partition — the streams exist precisely to shard that
+    window; with ``n_streams`` ≳ cluster cores the cumsum is as
+    parallel as any shuffle, at the cost of ``n_streams`` independently
+    packed token streams (which training wants anyway for data-parallel
+    readers). One shuffle (the window partition); token counts are a
+    per-row projection.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_streams < 1:
+        raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+    from pyspark.sql import Window
+    base = df.select(
+        F.col(id_col),
+        F.size(_word_array(text_col)).cast("bigint").alias("n_tokens"),
+        _bucket(id_col, seed))
+    w = (Window.partitionBy(F.col("bucket") % n_streams)
+         .orderBy("bucket", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base
+            .withColumn("stream",
+                        (F.col("bucket") % n_streams).cast("bigint"))
+            .withColumn("start_offset",
+                        F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .select(id_col, "stream", "n_tokens", "start_offset",
+                    F.floor(F.col("start_offset") / budget)
+                    .alias("pack_id"),
+                    (F.col("start_offset") % budget).alias("pack_offset")))
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str,
                      ns: Iterable[int] = (1, 2, 3),
                      hash_grams: bool = False) -> DataFrame:
