@@ -42,6 +42,14 @@ HEADLINE = [
     "embedding_near_dup",   # sign-bit-bucketed embedding dedup scale path
     "winnow_fingerprint",   # rolling-hash winnowing fingerprints
     "repetition_stats",     # Gopher-style duplicate/top n-gram fractions
+    "decontaminate",        # benchmark n-gram contamination check
+    "pii_scan",             # PII detect + redact projection
+    "chunk_tokens",         # per-doc context-window chunking
+    "pack_sequences",       # concat-and-chunk sequence packing
+    # dedup_clusters is deliberately NOT a headline entry: it embeds
+    # minhash_near_dup_pairs (already measured above) and its connected-
+    # components increment is fixed job overhead (~3-4 s of checkpoint +
+    # convergence-signature jobs) at any small sf — see PERFORMANCE.md.
 ]
 
 

@@ -149,16 +149,22 @@ def resolve_duplicate_clusters(df: DataFrame, pairs: DataFrame,
     - ``cluster_size`` — member count of that cluster,
     - ``keep``         — true for the one canonical row per cluster.
 
-    ``df.filter("keep")`` is then the deduplicated corpus. The labels
-    join is on the corpus' unique id — one shuffle on id plus the
-    component-size aggregation; the iterative part only ever touches
-    the (much smaller) edge set.
+    ``df.filter("keep")`` is then the deduplicated corpus. The corpus
+    is scanned ONCE: cluster sizes are aggregated from the label set
+    (bounded by nodes that appear in a pair — tiny next to the corpus;
+    rows absent from it are singletons of size 1), so the only
+    corpus-wide operation is the final left join on the unique id,
+    whose small side AQE broadcasts. The iterative part never touches
+    the corpus at all, only the edge set.
     """
     labels = connected_components(pairs, src=src, dst=dst)
-    out = (df.join(labels.withColumnRenamed("node", id_col),
-                   id_col, "left")
-           .withColumn("component",
-                       F.coalesce(F.col("component"), F.col(id_col))))
-    sizes = out.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (out.join(sizes, "component")
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    lab = (labels.join(sizes, "component")
+           .withColumnRenamed("node", id_col))
+    return (df.join(lab, id_col, "left")
+            .withColumn("component",
+                        F.coalesce(F.col("component"), F.col(id_col)))
+            .withColumn("cluster_size",
+                        F.coalesce(F.col("cluster_size"), F.lit(1)))
             .withColumn("keep", F.col(id_col) == F.col("component")))
