@@ -1342,6 +1342,8 @@ FROM documents
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
 _SAMPLE_DEFAULT = 0.1
+# data-mixing targets: up-weight a few sources, zero out the rest
+_MIXTURE_TARGETS = {f"src{i}": float((i % 4) + 1) for i in range(12)}
 
 
 def q_dataset_split(spark, sf):
@@ -1632,6 +1634,40 @@ FROM c
 """
 
 
+def q_mixture_plan(spark, sf):
+    """Corpus mixing plan: token accounting per source plus the
+    repeat factor / max-retention sampling rate that hit the target
+    mixture (12 of 20 sources weighted, the rest zeroed)."""
+    docs = _t(spark, sf, "documents")
+    return curation.mixture_plan(docs, "source", "text", _MIXTURE_TARGETS)
+
+
+def _oracle_mixture_plan() -> str:
+    total = sum(_MIXTURE_TARGETS.values())
+    branches = " ".join(
+        f"WHEN source = '{name}' THEN {t / total!r}"
+        for name, t in _MIXTURE_TARGETS.items())
+    return f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                        x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+t AS (
+  SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+    CAST(CASE {branches} ELSE 0.0 END AS DOUBLE) AS tgt
+  FROM per),
+r AS (SELECT *, tgt * total / n_tokens AS rf FROM t),
+m AS (SELECT *, max(rf) OVER () AS rfmax FROM r)
+SELECT source, n_docs, n_tokens,
+  round(n_tokens / total, 6) AS current_share,
+  round(tgt, 6) AS target_share,
+  round(rf, 6) AS repeat_factor,
+  round(rf / rfmax, 6) AS sample_rate
+FROM m
+"""
+
+
 def q_pack_sequences(spark, sf):
     """GPT-style sequence packing: documents laid end-to-end into 8
     hash-dealt token streams, 256-token training windows; each doc's
@@ -1714,6 +1750,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scan": q_pii_scan,
     "chunk_tokens": q_chunk_tokens,
     "pack_sequences": q_pack_sequences,
+    "mixture_plan": q_mixture_plan,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1767,6 +1804,7 @@ _ORACLE: dict[str, str] = {
     "pii_scan": _oracle_pii_scan(),
     "chunk_tokens": ORACLE_CHUNK_TOKENS,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "mixture_plan": _oracle_mixture_plan(),
 }
 
 

@@ -281,3 +281,29 @@ def test_pack_sequences_streams_are_gapless_and_deterministic(spark):
         curation.pack_sequences(docs, "doc_id", "text", budget=0)
     with pytest.raises(ValueError):
         curation.pack_sequences(docs, "doc_id", "text", n_streams=0)
+
+
+def test_mixture_plan_shares_and_rates(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "web"),        # 4 tokens
+         (2, "a b c d e f", "web"),    # 6 tokens → web 10
+         (3, "x y z w v", "books"),    # books 5
+         (4, "q r s t u", "code")],    # code 5
+        "doc_id: long, text: string, source: string")
+    out = {r["source"]: r for r in curation.mixture_plan(
+        docs, "source", "text", {"web": 1, "books": 1}).collect()}
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 10
+    assert out["web"]["current_share"] == 0.5
+    assert out["web"]["target_share"] == 0.5
+    # web: rf = 0.5*20/10 = 1.0; books: 0.5*20/5 = 2.0 (under-repped)
+    assert out["web"]["repeat_factor"] == 1.0
+    assert out["books"]["repeat_factor"] == 2.0
+    # normalize so max rate is 1: books keeps all, web halves, code drops
+    assert out["books"]["sample_rate"] == 1.0
+    assert out["web"]["sample_rate"] == 0.5
+    assert out["code"]["target_share"] == 0.0
+    assert out["code"]["sample_rate"] == 0.0
+    with pytest.raises(ValueError):
+        curation.mixture_plan(docs, "source", "text", {})
+    with pytest.raises(ValueError):
+        curation.mixture_plan(docs, "source", "text", {"web": 0.0})

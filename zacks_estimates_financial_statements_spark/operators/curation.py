@@ -286,6 +286,62 @@ def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
         F.md5(F.concat_ws(" ", "__chunk")).alias("chunk_hash"))
 
 
+def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
+                 targets: Mapping[str, float]) -> DataFrame:
+    """Data-mixing plan: per stratum (source/domain/language), the token
+    accounting and the resampling knobs needed to hit a target mixture.
+
+    Returns one row per stratum present in the corpus:
+
+    - ``n_docs`` / ``n_tokens``        — what the stratum holds,
+    - ``current_share``                — its token share of the corpus,
+    - ``target_share``                 — normalized from ``targets``
+      (strata not named get 0),
+    - ``repeat_factor``                — target/current token ratio: the
+      per-epoch repetition a weighted loader would apply (>1 means the
+      stratum is under-represented),
+    - ``sample_rate``                  — repeat_factor scaled so its
+      maximum is 1: the largest no-repetition downsampling plan that
+      achieves the target mixture (feed it to ``stratified_sample``).
+
+    One aggregation over the corpus; everything after operates on
+    |strata| rows (the single-partition windows are over that tiny
+    frame, not the corpus). Double math is rounded to 6 digits at the
+    output edge only, from identical expression shapes both engines.
+    """
+    if not targets:
+        raise ValueError("targets must name at least one stratum")
+    total_t = float(sum(targets.values()))
+    if total_t <= 0:
+        raise ValueError("targets must sum to a positive value")
+    from pyspark.sql import Window
+    tgt = None
+    for name, t in targets.items():
+        share = F.lit(t / total_t)
+        cond = F.col(strata_col) == F.lit(name)
+        tgt = F.when(cond, share) if tgt is None else tgt.when(cond, share)
+    tgt = tgt.otherwise(F.lit(0.0))
+    per = (df.groupBy(strata_col)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(_word_array(text_col)).cast("bigint"))
+                .alias("n_tokens")))
+    everything = Window.partitionBy()
+    raw = (per
+           .withColumn("__total", F.sum("n_tokens").over(everything))
+           .withColumn("__tgt", tgt)
+           .withColumn("__rf",
+                       F.col("__tgt") * F.col("__total")
+                       / F.col("n_tokens"))
+           .withColumn("__rfmax", F.max("__rf").over(everything)))
+    return raw.select(
+        strata_col, "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total"), 6)
+        .alias("current_share"),
+        F.round("__tgt", 6).alias("target_share"),
+        F.round("__rf", 6).alias("repeat_factor"),
+        F.round(F.col("__rf") / F.col("__rfmax"), 6).alias("sample_rate"))
+
+
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                    budget: int = 2048, n_streams: int = 64,
                    seed: str = "pack") -> DataFrame:
