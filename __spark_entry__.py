@@ -1263,9 +1263,11 @@ FROM gated g
 JOIN (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp) k
   ON g.fp = k.fp AND g.doc_id = k.doc_id
 """
-# inline the text-stats subquery (un-rounded quality, gated before round)
-ORACLE_CLEAN_CORPUS = ORACLE_CLEAN_CORPUS.format(text_stats=r"""
-    SELECT doc_id,
+# the text-stats subquery (un-rounded quality, gated/joined before
+# round) — shared by clean_corpus, quantile_gate and token_budget_fill
+# so the score definition cannot drift between oracles
+_QUALITY_STATS_SQL = r"""
+    SELECT doc_id, source,
       CASE WHEN trim(text) = '' THEN 0
         ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
       CASE WHEN (CASE WHEN trim(text) = '' THEN 0
@@ -1284,7 +1286,9 @@ ORACLE_CLEAN_CORPUS = ORACLE_CLEAN_CORPUS.format(text_stats=r"""
                   '[.,;:!?''"()\[\]{}-]'))::DOUBLE / len(text) END) * 5.0)))
           / 3.0 END AS quality
     FROM documents
-""")
+"""
+ORACLE_CLEAN_CORPUS = ORACLE_CLEAN_CORPUS.format(
+    text_stats=_QUALITY_STATS_SQL)
 
 
 def q_winnow_fingerprint(spark, sf):
@@ -1668,6 +1672,67 @@ FROM m
 """
 
 
+def q_quantile_gate(spark, sf):
+    """Per-source median-quality gate: keep each source's top half by
+    the composite quality score (exact percentile ≡ quantile_cont)."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        T.quality_score(F.col("text")).alias("quality"))
+    out = curation.quantile_gate(scored, "source", "quality", q=0.5)
+    return out.select("doc_id", "source",
+                      F.round("quality", 6).alias("quality"),
+                      F.round("threshold", 6).alias("threshold"))
+
+
+ORACLE_QUANTILE_GATE = f"""
+WITH s AS (
+  SELECT doc_id, source, quality FROM ({_QUALITY_STATS_SQL})),
+th AS (
+  SELECT source, quantile_cont(quality, 0.5) AS threshold
+  FROM s GROUP BY source)
+SELECT s.doc_id, s.source, round(s.quality, 6) AS quality,
+  round(th.threshold, 6) AS threshold
+FROM s JOIN th USING (source)
+WHERE s.quality >= th.threshold
+"""
+
+
+def q_token_budget_fill(spark, sf):
+    """Budget-constrained selection: fill 1500 tokens per source from
+    its highest-quality documents (deterministic id tie-break)."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", "text",
+        T.quality_score(F.col("text")).alias("quality"))
+    out = curation.token_budget_fill(scored, "source", "text",
+                                     "quality", "doc_id", budget=1500)
+    return out.select("doc_id", "source",
+                      F.round("quality", 6).alias("quality"),
+                      "n_tokens", "cum_tokens")
+
+
+ORACLE_TOKEN_BUDGET_FILL = f"""
+WITH s AS (
+  SELECT doc_id, source, quality FROM ({_QUALITY_STATS_SQL})),
+tok AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                    x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT s.doc_id, s.source, s.quality, tok.n_tokens,
+    sum(tok.n_tokens) OVER (PARTITION BY s.source
+                            ORDER BY s.quality DESC, s.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_tokens
+  FROM s JOIN tok USING (doc_id))
+SELECT doc_id, source, round(quality, 6) AS quality, n_tokens,
+  cum_tokens::BIGINT AS cum_tokens
+FROM c WHERE cum_tokens <= 1500
+"""
+
+
 def q_pack_sequences(spark, sf):
     """GPT-style sequence packing: documents laid end-to-end into 8
     hash-dealt token streams, 256-token training windows; each doc's
@@ -1751,6 +1816,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_tokens": q_chunk_tokens,
     "pack_sequences": q_pack_sequences,
     "mixture_plan": q_mixture_plan,
+    "quantile_gate": q_quantile_gate,
+    "token_budget_fill": q_token_budget_fill,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1805,6 +1872,8 @@ _ORACLE: dict[str, str] = {
     "chunk_tokens": ORACLE_CHUNK_TOKENS,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "mixture_plan": _oracle_mixture_plan(),
+    "quantile_gate": ORACLE_QUANTILE_GATE,
+    "token_budget_fill": ORACLE_TOKEN_BUDGET_FILL,
 }
 
 

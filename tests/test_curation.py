@@ -307,3 +307,44 @@ def test_mixture_plan_shares_and_rates(spark):
         curation.mixture_plan(docs, "source", "text", {})
     with pytest.raises(ValueError):
         curation.mixture_plan(docs, "source", "text", {"web": 0.0})
+
+
+def test_quantile_gate_median_keeps_top_half(spark):
+    rows = [(i, "web", float(i)) for i in range(1, 6)] + \
+           [(i, "code", float(100 - i)) for i in range(10, 13)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, score: double")
+    out = curation.quantile_gate(df, "source", "score", q=0.5)
+    kept = {(r["doc_id"], r["source"]): r["threshold"] for r in out.collect()}
+    # web scores 1..5, median 3.0 → keep 3,4,5
+    assert {d for d, s in kept if s == "web"} == {3, 4, 5}
+    assert kept[(3, "web")] == 3.0
+    # code scores 90,89,88 → median 89 → keep 10 (90) and 11 (89)
+    assert {d for d, s in kept if s == "code"} == {10, 11}
+    # q=0 keeps everything
+    assert curation.quantile_gate(df, "source", "score", q=0.0).count() == 8
+    with pytest.raises(ValueError):
+        curation.quantile_gate(df, "source", "score", q=1.5)
+    # approx variant also runs and keeps a subset
+    approx = curation.quantile_gate(df, "source", "score", q=0.5,
+                                    exact=False)
+    assert 0 < approx.count() <= 8
+
+
+def test_token_budget_fill_priority_order(spark):
+    df = spark.createDataFrame(
+        [(1, "web", "a b c d", 0.9),    # 4 tokens, best
+         (2, "web", "e f g", 0.8),      # 3 tokens → cum 7
+         (3, "web", "h i j k l", 0.7),  # 5 tokens → cum 12 > 10, dropped
+         (4, "web", "m n", 0.6),        # later rank: cum 14, dropped too
+         (5, "code", "x y z", 0.5)],
+        "doc_id: long, source: string, text: string, score: double")
+    out = curation.token_budget_fill(df, "source", "text", "score",
+                                     "doc_id", budget=10)
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert set(kept) == {1, 2, 5}
+    assert kept[1]["cum_tokens"] == 4 and kept[2]["cum_tokens"] == 7
+    assert kept[5]["cum_tokens"] == 3
+    # greedy prefix semantics: doc 4 does NOT back-fill the gap doc 3 left
+    with pytest.raises(ValueError):
+        curation.token_budget_fill(df, "source", "text", "score",
+                                   "doc_id", budget=-1)

@@ -286,6 +286,59 @@ def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
         F.md5(F.concat_ws(" ", "__chunk")).alias("chunk_hash"))
 
 
+def quantile_gate(df: DataFrame, strata_col: str, score_col: str,
+                  q: float = 0.5, exact: bool = True) -> DataFrame:
+    """Per-stratum quantile thresholding: keep rows whose ``score_col``
+    is at or above their stratum's ``q``-quantile (e.g. "top half per
+    domain" quality filtering). Adds a ``threshold`` column.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation, ≡ SQL ``quantile_cont``) — its aggregation buffers
+    each group's values, which is fine for bounded strata counts
+    (domains, languages) but NOT for high-cardinality strata; pass
+    ``exact=False`` there to use the Greenwald-Khanna
+    ``percentile_approx`` sketch (mergeable, bounded memory,
+    engine-local tolerance). The thresholds frame is one row per
+    stratum and is broadcast into the gate filter.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    agg = F.percentile(score_col, q) if exact else \
+        F.percentile_approx(score_col, q)
+    th = df.groupBy(strata_col).agg(agg.alias("threshold"))
+    return (df.join(F.broadcast(th), strata_col)
+            .filter(F.col(score_col) >= F.col("threshold")))
+
+
+def token_budget_fill(df: DataFrame, strata_col: str, text_col: str,
+                      order_col: str, id_col: str,
+                      budget: int) -> DataFrame:
+    """Budget-constrained subset selection: walk each stratum's rows in
+    priority order (``order_col`` descending, id ascending as the
+    deterministic tie-break) and keep rows until the stratum's token
+    ``budget`` is exhausted — a row is kept iff it fits entirely
+    (cumulative tokens through it ≤ budget). Adds ``n_tokens`` and the
+    running ``cum_tokens``.
+
+    The "fill 50 B tokens from the best documents" selection step.
+    Plan: per-row token count in projection, one window (shuffle-sort
+    within each stratum) for the running sum, then a filter — the sort
+    is the operator's semantics (a priority fill is an ordered scan),
+    and strata partition it.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df
+            .withColumn("n_tokens",
+                        F.size(_word_array(text_col)).cast("bigint"))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget))
+
+
 def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
                  targets: Mapping[str, float]) -> DataFrame:
     """Data-mixing plan: per stratum (source/domain/language), the token
