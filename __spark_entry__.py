@@ -1764,6 +1764,113 @@ FROM laid
 """
 
 
+def q_curate_pipeline(spark, sf):
+    """Flagship end-to-end curation composite, chaining the extension
+    operators the way a real corpus build would:
+
+    1. hold out a 10 % hash slice as the "benchmark",
+    2. near-dup cluster the remaining corpus (MinHash LSH →
+       connected components) and keep one doc per cluster,
+    3. drop survivors sharing any 4-gram with the benchmark,
+    4. keep each source's top half by quality score.
+
+    Returns the curated corpus with its provenance columns."""
+    docs = _t(spark, sf, "documents")
+    split = curation.hash_split(docs, "doc_id", {"bench": 1, "corpus": 9},
+                                seed="decontam")
+    bench = split.filter("split = 'bench'")
+    corpus = split.filter("split = 'corpus'")
+    pairs = dedup.minhash_near_dup_pairs(corpus, "doc_id", "text",
+                                         k=12, bands=4)
+    keepers = (graph.resolve_duplicate_clusters(corpus, pairs, "doc_id")
+               .filter("keep"))
+    cont = curation.benchmark_contamination(keepers, bench, "doc_id",
+                                            "text", n=4)
+    clean = (keepers.join(cont.filter(~F.col("contaminated"))
+                          .select("doc_id"), "doc_id"))
+    scored = clean.select(
+        "doc_id", "source", "component",
+        T.quality_score(F.col("text")).alias("quality"))
+    gated = curation.quantile_gate(scored, "source", "quality", q=0.5)
+    return gated.select("doc_id", "source", "component",
+                        F.round("quality", 6).alias("quality"),
+                        F.round("threshold", 6).alias("threshold"))
+
+
+# corpus-scoped twins of the shared CTE kit: the shingle and recursion
+# bases swap `documents` for the held-in corpus slice
+_CORPUS_SHINGLE_SQL = _SHINGLE_SQL.format(km1=2).replace(
+    "FROM documents", "FROM corpus_docs")
+
+ORACLE_CURATE_PIPELINE = f"""
+WITH RECURSIVE split AS (
+  SELECT *,
+    ('0x' || substr(md5('decontam|' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 1000000 AS bucket
+  FROM documents),
+corpus_docs AS (SELECT * FROM split WHERE bucket >= 100000),
+bench_docs AS (SELECT * FROM split WHERE bucket < 100000),
+shingled AS ({_CORPUS_SHINGLE_SQL}),
+{_MINHASH_SIGS_CTE},
+buckets AS (
+  SELECT doc_id, hash_idx % 4 AS band,
+    md5(string_agg(lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR,
+        ',' ORDER BY lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR))
+    AS bucket
+  FROM sigs GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM corpus_docs
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u),
+comp AS (
+  SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+keepers AS (
+  SELECT c.doc_id, c.component, d.source, d.text
+  FROM comp c JOIN corpus_docs d ON c.doc_id = d.doc_id
+  WHERE c.doc_id = c.component),
+ktoks AS (
+  SELECT doc_id, component, source,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM keepers),
+kgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+  FROM ktoks, unnest(range(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 4),
+btoks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM bench_docs),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS gram
+  FROM btoks, unnest(range(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 4),
+contaminated AS (
+  SELECT DISTINCT k.doc_id FROM kgrams k JOIN bgrams USING (gram)),
+clean AS (
+  SELECT k.doc_id, k.component, k.source FROM ktoks k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+scored AS (
+  SELECT c.doc_id, c.component, c.source, q.quality
+  FROM clean c JOIN ({_QUALITY_STATS_SQL}) q ON c.doc_id = q.doc_id),
+th AS (
+  SELECT source, quantile_cont(quality, 0.5) AS threshold
+  FROM scored GROUP BY source)
+SELECT s.doc_id, s.source, s.component,
+  round(s.quality, 6) AS quality, round(th.threshold, 6) AS threshold
+FROM scored s JOIN th USING (source)
+WHERE s.quality >= th.threshold
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -1818,6 +1925,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_plan": q_mixture_plan,
     "quantile_gate": q_quantile_gate,
     "token_budget_fill": q_token_budget_fill,
+    "curate_pipeline": q_curate_pipeline,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1874,6 +1982,7 @@ _ORACLE: dict[str, str] = {
     "mixture_plan": _oracle_mixture_plan(),
     "quantile_gate": ORACLE_QUANTILE_GATE,
     "token_budget_fill": ORACLE_TOKEN_BUDGET_FILL,
+    "curate_pipeline": ORACLE_CURATE_PIPELINE,
 }
 
 

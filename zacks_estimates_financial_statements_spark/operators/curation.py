@@ -378,7 +378,10 @@ def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
            .agg(F.count("*").alias("n_docs"),
                 F.sum(F.size(_word_array(text_col)).cast("bigint"))
                 .alias("n_tokens")))
-    everything = Window.partitionBy()
+    # constant partition key: same single-partition execution as an
+    # unpartitioned window over this |strata|-row frame, without the
+    # WindowExec "no partition defined" log noise
+    everything = Window.partitionBy(F.lit(0))
     raw = (per
            .withColumn("__total", F.sum("n_tokens").over(everything))
            .withColumn("__tgt", tgt)
