@@ -339,3 +339,56 @@ def test_jpeg_unsupported_variants_flagged():
     with pytest.raises(ValueError):
         C.decode_jpeg(b"\xff\xd8\xff\xe0garbage")
     assert C.sniff(C.encode_jpeg(flat)) == "jpeg"
+
+
+def test_video_metadata_real_bmff_parse(spark):
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    good = C.encode_mp4_stub(640, 360, 12500, with_audio=True)
+    v1 = C.encode_mp4_stub(1920, 1080, 98765, timescale=90000,
+                           version=1, brand=b"mp42")
+    media = spark.createDataFrame(
+        [(10, "video", bytearray(good), "video/mp4", None, None, None),
+         (11, "video", bytearray(v1), "video/mp4", None, None, None),
+         (12, "video", bytearray(b"not a movie at all"), "video/mp4",
+          None, None, None),
+         (13, "audio", bytearray(b"\x00" * 8), "audio/wav",
+          None, None, 2000)],
+        M.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r
+            for r in M.parse_video_metadata(media).collect()}
+    assert set(rows) == {10, 11, 12}  # the audio row is not scanned
+    r = rows[10]
+    assert (r["brand"], r["duration_ms"], r["n_tracks"]) == ("isom", 12500, 2)
+    assert (r["width"], r["height"]) == (640, 360)
+    assert r["has_video"] and r["has_audio"] and r["decode_error"] is None
+    r1 = rows[11]
+    assert (r1["brand"], r1["duration_ms"]) == ("mp42", 98765)
+    assert (r1["width"], r1["height"]) == (1920, 1080)
+    assert r1["has_video"] and not r1["has_audio"]
+    # junk is quarantined per row, not fatal
+    assert rows[12]["decode_error"] and rows[12]["duration_ms"] is None
+    # strict mode raises instead
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        M.parse_video_metadata(media, strict=True).collect()
+
+
+def test_mp4_parser_handles_truncation_and_largesize():
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    good = C.encode_mp4_stub(320, 240, 5000)
+    # truncating mid-moov keeps it parseable up to the cut or rejects
+    # cleanly — never crashes
+    for cut in (10, 40, len(good) - 5):
+        try:
+            meta = C.parse_mp4_metadata(good[:cut])
+            assert meta["duration_ms"] == 5000
+        except ValueError:
+            pass
+    # 64-bit largesize box wrapping the same moov payload
+    body = good[good.index(b"moov") - 4 + 8:]
+    large = (1).to_bytes(4, "big") + b"moov" \
+        + (16 + len(body)).to_bytes(8, "big") + body
+    meta = C.parse_mp4_metadata(good[:good.index(b"moov") - 4] + large)
+    assert meta["duration_ms"] == 5000 and meta["n_tracks"] == 1

@@ -858,3 +858,134 @@ def audio_features(samples: np.ndarray, rate: int) -> dict:
         "peak": float(np.abs(mono).max()) if frames else 0.0,
         "zero_crossing_rate": float(zc),
     }
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container metadata (pure stdlib box walker)
+# ---------------------------------------------------------------------------
+
+#: container boxes whose payload is a sequence of child boxes
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in
+    data[start:end]. Tolerates truncated tails (stops); honors size==0
+    (to end-of-enclosure) and size==1 (64-bit largesize)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 0:
+            box_end = end
+        elif size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+            box_end = pos + size
+        else:
+            box_end = pos + size
+        if size != 0 and (size < 8 or box_end > end):
+            return  # malformed/truncated: stop, keep what we have
+        yield btype, body, box_end
+        if box_end <= pos:
+            return
+        pos = box_end
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """REAL ISO-BMFF (MP4/MOV) container metadata, no codec libraries:
+    walks the box tree and reads ``ftyp`` (major brand), ``mvhd``
+    (movie timescale/duration, version 0 and 1), per-track ``tkhd``
+    (16.16 fixed-point presentation width/height) and ``hdlr`` (handler
+    type → video/audio track classification). Frame DECODE stays out of
+    scope — this is the demux-metadata half a media pipeline needs for
+    filtering/routing before any decode happens.
+
+    Returns ``{brand, duration_ms, n_tracks, width, height, has_video,
+    has_audio}``; raises ValueError when no ``moov``/``mvhd`` is found
+    (callers quarantine per row, same contract as the image codecs).
+    """
+    brand = None
+    duration_ms = None
+    n_tracks = 0
+    width = height = None
+    has_video = has_audio = False
+
+    def walk(start: int, end: int, in_trak: bool):
+        nonlocal brand, duration_ms, n_tracks, width, height
+        nonlocal has_video, has_audio
+        for btype, b, e in _mp4_boxes(data, start, end):
+            if btype == b"ftyp" and e - b >= 4:
+                brand = data[b:b + 4].decode("ascii", "replace").strip()
+            elif btype == b"mvhd" and e - b >= 4:
+                ver = data[b]
+                if ver == 1 and e - b >= 28:
+                    ts = int.from_bytes(data[b + 20:b + 24], "big")
+                    dur = int.from_bytes(data[b + 24:b + 32], "big")
+                elif e - b >= 20:
+                    ts = int.from_bytes(data[b + 12:b + 16], "big")
+                    dur = int.from_bytes(data[b + 16:b + 20], "big")
+                else:
+                    continue
+                if ts:
+                    duration_ms = int(round(dur * 1000.0 / ts))
+            elif btype == b"tkhd" and e - b >= 4:
+                ver = data[b]
+                off = b + (96 if ver == 1 else 84)
+                if off + 8 <= e:
+                    w = int.from_bytes(data[off:off + 4], "big") >> 16
+                    h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
+                    if w and h:  # audio tracks carry 0×0
+                        width, height = w, h
+            elif btype == b"hdlr" and in_trak and e - b >= 12:
+                handler = data[b + 8:b + 12]
+                if handler == b"vide":
+                    has_video = True
+                elif handler == b"soun":
+                    has_audio = True
+            if btype == b"trak":
+                n_tracks += 1
+            if btype in _MP4_CONTAINERS:
+                walk(b, e, in_trak or btype == b"trak")
+
+    walk(0, len(data), False)
+    if duration_ms is None:
+        raise ValueError("not an ISO-BMFF movie: no moov/mvhd box")
+    return {"brand": brand, "duration_ms": duration_ms,
+            "n_tracks": n_tracks, "width": width, "height": height,
+            "has_video": has_video, "has_audio": has_audio}
+
+
+def encode_mp4_stub(width: int, height: int, duration_ms: int,
+                    timescale: int = 1000, brand: bytes = b"isom",
+                    with_audio: bool = False, version: int = 0) -> bytes:
+    """Minimal structurally-valid ISO-BMFF fixture (ftyp + moov with
+    mvhd and one video trak — tkhd + mdia/hdlr — plus an optional audio
+    trak). No media data; exists so the metadata parser is tested
+    against real box layouts, mirroring the JPEG/PNG/WAV encoders."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    dur = duration_ms * timescale // 1000
+    if version == 1:
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                   + timescale.to_bytes(4, "big") + dur.to_bytes(8, "big")
+                   + b"\x00" * 80)
+    else:
+        mvhd = box(b"mvhd", b"\x00" * 12 + timescale.to_bytes(4, "big")
+                   + dur.to_bytes(4, "big") + b"\x00" * 80)
+
+    def trak(handler: bytes, w: int, h: int) -> bytes:
+        tkhd = box(b"tkhd", b"\x00" * 84 + (w << 16).to_bytes(4, "big")
+                   + (h << 16).to_bytes(4, "big"))
+        hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 13)
+        return box(b"trak", tkhd + box(b"mdia", hdlr))
+
+    traks = trak(b"vide", width, height)
+    if with_audio:
+        traks += trak(b"soun", 0, 0)
+    return box(b"ftyp", brand + b"\x00\x00\x02\x00" + brand) \
+        + box(b"moov", mvhd + traks)

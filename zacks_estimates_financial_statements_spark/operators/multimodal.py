@@ -15,9 +15,11 @@ signatures) is real and tested. Codec status per modality:
 - **audio** — REAL decode for PCM WAV (stdlib ``wave``): duration, RMS,
   peak, zero-crossing rate from the decoded samples. Other containers
   are quarantined per row.
-- **video** — frame extraction remains STUBBED (MP4 demuxing needs
-  libraries not in this container); the sampling schedule, schema, and
-  batching are real.
+- **video** — container metadata is REAL (stdlib ISO-BMFF box walker:
+  ftyp brand, mvhd duration v0/v1, tkhd dimensions, hdlr track
+  classification — ``parse_video_metadata``); frame extraction remains
+  STUBBED (codec decode needs libraries not in this container), with
+  the sampling schedule, schema, and batching real.
 
 Design notes for 100 TB:
 - media rows are large; ``mapInPandas`` with a bounded
@@ -69,6 +71,55 @@ AUDIO_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = (
     "media_id long, frame_idx int, ts_ms long, frame_bytes binary"
 )
+
+VIDEO_METADATA_SCHEMA = (
+    "media_id long, brand string, duration_ms long, n_tracks int, "
+    "width int, height int, has_video boolean, has_audio boolean, "
+    "decode_error string"
+)
+
+
+def parse_video_metadata(media: DataFrame,
+                         strict: bool = False) -> DataFrame:
+    """Video payloads → REAL ISO-BMFF container metadata (stdlib box
+    walker in ``functions/codecs.py``): brand, movie duration, track
+    count, presentation dimensions, video/audio track flags. This is
+    the demux-metadata half of a video pipeline — the filter/route step
+    that runs BEFORE any (still stubbed) frame decode; non-BMFF rows
+    are quarantined with ``decode_error`` (or raise in ``strict``)."""
+    import pandas as pd
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    cols = ["media_id", "brand", "duration_ms", "n_tracks", "width",
+            "height", "has_video", "has_audio", "decode_error"]
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    meta = codecs.parse_mp4_metadata(payload)
+                    rows.append({"media_id": mid, **meta,
+                                 "decode_error": None})
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    if strict:
+                        raise
+                    rows.append({"media_id": mid, "brand": None,
+                                 "duration_ms": None, "n_tracks": None,
+                                 "width": None, "height": None,
+                                 "has_video": None, "has_audio": None,
+                                 "decode_error": str(exc)})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload")
+            .mapInPandas(fn, VIDEO_METADATA_SCHEMA))
 
 
 def _fake_features(payload: bytes, dims: int) -> list[float]:
