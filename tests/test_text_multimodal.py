@@ -392,3 +392,16 @@ def test_mp4_parser_handles_truncation_and_largesize():
         + (16 + len(body)).to_bytes(8, "big") + body
     meta = C.parse_mp4_metadata(good[:good.index(b"moov") - 4] + large)
     assert meta["duration_ms"] == 5000 and meta["n_tracks"] == 1
+
+
+def test_video_frame_schedule_from_parsed_container(spark):
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    media = spark.createDataFrame(
+        [(20, "video", bytearray(C.encode_mp4_stub(320, 240, 3500)),
+          "video/mp4", None, None, None)],   # no duration metadata
+        M.MEDIA_SCHEMA)
+    frames = M.sample_video_frames(media, every_ms=1000).collect()
+    # 3500 ms read from the real mvhd box → frames at 0/1000/2000/3000
+    assert [(r["frame_idx"], r["ts_ms"]) for r in frames] == \
+        [(0, 0), (1, 1000), (2, 2000), (3, 3000)]

@@ -242,7 +242,10 @@ def decode_audio_features(media: DataFrame,
 def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                         strict: bool = False) -> DataFrame:
     """Video payloads → sampled frame rows (frame extraction STUBBED: one
-    synthetic frame marker per ``every_ms`` of reported duration)."""
+    synthetic frame marker per ``every_ms`` of duration). The sampling
+    schedule is real: when the ``duration_ms`` metadata column is null,
+    the duration is read from the payload's actual ISO-BMFF ``mvhd``
+    box (``codecs.parse_mp4_metadata``)."""
     import pandas as pd
 
     from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
@@ -250,6 +253,8 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
     ensure_package_on_executors(media.sparkSession)
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
         for pdf in batches:
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
@@ -258,8 +263,13 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                     raise NotImplementedError(
                         "video decode requires a codec library not present "
                         "in this container")
-                dur = 0 if pd.isna(dur) else int(dur)
                 payload = bytes(payload) if payload is not None else b""
+                if pd.isna(dur):
+                    try:
+                        dur = codecs.parse_mp4_metadata(payload)["duration_ms"]
+                    except ValueError:
+                        dur = 0
+                dur = int(dur)
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     # STUB frame: deterministic byte slice marker
                     rows.append({"media_id": mid, "frame_idx": i,
