@@ -111,3 +111,12 @@ def test_stress_20k_nodes_logarithmic_rounds(spark):
         graph._small_star = orig
     assert got == _uf_labels(edges)
     assert rounds["n"] <= 10  # log-ish, NOT diameter-bound (path is 3k long)
+
+
+def test_reliable_checkpoint_branch(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                               "id_a: long, id_b: long")
+    got = {r["node"]: r["component"]
+           for r in graph.connected_components(df, reliable=True).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
