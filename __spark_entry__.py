@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from zacks_estimates_financial_statements_spark.export import decimal_text  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
+from zacks_estimates_financial_statements_spark.functions import vectors  # noqa: E402
 from zacks_estimates_financial_statements_spark.operators import curation, dedup, graph, similarity  # noqa: E402
 
 DEC = "decimal(38,6)"
@@ -697,10 +698,10 @@ def q_minhash_near_dup_pairs(spark, sf):
     return dedup.minhash_near_dup_pairs(docs, "doc_id", "text", k=12, bands=4)
 
 
-ORACLE_MINHASH_PAIRS = f"""
-WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
-{_MINHASH_SIGS_CTE},
-buckets AS (
+# banded-LSH candidate CTEs over `sigs` — shared by every oracle that
+# consumes the MinHash pair graph (pairs, clusters, curation composite,
+# cross-modal check)
+_LSH_CAND_CTES = """buckets AS (
   SELECT doc_id, hash_idx % 4 AS band,
     md5(string_agg(lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR,
         ',' ORDER BY lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR))
@@ -709,13 +710,23 @@ buckets AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-SELECT c.id_a, c.id_b,
-  sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 12.0 AS est_jaccard
-FROM cand c
-JOIN sigs sa ON sa.doc_id = c.id_a
-JOIN sigs sb ON sb.doc_id = c.id_b AND sb.hash_idx = sa.hash_idx
-GROUP BY c.id_a, c.id_b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+# the est_jaccard scoring select over cand + sigs, likewise shared
+_LSH_SCORED_SELECT = """
+  SELECT c.id_a, c.id_b,
+    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 12.0
+      AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.hash_idx = sa.hash_idx
+  GROUP BY c.id_a, c.id_b"""
+
+ORACLE_MINHASH_PAIRS = f"""
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+{_MINHASH_SIGS_CTE},
+{_LSH_CAND_CTES}
+{_LSH_SCORED_SELECT}
 """
 
 
@@ -1477,16 +1488,7 @@ def q_dedup_clusters(spark, sf):
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE shingled AS ({_SHINGLE_SQL.format(km1=2)}),
 {_MINHASH_SIGS_CTE},
-buckets AS (
-  SELECT doc_id, hash_idx % 4 AS band,
-    md5(string_agg(lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR,
-        ',' ORDER BY lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR))
-    AS bucket
-  FROM sigs GROUP BY doc_id, band),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_LSH_CAND_CTES},
 edges AS (
   SELECT id_a AS u, id_b AS v FROM cand
   UNION
@@ -1764,6 +1766,40 @@ FROM laid
 """
 
 
+def q_cross_modal_pairs(spark, sf):
+    """Cross-evidence dedup check: every MinHash text near-dup pair
+    annotated with the embedding-space cosine of its two documents —
+    the agreement signal a pipeline uses before trusting a borderline
+    text match. The tiny pair set broadcasts into both embedding
+    joins; the embedding table never shuffles."""
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    pairs = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                         k=12, bands=4)
+    ea = emb.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("__va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("__vb"))
+    half = ea.join(F.broadcast(pairs), "id_a")
+    return (eb.join(F.broadcast(half), "id_b")
+            .select("id_a", "id_b", "est_jaccard",
+                    F.round(vectors.cosine(F.col("__va"), F.col("__vb")), 6)
+                    .alias("cosine")))
+
+
+ORACLE_CROSS_MODAL_PAIRS = f"""
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+{_MINHASH_SIGS_CTE},
+{_LSH_CAND_CTES},
+scored AS ({_LSH_SCORED_SELECT})
+SELECT s.id_a, s.id_b, s.est_jaccard,
+  round({_COS_SQL.format(a='ea.embedding', b='eb.embedding')}, 6) AS cosine
+FROM scored s
+JOIN embeddings ea ON ea.vec_id = s.id_a
+JOIN embeddings eb ON eb.vec_id = s.id_b
+"""
+
+
 def q_curate_pipeline(spark, sf):
     """Flagship end-to-end curation composite, chaining the extension
     operators the way a real corpus build would:
@@ -1812,16 +1848,7 @@ corpus_docs AS (SELECT * FROM split WHERE bucket >= 100000),
 bench_docs AS (SELECT * FROM split WHERE bucket < 100000),
 shingled AS ({_CORPUS_SHINGLE_SQL}),
 {_MINHASH_SIGS_CTE},
-buckets AS (
-  SELECT doc_id, hash_idx % 4 AS band,
-    md5(string_agg(lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR,
-        ',' ORDER BY lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR))
-    AS bucket
-  FROM sigs GROUP BY doc_id, band),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_LSH_CAND_CTES},
 edges AS (
   SELECT id_a AS u, id_b AS v FROM cand
   UNION
@@ -1926,6 +1953,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_gate": q_quantile_gate,
     "token_budget_fill": q_token_budget_fill,
     "curate_pipeline": q_curate_pipeline,
+    "cross_modal_pairs": q_cross_modal_pairs,
 }
 
 _ORACLE: dict[str, str] = {
@@ -1983,6 +2011,7 @@ _ORACLE: dict[str, str] = {
     "quantile_gate": ORACLE_QUANTILE_GATE,
     "token_budget_fill": ORACLE_TOKEN_BUDGET_FILL,
     "curate_pipeline": ORACLE_CURATE_PIPELINE,
+    "cross_modal_pairs": ORACLE_CROSS_MODAL_PAIRS,
 }
 
 
