@@ -53,14 +53,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    Spark cannot read natively — read nanos as long (legacy conf) and
-    convert to microsecond timestamps with exact integer division,
-    matching DuckDB's nanos→micros truncation."""
+    """The events table's ``ts`` physical parquet type has drifted across
+    driver testdata regenerations (INT64 TIMESTAMP(NANOS) ↔ TIMESTAMP
+    micros), so never hard-code it: set the nanos-as-long legacy conf
+    *before* the read, then dispatch on the schema Spark actually
+    produced.  LongType means a nanos file (convert with exact integer
+    division, matching DuckDB's nanos→micros truncation); any timestamp
+    type is used natively, cast to the session-UTC TIMESTAMP the queries
+    and oracles both expect."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long")))
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _dec(c) -> F.Column:
