@@ -133,13 +133,18 @@ def token_frequencies(df: DataFrame, id_col: str, text_col: str,
 
     Plan shape: one token explode combined map-side into (token, doc)
     counts, then a per-token aggregation — two narrow shuffles, linear
-    in corpus tokens; the corpus size ``N`` is a parquet-metadata count,
-    not a shuffle. Tokenization matches ``functions.text.word_tokens``
-    (empties dropped), same as ``repetition_stats``.
+    in corpus tokens. The corpus size ``N`` is a 1-row aggregate joined
+    back by broadcast on a constant key, so the whole operator is one
+    lazy plan with no driver-side action; ``df`` is still scanned twice
+    (once for N, once for tokens) — persist it first if it sits on an
+    expensive chained lineage. Tokenization matches
+    ``functions.text.word_tokens`` (empties dropped), same as
+    ``repetition_stats``.
     """
     if min_tf < 1:
         raise ValueError(f"min_tf must be >= 1, got {min_tf}")
-    n_docs = df.count()
+    n_docs = (df.agg(F.count("*").cast("double").alias("__n"))
+              .withColumn("__k", F.lit(1)))
     words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
                      lambda x: x != "")
     toks = (df.select(F.col(id_col), F.explode(words).alias("token")))
@@ -148,9 +153,12 @@ def token_frequencies(df: DataFrame, id_col: str, text_col: str,
             .agg(F.sum("__c").alias("tf"),
                  F.count("*").alias("doc_freq"))
             .filter(F.col("tf") >= min_tf)
+            .withColumn("__k", F.lit(1))
+            .join(F.broadcast(n_docs), "__k")
             .withColumn("idf", F.round(
-                F.log((n_docs + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0,
-                6)))
+                F.log((F.col("__n") + 1.0) / (F.col("doc_freq") + 1.0))
+                + 1.0, 6))
+            .drop("__k", "__n"))
 
 
 def _word_array(text_col: str) -> Column:

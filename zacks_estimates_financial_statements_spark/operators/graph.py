@@ -132,11 +132,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             f"connected_components did not converge in {max_iter} rounds")
     # At the fixed point the edge set is a forest of stars rooted at
     # each component's minimum: every (u, v) has u == component(v), and
-    # roots label themselves.
+    # roots label themselves. The star-forest invariant makes `members`
+    # already distinct (one edge per non-root node) and disjoint from
+    # `roots` (a root never appears as v), so only the root projection
+    # needs deduping — no distinct over the whole union.
     members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node")).distinct() \
         .withColumn("component", F.col("node"))
-    return members.union(roots).distinct()
+    return members.union(roots)
 
 
 def resolve_duplicate_clusters(df: DataFrame, pairs: DataFrame,
