@@ -30,7 +30,8 @@ from zacks_estimates_financial_statements_spark.export import decimal_text  # no
 from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import vectors  # noqa: E402
-from zacks_estimates_financial_statements_spark.operators import curation, dedup, graph, similarity  # noqa: E402
+from zacks_estimates_financial_statements_spark.operators import (  # noqa: E402
+    curation, dedup, graph, multimodal, similarity)
 
 DEC = "decimal(38,6)"
 
@@ -1808,6 +1809,56 @@ JOIN embeddings eb ON eb.vec_id = s.id_b
 """
 
 
+def q_media_metadata(spark, sf):
+    """Driver-checkable correctness row for the multimodal codec path:
+    synthesize deterministic PPM/BMP/PNG/WAV payloads from documents
+    ids (md5-chain content), run them back through the REAL package
+    decoders (functions/codecs.py), and emit decode-recovered
+    invariants — sniffed format, parsed dims/duration, encoded length,
+    md5 of the decoded content as lowercase hex. The DuckDB twin
+    computes every column in closed form, so a wrong sniff, mis-parsed
+    header, or single wrong decoded byte flips the value hash."""
+    ids = _t(spark, sf, "documents").filter(F.col("doc_id") < 24)
+    return multimodal.synthesize_decode_invariants(ids, id_col="doc_id")
+
+
+ORACLE_MEDIA_METADATA = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 24),
+base AS (
+  SELECT media_id,
+    CASE media_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                      WHEN 2 THEN 'png' ELSE 'wav' END AS fmt,
+    (4 + media_id % 5) AS w, (3 + media_id % 4) AS h,
+    (200 + (media_id % 7) * 37) AS nsamp
+  FROM ids),
+need AS (
+  SELECT *,
+    CASE WHEN fmt = 'wav' THEN nsamp * 2 ELSE w * h * 3 END AS nbytes
+  FROM base),
+stream AS (
+  -- this DuckDB can't correlate generate_series bounds: over-generate a
+  -- fixed block range (max nbytes here needs 53 blocks) and filter
+  SELECT n.media_id,
+    string_agg(md5(n.media_id || ':' || g.b), '' ORDER BY g.b) AS hexstream
+  FROM need n, generate_series(0, 63) AS g(b)
+  WHERE g.b < (n.nbytes * 2 + 31) // 32
+  GROUP BY n.media_id)
+SELECT n.media_id, n.fmt,
+  (CASE WHEN n.fmt = 'wav' THEN NULL ELSE n.w END)::INT AS width,
+  (CASE WHEN n.fmt = 'wav' THEN NULL ELSE n.h END)::INT AS height,
+  (CASE WHEN n.fmt = 'wav' THEN (n.nsamp * 1000) // 8000 END)::BIGINT
+    AS duration_ms,
+  (CASE n.fmt
+     WHEN 'ppm' THEN 9 + length(n.w::VARCHAR) + length(n.h::VARCHAR)
+                   + n.nbytes
+     WHEN 'bmp' THEN 54 + ((n.w * 3 + 3) // 4) * 4 * n.h
+     WHEN 'wav' THEN 44 + n.nbytes
+   END)::BIGINT AS enc_len,
+  md5(substr(s.hexstream, 1, n.nbytes * 2)) AS content_md5
+FROM need n JOIN stream s USING (media_id)
+"""
+
+
 def q_curate_pipeline(spark, sf):
     """Flagship end-to-end curation composite, chaining the extension
     operators the way a real corpus build would:
@@ -1962,6 +2013,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "curate_pipeline": q_curate_pipeline,
     "cross_modal_pairs": q_cross_modal_pairs,
+    "media_metadata": q_media_metadata,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2020,6 +2072,7 @@ _ORACLE: dict[str, str] = {
     "token_budget_fill": ORACLE_TOKEN_BUDGET_FILL,
     "curate_pipeline": ORACLE_CURATE_PIPELINE,
     "cross_modal_pairs": ORACLE_CROSS_MODAL_PAIRS,
+    "media_metadata": ORACLE_MEDIA_METADATA,
 }
 
 

@@ -405,3 +405,32 @@ def test_video_frame_schedule_from_parsed_container(spark):
     # 3500 ms read from the real mvhd box → frames at 0/1000/2000/3000
     assert [(r["frame_idx"], r["ts_ms"]) for r in frames] == \
         [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+
+
+def test_synthesize_decode_invariants_roundtrip(spark):
+    import hashlib
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], ["media_id"])
+    rows = {r.media_id: r
+            for r in M.synthesize_decode_invariants(ids).collect()}
+    assert len(rows) == 8
+    fmts = {0: "ppm", 1: "bmp", 2: "png", 3: "wav"}
+    for mid, r in rows.items():
+        assert r.fmt == fmts[mid % 4]
+        if r.fmt == "wav":
+            n_samp = 200 + (mid % 7) * 37
+            assert (r.width, r.height) == (None, None)
+            assert r.duration_ms == n_samp * 1000 // 8000
+            assert r.enc_len == 44 + n_samp * 2
+            expect_hex = M._hex_chain(mid, n_samp * 2)
+        else:
+            w, h = 4 + mid % 5, 3 + mid % 4
+            assert (r.width, r.height) == (w, h)
+            assert r.duration_ms is None
+            assert r.enc_len is None if r.fmt == "png" \
+                else r.enc_len > w * h * 3
+            expect_hex = M._hex_chain(mid, w * h * 3)
+        # the md5 is over the DECODED content — equality proves the
+        # encode→decode round trip is byte-exact
+        assert r.content_md5 == hashlib.md5(
+            expect_hex.encode()).hexdigest()

@@ -283,6 +283,117 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
             .mapInPandas(fn, FRAME_SAMPLE_SCHEMA))
 
 
+MEDIA_ROUNDTRIP_SCHEMA = (
+    "media_id long, fmt string, width int, height int, "
+    "duration_ms long, enc_len long, content_md5 string"
+)
+
+#: format per media_id % 4 — three lossless image containers + PCM WAV
+_ROUNDTRIP_FMTS = ("ppm", "bmp", "png", "wav")
+
+
+def _hex_chain(media_id: int, n_bytes: int) -> str:
+    """Deterministic content stream: concatenated md5 hexdigests of
+    ``f"{media_id}:{block}"``, truncated to ``n_bytes`` worth of hex.
+    The construction is reproducible in ANSI SQL
+    (``string_agg(md5(id || ':' || b), '')`` over a generated series),
+    which is what makes the decode invariants oracle-checkable."""
+    import hashlib
+
+    n_hex = n_bytes * 2
+    blocks = (n_hex + 31) // 32
+    return "".join(
+        hashlib.md5(f"{media_id}:{b}".encode()).hexdigest()
+        for b in range(blocks))[:n_hex]
+
+
+def synthesize_decode_invariants(ids: DataFrame,
+                                 id_col: str = "media_id") -> DataFrame:
+    """Deterministic media corpus → encode → REAL decode → invariants.
+
+    For each input id, generates content bytes from the md5 chain,
+    encodes them into a real container (PPM/BMP/PNG by ``id % 4``, or
+    16-bit mono PCM WAV), then runs the payload back through the
+    package codecs and emits what the *decode* recovered: the sniffed
+    container format, the parsed width/height (images) or duration
+    (audio), the encoded byte length, and the md5 of the decoded
+    content rendered as lowercase hex. Every output column has a
+    closed-form SQL twin, so this is the driver-checkable correctness
+    row for the multimodal codec path: a wrong sniff, a mis-parsed
+    header, or a single wrong decoded byte flips a column.
+
+    ``enc_len`` is NULL for PNG — the zlib-compressed length is
+    implementation-defined, unlike the fixed-layout PPM/BMP/WAV
+    containers. Everything else is exact.
+    """
+    import pandas as pd
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(ids.sparkSession)
+
+    cols = ["media_id", "fmt", "width", "height", "duration_ms",
+            "enc_len", "content_md5"]
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                fmt = _ROUNDTRIP_FMTS[mid % 4]
+                if fmt == "wav":
+                    n_samp = 200 + (mid % 7) * 37
+                    pcm = bytes.fromhex(_hex_chain(mid, n_samp * 2))
+                    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm))
+                           + b"WAVE" + b"fmt "
+                           + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                         16000, 2, 16)
+                           + b"data" + struct.pack("<I", len(pcm)))
+                    payload = hdr + pcm
+                    samples, rate = codecs.decode_wav(payload)
+                    # sw=2 decode divides by 2^15, so *32768 is exact
+                    raw = (samples * 32768.0).astype("<i2").tobytes()
+                    rows.append({
+                        "media_id": mid,
+                        "fmt": codecs.sniff(payload),
+                        "width": None, "height": None,
+                        "duration_ms": samples.shape[0] * 1000 // rate,
+                        "enc_len": len(payload),
+                        "content_md5": hashlib.md5(
+                            raw.hex().encode()).hexdigest(),
+                    })
+                else:
+                    w, h = 4 + mid % 5, 3 + mid % 4
+                    px = np.frombuffer(
+                        bytes.fromhex(_hex_chain(mid, w * h * 3)),
+                        dtype=np.uint8).reshape(h, w, 3)
+                    payload = {"ppm": codecs.encode_ppm,
+                               "bmp": codecs.encode_bmp,
+                               "png": codecs.encode_png}[fmt](px)
+                    arr = codecs.decode_image(payload)
+                    rows.append({
+                        "media_id": mid,
+                        "fmt": codecs.sniff(payload),
+                        "width": int(arr.shape[1]),
+                        "height": int(arr.shape[0]),
+                        "duration_ms": None,
+                        "enc_len": None if fmt == "png" else len(payload),
+                        "content_md5": hashlib.md5(
+                            arr.tobytes().hex().encode()).hexdigest(),
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (ids.select(F.col(id_col).cast("long").alias("media_id"))
+            .mapInPandas(fn, MEDIA_ROUNDTRIP_SCHEMA))
+
+
 def media_metadata_only(media: DataFrame) -> DataFrame:
     """Metadata projection — must NOT read the payload column (verified by
     checking the scan's ReadSchema in tests; at 100 TB this is the
