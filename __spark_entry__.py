@@ -1859,6 +1859,35 @@ FROM need n JOIN stream s USING (media_id)
 """
 
 
+def q_video_frames(spark, sf):
+    """Driver-checkable correctness row for REAL video frame
+    extraction: synthesize deterministic MJPEG-in-MP4 payloads (flat
+    even-valued colors, which baseline JPEG round-trips exactly), run
+    the production ``sample_video_frames`` operator (ISO-BMFF sample
+    table demux → per-tick JPEG sample), decode every extracted frame
+    and emit the recovered schedule, dimensions, and pixel value — all
+    closed-form in the DuckDB twin. A mis-parsed sample table, wrong
+    frame picked for a tick, or decoder defect flips the hash."""
+    ids = _t(spark, sf, "documents").filter(F.col("doc_id") < 12)
+    media = multimodal.synthesize_mjpeg_media(ids, id_col="doc_id")
+    frames = multimodal.sample_video_frames(media, every_ms=500)
+    return multimodal.frame_decode_invariants(frames)
+
+
+ORACLE_VIDEO_FRAMES = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 12),
+base AS (
+  SELECT media_id, 16 + (media_id % 3) * 8 AS w,
+         16 + (media_id % 2) * 8 AS h, 2 + media_id % 4 AS nf
+  FROM ids)
+SELECT b.media_id, g.i::INT AS frame_idx, (g.i * 500)::BIGINT AS ts_ms,
+  'jpeg' AS fmt, b.w::INT AS width, b.h::INT AS height,
+  (((b.media_id * 37 + g.i * 11) % 128) * 2)::INT AS color
+FROM base b, generate_series(0, 4) AS g(i)
+WHERE g.i < b.nf
+"""
+
+
 def q_curate_pipeline(spark, sf):
     """Flagship end-to-end curation composite, chaining the extension
     operators the way a real corpus build would:
@@ -2014,6 +2043,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_pipeline": q_curate_pipeline,
     "cross_modal_pairs": q_cross_modal_pairs,
     "media_metadata": q_media_metadata,
+    "video_frames": q_video_frames,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2073,6 +2103,7 @@ _ORACLE: dict[str, str] = {
     "curate_pipeline": ORACLE_CURATE_PIPELINE,
     "cross_modal_pairs": ORACLE_CROSS_MODAL_PAIRS,
     "media_metadata": ORACLE_MEDIA_METADATA,
+    "video_frames": ORACLE_VIDEO_FRAMES,
 }
 
 

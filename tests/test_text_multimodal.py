@@ -434,3 +434,44 @@ def test_synthesize_decode_invariants_roundtrip(spark):
         # encode→decode round trip is byte-exact
         assert r.content_md5 == hashlib.md5(
             expect_hex.encode()).hexdigest()
+
+
+def test_mjpeg_mp4_real_frame_extraction(spark):
+    import numpy as np
+
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    # 6 frames at 2 fps = 3 s; each frame a distinct flat color so the
+    # decoded pixels identify WHICH sample was extracted
+    colors = [(20 + 40 * i) % 256 for i in range(6)]
+    src = [np.full((16, 24, 3), c, dtype=np.uint8) for c in colors]
+    mp4 = C.encode_mjpeg_mp4(src, fps=2)
+
+    media = spark.createDataFrame(
+        [(30, "video", bytearray(mp4), "video/mp4", None, None, None)],
+        M.MEDIA_SCHEMA)
+    rows = (M.sample_video_frames(media, every_ms=1000)
+            .orderBy("frame_idx").collect())
+    assert [r["source"] for r in rows] == ["mjpeg"] * 3
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == \
+        [(0, 0), (1, 1000), (2, 2000)]
+    # ticks 0/1000/2000 ms at 2 fps land on samples 0, 2, 4 — decode the
+    # extracted bytes and check the flat color round-trips exactly
+    for r, want in zip(rows, (colors[0], colors[2], colors[4])):
+        arr = C.decode_jpeg(bytes(r["frame_bytes"]))
+        assert arr.shape == (16, 24, 3)
+        assert int(arr[8, 12, 0]) == want
+
+    # non-MJPEG codec → flagged stub rows, or raise in strict mode
+    stub = M.sample_video_frames(
+        spark.createDataFrame(
+            [(31, "video", bytearray(C.encode_mp4_stub(64, 48, 1500)),
+              "video/mp4", None, None, None)], M.MEDIA_SCHEMA)).collect()
+    assert all(r["source"].startswith("stub:") for r in stub)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="frame extraction unavailable"):
+        M.sample_video_frames(
+            spark.createDataFrame(
+                [(32, "video", bytearray(C.encode_mp4_stub(64, 48, 1500)),
+                  "video/mp4", None, None, None)], M.MEDIA_SCHEMA),
+            strict=True).collect()

@@ -989,3 +989,203 @@ def encode_mp4_stub(width: int, height: int, duration_ms: int,
         traks += trak(b"soun", 0, 0)
     return box(b"ftyp", brand + b"\x00\x00\x02\x00" + brand) \
         + box(b"moov", mvhd + traks)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables + MJPEG track demux (pure stdlib)
+# ---------------------------------------------------------------------------
+
+#: stsd fourccs whose samples are self-contained baseline JPEG images
+_MJPEG_FOURCCS = {b"jpeg", b"mjpa", b"mjpb", b"AVDJ", b"dmb1"}
+
+
+def parse_mp4_samples(data: bytes) -> list[dict]:
+    """Flatten each track's sample tables into addressable samples.
+
+    Walks ``moov/trak/mdia`` reading ``hdlr`` (handler), ``mdhd``
+    (media timescale), ``stsd`` (first sample-entry fourcc), then
+    expands ``stts`` (decode deltas) × ``stsc`` (sample→chunk runs) ×
+    ``stsz`` (sizes) × ``stco``/``co64`` (chunk offsets) into per-track
+    ``{"handler", "codec", "timescale", "samples": [(offset, size,
+    ts_ms), ...]}``. This is the demux half of frame extraction — pure
+    byte arithmetic over the ISO-BMFF tables (ISO/IEC 14496-12 §8.5-8.7),
+    no codec involved. Tracks with incomplete tables yield no samples
+    rather than raising (same tolerance as the box walker).
+    """
+    tracks: list[dict] = []
+
+    def u32(off: int) -> int:
+        return int.from_bytes(data[off:off + 4], "big")
+
+    def walk_trak(start: int, end: int, tr: dict):
+        for btype, b, e in _mp4_boxes(data, start, end):
+            if btype == b"hdlr" and e - b >= 12:
+                tr["handler"] = data[b + 8:b + 12]
+            elif btype == b"mdhd" and e - b >= 4:
+                ver = data[b]
+                off = b + (20 if ver == 1 else 12)
+                if off + 4 <= e:
+                    tr["timescale"] = u32(off)
+            elif btype == b"stsd" and e - b >= 16:
+                tr["codec"] = data[b + 12:b + 16]
+            elif btype == b"stts" and e - b >= 8:
+                n = u32(b + 4)
+                tr["stts"] = [(u32(b + 8 + 8 * i), u32(b + 12 + 8 * i))
+                              for i in range(n) if b + 16 + 8 * i <= e]
+            elif btype == b"stsc" and e - b >= 8:
+                n = u32(b + 4)
+                tr["stsc"] = [(u32(b + 8 + 12 * i), u32(b + 12 + 12 * i))
+                              for i in range(n) if b + 20 + 12 * i <= e]
+            elif btype == b"stsz" and e - b >= 12:
+                fixed, n = u32(b + 4), u32(b + 8)
+                if fixed:
+                    tr["sizes"] = [fixed] * n
+                else:
+                    tr["sizes"] = [u32(b + 12 + 4 * i) for i in range(n)
+                                   if b + 16 + 4 * i <= e]
+            elif btype == b"stco" and e - b >= 8:
+                n = u32(b + 4)
+                tr["chunks"] = [u32(b + 8 + 4 * i) for i in range(n)
+                                if b + 12 + 4 * i <= e]
+            elif btype == b"co64" and e - b >= 8:
+                n = u32(b + 4)
+                tr["chunks"] = [int.from_bytes(data[b + 8 + 8 * i:
+                                                    b + 16 + 8 * i], "big")
+                                for i in range(n) if b + 16 + 8 * i <= e]
+            if btype in _MP4_CONTAINERS:
+                walk_trak(b, e, tr)
+
+    def walk(start: int, end: int):
+        for btype, b, e in _mp4_boxes(data, start, end):
+            if btype == b"trak":
+                tr: dict = {"handler": None, "codec": None,
+                            "timescale": 0, "stts": [], "stsc": [],
+                            "sizes": [], "chunks": []}
+                walk_trak(b, e, tr)
+                tracks.append(tr)
+            elif btype in _MP4_CONTAINERS:
+                walk(b, e)
+
+    walk(0, len(data))
+
+    out = []
+    for tr in tracks:
+        sizes, chunks, stsc = tr["sizes"], tr["chunks"], tr["stsc"]
+        ts = tr["timescale"]
+        # expand stts deltas → per-sample decode timestamps
+        deltas: list[int] = []
+        for cnt, delta in tr["stts"]:
+            deltas.extend([delta] * cnt)
+        samples: list[tuple[int, int, int]] = []
+        if sizes and chunks and stsc and ts:
+            # stsc runs: entry (first_chunk, spc) applies up to the next
+            # entry's first_chunk (1-based, ISO 14496-12 §8.7.4)
+            si = 0   # next sample index
+            t = 0    # running decode time in media timescale
+            for ci, coff in enumerate(chunks, start=1):
+                spc = 0
+                for first, n in stsc:
+                    if first <= ci:
+                        spc = n
+                    else:
+                        break
+                off = coff
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    ts_ms = t * 1000 // ts
+                    samples.append((off, sizes[si], ts_ms))
+                    t += deltas[si] if si < len(deltas) else 0
+                    off += sizes[si]
+                    si += 1
+        out.append({"handler": tr["handler"], "codec": tr["codec"],
+                    "timescale": ts, "samples": samples})
+    return out
+
+
+def extract_mjpeg_frames(data: bytes) -> list[tuple[int, bytes]]:
+    """REAL frame extraction for MJPEG-in-MP4: demux the first video
+    track whose sample entry is an MJPEG fourcc and slice each sample
+    (a self-contained baseline JPEG) out of ``mdat``. Returns
+    ``[(ts_ms, jpeg_bytes), ...]`` in decode order; the bytes feed
+    ``decode_jpeg`` directly.
+
+    Raises ValueError when the payload has no demuxable video track and
+    NotImplementedError when the video codec isn't MJPEG (H.264/HEVC
+    need libraries not in this container) — callers quarantine/stub per
+    row, the same contract as the image codecs.
+    """
+    video = [t for t in parse_mp4_samples(data)
+             if t["handler"] == b"vide" and t["samples"]]
+    if not video:
+        raise ValueError("no demuxable video track (missing/empty "
+                         "sample tables)")
+    tr = video[0]
+    if tr["codec"] not in _MJPEG_FOURCCS:
+        codec = (tr["codec"] or b"?").decode("ascii", "replace")
+        raise NotImplementedError(
+            f"no codec for video sample format '{codec}' "
+            "(supported here: MJPEG)")
+    frames = []
+    for off, size, ts_ms in tr["samples"]:
+        chunk = data[off:off + size]
+        if len(chunk) != size or sniff(chunk) != "jpeg":
+            raise ValueError(
+                f"sample at {off}+{size} is not a JPEG (corrupt tables?)")
+        frames.append((ts_ms, chunk))
+    return frames
+
+
+def encode_mjpeg_mp4(frames: list[np.ndarray], fps: int = 5,
+                     brand: bytes = b"isom") -> bytes:
+    """Mux (h, w, 3) uint8 RGB frames into a minimal-but-real
+    MJPEG-in-MP4: each frame is baseline-JPEG encoded (Annex K tables,
+    4:4:4) into one sample, one chunk holds all samples, and the moov
+    carries genuine stsd/stts/stsc/stsz/stco tables plus the same
+    mvhd/tkhd/hdlr/mdhd layout the metadata parser reads. Fixture
+    counterpart of ``extract_mjpeg_frames``."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = [encode_jpeg(f) for f in frames]
+    n = len(samples)
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    ftyp = box(b"ftyp", brand + b"\x00\x00\x02\x00" + brand)
+    mdat_body_off = len(ftyp) + 8
+    mdat = box(b"mdat", b"".join(samples))
+
+    # ISO 14496-12 visual sample entry (86 bytes) with fourcc 'jpeg'
+    entry = (b"\x00" * 6 + (1).to_bytes(2, "big")          # data_ref_idx
+             + b"\x00" * 16
+             + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+             + (0x00480000).to_bytes(4, "big") * 2          # 72 dpi
+             + b"\x00" * 4 + (1).to_bytes(2, "big")         # frame_count
+             + b"\x05MJPEG" + b"\x00" * 26                  # compressor
+             + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big"))
+    stsd = box(b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big")
+               + (8 + len(entry)).to_bytes(4, "big") + b"jpeg" + entry)
+    stts = box(b"stts", b"\x00" * 4 + (1).to_bytes(4, "big")
+               + n.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsc = box(b"stsc", b"\x00" * 4 + (1).to_bytes(4, "big")
+               + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+               + (1).to_bytes(4, "big"))
+    stsz = box(b"stsz", b"\x00" * 4 + (0).to_bytes(4, "big")
+               + n.to_bytes(4, "big")
+               + b"".join(len(s).to_bytes(4, "big") for s in samples))
+    stco = box(b"stco", b"\x00" * 4 + (1).to_bytes(4, "big")
+               + mdat_body_off.to_bytes(4, "big"))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    mdhd = box(b"mdhd", b"\x00" * 12 + fps.to_bytes(4, "big")
+               + n.to_bytes(4, "big") + b"\x00" * 4)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", b"\x00" * 84 + (w << 16).to_bytes(4, "big")
+               + (h << 16).to_bytes(4, "big"))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", b"\x00" * 12 + fps.to_bytes(4, "big")
+               + n.to_bytes(4, "big") + b"\x00" * 80)
+    return ftyp + mdat + box(b"moov", mvhd + trak)

@@ -17,9 +17,12 @@ signatures) is real and tested. Codec status per modality:
   are quarantined per row.
 - **video** — container metadata is REAL (stdlib ISO-BMFF box walker:
   ftyp brand, mvhd duration v0/v1, tkhd dimensions, hdlr track
-  classification — ``parse_video_metadata``); frame extraction remains
-  STUBBED (codec decode needs libraries not in this container), with
-  the sampling schedule, schema, and batching real.
+  classification — ``parse_video_metadata``), and frame extraction is
+  REAL for MJPEG-in-MP4 (sample-table demux slices each scheduled
+  tick's JPEG sample; the bytes decode with the baseline JPEG codec).
+  Non-MJPEG codecs (H.264/HEVC) still fall back to a clearly-flagged
+  stub marker row (``source = 'stub:…'``) or raise in strict mode —
+  their decoders need libraries not in this container.
 
 Design notes for 100 TB:
 - media rows are large; ``mapInPandas`` with a bounded
@@ -69,7 +72,8 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = (
-    "media_id long, frame_idx int, ts_ms long, frame_bytes binary"
+    "media_id long, frame_idx int, ts_ms long, frame_bytes binary, "
+    "source string"
 )
 
 VIDEO_METADATA_SCHEMA = (
@@ -241,16 +245,25 @@ def decode_audio_features(media: DataFrame,
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                         strict: bool = False) -> DataFrame:
-    """Video payloads → sampled frame rows (frame extraction STUBBED: one
-    synthetic frame marker per ``every_ms`` of duration). The sampling
-    schedule is real: when the ``duration_ms`` metadata column is null,
-    the duration is read from the payload's actual ISO-BMFF ``mvhd``
-    box (``codecs.parse_mp4_metadata``)."""
+    """Video payloads → sampled frame rows.
+
+    Frame extraction is REAL for MJPEG-in-MP4: the ISO-BMFF sample
+    tables are demuxed (``codecs.parse_mp4_samples``) and each sampled
+    tick emits the actual JPEG sample nearest-at-or-before it
+    (``source = 'mjpeg'``; the bytes feed ``codecs.decode_jpeg``
+    directly). Payloads whose video codec has no in-container decoder
+    (H.264/HEVC …) fall back to a clearly-flagged deterministic stub
+    marker (``source = 'stub:…'``) or raise in ``strict`` mode; the
+    sampling schedule stays real either way — when the ``duration_ms``
+    metadata column is null the duration comes from the payload's
+    actual ``mvhd`` box."""
     import pandas as pd
 
     from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
 
     ensure_package_on_executors(media.sparkSession)
+
+    cols = ["media_id", "frame_idx", "ts_ms", "frame_bytes", "source"]
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from zacks_estimates_financial_statements_spark.functions import codecs
@@ -259,11 +272,28 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
                                          pdf["duration_ms"]):
-                if strict:
-                    raise NotImplementedError(
-                        "video decode requires a codec library not present "
-                        "in this container")
                 payload = bytes(payload) if payload is not None else b""
+                try:
+                    frames = codecs.extract_mjpeg_frames(payload)
+                    # schedule end: metadata duration, else up to the
+                    # last demuxed frame (same ticks the container
+                    # duration would give)
+                    end = (int(dur) if not pd.isna(dur)
+                           else frames[-1][0] + 1)
+                    for i, tick in enumerate(range(0, max(end, 1),
+                                                   every_ms)):
+                        at = [fb for ts, fb in frames if ts <= tick]
+                        rows.append({"media_id": mid, "frame_idx": i,
+                                     "ts_ms": tick,
+                                     "frame_bytes": at[-1] if at
+                                     else frames[0][1],
+                                     "source": "mjpeg"})
+                    continue
+                except (ValueError, NotImplementedError) as exc:
+                    if strict:
+                        raise NotImplementedError(
+                            f"real frame extraction unavailable: {exc}")
+                    reason = str(exc)
                 if pd.isna(dur):
                     try:
                         dur = codecs.parse_mp4_metadata(payload)["duration_ms"]
@@ -274,13 +304,100 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                     # STUB frame: deterministic byte slice marker
                     rows.append({"media_id": mid, "frame_idx": i,
                                  "ts_ms": ts,
-                                 "frame_bytes": payload[:16]})
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
-                                              "ts_ms", "frame_bytes"])
+                                 "frame_bytes": payload[:16],
+                                 "source": f"stub:{reason[:80]}"})
+            yield pd.DataFrame(rows, columns=cols)
 
     return (media.filter(F.col("kind") == "video")
             .select("media_id", "payload", "duration_ms")
             .mapInPandas(fn, FRAME_SAMPLE_SCHEMA))
+
+
+FRAME_INVARIANTS_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, fmt string, "
+    "width int, height int, color int"
+)
+
+
+def synthesize_mjpeg_media(ids: DataFrame,
+                           id_col: str = "media_id") -> DataFrame:
+    """Deterministic MJPEG-in-MP4 corpus keyed by id: ``2 + id % 4``
+    flat-color frames at 2 fps, ``width = 16 + (id % 3) * 8``,
+    ``height = 16 + (id % 2) * 8``, frame *i* colored
+    ``((id * 37 + i * 11) % 128) * 2`` — even levels only, which the
+    Annex-K quantizer round-trips exactly, so decoded pixel values are
+    closed-form predictable. Returns MEDIA_SCHEMA rows (null
+    duration_ms: downstream must demux the real sample tables)."""
+    import pandas as pd
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(ids.sparkSession)
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 16 + (mid % 3) * 8, 16 + (mid % 2) * 8
+                frames = [
+                    np.full((h, w, 3),
+                            ((mid * 37 + i * 11) % 128) * 2,
+                            dtype=np.uint8)
+                    for i in range(2 + mid % 4)]
+                rows.append({"media_id": mid, "kind": "video",
+                             "payload": codecs.encode_mjpeg_mp4(
+                                 frames, fps=2),
+                             "mime": "video/mp4", "width": w,
+                             "height": h, "duration_ms": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return (ids.select(F.col(id_col).cast("long").alias("media_id"))
+            .mapInPandas(fn, MEDIA_SCHEMA))
+
+
+def frame_decode_invariants(frames: DataFrame) -> DataFrame:
+    """Decode sampled frame bytes and emit what the decode recovered:
+    sniffed format, true width/height, and the flat pixel value when
+    the decoded frame is a constant color (NULL otherwise — any decoder
+    defect flips the column). Pairs with ``synthesize_mjpeg_media`` to
+    make the whole demux→extract→decode path oracle-checkable."""
+    import pandas as pd
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(frames.sparkSession)
+
+    cols = ["media_id", "frame_idx", "ts_ms", "fmt", "width", "height",
+            "color"]
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, idx, ts, fb in zip(pdf["media_id"], pdf["frame_idx"],
+                                        pdf["ts_ms"], pdf["frame_bytes"]):
+                fb = bytes(fb) if fb is not None else b""
+                fmt = codecs.sniff(fb)
+                width = height = color = None
+                if fmt == "jpeg":
+                    arr = codecs.decode_jpeg(fb)
+                    height, width = int(arr.shape[0]), int(arr.shape[1])
+                    if (arr == arr[0, 0, 0]).all():
+                        color = int(arr[0, 0, 0])
+                rows.append({"media_id": int(mid), "frame_idx": int(idx),
+                             "ts_ms": int(ts), "fmt": fmt,
+                             "width": width, "height": height,
+                             "color": color})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (frames.select("media_id", "frame_idx", "ts_ms", "frame_bytes")
+            .mapInPandas(fn, FRAME_INVARIANTS_SCHEMA))
 
 
 MEDIA_ROUNDTRIP_SCHEMA = (
