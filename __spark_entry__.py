@@ -31,7 +31,7 @@ from zacks_estimates_financial_statements_spark.functions import expressions as 
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import vectors  # noqa: E402
 from zacks_estimates_financial_statements_spark.operators import (  # noqa: E402
-    curation, dedup, graph, multimodal, similarity)
+    curation, dedup, graph, multimodal, similarity, temporal)
 
 DEC = "decimal(38,6)"
 
@@ -1809,6 +1809,41 @@ JOIN embeddings eb ON eb.vec_id = s.id_b
 """
 
 
+def q_asof_join(spark, sf):
+    """Distributed as-of join (operators/temporal.py): attach to every
+    non-purchase event the same user's latest purchase at-or-before it.
+    Union-merge plan — ONE shuffle on the key, zero row amplification —
+    vs DuckDB's native ASOF JOIN as the oracle twin. The purchase side
+    is pre-aggregated per (user, ts) because duplicate right timestamps
+    make "the" as-of row undefined in every engine."""
+    ev = _t(spark, sf, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("last_purchase_value")))
+    left = (ev.filter(F.col("event_type") != "purchase")
+            .select("event_id", "user_id", "ts", "event_type"))
+    out = temporal.asof_join(left, purchases, "user_id", "ts", "ts",
+                             matched_ts_col="last_purchase_ts")
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type", "last_purchase_value",
+        F.unix_micros("last_purchase_ts").alias("last_purchase_ts_us"))
+
+
+ORACLE_ASOF_JOIN = """
+WITH purch AS (
+  SELECT user_id, ts, max(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+ev AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type <> 'purchase')
+SELECT ev.event_id, ev.user_id, epoch_us(ev.ts) AS ts_us, ev.event_type,
+  p.last_purchase_value, epoch_us(p.ts) AS last_purchase_ts_us
+FROM ev ASOF LEFT JOIN purch p
+  ON ev.user_id = p.user_id AND ev.ts >= p.ts
+"""
+
+
 def q_media_metadata(spark, sf):
     """Driver-checkable correctness row for the multimodal codec path:
     synthesize deterministic PPM/BMP/PNG/WAV payloads from documents
@@ -2044,6 +2079,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_modal_pairs": q_cross_modal_pairs,
     "media_metadata": q_media_metadata,
     "video_frames": q_video_frames,
+    "asof_join": q_asof_join,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2104,6 +2140,7 @@ _ORACLE: dict[str, str] = {
     "cross_modal_pairs": ORACLE_CROSS_MODAL_PAIRS,
     "media_metadata": ORACLE_MEDIA_METADATA,
     "video_frames": ORACLE_VIDEO_FRAMES,
+    "asof_join": ORACLE_ASOF_JOIN,
 }
 
 

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from zacks_estimates_financial_statements_spark.operators import temporal
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "a"),
+         (1, _ts("2024-01-01 11:00:00"), "b"),
+         (1, _ts("2024-01-01 12:30:00"), "c"),
+         (2, _ts("2024-01-01 09:00:00"), "d"),   # before any right row
+         (3, _ts("2024-01-01 10:00:00"), "e")],  # key with no right rows
+        ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 10.0),
+         (1, _ts("2024-01-01 11:00:00"), 20.0),   # equal-ts match for 'b'
+         (1, _ts("2024-01-01 12:00:00"), 30.0),
+         (2, _ts("2024-01-01 09:45:00"), 40.0)],
+        ["k", "rts", "price"])
+    return left, right
+
+
+def test_asof_backward(sides):
+    left, right = sides
+    got = {r.tag: (r.price, r.matched_ts)
+           for r in temporal.asof_join(left, right, "k", "ts", "rts")
+           .collect()}
+    assert got["a"] == (10.0, _ts("2024-01-01 09:30:00"))
+    assert got["b"] == (20.0, _ts("2024-01-01 11:00:00"))  # inclusive
+    assert got["c"] == (30.0, _ts("2024-01-01 12:00:00"))
+    assert got["d"] == (None, None)    # right rows only in the future
+    assert got["e"] == (None, None)    # key absent from right
+
+
+def test_asof_forward(sides):
+    left, right = sides
+    got = {r.tag: (r.price, r.matched_ts)
+           for r in temporal.asof_join(left, right, "k", "ts", "rts",
+                                       direction="forward").collect()}
+    assert got["a"] == (20.0, _ts("2024-01-01 11:00:00"))
+    assert got["b"] == (20.0, _ts("2024-01-01 11:00:00"))  # inclusive
+    assert got["c"] == (None, None)    # nothing at-or-after
+    assert got["d"] == (40.0, _ts("2024-01-01 09:45:00"))
+    assert got["e"] == (None, None)
+
+
+def test_asof_tolerance_and_row_count(sides):
+    left, right = sides
+    out = temporal.asof_join(left, right, "k", "ts", "rts",
+                             tolerance_ms=31 * 60 * 1000)
+    rows = out.collect()
+    # as-of never amplifies: exactly one output row per left row
+    assert len(rows) == left.count()
+    got = {r.tag: r.price for r in rows}
+    # 'a' matched at 30 min staleness (within 31 min), 'c' at 30 min too;
+    # 'b' exact; nothing else qualifies
+    assert got == {"a": 10.0, "b": 20.0, "c": 30.0, "d": None, "e": None}
+
+
+def test_asof_validation(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="direction"):
+        temporal.asof_join(left, right, "k", "ts", "rts",
+                           direction="nearest")
+    with pytest.raises(ValueError, match="not in right"):
+        temporal.asof_join(left, right, "k", "ts", "rts",
+                           value_cols=["nope"])
+    with pytest.raises(ValueError, match="collide"):
+        temporal.asof_join(left, right.withColumnRenamed("price", "tag"),
+                           "k", "ts", "rts")
+
+
+def test_asof_matches_duckdb(spark, sides):
+    """Cross-engine: the union-merge plan reproduces DuckDB ASOF JOIN."""
+    import duckdb
+
+    left, right = sides
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    du = {t: (p, m) for t, p, m in con.execute(
+        "SELECT l.tag, r.price, r.rts FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.ts >= r.rts").fetchall()}
+    sp = {r.tag: (r.price, r.matched_ts)
+          for r in temporal.asof_join(left, right, "k", "ts", "rts")
+          .collect()}
+    assert sp == du

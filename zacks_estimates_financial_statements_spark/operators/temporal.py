@@ -1,0 +1,120 @@
+"""Distributed as-of (point-in-time) join.
+
+Spark has no native as-of join, and the naive forms fall apart at
+scale: a non-equi range join degenerates to a per-key nested loop, and
+"join then keep latest" explodes every left row by its full right-side
+history before throwing most of it away. The classic distributed
+formulation — the one kdb+'s ``aj`` and pandas ``merge_asof`` express
+per-partition — is a *union merge*: tag both inputs, union them, sort
+each key's timeline once, and carry the most recent right-side values
+forward with ``last(..., ignorenulls=True)`` over an unbounded
+preceding window.
+
+Cost shape: ONE shuffle (the window's hash partition on the key), no
+row amplification at any point — each input row appears exactly once
+in the shuffled timeline regardless of how many right rows precede a
+left row. Skew follows per-key row volume, the same bound as any
+window/sessionization over the key, and AQE's skew handling applies.
+This is the 100 TB-safe plan; a broadcast range join is only viable
+while one whole side fits in memory.
+
+Semantics match DuckDB's ``ASOF JOIN`` (the oracle twin) and pandas
+``merge_asof``: for each left row, the right row with the greatest
+(``backward``) / smallest (``forward``) timestamp satisfying
+``right_ts <= left_ts`` / ``>=``, equal timestamps matching. Callers
+must make the right side unique per (key, timestamp) — with duplicate
+right timestamps "the" as-of row is undefined in every engine; this
+implementation deterministically takes the last one in union order,
+but cross-engine hash comparisons need the ambiguity removed at the
+source (pre-aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              value_cols: list[str] | None = None,
+              direction: str = "backward",
+              tolerance_ms: int | None = None,
+              matched_ts_col: str | None = "matched_ts") -> DataFrame:
+    """Attach to every ``left`` row the as-of ``right`` row's values.
+
+    ``on`` is the equality key present in both inputs; ``left_ts`` /
+    ``right_ts`` are timestamp columns. ``value_cols`` (default: every
+    right column except the key and timestamp) are appended to the left
+    schema, NULL when no right row qualifies. ``direction`` is
+    ``"backward"`` (latest right at-or-before, the default) or
+    ``"forward"`` (earliest right at-or-after). ``tolerance_ms`` nulls
+    the attached values when the matched right row is further than the
+    given tolerance from the left timestamp (DuckDB has no tolerance —
+    apply it SQL-side as a CASE when comparing). ``matched_ts_col``
+    names the column carrying the matched right timestamp (None drops
+    it).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    missing = [c for c in value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"value_cols not in right side: {missing}")
+    overlap = [c for c in value_cols if c in left.columns]
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {overlap}"
+                         " — alias the right side first")
+
+    tagged_val = [F.col(c).alias(f"__r_{c}") for c in value_cols]
+    # side tag orders right rows BEFORE left rows at equal timestamps,
+    # which is what makes equal-timestamp matches inclusive
+    r = right.select(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"), F.col(right_ts).alias("__rts"),
+        *tagged_val,
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns])
+    lcols = [F.col(c).alias(f"__l_{c}") for c in left.columns]
+    l = left.select(  # noqa: E741 — l/r mirror the join sides
+        F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"), F.lit(None).cast("timestamp").alias("__rts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
+          for c in value_cols],
+        *lcols)
+
+    merged = r.unionByName(l)
+    if direction == "backward":
+        w = (Window.partitionBy("__k").orderBy(F.asc("__ts"), F.asc("__side"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        # forward: scan the timeline in reverse (ts desc), so "last
+        # right seen so far" is the SMALLEST right_ts >= left_ts; side
+        # asc keeps the right row ahead of the left at equal timestamps
+        # (inclusive match), mirroring the backward case
+        w = (Window.partitionBy("__k").orderBy(F.desc("__ts"),
+                                               F.asc("__side"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__a_{c}")
+               for c in value_cols]
+    carried_ts = F.last("__rts", ignorenulls=True).over(w).alias("__ats")
+
+    out = (merged.select("*", *carried, carried_ts)
+           .filter(F.col("__side") == 1))
+
+    if tolerance_ms is not None:
+        gap = F.abs(F.unix_micros(F.col("__ts"))
+                    - F.unix_micros(F.col("__ats"))) / 1000
+        keep = F.col("__ats").isNotNull() & (gap <= F.lit(tolerance_ms))
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("__a")],
+            *[F.when(keep, F.col(f"__a_{c}")).alias(f"__a_{c}")
+              for c in value_cols],
+            F.when(keep, F.col("__ats")).alias("__ats"))
+
+    final = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    final += [F.col(f"__a_{c}").alias(c) for c in value_cols]
+    if matched_ts_col is not None:
+        final.append(F.col("__ats").alias(matched_ts_col))
+    return out.select(*final)
