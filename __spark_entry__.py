@@ -1809,6 +1809,45 @@ JOIN embeddings eb ON eb.vec_id = s.id_b
 """
 
 
+def q_repeated_spans(spark, sf):
+    """Exact cross-document repeated-span dedup (ACL'22 sliding-window
+    substring dedup): 4-token windows appearing in >= 3 distinct docs,
+    merged into maximal per-doc intervals via gaps-and-islands."""
+    docs = _t(spark, sf, "documents")
+    return curation.repeated_spans(docs, "doc_id", "text",
+                                   k=4, min_docs=3)
+
+
+ORACLE_REPEATED_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+spans AS (
+  SELECT doc_id, i AS s, i + 3 AS e, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 4),
+rep AS (
+  SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+hit AS (SELECT doc_id, s, e FROM spans WHERE g IN (SELECT g FROM rep)),
+brk AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS b
+  FROM hit),
+isl AS (
+  SELECT doc_id, s, e,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk)
+SELECT doc_id, min(s)::INT AS span_start, max(e)::INT AS span_end,
+  (max(e) - min(s) + 1)::INT AS n_tokens, count(*)::BIGINT AS n_spans
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def q_asof_join(spark, sf):
     """Distributed as-of join (operators/temporal.py): attach to every
     non-purchase event the same user's latest purchase at-or-before it.
@@ -2080,6 +2119,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "video_frames": q_video_frames,
     "asof_join": q_asof_join,
+    "repeated_spans": q_repeated_spans,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2141,6 +2181,7 @@ _ORACLE: dict[str, str] = {
     "media_metadata": ORACLE_MEDIA_METADATA,
     "video_frames": ORACLE_VIDEO_FRAMES,
     "asof_join": ORACLE_ASOF_JOIN,
+    "repeated_spans": ORACLE_REPEATED_SPANS,
 }
 
 

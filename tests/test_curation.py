@@ -348,3 +348,36 @@ def test_token_budget_fill_priority_order(spark):
     with pytest.raises(ValueError):
         curation.token_budget_fill(df, "source", "text", "score",
                                    "doc_id", budget=-1)
+
+
+def test_repeated_spans_merges_islands(spark):
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    boiler = "all rights reserved contact us for details"
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta {boiler} gamma delta"),
+         (2, f"one two three {boiler} four"),
+         (3, f"{boiler} and then unique tail words here"),
+         (4, "totally unique content with no shared windows at all")],
+        ["doc_id", "text"])
+    out = curation.repeated_spans(docs, "doc_id", "text", k=4, min_docs=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    # the 7-token boilerplate yields 4 overlapping k=4 windows per doc,
+    # merged into ONE island of 7 tokens; doc 4 contributes nothing
+    assert set(rows) == {1, 2, 3}
+    for mid, start in [(1, 3), (2, 4), (3, 1)]:
+        r = rows[mid]
+        assert (r.span_start, r.span_end, r.n_tokens, r.n_spans) == \
+            (start, start + 6, 7, 4)
+
+
+def test_repeated_spans_validation(spark):
+    import pytest as _pytest
+
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="k must"):
+        curation.repeated_spans(docs, "doc_id", "text", k=1)
+    with _pytest.raises(ValueError, match="min_docs"):
+        curation.repeated_spans(docs, "doc_id", "text", min_docs=1)

@@ -546,3 +546,77 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
             .withColumn(
                 "top_frac",
                 F.round(F.col("top_count") / F.col("total_ngrams"), 6)))
+
+
+def repeated_spans(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 10, min_docs: int = 2) -> DataFrame:
+    """Exact cross-document repeated-span detection — the sliding-window
+    approximation of suffix-array substring dedup used to strip
+    boilerplate from training corpora (Lee et al., *Deduplicating
+    Training Data Makes Language Models Better*, ACL'22): every k-token
+    window whose text occurs in >= ``min_docs`` distinct documents is a
+    repeated span, and overlapping/adjacent hits per document are
+    merged into maximal intervals.
+
+    Returns ``(id, span_start, span_end, n_tokens, n_spans)`` with
+    1-based inclusive token positions: the merged interval, its length,
+    and how many k-windows it collapsed.
+
+    Plan shape (all span-sized, linear in corpus tokens):
+
+    - span strings are built inside ONE projection (token array
+      materialized first — the lambda-CSE rule — then ``transform`` +
+      ``posexplode``), so no O(n²) carry of the token array per
+      exploded row and no extra shuffle;
+    - one aggregation shuffle computes cross-document frequency, a
+      left-semi join keeps qualifying spans (AQE broadcasts the
+      repeated-span set when it is small, the common case — boilerplate
+      is rare relative to corpus size);
+    - interval merge is the classic gaps-and-islands pair of windows
+      over (doc, start) — state O(1) per row.
+
+    Spans join on their exact text, not a 64-bit hash: correctness
+    first (a hash collision would silently delete unique content). At
+    extreme scale substitute a 128-bit hash column for ``__g`` and the
+    collision probability is negligible; the plan is unchanged.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = (df.select(F.col(id_col), _word_array(text_col).alias("__t"))
+            .filter(F.size("__t") >= k))
+    # sequence() counts DOWN when end < start — the >= k filter above
+    # guarantees at least one position
+    spans = (toks.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+            lambda i: F.array_join(F.slice("__t", i, k), " ")))
+        .alias("__p", "__g"))
+        .select(F.col(id_col), (F.col("__p") + 1).alias("span_start"),
+                F.col("__g")))
+    rep = (spans.groupBy("__g")
+           .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+           .filter(F.col("__df") >= min_docs))
+    hit = (spans.join(rep.select("__g"), "__g", "leftsemi")
+           .select(F.col(id_col), "span_start",
+                   (F.col("span_start") + (k - 1)).alias("span_end")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (hit.withColumn(
+        "__brk", F.when(prev_end.isNull()
+                        | (F.col("span_start") > prev_end), 1)
+        .otherwise(0))
+        .withColumn("__island", F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy(F.col(id_col), "__island")
+            .agg(F.min("span_start").alias("span_start"),
+                 F.max("span_end").alias("span_end"),
+                 F.count("*").alias("n_spans"))
+            .withColumn("n_tokens",
+                        F.col("span_end") - F.col("span_start") + 1)
+            .select(id_col, "span_start", "span_end", "n_tokens",
+                    "n_spans"))
