@@ -1809,6 +1809,39 @@ JOIN embeddings eb ON eb.vec_id = s.id_b
 """
 
 
+def q_time_rollup(spark, sf):
+    """Hypertable-style multi-granularity rollup: events bucketed to
+    minute/hour/day per event_type via CHAINED re-aggregation (one
+    full-size shuffle at the finest level, then geometrically shrinking
+    re-aggs) instead of GROUPING SETS' Expand, which would triple the
+    pre-shuffle row volume. Decimal sums make the chain exactly equal
+    to direct per-level aggregation — which is what the oracle runs."""
+    ev = _t(spark, sf, "events")
+    out = temporal.hierarchical_rollup(ev, "ts", ["event_type"], "value",
+                                       ("minute", "hour", "day"))
+    return out.select(
+        "granularity", "event_type",
+        F.unix_micros("bucket").alias("bucket_us"), "n_events",
+        decimal_text(F.col("sum_value")).alias("sum_value"))
+
+
+ORACLE_TIME_ROLLUP = f"""
+SELECT 'minute' AS granularity, event_type,
+  epoch_us(date_trunc('minute', ts)) AS bucket_us,
+  count(*)::BIGINT AS n_events,
+  {_dt_sql("sum(value::DECIMAL(38,6))")} AS sum_value
+FROM events GROUP BY event_type, date_trunc('minute', ts)
+UNION ALL
+SELECT 'hour', event_type, epoch_us(date_trunc('hour', ts)),
+  count(*)::BIGINT, {_dt_sql("sum(value::DECIMAL(38,6))")}
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+UNION ALL
+SELECT 'day', event_type, epoch_us(date_trunc('day', ts)),
+  count(*)::BIGINT, {_dt_sql("sum(value::DECIMAL(38,6))")}
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
 def q_repeated_spans(spark, sf):
     """Exact cross-document repeated-span dedup (ACL'22 sliding-window
     substring dedup): 4-token windows appearing in >= 3 distinct docs,
@@ -2120,6 +2153,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frames": q_video_frames,
     "asof_join": q_asof_join,
     "repeated_spans": q_repeated_spans,
+    "time_rollup": q_time_rollup,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2182,6 +2216,7 @@ _ORACLE: dict[str, str] = {
     "video_frames": ORACLE_VIDEO_FRAMES,
     "asof_join": ORACLE_ASOF_JOIN,
     "repeated_spans": ORACLE_REPEATED_SPANS,
+    "time_rollup": ORACLE_TIME_ROLLUP,
 }
 
 

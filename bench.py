@@ -46,6 +46,9 @@ HEADLINE = [
     "pii_scan",             # PII detect + redact projection
     "chunk_tokens",         # per-doc context-window chunking
     "pack_sequences",       # concat-and-chunk sequence packing
+    "asof_join",            # union-merge as-of join (1 shuffle, no amplification)
+    "repeated_spans",       # sliding-window exact substring dedup
+    "time_rollup",          # hierarchical minute/hour/day re-aggregation
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +

@@ -94,3 +94,52 @@ def test_asof_matches_duckdb(spark, sides):
           for r in temporal.asof_join(left, right, "k", "ts", "rts")
           .collect()}
     assert sp == du
+
+
+def test_hierarchical_rollup_matches_direct(spark):
+    """Chained re-aggregation must equal direct per-level aggregation
+    exactly (decimal sums make re-association lossless)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:30"), 1.25),
+         ("a", _ts("2024-01-01 10:00:45"), 2.50),
+         ("a", _ts("2024-01-01 10:59:59"), 0.125),
+         ("a", _ts("2024-01-01 23:59:59"), 4.00),
+         ("b", _ts("2024-01-02 00:00:00"), 8.00)],
+        ["event_type", "ts", "value"])
+    out = temporal.hierarchical_rollup(
+        ev, "ts", ["event_type"], "value",
+        granularities=("minute", "hour", "day"))
+    rows = out.collect()
+    for g in ("minute", "hour", "day"):
+        direct = {(r["event_type"], r["b"]): (r["n"], r["s"]) for r in
+                  ev.groupBy("event_type",
+                             F.date_trunc(g, "ts").alias("b"))
+                  .agg(F.count("*").alias("n"),
+                       F.sum(F.col("value").cast("decimal(38,6)"))
+                       .alias("s")).collect()}
+        got = {(r["event_type"], r["bucket"]): (r["n_events"],
+                                               r["sum_value"])
+               for r in rows if r["granularity"] == g}
+        assert got == direct, g
+    # row counts: 4 distinct minutes, 3 hours (10/23/00), 2 days
+    by_g = {}
+    for r in rows:
+        by_g[r["granularity"]] = by_g.get(r["granularity"], 0) + 1
+    assert by_g == {"minute": 4, "hour": 3, "day": 2}
+
+
+def test_hierarchical_rollup_validation(spark):
+    ev = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:30"), 1.0)],
+        ["event_type", "ts", "value"])
+    with pytest.raises(ValueError, match="unknown granularity"):
+        temporal.hierarchical_rollup(ev, "ts", ["event_type"], "value",
+                                     granularities=("fortnight",))
+    with pytest.raises(ValueError, match="monotonically"):
+        temporal.hierarchical_rollup(ev, "ts", ["event_type"], "value",
+                                     granularities=("hour", "minute"))
+    with pytest.raises(ValueError, match="week"):
+        temporal.hierarchical_rollup(ev, "ts", ["event_type"], "value",
+                                     granularities=("week", "month"))

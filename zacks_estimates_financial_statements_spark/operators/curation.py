@@ -568,10 +568,14 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
       materialized first — the lambda-CSE rule — then ``transform`` +
       ``posexplode``), so no O(n²) carry of the token array per
       exploded row and no extra shuffle;
-    - one aggregation shuffle computes cross-document frequency, a
-      left-semi join keeps qualifying spans (AQE broadcasts the
-      repeated-span set when it is small, the common case — boilerplate
-      is rare relative to corpus size);
+    - cross-document frequency uses the dense_rank window trick
+      (``dense_rank`` over (span, doc) then ``max`` over the span
+      partition — count_distinct is not a window function), so the
+      span lineage is computed ONCE and filtered in the same shuffle —
+      no aggregate-and-join-back, which would tokenize the corpus
+      twice and shuffle the spans a third time (measured 3.1 → 1.9 s
+      at sf0.1). A globally repeated span sorts all its occurrences
+      into one partition — the same bound as the groupBy form;
     - interval merge is the classic gaps-and-islands pair of windows
       over (doc, start) — state O(1) per row.
 
@@ -596,13 +600,14 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
         .alias("__p", "__g"))
         .select(F.col(id_col), (F.col("__p") + 1).alias("span_start"),
                 F.col("__g")))
-    rep = (spans.groupBy("__g")
-           .agg(F.count_distinct(F.col(id_col)).alias("__df"))
-           .filter(F.col("__df") >= min_docs))
-    hit = (spans.join(rep.select("__g"), "__g", "leftsemi")
+    from pyspark.sql import Window
+    wg = Window.partitionBy("__g")
+    hit = (spans.withColumn("__dr",
+                            F.dense_rank().over(wg.orderBy(id_col)))
+           .withColumn("__df", F.max("__dr").over(wg))
+           .filter(F.col("__df") >= min_docs)
            .select(F.col(id_col), "span_start",
                    (F.col("span_start") + (k - 1)).alias("span_end")))
-    from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy("span_start")
     prev_end = F.max("span_end").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
