@@ -180,3 +180,50 @@ def test_token_frequencies_matches_python_model(spark, texts):
         docf.update(set(toks))
     want = {w: (tf[w], docf[w]) for w in tf}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# as-of join: random-table parity with DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 3),      # key
+              st.integers(0, 30),     # ts offset (seconds)
+              st.integers(-5, 5)),    # value
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lrows=_ROWS, rrows=_ROWS, forward=st.booleans())
+def test_asof_join_matches_duckdb_on_random_tables(spark, ddb, lrows,
+                                                   rrows, forward):
+    from zacks_estimates_financial_statements_spark.operators import temporal
+
+    def ts(o):
+        return _EPOCH + datetime.timedelta(seconds=o)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(o), v) for i, (k, o, v) in enumerate(lrows)],
+        ["lid", "k", "ts", "lv"])
+    # dedupe right per (key, ts): ties make the as-of row undefined
+    rd = {}
+    for k, o, v in rrows:
+        rd[(k, o)] = max(v, rd.get((k, o), v))
+    right = spark.createDataFrame(
+        [(k, ts(o), float(v)) for (k, o), v in rd.items()],
+        ["k", "rts", "price"])
+
+    direction = "forward" if forward else "backward"
+    sp = {r.lid: (r.price, r.matched_ts) for r in temporal.asof_join(
+        left, right, "k", "ts", "rts", direction=direction).collect()}
+
+    ddb.register("pl", left.toPandas())
+    ddb.register("pr", right.toPandas())
+    op = "<=" if forward else ">="
+    du = {lid: (p, m) for lid, p, m in ddb.execute(
+        f"SELECT pl.lid, pr.price, pr.rts FROM pl ASOF LEFT JOIN pr "
+        f"ON pl.k = pr.k AND pl.ts {op} pr.rts").fetchall()}
+    ddb.unregister("pl")
+    ddb.unregister("pr")
+    assert sp == du, (direction, lrows, rrows)
