@@ -30,6 +30,7 @@ from zacks_estimates_financial_statements_spark.export import decimal_text  # no
 from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import vectors  # noqa: E402
+from zacks_estimates_financial_statements_spark.functions import web  # noqa: E402
 from zacks_estimates_financial_statements_spark.operators import (  # noqa: E402
     curation, dedup, graph, multimodal, similarity, temporal)
 
@@ -1809,6 +1810,49 @@ JOIN embeddings eb ON eb.vec_id = s.id_b
 """
 
 
+def q_url_dedup(spark, sf):
+    """Crawl-level URL canonicalization + dedup (functions/web.py):
+    URLs synthesized from documents with every messy variant the
+    canonicalizer must fix — upper-case scheme/host, www., default
+    ports, trailing slashes, tracking params, unsorted query params,
+    fragments. The oracle derives the expected canonical form
+    independently from the synthesis arithmetic (not by re-running the
+    regex pipeline), so the two sides agree only if canonicalization
+    implements the spec, not merely deterministically."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.COM"),
+        F.when(d % 4 == 0,
+               F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"), F.expr("doc_id DIV 25").cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?utm_source=feed&b=0&a=1"))
+        .otherwise(F.lit("?a=1&b=1")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    out = web.url_dedup(docs.select("doc_id", raw.alias("url")),
+                        "doc_id", "url")
+    return out.select("doc_id", "canonical_url", "n_variants", "keep")
+
+
+ORACLE_URL_DEDUP = """
+WITH syn AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+      || '://' || lower(source) || '.example.com/Docs/' || (doc_id // 25)
+      || '?a=1&b=' || (doc_id % 2) AS canonical_url
+  FROM documents)
+SELECT doc_id, canonical_url,
+  count(*) OVER (PARTITION BY canonical_url) AS n_variants,
+  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
+FROM syn
+"""
+
+
 def q_time_rollup(spark, sf):
     """Hypertable-style multi-granularity rollup: events bucketed to
     minute/hour/day per event_type via CHAINED re-aggregation (one
@@ -2154,6 +2198,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "repeated_spans": q_repeated_spans,
     "time_rollup": q_time_rollup,
+    "url_dedup": q_url_dedup,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2217,6 +2262,7 @@ _ORACLE: dict[str, str] = {
     "asof_join": ORACLE_ASOF_JOIN,
     "repeated_spans": ORACLE_REPEATED_SPANS,
     "time_rollup": ORACLE_TIME_ROLLUP,
+    "url_dedup": ORACLE_URL_DEDUP,
 }
 
 

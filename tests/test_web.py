@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zacks_estimates_financial_statements_spark.functions import web
+
+CASES = [
+    # (raw, canonical, host)
+    ("HTTPS://WWW.Example.COM:443/Docs/?utm_source=x&b=2&a=1#frag",
+     "https://example.com/Docs?a=1&b=2", "example.com"),
+    ("http://example.com:80/a/b//", "http://example.com/a/b",
+     "example.com"),
+    ("http://example.com", "http://example.com/", "example.com"),
+    # non-default port is content-significant and survives
+    ("https://example.com:8443/x", "https://example.com:8443/x",
+     "example.com"),
+    # only the LEADING www. strips
+    ("http://www.sub.www.example.com/x?", "http://sub.www.example.com/x",
+     "sub.www.example.com"),
+    ("https://example.com/?gclid=abc&fbclid=d&mc_cid=e",
+     "https://example.com/", "example.com"),
+    ("https://example.com/p?z=1&y=2&x=3",
+     "https://example.com/p?x=3&y=2&z=1", "example.com"),
+    # path case is preserved, host case is not
+    ("HTTP://EXAMPLE.com/CaseSensitive/Path",
+     "http://example.com/CaseSensitive/Path", "example.com"),
+]
+
+
+def test_canonical_url_and_host(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(CASES)], ["i", "u"])
+    rows = {r.i: (r.c, r.h) for r in df.select(
+        "i", web.canonical_url(F.col("u")).alias("c"),
+        web.url_host(F.col("u")).alias("h")).collect()}
+    for i, (raw, canon, host) in enumerate(CASES):
+        assert rows[i] == (canon, host), raw
+
+
+def test_url_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "https://www.a.com/x?utm_source=t"),
+         (2, "HTTPS://A.COM/x"),
+         (3, "https://a.com:443/x/"),
+         (4, "https://a.com/y")], ["doc_id", "url"])
+    rows = {r.doc_id: r for r in
+            web.url_dedup(df, "doc_id", "url").collect()}
+    assert all(rows[i].canonical_url == "https://a.com/x"
+               for i in (1, 2, 3))
+    assert [rows[i].keep for i in (1, 2, 3, 4)] == \
+        [True, False, False, True]
+    assert [rows[i].n_variants for i in (1, 2, 3, 4)] == [3, 3, 3, 1]

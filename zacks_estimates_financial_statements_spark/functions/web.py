@@ -1,0 +1,90 @@
+"""URL canonicalization for web-corpus curation.
+
+Web-scale training corpora dedup first by canonical URL — it is free
+relative to content hashing (no document bytes touched) and catches the
+bulk of crawl-level duplication: scheme/case variants, ``www.``
+prefixes, default ports, tracking parameters, query-parameter order,
+trailing slashes, fragments. The rules here are the common subset of
+the RFC 3986 §6 normalizations plus the tracking-parameter strip every
+production crawler applies.
+
+Everything is native Spark SQL expressions (regex + higher-order array
+functions, no Python in the row path), so canonicalization is a pure
+zero-shuffle projection at any corpus size, and the same rules are
+closed-form expressible in ANSI SQL for the DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: query parameters that never affect content — analytics/click tracking
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC 3986-style canonical form of an absolute http(s) URL:
+
+    - fragment dropped;
+    - scheme and host lowercased (path/query case is significant and
+      preserved);
+    - leading ``www.`` and the scheme's default port stripped;
+    - tracking parameters removed (``TRACKING_PARAM_RE``), remaining
+      query parameters sorted bytewise;
+    - trailing path slashes trimmed (empty path becomes ``/``).
+
+    Pure expression — compose inside any projection. Inputs without a
+    ``scheme://`` prefix pass through the same host/path rules with an
+    empty scheme.
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    pathq = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1),
+                            "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (www. and port stripped) — the domain-level
+    grouping key for per-site quotas/blocklists."""
+    rest = F.regexp_replace(F.regexp_replace(url, "#.*$", ""),
+                            _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    return F.regexp_replace(F.regexp_replace(hostport, r"^www\.", ""),
+                            r":[0-9]+$", "")
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Crawl-level URL dedup: canonicalize, then keep the minimum-id row
+    per canonical URL. Adds ``canonical_url``, ``n_variants`` (rows
+    collapsing to this canonical form) and ``keep``.
+
+    One shuffle (the window on the canonical string); canonicalization
+    itself is projection-only. The same keep-first-by-id convention as
+    ``dedup.exact_dup_groups``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_url")
+    out = (df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+           .withColumn("n_variants", F.count("*").over(w))
+           .withColumn("keep",
+                       F.col(id_col) == F.min(id_col).over(w)))
+    return out
