@@ -1853,6 +1853,62 @@ FROM syn
 """
 
 
+def q_quantize_embeddings(spark, sf):
+    """Int8 scalar quantization of the embedding corpus (FAISS
+    SQ8-style): per-vector symmetric scale, components to
+    floor(v/scale + 0.5), mean-abs reconstruction error. One
+    projection, zero shuffles; folds run left-to-right to match
+    DuckDB's list_reduce order."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+ORACLE_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+    list_reduce(list_prepend(0.0, list_transform(embedding,
+      v -> abs(v::DOUBLE))), (a, b) -> greatest(a, b)) / 127 AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, embedding, scale,
+    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+      ELSE CAST(floor(x::DOUBLE / scale + 0.5) AS INT) END) AS qvec
+  FROM s)
+SELECT vec_id, round(scale, 6) AS scale, qvec,
+  round(list_reduce(list_prepend(0.0,
+    list_transform(list_zip(embedding, qvec),
+      p -> abs(p[1]::DOUBLE - p[2]::DOUBLE * scale))),
+    (a, b) -> a + b) / len(embedding), 6) AS mae
+FROM q
+"""
+
+
+def q_domain_quota(spark, sf):
+    """Per-site quota capping: hosts extracted with functions/web.py,
+    top-10 docs per host by quality proxy (n_chars), ties broken by id.
+    One window shuffle on the host."""
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(F.lit("https://www."), F.col("source"),
+                   F.lit(".Example.COM/p/"), F.col("doc_id"))
+    d = docs.select("doc_id", "n_chars", web.url_host(raw).alias("host"))
+    out = curation.domain_quota(d, "host", "doc_id", 10,
+                                priority_col="n_chars")
+    return out.select("doc_id", "host", "host_rank", "keep")
+
+
+ORACLE_DOMAIN_QUOTA = """
+WITH d AS (
+  SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
+  FROM documents)
+SELECT doc_id, host,
+  (row_number() OVER (PARTITION BY host
+     ORDER BY n_chars DESC, doc_id ASC))::INT AS host_rank,
+  (row_number() OVER (PARTITION BY host
+     ORDER BY n_chars DESC, doc_id ASC)) <= 10 AS keep
+FROM d
+"""
+
+
 def q_time_rollup(spark, sf):
     """Hypertable-style multi-granularity rollup: events bucketed to
     minute/hour/day per event_type via CHAINED re-aggregation (one
@@ -2199,6 +2255,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_spans": q_repeated_spans,
     "time_rollup": q_time_rollup,
     "url_dedup": q_url_dedup,
+    "domain_quota": q_domain_quota,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2263,6 +2321,8 @@ _ORACLE: dict[str, str] = {
     "repeated_spans": ORACLE_REPEATED_SPANS,
     "time_rollup": ORACLE_TIME_ROLLUP,
     "url_dedup": ORACLE_URL_DEDUP,
+    "domain_quota": ORACLE_DOMAIN_QUOTA,
+    "quantize_embeddings": ORACLE_QUANTIZE,
 }
 
 

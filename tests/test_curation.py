@@ -381,3 +381,21 @@ def test_repeated_spans_validation(spark):
         curation.repeated_spans(docs, "doc_id", "text", k=1)
     with _pytest.raises(ValueError, match="min_docs"):
         curation.repeated_spans(docs, "doc_id", "text", min_docs=1)
+
+
+def test_domain_quota_priority_and_ties(spark):
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "a.com", 50), (2, "a.com", 90), (3, "a.com", 90),
+         (4, "a.com", 10), (5, "b.com", 5)],
+        ["doc_id", "host", "score"])
+    rows = {r.doc_id: r for r in curation.domain_quota(
+        df, "host", "doc_id", 2, priority_col="score").collect()}
+    # score desc, ties by id asc: 2, 3, 1, 4
+    assert [rows[i].host_rank for i in (2, 3, 1, 4)] == [1, 2, 3, 4]
+    assert [rows[i].keep for i in (2, 3, 1, 4, 5)] == \
+        [True, True, False, False, True]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_per_host"):
+        curation.domain_quota(df, "host", "doc_id", 0)

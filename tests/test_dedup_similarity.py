@@ -338,3 +338,26 @@ def test_minhash_recall_meets_banding_theory(spark):
     # identical-content pairs (s=1) are ALWAYS candidates
     ones = [p for p, s in truth.items() if s == 1.0]
     assert ones and all(p in got for p in ones)
+
+
+def test_quantize_embeddings_invariants(spark):
+    from zacks_estimates_financial_statements_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]),
+         (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+         (3, [-2.0, 2.0, 1.0, -1.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r.vec_id: r for r in
+            S.quantize_embeddings(df, "vec_id", "embedding").collect()}
+    # scale = max|v|/127; extremes land exactly on ±127. floor(x+0.5)
+    # is round-half-toward-+inf: -63.5 -> -63 (same rule in DuckDB)
+    assert rows[1].qvec == [127, -63, 32, 0]
+    assert abs(rows[1].scale - 1.0 / 127) < 5e-7  # output rounds to 6dp
+    assert rows[2].qvec == [0, 0, 0, 0]
+    assert rows[2].scale == 0.0 and rows[2].mae == 0.0
+    assert rows[3].qvec == [-127, 127, 64, -63]
+    # int8 range by construction
+    for r in rows.values():
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        assert r.mae <= (r.scale or 0.0) / 2 + 1e-9  # error bound: scale/2

@@ -625,3 +625,28 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
                         F.col("span_end") - F.col("span_start") + 1)
             .select(id_col, "span_start", "span_end", "n_tokens",
                     "n_spans"))
+
+
+def domain_quota(df: DataFrame, host_col: str, id_col: str,
+                 max_per_host: int,
+                 priority_col: str | None = None) -> DataFrame:
+    """Per-site quota capping — the anti-domination guard of a crawl
+    corpus (a handful of hosts otherwise contribute most of the rows).
+    Keeps at most ``max_per_host`` rows per host: highest
+    ``priority_col`` first (quality score, recency, ...), ties and the
+    default broken by ascending id for determinism.
+
+    One window shuffle on the host. A mega-host concentrates its rows
+    in one partition — the same bound as any per-key window; at crawl
+    scale pre-filter obvious junk first so the quota sort sees less.
+    Adds ``host_rank`` (1-based) and ``keep``.
+    """
+    if max_per_host < 1:
+        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
+    from pyspark.sql import Window
+
+    order = ([F.desc(priority_col)] if priority_col else []) + \
+        [F.asc(id_col)]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    return (df.withColumn("host_rank", F.row_number().over(w))
+            .withColumn("keep", F.col("host_rank") <= max_per_host))

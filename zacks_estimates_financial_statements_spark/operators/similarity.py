@@ -250,3 +250,43 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"))
     return _rank_topk(scored, query_id_col, k,
                       [F.desc("cosine"), F.col(id_col)])
+
+
+def quantize_embeddings(df: DataFrame, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4× storage /
+    bandwidth reduction step before shipping an embedding corpus to an
+    ANN index (FAISS SQ8-style). ``scale = max|v| / 127``; each
+    component maps to ``floor(v / scale + 0.5)``, which by construction
+    lands in [-127, 127] (no clip branch needed), and the zero vector
+    maps to all-zeros with scale 0.
+
+    Everything is higher-order array expressions folding left-to-right
+    (the DuckDB-matching order), computed in ONE projection — zero
+    shuffles at any corpus size. The scale is materialized as a column
+    before the lambdas reference it: Catalyst does not eliminate common
+    subexpressions through lambda functions, so an inline scale would
+    recompute the abs-max fold per element (the 25×-measured CLAUDE.md
+    rule). Returns ``(id, scale, qvec, mae)`` with scale and the
+    mean-abs reconstruction error rounded to 6 digits for cross-engine
+    hashing.
+    """
+    absmax = F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    staged = df.select(F.col(id_col), F.col(vec_col).alias("__v"),
+                       (absmax / 127.0).alias("__scale"))
+    qvec = F.when(
+        F.col("__scale") == 0.0,
+        F.transform("__v", lambda x: F.lit(0))).otherwise(
+        F.transform("__v", lambda x: F.floor(
+            x.cast("double") / F.col("__scale") + 0.5).cast("int")))
+    staged = staged.withColumn("qvec", qvec)
+    mae = (F.aggregate(
+        F.zip_with("__v", "qvec",
+                   lambda v, q: F.abs(v.cast("double")
+                                      - q.cast("double") * F.col("__scale"))),
+        F.lit(0.0), lambda acc, x: acc + x) / F.size("__v"))
+    return staged.select(
+        F.col(id_col), F.round("__scale", 6).alias("scale"),
+        F.col("qvec"), F.round(mae, 6).alias("mae"))
