@@ -740,6 +740,46 @@ WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
 """
 
 
+def q_incremental_dedup(spark, sf):
+    """Ingestion-time dedup gate: docs 0-99 arrive as a NEW batch and
+    probe the stored LSH index of the rest of the corpus (docs 100+).
+    Only the batch is sketched; its bucket rows broadcast into the
+    index probe, so the stored corpus never re-sketches and never
+    shuffles — the incremental complement of the corpus-vs-itself
+    sweep in q_minhash_near_dup_pairs."""
+    docs = _t(spark, sf, "documents")
+    index = dedup.minhash_index(docs.filter(F.col("doc_id") >= 100),
+                                "doc_id", "text", k=12, bands=4)
+    batch = docs.filter(F.col("doc_id") < 100)
+    return dedup.incremental_minhash_pairs(index, batch,
+                                           "doc_id", "text",
+                                           k=12, bands=4)
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+{_MINHASH_SIGS_CTE},
+buckets AS (
+  SELECT doc_id, hash_idx % 4 AS band,
+    md5(string_agg(lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR,
+        ',' ORDER BY lpad(hash_idx::VARCHAR, 4, '0') || ':' || minhash::VARCHAR))
+    AS bucket
+  FROM sigs GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS corpus_id
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id >= 100 AND b.doc_id < 100)
+SELECT c.batch_id, c.corpus_id,
+  sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 12.0
+    AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.corpus_id
+JOIN sigs sb ON sb.doc_id = c.batch_id AND sb.hash_idx = sa.hash_idx
+GROUP BY c.batch_id, c.corpus_id
+"""
+
+
 def q_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     return dedup.simhash_bits(docs, "doc_id", "text")
@@ -2257,6 +2297,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "domain_quota": q_domain_quota,
     "quantize_embeddings": q_quantize_embeddings,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2323,6 +2364,7 @@ _ORACLE: dict[str, str] = {
     "url_dedup": ORACLE_URL_DEDUP,
     "domain_quota": ORACLE_DOMAIN_QUOTA,
     "quantize_embeddings": ORACLE_QUANTIZE,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
 }
 
 

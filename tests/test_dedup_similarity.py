@@ -361,3 +361,33 @@ def test_quantize_embeddings_invariants(spark):
     for r in rows.values():
         assert all(-127 <= q <= 127 for q in r.qvec)
         assert r.mae <= (r.scale or 0.0) / 2 + 1e-9  # error bound: scale/2
+
+
+def test_incremental_minhash_probes_stored_index(spark):
+    from zacks_estimates_financial_statements_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "completely different content about spark shuffles here"),
+         (102, "unrelated third document with its own words entirely")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "nothing like anything stored in the index at all ok")],
+        ["doc_id", "text"])
+    index = D.minhash_index(corpus, "doc_id", "text", k=12, bands=4)
+    out = D.incremental_minhash_pairs(index, batch, "doc_id", "text",
+                                      k=12, bands=4)
+    rows = out.collect()
+    # the exact-duplicate batch doc matches its stored twin at est 1.0
+    assert {(r.batch_id, r.corpus_id) for r in rows} >= {(1, 100)}
+    est = {(r.batch_id, r.corpus_id): r.est_jaccard for r in rows}
+    assert est[(1, 100)] == 1.0
+    # scale property: the stored index is probed, not re-sketched, and
+    # the batch side arrives by broadcast
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "BroadcastHashJoin" in plan
+    # the corpus text column feeds ONE sketch lineage (the index build);
+    # the probe side's scan is the only other text read
+    assert plan.count("Scan ExistingRDD") <= 2

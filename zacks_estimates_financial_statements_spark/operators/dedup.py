@@ -207,6 +207,79 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                     F.col("col").alias("minhash")))
 
 
+def minhash_index(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 12, bands: int = 4,
+                  shingle_k: int = 3) -> DataFrame:
+    """The persistable LSH index relation: ``(id, sig, band, bucket)``
+    — one row per (document, band), carrying the full k-element
+    signature array so downstream scoring never joins a long signature
+    relation.
+
+    Band buckets are derived from the signature array (band b holds
+    hash indices b, b+bands, …, ascending — matching the sorted
+    "lpad(idx):minhash" pair order of the SQL twin); one aggregation
+    feeds both the buckets and any later Jaccard estimate. Write this
+    table partitioned/bucketed by ``bucket`` (operators/bucketing.py)
+    and incremental ingestion probes it without ever re-sketching or
+    re-shuffling the stored corpus (``incremental_minhash_pairs``).
+    """
+    per_doc = _minhash_wide(df, id_col, text_col, k, shingle_k)
+    rows_per_band = k // bands
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.array_join(F.transform(
+                F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
+                lambda j: F.concat_ws(
+                    ":",
+                    F.lpad((b + j * bands).cast("string"), 4, "0"),
+                    F.element_at(F.col("sig"), b + j * bands + 1)
+                     .cast("string"))), ",")).alias("bucket")))
+    return (per_doc
+            .select(F.col(id_col), F.col("sig"),
+                    F.explode(band_structs).alias("bb"))
+            .select(id_col, "sig", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
+                              id_col: str, text_col: str,
+                              k: int = 12, bands: int = 4,
+                              shingle_k: int = 3) -> DataFrame:
+    """Incremental near-dup check: which stored corpus documents is
+    each NEW batch document a likely near-dup of?
+
+    ``index`` is the stored ``minhash_index`` relation (built once,
+    persisted, NOT re-derived per batch); ``batch`` is the raw new
+    documents. Only the batch is sketched here — its bucket rows are
+    tiny and broadcast into the index probe, so the stored corpus is
+    never re-sketched and never shuffles: the cost of admitting a batch
+    is O(batch) sketch work plus an index scan that partition-prunes to
+    the probed buckets when the index is stored bucketed by ``bucket``.
+    This is the ingestion-time dedup gate of a growing corpus (the
+    batch-vs-corpus complement of ``minhash_near_dup_pairs``'s
+    corpus-vs-itself sweep).
+
+    Returns ``(batch_id, corpus_id, est_jaccard)``, distinct pairs.
+    """
+    probe = (minhash_index(batch, id_col, text_col, k=k, bands=bands,
+                           shingle_k=shingle_k)
+             .select(F.col(id_col).alias("__bid"),
+                     F.col("sig").alias("__bsig"),
+                     "band", "bucket"))
+    est = (F.aggregate(
+        F.zip_with(F.col("sig"), F.col("__bsig"),
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(float(k)))
+    return (index.join(F.broadcast(probe), ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("__bid"))
+            .select(F.col("__bid").alias("batch_id"),
+                    F.col(id_col).alias("corpus_id"),
+                    est.alias("est_jaccard"))
+            .distinct())
+
+
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            k: int = 12, bands: int = 4,
                            shingle_k: int = 3,
@@ -234,28 +307,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     route those through ``dedup_exact`` instead. ``None`` disables the
     guard. The SQL oracle twin omits the cap (identical below the cap).
     """
-    per_doc = _minhash_wide(df, id_col, text_col, k, shingle_k)
-    # band buckets derived from the signature array (band b holds hash
-    # indices b, b+bands, …, ascending — matching the sorted
-    # "lpad(idx):minhash" pair order of the SQL twin); one aggregation
-    # feeds both the buckets and the Jaccard estimate.
-    rows_per_band = k // bands
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.md5(F.array_join(F.transform(
-                F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
-                lambda j: F.concat_ws(
-                    ":",
-                    F.lpad((b + j * bands).cast("string"), 4, "0"),
-                    F.element_at(F.col("sig"), b + j * bands + 1)
-                     .cast("string"))), ",")).alias("bucket")))
-    buckets = (per_doc
-               .select(F.col(id_col), F.col("sig"),
-                       F.explode(band_structs).alias("bb"))
-               .select(id_col, "sig", F.col("bb.band").alias("band"),
-                       F.col("bb.bucket").alias("bucket")))
+    buckets = minhash_index(df, id_col, text_col, k=k, bands=bands,
+                            shingle_k=shingle_k)
     # Pairs are generated WITHIN each bucket group (collect cohabitants,
     # explode i<j combinations) rather than by self-joining the buckets
     # relation: Spark does not reuse the exchange across the two aliased
