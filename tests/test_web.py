@@ -50,3 +50,27 @@ def test_url_dedup_keep_first(spark):
     assert [rows[i].keep for i in (1, 2, 3, 4)] == \
         [True, False, False, True]
     assert [rows[i].n_variants for i in (1, 2, 3, 4)] == [3, 3, 3, 1]
+
+
+def test_canonical_url_idempotent_on_grid(spark):
+    """canonical(canonical(u)) == canonical(u) across a combinatorial
+    grid of messy-URL features — idempotence is what makes the
+    canonical form safe to store and re-process."""
+    import itertools
+
+    schemes = ["http", "HTTPS"]
+    wwws = ["", "www.", "WWW."]
+    hosts = ["Example.COM", "sub.site.org:443", "site.org:8080"]
+    paths = ["", "/", "/A/b", "/A/b/", "/x//"]
+    queries = ["", "?utm_source=x", "?b=2&a=1", "?a=1&utm_medium=m&z=9"]
+    frags = ["", "#top"]
+    urls = ["{}://{}{}{}{}{}".format(s, w, h, p, q, f)
+            for s, w, h, p, q, f in itertools.product(
+                schemes, wwws, hosts, paths, queries, frags)]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               ["i", "u"])
+    once = df.select("i", web.canonical_url(F.col("u")).alias("c1"))
+    twice = once.select("i", "c1",
+                        web.canonical_url(F.col("c1")).alias("c2"))
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], [(r.c1, r.c2) for r in bad[:5]]
