@@ -291,3 +291,28 @@ def test_stale_lock_reclaimed_live_lock_respected(spark, store):
     with pytest.raises(ConcurrentWriteError):
         store.overwrite(df)
     os.unlink(lock)
+
+
+def test_version_diff_added_removed_changed(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), "earnings_calendar",
+                       keep_versions=3)
+    df1 = spark.createDataFrame(
+        [("AAA", D(2025, 1, 1), "Before market open"),
+         ("BBB", D(2025, 1, 2), "After market close"),
+         ("CCC", D(2025, 1, 3), "Before market open")],
+        "act_symbol string, date date, when string")
+    store.overwrite(df1)
+    v1 = store.current_version()
+    df2 = spark.createDataFrame(
+        [("AAA", D(2025, 1, 1), "Before market open"),   # unchanged
+         ("BBB", D(2025, 1, 2), "Before market open"),   # changed
+         ("DDD", D(2025, 1, 4), "After market close")],  # added; CCC gone
+        "act_symbol string, date date, when string")
+    store.overwrite(df2)
+
+    got = {(r.act_symbol, r.change)
+           for r in store.diff(v1).collect()}
+    assert got == {("BBB", "changed"), ("CCC", "removed"),
+                   ("DDD", "added")}
+    # diffing a version against itself is empty
+    assert store.diff(v1, v1).count() == 0

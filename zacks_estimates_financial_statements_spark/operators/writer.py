@@ -251,6 +251,40 @@ class TableStore:
                 df = df.coalesce(max(files_per_partition, 1))
             self._overwrite_locked(df)
 
+    def diff(self, old_version: str, new_version: str | None = None,
+             pk: tuple[str, ...] | None = None) -> DataFrame:
+        """Time-travel diff between two retained versions: one row per
+        primary key that was ``added``, ``removed`` or ``changed``
+        (non-key columns differ), tagged in a ``change`` column with the
+        key columns. ``new_version=None`` diffs against the live table.
+
+        The comparison is a single full-outer join on the primary key;
+        non-key equality is one md5 over the concatenated canonical
+        string forms (null-tagged, unit-separated), so the shuffle
+        carries (key, hash) pairs — never the wide rows twice. This is
+        the audit primitive a versioned store owes its operators: what
+        did that load actually change?
+        """
+        pk = tuple(pk or PRIMARY_KEYS[self.name])
+        old = self.read(version=old_version)
+        new = self.read(version=new_version)
+        val_cols = [c for c in new.columns if c not in pk]
+
+        def keyed(df: DataFrame, tag: str) -> DataFrame:
+            h = F.md5(F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                     F.lit("\x00")) for c in val_cols]))
+            return df.select(*pk, h.alias(f"__h_{tag}"))
+
+        j = keyed(old, "old").join(keyed(new, "new"), list(pk), "full_outer")
+        change = (F.when(F.col("__h_old").isNull(), F.lit("added"))
+                  .when(F.col("__h_new").isNull(), F.lit("removed"))
+                  .when(F.col("__h_old") != F.col("__h_new"),
+                        F.lit("changed")))
+        return (j.withColumn("change", change)
+                .filter(F.col("change").isNotNull())
+                .select(*pk, "change"))
+
     def _lock_is_stale(self, lock: str) -> bool:
         """A holder is provably dead when it ran on this host and its pid
         is gone, or when its lease (``at`` + ``lease_seconds``) expired —
