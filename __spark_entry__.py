@@ -1234,6 +1234,28 @@ FROM s
 """
 
 
+def q_corpus_report(spark, sf):
+    """Per-source corpus health report: volumes, decimal-exact mean
+    quality, short-doc share. One map-side-combined aggregation."""
+    docs = _t(spark, sf, "documents")
+    return curation.corpus_report(docs, "source", "text")
+
+
+ORACLE_CORPUS_REPORT = f"""
+WITH ts AS ({ORACLE_TEXT_STATS}),
+j AS (
+  SELECT d.source, d.text, ts.ws_tokens, ts.quality
+  FROM documents d JOIN ts ON d.doc_id = ts.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(len(text))::BIGINT AS total_chars,
+  sum(ws_tokens)::BIGINT AS total_ws_tokens,
+  round(sum(quality::DECIMAL(38,6))::DOUBLE / count(*), 6) AS avg_quality,
+  round(sum(CASE WHEN ws_tokens < 30 THEN 1 ELSE 0 END)::DOUBLE
+        / count(*), 6) AS pct_short
+FROM j GROUP BY source
+"""
+
+
 def q_language_id(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id",
@@ -2298,6 +2320,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quota": q_domain_quota,
     "quantize_embeddings": q_quantize_embeddings,
     "incremental_dedup": q_incremental_dedup,
+    "corpus_report": q_corpus_report,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2365,6 +2388,7 @@ _ORACLE: dict[str, str] = {
     "domain_quota": ORACLE_DOMAIN_QUOTA,
     "quantize_embeddings": ORACLE_QUANTIZE,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "corpus_report": ORACLE_CORPUS_REPORT,
 }
 
 

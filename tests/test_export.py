@@ -192,3 +192,35 @@ def test_runner_dump_dolt_forwards_gc(monkeypatch, tmp_path):
                       "--start-date", "2025-01-01",
                       "--end-date", "2025-01-22"])
     assert rc == 0 and seen["gc"] is True
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    from zacks_estimates_financial_statements_spark import export as E
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text", "source").limit(200)
+    out1 = str(tmp_path / "shards1")
+    paths = E.write_training_shards(docs, out1, "doc_id", shards=4)
+    assert [os.path.basename(p) for p in paths] == \
+        [f"shard-{i:05d}.jsonl.gz" for i in range(4)]
+
+    import gzip
+    import json as J
+    seen = {}
+    for i, p in enumerate(paths):
+        with gzip.open(p, "rt") as fh:
+            rows = [J.loads(line) for line in fh]
+        ids = [r["doc_id"] for r in rows]
+        assert ids == sorted(ids)          # in-shard order by id
+        for r in rows:
+            seen[r["doc_id"]] = i
+    assert len(seen) == 200                # no loss, no dup
+
+    # determinism: a second run shards identically
+    out2 = str(tmp_path / "shards2")
+    paths2 = E.write_training_shards(docs.repartition(7), out2,
+                                     "doc_id", shards=4)
+    for i, p in enumerate(paths2):
+        with gzip.open(p, "rt") as fh:
+            for line in fh:
+                assert seen[J.loads(line)["doc_id"]] == i

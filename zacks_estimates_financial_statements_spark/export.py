@@ -310,3 +310,54 @@ def publish(table: str, csv_files: list[str], dolt_dir: str,
         else:
             run(argv)
     return cmds
+
+
+def write_training_shards(df: DataFrame, out_dir: str, id_col: str,
+                          shards: int, compress: bool = True) -> list[str]:
+    """Write the corpus as deterministically-sharded JSONL — the
+    interchange format training loaders consume. Shard assignment is
+    ``hash60(id) % shards`` (the same keyed-md5 used by hash_split), so
+    a re-run on the same ids yields byte-identical shard membership
+    regardless of partitioning or cluster size, and a loader can map
+    any id back to its shard without an index. Rows within a shard are
+    ordered by id for reproducibility.
+
+    One distributed job: repartition on the shard key, sort within
+    partitions, write JSON (gzip by default — JSONL shards are cold
+    storage), then rename Spark's part files to ``shard-NNNNN.jsonl[.gz]``.
+    Returns the shard paths in shard order.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    from zacks_estimates_financial_statements_spark.operators.dedup import hash60
+
+    shard = (hash60(F.concat(F.lit("shard|"),
+                             F.col(id_col).cast("string")))
+             % shards).cast("int")
+    staged = (df.withColumn("__shard", shard)
+              .repartition(F.col("__shard"))
+              .sortWithinPartitions("__shard", id_col))
+    tmp = os.path.join(out_dir, "_staging")
+    writer = staged.write.mode("overwrite").partitionBy("__shard")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(tmp)
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".jsonl.gz" if compress else ".jsonl"
+    written = []
+    for d in sorted(glob.glob(os.path.join(tmp, "__shard=*")),
+                    key=lambda p: int(os.path.basename(p).split("=")[1])):
+        sid = int(os.path.basename(d).split("=", 1)[1])
+        parts = sorted(glob.glob(os.path.join(d, "part-*")))
+        target = os.path.join(out_dir, f"shard-{sid:05d}{ext}")
+        if len(parts) == 1:
+            shutil.move(parts[0], target)
+        else:  # defensive: concatenate in part order
+            with open(target, "wb") as out:
+                for p in parts:
+                    with open(p, "rb") as fh:
+                        shutil.copyfileobj(fh, out)
+        written.append(target)
+    shutil.rmtree(tmp)
+    return written

@@ -650,3 +650,33 @@ def domain_quota(df: DataFrame, host_col: str, id_col: str,
     w = Window.partitionBy(host_col).orderBy(*order)
     return (df.withColumn("host_rank", F.row_number().over(w))
             .withColumn("keep", F.col("host_rank") <= max_per_host))
+
+
+def corpus_report(df: DataFrame, strata_col: str,
+                  text_col: str) -> DataFrame:
+    """Per-stratum corpus health report — the observability aggregate a
+    curation pipeline publishes after every build: document and
+    character/token volume, mean quality score, and the share of
+    short (<30-token) documents per stratum.
+
+    One aggregation shuffle over (#strata) groups with map-side
+    combine; the per-row signals reuse ``functions.text`` (panels
+    tokenized once via let-binding). Quality is summed as
+    ``decimal(38,6)`` so the mean is exactly reproducible cross-engine
+    (double re-association would drift in the last ulp).
+    """
+    from zacks_estimates_financial_statements_spark.functions import text as T
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(strata_col), F.length(t).alias("__chars"),
+        T.whitespace_token_count(t).alias("__toks"),
+        F.round(T.quality_score(t), 6).cast("decimal(38,6)").alias("__q"))
+    n = F.count("*")
+    return base.groupBy(strata_col).agg(
+        n.alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__toks").alias("total_ws_tokens"),
+        F.round(F.sum("__q").cast("double") / n, 6).alias("avg_quality"),
+        F.round(F.sum(F.when(F.col("__toks") < 30, 1).otherwise(0))
+                .cast("double") / n, 6).alias("pct_short"))
