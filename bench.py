@@ -49,6 +49,11 @@ HEADLINE = [
     "asof_join",            # union-merge as-of join (1 shuffle, no amplification)
     "repeated_spans",       # sliding-window exact substring dedup
     "time_rollup",          # hierarchical minute/hour/day re-aggregation
+    "url_dedup",            # zero-shuffle URL canonicalization + keep-first
+    "domain_quota",         # per-host top-N window
+    "quantize_embeddings",  # int8 scalar quantization projection
+    "incremental_dedup",    # batch-vs-corpus LSH index probe
+    "corpus_report",        # per-stratum health aggregate
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +
