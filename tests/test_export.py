@@ -224,3 +224,43 @@ def test_write_training_shards_deterministic(spark, tmp_path):
         with gzip.open(p, "rt") as fh:
             for line in fh:
                 assert seen[J.loads(line)["doc_id"]] == i
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from zacks_estimates_financial_statements_spark import export as E
+    from zacks_estimates_financial_statements_spark.sources import jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text", "source").limit(50)
+    out = str(tmp_path / "shards")
+    E.write_training_shards(docs, out, "doc_id", shards=2)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType()),
+                         StructField("source", StringType())])
+    # shards written by the engine read back loss-free
+    good, quar = jsonl.read_jsonl(spark, out + "/*.jsonl.gz", schema)
+    assert good.count() == 50 and quar.count() == 0
+    a = {r.doc_id: r.text for r in good.collect()}
+    b = {r.doc_id: r.text for r in docs.collect()}
+    assert a == b
+
+    # damaged delivery: parseable rows flow, broken lines quarantine RAW
+    bad = tmp_path / "damaged.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok", "source": "s"}\n'
+                   '{"doc_id": 2, "text": "trunca\n'
+                   'not json at all\n'
+                   '{"doc_id": 3, "text": "fine", "source": "s"}\n')
+    good2, quar2 = jsonl.read_jsonl(spark, str(bad), schema)
+    assert {r.doc_id for r in good2.collect()} == {1, 3}
+    raws = sorted(r.raw_line for r in quar2.collect())
+    assert raws == ['not json at all', '{"doc_id": 2, "text": "trunca']
+
+    import pytest as _pytest
+    poisoned = StructType(list(schema.fields)
+                          + [StructField("_corrupt_record", StringType())])
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        jsonl.read_jsonl(spark, str(bad), poisoned)
