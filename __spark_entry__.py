@@ -1234,6 +1234,43 @@ FROM s
 """
 
 
+def q_lm_perplexity(spark, sf):
+    """Self-scored bigram-LM perplexity per document (add-alpha
+    smoothing, alpha=0.5) — flags repetition (low ppl) and garbage
+    (high ppl). Decimal-routed nll sums keep the mean exact."""
+    docs = _t(spark, sf, "documents")
+    return curation.bigram_lm_perplexity(docs, "doc_id", "text")
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+el AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM el, unnest(range(1, len(t))) AS u(i)),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+prefix AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT tok)::DOUBLE AS v
+  FROM (SELECT unnest(t) AS tok FROM el)),
+scored AS (
+  SELECT b.doc_id,
+    round(-ln((m.c12 + 0.5) / (p.c1 + 0.5 * vocab.v)),
+          6)::DECIMAL(38,6) AS nll
+  FROM bi b
+  JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  JOIN prefix p ON b.w1 = p.w1
+  CROSS JOIN vocab)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+  round(exp(sum(nll)::DOUBLE / count(*)), 6) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_corpus_report(spark, sf):
     """Per-source corpus health report: volumes, decimal-exact mean
     quality, short-doc share. One map-side-combined aggregation."""
@@ -2321,6 +2358,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "incremental_dedup": q_incremental_dedup,
     "corpus_report": q_corpus_report,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2389,6 +2427,7 @@ _ORACLE: dict[str, str] = {
     "quantize_embeddings": ORACLE_QUANTIZE,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "corpus_report": ORACLE_CORPUS_REPORT,
+    "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }
 
 

@@ -399,3 +399,32 @@ def test_domain_quota_priority_and_ties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_per_host"):
         curation.domain_quota(df, "host", "doc_id", 0)
+
+
+def test_bigram_lm_perplexity_hand_computed(spark):
+    import math
+
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    # corpus: "a b a b" and "a b x". V = 3 (a, b, x).
+    # bigram counts: (a,b)=3, (b,a)=1, (b,x)=1; prefixes: a·=3, b·=2
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b x"), (3, "single")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in curation.bigram_lm_perplexity(
+        docs, "doc_id", "text", alpha=0.5).collect()}
+    assert 3 not in rows            # <2 tokens: no bigrams to score
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (2 + 0.5 * 3)
+    p_bx = (1 + 0.5) / (2 + 0.5 * 3)
+
+    def ppl(ps):
+        nlls = [round(-math.log(p), 6) for p in ps]
+        return round(math.exp(sum(nlls) / len(nlls)), 6)
+
+    assert rows[1].n_bigrams == 3
+    assert abs(rows[1].ppl - ppl([p_ab, p_ba, p_ab])) < 1e-6
+    assert rows[2].n_bigrams == 2
+    assert abs(rows[2].ppl - ppl([p_ab, p_bx])) < 1e-6
+    # repetitive doc 1 scores LOWER perplexity than mixed doc 2
+    assert rows[1].ppl < rows[2].ppl

@@ -680,3 +680,57 @@ def corpus_report(df: DataFrame, strata_col: str,
         F.round(F.sum("__q").cast("double") / n, 6).alias("avg_quality"),
         F.round(F.sum(F.when(F.col("__toks") < 30, 1).otherwise(0))
                 .cast("double") / n, 6).alias("pct_short"))
+
+
+def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
+                         alpha: float = 0.5) -> DataFrame:
+    """Per-document perplexity under a bigram LM trained on the corpus
+    itself — the self-scoring quality signal (KenLM-style, simplified
+    to add-alpha smoothing) that flags machine-generated repetition
+    (suspiciously low ppl) and encoding garbage (suspiciously high).
+
+    ``P(w2|w1) = (C(w1 w2) + alpha) / (C(w1 ·) + alpha * V)`` with
+    ``V`` = distinct tokens of the bigram-eligible corpus;
+    ``ppl = exp(mean -ln P)`` over a document's bigrams. Documents with
+    fewer than two tokens drop out (no bigrams to score).
+
+    Determinism: per-bigram negative log-likelihoods round to 6 digits
+    and sum as ``decimal(38,6)`` (re-association-proof), the mean is a
+    double division of that exact sum, and the final ppl rounds to 6 —
+    the cross-engine hashing recipe used throughout.
+
+    Plan shape, all linear in corpus tokens: ONE bigram explode
+    (``arrays_zip`` of two array slices — no self-join of the token
+    relation), two aggregation shuffles build the model (bigram counts;
+    prefix counts re-aggregated from them), the corpus bigrams join the
+    model on (w1, w2), and one final per-document aggregation. V rides
+    a 1-row broadcast like ``token_frequencies``' N.
+    """
+    toks = (df.select(F.col(id_col), _word_array(text_col).alias("__t"))
+            .filter(F.size("__t") >= 2))
+    n1 = F.size("__t") - 1
+    bi = (toks.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(
+            F.slice("__t", 1, n1).alias("w1"),
+            F.slice("__t", 2, n1).alias("w2"))).alias("__b"))
+        .select(F.col(id_col), F.col("__b.w1").alias("w1"),
+                F.col("__b.w2").alias("w2")))
+    model = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    prefix = model.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    vocab = (toks.select(F.explode("__t").alias("__tok"))
+             .agg(F.count_distinct("__tok").cast("double").alias("__v"))
+             .withColumn("__k", F.lit(1)))
+    nll = F.round(
+        -F.log((F.col("__c12") + F.lit(alpha))
+               / (F.col("__c1") + F.lit(alpha) * F.col("__v"))),
+        6).cast("decimal(38,6)")
+    scored = (bi.join(model, ["w1", "w2"])
+              .join(prefix, "w1")
+              .withColumn("__k", F.lit(1))
+              .join(F.broadcast(vocab), "__k")
+              .select(F.col(id_col), nll.alias("__nll")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.exp(F.sum("__nll").cast("double")
+                               / F.count("*")), 6).alias("ppl")))
