@@ -32,7 +32,7 @@ from zacks_estimates_financial_statements_spark.functions import text as T  # no
 from zacks_estimates_financial_statements_spark.functions import vectors  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import web  # noqa: E402
 from zacks_estimates_financial_statements_spark.operators import (  # noqa: E402
-    curation, dedup, graph, multimodal, similarity, temporal)
+    curation, dedup, graph, multimodal, similarity, sketches, temporal)
 
 DEC = "decimal(38,6)"
 
@@ -1234,6 +1234,42 @@ FROM s
 """
 
 
+def q_heavy_hitters(spark, sf):
+    """Count-min heavy hitters over event users (d=4, w=256): the
+    deterministic md5 hash family makes the sketch — and therefore the
+    exact estimates — reproducible in SQL, so this oracle checks the
+    sketch VALUES, not just plausibility. Emits every user whose
+    estimate clears the threshold alongside its estimate."""
+    ev = _t(spark, sf, "events")
+    return sketches.cm_heavy_hitters(ev, "user_id", threshold=50,
+                                     depth=4, width=256)
+
+
+# the same md5-family bucket in SQL: hash60("cm<r>|" || key) % width
+def _cm_bucket_sql(r: int, key: str, width: int) -> str:
+    return (f"(('0x' || substr(md5('cm{r}|' || {key}::VARCHAR), 1, 15))"
+            f"::BIGINT % {width})")
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH cells AS (
+  {' UNION ALL '.join(
+      f"SELECT {r} AS row, {_cm_bucket_sql(r, 'user_id', 256)} AS bucket "
+      f"FROM events" for r in range(4))}),
+sketch AS (
+  SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY row, bucket),
+probes AS (
+  {' UNION ALL '.join(
+      f"SELECT user_id, {r} AS row, "
+      f"{_cm_bucket_sql(r, 'user_id', 256)} AS bucket "
+      f"FROM (SELECT DISTINCT user_id FROM events)" for r in range(4))})
+SELECT p.user_id, min(s.cnt)::BIGINT AS est_count
+FROM probes p JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+GROUP BY p.user_id
+HAVING min(s.cnt) >= 50
+"""
+
+
 def q_lm_perplexity(spark, sf):
     """Self-scored bigram-LM perplexity per document (add-alpha
     smoothing, alpha=0.5) — flags repetition (low ppl) and garbage
@@ -2359,6 +2395,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "corpus_report": q_corpus_report,
     "lm_perplexity": q_lm_perplexity,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2428,6 +2465,7 @@ _ORACLE: dict[str, str] = {
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "corpus_report": ORACLE_CORPUS_REPORT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
 }
 
 
