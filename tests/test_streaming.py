@@ -229,3 +229,49 @@ def test_statements_stream_incremental_load(spark, tmp_path):
         q.awaitTermination(120)
     got = {r["act_symbol"] for r in store.read().collect()}
     assert got == {"AAPL", "MSFT"}
+
+
+def test_dedup_gate_stream_admits_and_quarantines(spark, tmp_path):
+    import json as J
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import (
+        run_dedup_gate_stream,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    tables = str(tmp_path / "tables")
+    ck = str(tmp_path / "ck")
+
+    def drop(name, rows):
+        (inbox / name).write_text(
+            "\n".join(J.dumps(r) for r in rows) + "\n")
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    drop("b1.jsonl", [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "completely different first-batch text here"},
+    ])
+    q = run_dedup_gate_stream(spark, str(inbox / "*.jsonl"), tables, ck)
+    q.awaitTermination(120)
+
+    corpus = TableStore(spark, tables, "gate_corpus")
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2}
+
+    # batch 2: one exact dup of doc 1, one fresh doc
+    drop("b2.jsonl", [
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": "a genuinely new document in batch two"},
+    ])
+    q = run_dedup_gate_stream(spark, str(inbox / "*.jsonl"), tables, ck)
+    q.awaitTermination(120)
+
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 11}
+    rej = {r.doc_id: (r.matched_id, r.est_jaccard) for r in
+           TableStore(spark, tables, "gate_rejects").read().collect()}
+    assert rej == {10: (1, 1.0)}
+    # the admitted doc's signatures joined the index (probed next batch)
+    idx_ids = {r.doc_id for r in
+               TableStore(spark, tables, "gate_index").read().collect()}
+    assert idx_ids == {1, 2, 11}

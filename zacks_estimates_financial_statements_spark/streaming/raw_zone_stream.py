@@ -268,3 +268,73 @@ def sessionize_events(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
+                          tables_root: str, checkpoint: str,
+                          threshold: float = 0.7, k: int = 12,
+                          bands: int = 4):
+    """Streaming ingestion dedup gate: new JSONL documents stream in,
+    and each microbatch probes the STORED corpus LSH index before
+    admission — near-dups (est_jaccard >= threshold) land in a
+    quarantine table with their best match; fresh documents append to
+    the corpus AND their signature rows append to the index, so the
+    next batch probes an up-to-date store.
+
+    The scale contract is inherited from ``incremental_minhash_pairs``:
+    per batch, only the batch is sketched; the stored index is probed
+    (broadcast batch buckets), never re-sketched or shuffled. Writes go
+    through the versioned ``TableStore`` with PK upserts, so an
+    at-least-once replay of a crashed batch is a no-op. Intra-batch
+    duplicates are NOT resolved here (both arrive "fresh" — run
+    ``minhash_near_dup_pairs`` on the batch first if the source can
+    contain them). Returns the started query
+    (``trigger(availableNow=True)``, one incremental pass per call).
+    """
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from zacks_estimates_financial_statements_spark.operators import dedup
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    corpus = TableStore(spark, tables_root, "gate_corpus")
+    index = TableStore(spark, tables_root, "gate_index")
+    rejects = TableStore(spark, tables_root, "gate_rejects")
+
+    def _gate(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if index.exists():
+            pairs = dedup.incremental_minhash_pairs(
+                index.read(), batch_df, "doc_id", "text",
+                k=k, bands=bands)
+            hits = (pairs.filter(F.col("est_jaccard") >= threshold)
+                    .groupBy("batch_id")
+                    .agg(F.max_by("corpus_id", "est_jaccard")
+                         .alias("matched_id"),
+                         F.max("est_jaccard").alias("est_jaccard")))
+            admitted = (batch_df.join(
+                hits.select(F.col("batch_id").alias("doc_id")),
+                "doc_id", "left_anti"))
+            rejects.upsert_ignore(
+                hits.select(F.col("batch_id").alias("doc_id"),
+                            "matched_id", "est_jaccard"),
+                pk=("doc_id",))
+        else:
+            admitted = batch_df
+        corpus.upsert_ignore(admitted, pk=("doc_id",))
+        index.upsert_ignore(
+            dedup.minhash_index(admitted, "doc_id", "text",
+                                k=k, bands=bands),
+            pk=("doc_id", "band"))
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    docs = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(input_glob))
+    return (docs.writeStream
+            .foreachBatch(_gate)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
