@@ -54,6 +54,8 @@ HEADLINE = [
     "quantize_embeddings",  # int8 scalar quantization projection
     "incremental_dedup",    # batch-vs-corpus LSH index probe
     "corpus_report",        # per-stratum health aggregate
+    "lm_perplexity",        # self-trained bigram-LM quality scoring
+    "heavy_hitters",        # count-min sketch heavy hitters
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +

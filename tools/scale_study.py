@@ -1,0 +1,83 @@
+"""Two-scale scaling study: run oracle queries at two sf dirs and
+report per-query medians, the 10x wall ratio, and the scaling exponent
+``log10(t_big / t_small)`` (1.0 = linear, > 1 super-linear).
+
+This is the harness behind PERFORMANCE.md's two-scale table — run it
+after operator changes so the table never drifts from measurement.
+
+Usage:
+  python tools/scale_study.py [--small DIR] [--big DIR] [--n 3] [query ...]
+
+Defaults: sf0.01 -> sf0.1, median of 3, all bench HEADLINE queries.
+Emits a markdown table on stdout (paste-ready) and one JSON line on
+stderr for tooling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.01")
+    ap.add_argument("--big", default="/root/testdata/sf0.1")
+    ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(root, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    bench_spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(bench_spec)
+    bench_spec.loader.exec_module(bench)
+
+    from zacks_estimates_financial_statements_spark.session import get_spark
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.ui.showConsoleProgress": "false"})
+
+    qs = mod.queries()
+    names = args.queries or [q for q in bench.HEADLINE if q in qs]
+    out = {}
+    print("| query | small s | big s | ratio | exp |")
+    print("|---|---|---|---|---|")
+    for name in names:
+        med = {}
+        for sf in (args.small, args.big):
+            qs[name](spark, sf).count()  # warm (plan + page cache)
+            ts = []
+            for _ in range(args.n):
+                t0 = time.time()
+                qs[name](spark, sf).count()
+                ts.append(time.time() - t0)
+            med[sf] = statistics.median(ts)
+        ratio = med[args.big] / med[args.small]
+        exp = math.log10(ratio)
+        out[name] = {"small_s": round(med[args.small], 3),
+                     "big_s": round(med[args.big], 3),
+                     "ratio": round(ratio, 2), "exp": round(exp, 2)}
+        print(f"| {name} | {med[args.small]:.2f} | {med[args.big]:.2f} "
+              f"| {ratio:.2f}x | {exp:.2f} |", flush=True)
+    print(json.dumps({"small": args.small, "big": args.big,
+                      "n": args.n, "queries": out}), file=sys.stderr)
+    worst = max(out.values(), key=lambda d: d["exp"])
+    return 0 if worst["exp"] <= 1.0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
