@@ -316,3 +316,36 @@ def test_version_diff_added_removed_changed(spark, tmp_path):
                    ("DDD", "added")}
     # diffing a version against itself is empty
     assert store.diff(v1, v1).count() == 0
+
+
+def test_merge_upsert_last_write_wins(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), "earnings_calendar",
+                       keep_versions=2)
+    df1 = spark.createDataFrame(
+        [("AAA", D(2025, 1, 1), "Before market open"),
+         ("BBB", D(2025, 1, 2), "After market close")],
+        "act_symbol string, date date, when string")
+    store.merge_upsert(df1, pk=("act_symbol", "date"))
+    v1 = store.current_version()
+
+    # batch updates AAA, inserts CCC, and carries an intra-batch tie on
+    # CCC resolved by order_by
+    df2 = spark.createDataFrame(
+        [("AAA", D(2025, 1, 1), "After market close"),
+         ("CCC", D(2025, 1, 3), "loser"),
+         ("CCC", D(2025, 1, 3), "winner")],
+        "act_symbol string, date date, when string")
+    store.merge_upsert(df2, pk=("act_symbol", "date"),
+                       order_by=[F.desc("when")])
+    got = {r.act_symbol: r.when for r in store.read().collect()}
+    assert got == {"AAA": "After market close",
+                   "BBB": "After market close",
+                   "CCC": "winner"}
+    # the merge is a version flip: diff audits exactly what changed
+    d = {(r.act_symbol, r.change) for r in store.diff(v1).collect()}
+    assert d == {("AAA", "changed"), ("CCC", "added")}
+    # idempotent replay: merging the same batch again changes nothing
+    store.merge_upsert(df2, pk=("act_symbol", "date"),
+                       order_by=[F.desc("when")])
+    assert {r.act_symbol: r.when
+            for r in store.read().collect()} == got

@@ -458,6 +458,39 @@ class TableStore:
                 writer = writer.partitionBy(*parts)
             writer.parquet(live)
 
+    def merge_upsert(self, batch: DataFrame,
+                     pk: tuple[str, ...] | None = None,
+                     order_by: list | None = None) -> None:
+        """Last-write-wins MERGE: batch rows REPLACE stored rows sharing
+        their primary key; new keys insert. (``upsert_ignore`` is the
+        reference's first-write-wins ``ON CONFLICT DO NOTHING``; this is
+        the ``DO UPDATE`` complement an engine user expects.)
+
+        The stored side never re-reads the batch keys wide: survivors
+        are the stored rows anti-joined on the PK (column-pruned key
+        set, AQE picks the join strategy), unioned with the deduped
+        batch, written as a NEW VERSION + pointer flip — the store's
+        atomicity unit is the version, so readers see the merge all at
+        once and ``diff()`` can audit exactly what it changed.
+        ``order_by`` breaks intra-batch PK ties deterministically.
+        """
+        pk = tuple(pk or PRIMARY_KEYS[self.name])
+        from pyspark.sql import Window
+
+        ob = order_by if order_by else [F.lit(1)]
+        w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(*ob)
+        deduped = (batch.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
+        with self.write_lock():
+            if self._live_dir() is None:
+                self._overwrite_locked(deduped)
+                return
+            batch_keys = deduped.select(*pk).distinct()
+            survivors = self.read().join(batch_keys, on=list(pk),
+                                         how="left_anti")
+            self._overwrite_locked(
+                survivors.unionByName(deduped.select(*survivors.columns)))
+
     def replace_window(self, batch: DataFrame, keep_condition) -> None:
         """W4/W5 — windowed replace: stored rows satisfying
         ``keep_condition`` survive; everything else is replaced by the batch.
