@@ -264,3 +264,22 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
                           + [StructField("_corrupt_record", StringType())])
     with _pytest.raises(ValueError, match="_corrupt_record"):
         jsonl.read_jsonl(spark, str(bad), poisoned)
+
+
+def test_write_training_shards_emits_empty_shards(spark, tmp_path):
+    import gzip
+
+    from zacks_estimates_financial_statements_spark import export as E
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                 ["doc_id", "text"])
+    out = str(tmp_path / "sparse")
+    paths = E.write_training_shards(docs, out, "doc_id", shards=8)
+    # contract: exactly `shards` files, positionally indexable
+    assert [os.path.basename(p) for p in paths] == \
+        [f"shard-{i:05d}.jsonl.gz" for i in range(8)]
+    total = 0
+    for p in paths:
+        with gzip.open(p, "rt") as fh:   # empty shards are valid gzip
+            total += sum(1 for _ in fh)
+    assert total == 3

@@ -48,3 +48,14 @@ def test_cm_validation(spark):
     df = spark.createDataFrame([(1,)], ["k"])
     with _pytest.raises(ValueError, match="depth/width"):
         sketches.cm_build(df, "k", depth=0)
+
+
+def test_cm_estimate_unseen_key_is_zero(spark):
+    df = spark.createDataFrame([("a",)] * 10, ["k"])
+    sketch = sketches.cm_build(df, "k", depth=4, width=4096)
+    keys = spark.createDataFrame([("a",), ("never-seen",)], ["k"])
+    est = {r.k: r.est_count for r in
+           sketches.cm_estimate(sketch, keys, "k",
+                                depth=4, width=4096).collect()}
+    # empty cells are zero counters and MUST drive the min down
+    assert est == {"a": 10, "never-seen": 0}

@@ -143,3 +143,10 @@ def test_hierarchical_rollup_validation(spark):
     with pytest.raises(ValueError, match="week"):
         temporal.hierarchical_rollup(ev, "ts", ["event_type"], "value",
                                      granularities=("week", "month"))
+
+
+def test_asof_matched_ts_collision_rejected(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="matched_ts_col"):
+        temporal.asof_join(left.withColumnRenamed("tag", "matched_ts"),
+                           right, "k", "ts", "rts")

@@ -74,3 +74,19 @@ def test_canonical_url_idempotent_on_grid(spark):
                         web.canonical_url(F.col("c1")).alias("c2"))
     bad = twice.filter(F.col("c1") != F.col("c2")).collect()
     assert bad == [], [(r.c1, r.c2) for r in bad[:5]]
+
+
+def test_canonical_url_schemeless_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "Example.COM/A/b/?b=2&a=1#f"), (2, "www.site.org/x")],
+        ["i", "u"])
+    got = {r.i: r.c for r in df.select(
+        "i", web.canonical_url(F.col("u")).alias("c")).collect()}
+    # no bare '://' prefix, host rules still apply
+    assert got[1] == "example.com/A/b?a=1&b=2"
+    assert got[2] == "site.org/x"
+    # idempotent on its own output
+    again = {r.i: r.c2 for r in df.select(
+        "i", web.canonical_url(web.canonical_url(F.col("u")))
+        .alias("c2")).collect()}
+    assert again == got

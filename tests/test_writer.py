@@ -349,3 +349,21 @@ def test_merge_upsert_last_write_wins(spark, tmp_path):
                        order_by=[F.desc("when")])
     assert {r.act_symbol: r.when
             for r in store.read().collect()} == got
+
+
+def test_diff_spans_schema_evolution(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), "earnings_calendar",
+                       keep_versions=3, partition_by=None)
+    v1df = spark.createDataFrame(
+        [("AAA", D(2025, 1, 1), "x", "extra")],
+        "act_symbol string, date date, when string, note string")
+    store.overwrite(v1df)
+    v1 = store.current_version()
+    # v2 drops `note`: same surviving values, but the row must read as
+    # changed (a column it had is gone), not crash or read equal
+    store.overwrite(spark.createDataFrame(
+        [("AAA", D(2025, 1, 1), "x")],
+        "act_symbol string, date date, when string"))
+    d = {(r.act_symbol, r.change)
+         for r in store.diff(v1, pk=("act_symbol", "date")).collect()}
+    assert d == {("AAA", "changed")}

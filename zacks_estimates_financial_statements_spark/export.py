@@ -345,19 +345,29 @@ def write_training_shards(df: DataFrame, out_dir: str, id_col: str,
 
     os.makedirs(out_dir, exist_ok=True)
     ext = ".jsonl.gz" if compress else ".jsonl"
+    dirs = {int(os.path.basename(d).split("=", 1)[1]): d
+            for d in glob.glob(os.path.join(tmp, "__shard=*"))}
     written = []
-    for d in sorted(glob.glob(os.path.join(tmp, "__shard=*")),
-                    key=lambda p: int(os.path.basename(p).split("=")[1])):
-        sid = int(os.path.basename(d).split("=", 1)[1])
-        parts = sorted(glob.glob(os.path.join(d, "part-*")))
+    for sid in range(shards):
         target = os.path.join(out_dir, f"shard-{sid:05d}{ext}")
+        parts = sorted(glob.glob(os.path.join(dirs[sid], "part-*"))) \
+            if sid in dirs else []
         if len(parts) == 1:
             shutil.move(parts[0], target)
-        else:  # defensive: concatenate in part order
+        elif parts:  # defensive: concatenate in part order
             with open(target, "wb") as out:
                 for p in parts:
                     with open(p, "rb") as fh:
                         shutil.copyfileobj(fh, out)
+        else:
+            # a shard the hash assigned no rows still gets its file —
+            # the contract is exactly `shards` files, loaders index by
+            # position (a valid empty gzip member when compressed)
+            if compress:
+                import gzip
+                gzip.open(target, "wb").close()
+            else:
+                open(target, "wb").close()
         written.append(target)
     shutil.rmtree(tmp)
     return written

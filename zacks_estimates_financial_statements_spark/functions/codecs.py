@@ -934,7 +934,9 @@ def parse_mp4_metadata(data: bytes) -> dict:
                     duration_ms = int(round(dur * 1000.0 / ts))
             elif btype == b"tkhd" and e - b >= 4:
                 ver = data[b]
-                off = b + (96 if ver == 1 else 84)
+                # ISO 14496-12 §8.3.2: width sits after the 36-byte
+                # matrix — payload offset 76 (v0) / 88 (v1)
+                off = b + (88 if ver == 1 else 76)
                 if off + 8 <= e:
                     w = int.from_bytes(data[off:off + 4], "big") >> 16
                     h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
@@ -979,7 +981,9 @@ def encode_mp4_stub(width: int, height: int, duration_ms: int,
                    + dur.to_bytes(4, "big") + b"\x00" * 80)
 
     def trak(handler: bytes, w: int, h: int) -> bytes:
-        tkhd = box(b"tkhd", b"\x00" * 84 + (w << 16).to_bytes(4, "big")
+        # spec-correct v0 tkhd: 76 bytes (ver/flags..matrix) then 16.16
+        # fixed-point width/height — 84-byte payload total
+        tkhd = box(b"tkhd", b"\x00" * 76 + (w << 16).to_bytes(4, "big")
                    + (h << 16).to_bytes(4, "big"))
         hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 13)
         return box(b"trak", tkhd + box(b"mdia", hdlr))
@@ -1183,7 +1187,7 @@ def encode_mjpeg_mp4(frames: list[np.ndarray], fps: int = 5,
     hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
-    tkhd = box(b"tkhd", b"\x00" * 84 + (w << 16).to_bytes(4, "big")
+    tkhd = box(b"tkhd", b"\x00" * 76 + (w << 16).to_bytes(4, "big")
                + (h << 16).to_bytes(4, "big"))
     trak = box(b"trak", tkhd + mdia)
     mvhd = box(b"mvhd", b"\x00" * 12 + fps.to_bytes(4, "big")

@@ -56,8 +56,12 @@ def canonical_url(url: Column) -> Column:
         F.split(q, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
     qs = F.array_join(F.array_sort(params), "&")
+    # scheme-less inputs keep their shape (no bare '://' prefix), which
+    # is also what makes canonical(canonical(u)) a fixed point for them
+    prefix = F.when(scheme == "", F.lit("")) \
+        .otherwise(F.concat(scheme, F.lit("://")))
     return F.concat(
-        scheme, F.lit("://"), host, path,
+        prefix, host, path,
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
 
 

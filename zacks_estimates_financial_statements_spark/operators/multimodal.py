@@ -280,13 +280,21 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                     # duration would give)
                     end = (int(dur) if not pd.isna(dur)
                            else frames[-1][0] + 1)
+                    # forward pointer over the decode-ordered samples:
+                    # O(n_frames + n_ticks), and ticks BEFORE the first
+                    # sample are skipped (there is no at-or-before frame
+                    # to honestly emit for them)
+                    fi = -1
                     for i, tick in enumerate(range(0, max(end, 1),
                                                    every_ms)):
-                        at = [fb for ts, fb in frames if ts <= tick]
+                        while (fi + 1 < len(frames)
+                               and frames[fi + 1][0] <= tick):
+                            fi += 1
+                        if fi < 0:
+                            continue
                         rows.append({"media_id": mid, "frame_idx": i,
                                      "ts_ms": tick,
-                                     "frame_bytes": at[-1] if at
-                                     else frames[0][1],
+                                     "frame_bytes": frames[fi][1],
                                      "source": "mjpeg"})
                     continue
                 except (ValueError, NotImplementedError) as exc:

@@ -65,9 +65,13 @@ def cm_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
             for r in range(depth)])).alias("p"))
         .select(key, F.col("p.row").alias("row"),
                 F.col("p.bucket").alias("bucket")))
-    return (probes.join(F.broadcast(sketch), ["row", "bucket"])
+    # LEFT join: a cell no build-row hashed to is an EMPTY cell, i.e. a
+    # zero counter — it must participate in the min (an inner join
+    # would drop it, inflating or losing the estimate for unseen keys)
+    return (probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
             .groupBy(key_col)
-            .agg(F.min("cnt").alias("est_count")))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))
 
 
 def cm_heavy_hitters(df: DataFrame, key_col: str, threshold: int,

@@ -67,6 +67,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {overlap}"
                          " — alias the right side first")
+    if matched_ts_col is not None and matched_ts_col in left.columns:
+        raise ValueError(
+            f"matched_ts_col {matched_ts_col!r} collides with a left "
+            "column — rename it or pass matched_ts_col=None")
 
     tagged_val = [F.col(c).alias(f"__r_{c}") for c in value_cols]
     # side tag orders right rows BEFORE left rows at equal timestamps,

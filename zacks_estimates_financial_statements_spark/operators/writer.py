@@ -268,12 +268,19 @@ class TableStore:
         pk = tuple(pk or PRIMARY_KEYS[self.name])
         old = self.read(version=old_version)
         new = self.read(version=new_version)
-        val_cols = [c for c in new.columns if c not in pk]
+        # value-column universe spans BOTH schemas, so a column added or
+        # dropped between versions hashes as null on the side lacking it
+        # (schema evolution reads as 'changed', never as a crash or a
+        # silently-equal row)
+        val_cols = sorted((set(old.columns) | set(new.columns)) - set(pk))
 
         def keyed(df: DataFrame, tag: str) -> DataFrame:
-            h = F.md5(F.concat_ws(
-                "\x1f", *[F.coalesce(F.col(c).cast("string"),
-                                     F.lit("\x00")) for c in val_cols]))
+            # distinct sentinels: a NULL value ("\x00") is not the same
+            # as the column being absent from this version ("\x02")
+            cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    if c in df.columns else F.lit("\x02")
+                    for c in val_cols]
+            h = F.md5(F.concat_ws("\x1f", *cols))
             return df.select(*pk, h.alias(f"__h_{tag}"))
 
         j = keyed(old, "old").join(keyed(new, "new"), list(pk), "full_outer")

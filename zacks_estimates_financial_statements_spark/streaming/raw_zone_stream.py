@@ -308,11 +308,19 @@ def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
             pairs = dedup.incremental_minhash_pairs(
                 index.read(), batch_df, "doc_id", "text",
                 k=k, bands=bands)
+            # max(struct) breaks est_jaccard ties by the larger
+            # corpus_id — deterministic across runs/replays, unlike a
+            # bare max_by; localCheckpoint materializes the sketch +
+            # index-probe lineage ONCE (hits feeds the quarantine
+            # write AND the admission anti-join)
             hits = (pairs.filter(F.col("est_jaccard") >= threshold)
                     .groupBy("batch_id")
-                    .agg(F.max_by("corpus_id", "est_jaccard")
-                         .alias("matched_id"),
-                         F.max("est_jaccard").alias("est_jaccard")))
+                    .agg(F.max(F.struct("est_jaccard", "corpus_id"))
+                         .alias("m"))
+                    .select("batch_id",
+                            F.col("m.corpus_id").alias("matched_id"),
+                            F.col("m.est_jaccard").alias("est_jaccard"))
+                    .localCheckpoint(eager=True))
             admitted = (batch_df.join(
                 hits.select(F.col("batch_id").alias("doc_id")),
                 "doc_id", "left_anti"))
