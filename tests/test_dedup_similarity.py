@@ -391,3 +391,24 @@ def test_incremental_minhash_probes_stored_index(spark):
     # the corpus text column feeds ONE sketch lineage (the index build);
     # the probe side's scan is the only other text read
     assert plan.count("Scan ExistingRDD") <= 2
+
+
+def test_ivf_add_appends_without_retraining(emb, spark):
+    from zacks_estimates_financial_statements_spark.operators import similarity as S
+
+    base = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400 AND vec_id < 450")
+    idx = S.ivf_build(base, n_centroids=8)
+    before = {r.centroid_id for r in idx.centroids.collect()}
+    idx2 = S.ivf_add(idx, batch)
+    # centroids frozen; lists grew by exactly the batch
+    assert {r.centroid_id for r in idx2.centroids.collect()} == before
+    assert idx2.assigned.count() == 450
+    # an added vector is immediately findable: self is top-1
+    q = (batch.limit(1)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    got = S.topk_ivf(None, q, k=1, index=idx2, nprobe=3).collect()
+    assert [(r.query_id, r.vec_id) for r in got if r.rank == 1] == \
+        [(400, 400)]
+    idx2.unpersist()

@@ -290,3 +290,33 @@ def quantize_embeddings(df: DataFrame, id_col: str,
     return staged.select(
         F.col(id_col), F.round("__scale", 6).alias("scale"),
         F.col("qvec"), F.round(mae, 6).alias("mae"))
+
+
+def ivf_add(index: IvfIndex, batch: DataFrame,
+            storage_level: StorageLevel | None = None) -> IvfIndex:
+    """Incremental index growth — the FAISS ``add``-after-``train``
+    path: new vectors are assigned to the index's FROZEN centroid set
+    (no re-training, no corpus re-scan) and appended to the inverted
+    lists.
+
+    Cost is O(batch): only the batch scores against the
+    n_centroids-row broadcast centroid relation; the existing lists are
+    reused from the persisted index and never recomputed. The combined
+    lists are persisted (and materialized) as a NEW index; the old
+    index's cache is released. Queries through ``topk_ivf(...,
+    index=...)`` see the batch immediately.
+
+    Centroids drift as the corpus grows — recall on added regions
+    degrades gracefully, exactly as in any IVF deployment; rebuild
+    (``ivf_build``) when additions dominate the trained distribution.
+    """
+    assign = _nearest_centroid(batch, index.centroids,
+                               index.id_col, index.vec_col)
+    fresh = batch.join(assign, index.id_col)
+    combined = (index.assigned.unionByName(
+        fresh.select(*index.assigned.columns))
+        .persist(storage_level or StorageLevel.MEMORY_AND_DISK))
+    combined.count()   # materialize before dropping the old cache
+    index.assigned.unpersist()
+    return IvfIndex(assigned=combined, centroids=index.centroids,
+                    id_col=index.id_col, vec_col=index.vec_col)
