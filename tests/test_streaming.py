@@ -275,3 +275,32 @@ def test_dedup_gate_stream_admits_and_quarantines(spark, tmp_path):
     idx_ids = {r.doc_id for r in
                TableStore(spark, tables, "gate_index").read().collect()}
     assert idx_ids == {1, 2, 11}
+
+
+def test_dedup_gate_stream_within_batch(spark, tmp_path):
+    import json as J
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import (
+        run_dedup_gate_stream,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    text = "one single batch carrying two identical documents inside it"
+    (inbox / "b1.jsonl").write_text("\n".join(J.dumps(r) for r in [
+        {"doc_id": 1, "text": text},
+        {"doc_id": 2, "text": text},                      # intra-batch dup
+        {"doc_id": 3, "text": "an unrelated document rides along fine"},
+    ]) + "\n")
+    q = run_dedup_gate_stream(spark, str(inbox / "*.jsonl"),
+                              str(tmp_path / "tables"),
+                              str(tmp_path / "ck"),
+                              dedup_within_batch=True)
+    q.awaitTermination(120)
+    corpus = {r.doc_id for r in TableStore(
+        spark, str(tmp_path / "tables"), "gate_corpus").read().collect()}
+    assert corpus == {1, 3}                               # keeper = min id
+    rej = {r.doc_id: (r.matched_id, r.est_jaccard) for r in TableStore(
+        spark, str(tmp_path / "tables"), "gate_rejects").read().collect()}
+    assert rej == {2: (1, None)}

@@ -273,7 +273,8 @@ def sessionize_events(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
 def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
                           tables_root: str, checkpoint: str,
                           threshold: float = 0.7, k: int = 12,
-                          bands: int = 4):
+                          bands: int = 4,
+                          dedup_within_batch: bool = False):
     """Streaming ingestion dedup gate: new JSONL documents stream in,
     and each microbatch probes the STORED corpus LSH index before
     admission — near-dups (est_jaccard >= threshold) land in a
@@ -285,10 +286,16 @@ def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
     per batch, only the batch is sketched; the stored index is probed
     (broadcast batch buckets), never re-sketched or shuffled. Writes go
     through the versioned ``TableStore`` with PK upserts, so an
-    at-least-once replay of a crashed batch is a no-op. Intra-batch
-    duplicates are NOT resolved here (both arrive "fresh" — run
-    ``minhash_near_dup_pairs`` on the batch first if the source can
-    contain them). Returns the started query
+    at-least-once replay of a crashed batch is a no-op.
+
+    ``dedup_within_batch=True`` additionally resolves near-dups INSIDE
+    each microbatch before the index probe (MinHash pairs → connected
+    components → one keeper per cluster, the ``resolve_duplicate_
+    clusters`` path); dropped intra-batch rows are quarantined against
+    their cluster keeper with a NULL est_jaccard (membership is
+    transitive, not a direct pair estimate). Off by default: it adds the
+    in-batch pair sweep's cost, unnecessary when the source is already
+    unique per batch. Returns the started query
     (``trigger(availableNow=True)``, one incremental pass per call).
     """
     from pyspark.sql.types import (LongType, StringType, StructField,
@@ -304,6 +311,24 @@ def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
     def _gate(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
             return
+        if dedup_within_batch:
+            from zacks_estimates_financial_statements_spark.operators import graph
+
+            in_pairs = dedup.minhash_near_dup_pairs(
+                batch_df, "doc_id", "text", k=k, bands=bands)
+            resolved = graph.resolve_duplicate_clusters(
+                batch_df, in_pairs, "doc_id").localCheckpoint(eager=True)
+            # est_jaccard NULL: cluster membership is transitive, not a
+            # direct pair estimate against the keeper
+            dropped = (resolved.filter(~F.col("keep"))
+                       .select("doc_id",
+                               F.col("component").alias("matched_id"),
+                               F.lit(None).cast("double")
+                               .alias("est_jaccard")))
+            if not dropped.isEmpty():
+                rejects.upsert_ignore(dropped, pk=("doc_id",))
+            batch_df = (resolved.filter(F.col("keep"))
+                        .select(*batch_df.columns))
         if index.exists():
             pairs = dedup.incremental_minhash_pairs(
                 index.read(), batch_df, "doc_id", "text",
