@@ -96,6 +96,38 @@ def test_asof_matches_duckdb(spark, sides):
     assert sp == du
 
 
+def test_asof_null_value_columns_stay_attached(spark):
+    """A NULL in the MATCHED right row's value column must come through
+    as NULL — not be back-filled from an older right row (the
+    column-mixing bug of carrying each value column independently with
+    last(ignorenulls)). Cross-checked against DuckDB ASOF."""
+    import duckdb
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), "x"),
+         (1, _ts("2024-01-01 10:30:00"), "y")],
+        ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 10.0, "old"),
+         # matched row for 'x': price is NULL, note is set
+         (1, _ts("2024-01-01 11:00:00"), None, "new")],
+        ["k", "rts", "price", "note"])
+    out = {r.tag: (r.price, r.note, r.matched_ts)
+           for r in temporal.asof_join(left, right, "k", "ts", "rts")
+           .collect()}
+    # 'x' matches the 11:00 row: its NULL price must NOT inherit 10.0
+    assert out["x"] == (None, "new", _ts("2024-01-01 11:00:00"))
+    assert out["y"] == (10.0, "old", _ts("2024-01-01 10:00:00"))
+
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    du = {t: (p, n, m) for t, p, n, m in con.execute(
+        "SELECT l.tag, r.price, r.note, r.rts FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.ts >= r.rts").fetchall()}
+    assert out == du
+
+
 def test_hierarchical_rollup_matches_direct(spark):
     """Chained re-aggregation must equal direct per-level aggregation
     exactly (decimal sums make re-association lossless)."""

@@ -27,6 +27,13 @@ right timestamps "the" as-of row is undefined in every engine; this
 implementation deterministically takes the last one in union order,
 but cross-engine hash comparisons need the ambiguity removed at the
 source (pre-aggregate).
+
+The matched right row is carried ATOMICALLY: all value columns plus
+the matched timestamp travel in one struct, so a NULL in a matched
+row's value column stays NULL in the output (as DuckDB ASOF returns
+the matched row's NULL) instead of leaking that column from an older
+right row — the failure mode of carrying each column independently
+with ``last(col, ignorenulls=True)``.
 """
 
 from __future__ import annotations
@@ -72,20 +79,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             f"matched_ts_col {matched_ts_col!r} collides with a left "
             "column — rename it or pass matched_ts_col=None")
 
-    tagged_val = [F.col(c).alias(f"__r_{c}") for c in value_cols]
+    if "__rts" in value_cols:
+        raise ValueError("value_cols may not contain the reserved "
+                         "name '__rts'")
+    # the matched row travels as ONE struct (__rts + every value col):
+    # last(struct, ignorenulls) skips only left-row NULL structs, never
+    # a right row whose value column happens to be NULL — field-level
+    # NULLs stay attached to their own row (DuckDB ASOF semantics)
+    rv_expr = F.struct(F.col(right_ts).alias("__rts"),
+                       *[F.col(c).alias(c) for c in value_cols])
+    rv_type = right.select(rv_expr.alias("__rv")).schema[0].dataType
     # side tag orders right rows BEFORE left rows at equal timestamps,
     # which is what makes equal-timestamp matches inclusive
     r = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"), F.col(right_ts).alias("__rts"),
-        *tagged_val,
+        F.lit(0).alias("__side"), rv_expr.alias("__rv"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns])
     lcols = [F.col(c).alias(f"__l_{c}") for c in left.columns]
     l = left.select(  # noqa: E741 — l/r mirror the join sides
         F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"), F.lit(None).cast("timestamp").alias("__rts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
-          for c in value_cols],
+        F.lit(1).alias("__side"), F.lit(None).cast(rv_type).alias("__rv"),
         *lcols)
 
     merged = r.unionByName(l)
@@ -100,27 +113,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         w = (Window.partitionBy("__k").orderBy(F.desc("__ts"),
                                                F.asc("__side"))
              .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__a_{c}")
-               for c in value_cols]
-    carried_ts = F.last("__rts", ignorenulls=True).over(w).alias("__ats")
+    carried = F.last("__rv", ignorenulls=True).over(w).alias("__arv")
 
-    out = (merged.select("*", *carried, carried_ts)
+    out = (merged.select("*", carried)
            .filter(F.col("__side") == 1))
 
     if tolerance_ms is not None:
+        mts = F.col("__arv").getField("__rts")
         gap = F.abs(F.unix_micros(F.col("__ts"))
-                    - F.unix_micros(F.col("__ats"))) / 1000
-        keep = F.col("__ats").isNotNull() & (gap <= F.lit(tolerance_ms))
+                    - F.unix_micros(mts)) / 1000
+        keep = mts.isNotNull() & (gap <= F.lit(tolerance_ms))
         out = out.select(
-            *[c for c in out.columns if not c.startswith("__a")],
-            *[F.when(keep, F.col(f"__a_{c}")).alias(f"__a_{c}")
-              for c in value_cols],
-            F.when(keep, F.col("__ats")).alias("__ats"))
+            *[c for c in out.columns if c != "__arv"],
+            F.when(keep, F.col("__arv")).alias("__arv"))
 
     final = [F.col(f"__l_{c}").alias(c) for c in left.columns]
-    final += [F.col(f"__a_{c}").alias(c) for c in value_cols]
+    final += [F.col("__arv").getField(c).alias(c) for c in value_cols]
     if matched_ts_col is not None:
-        final.append(F.col("__ats").alias(matched_ts_col))
+        final.append(F.col("__arv").getField("__rts").alias(matched_ts_col))
     return out.select(*final)
 
 
