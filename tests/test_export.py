@@ -242,11 +242,20 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
                          StructField("text", StringType()),
                          StructField("source", StringType())])
     # shards written by the engine read back loss-free
-    good, quar = jsonl.read_jsonl(spark, out + "/*.jsonl.gz", schema)
+    good, quar, release = jsonl.read_jsonl(spark, out + "/*.jsonl.gz",
+                                           schema)
     assert good.count() == 50 and quar.count() == 0
     a = {r.doc_id: r.text for r in good.collect()}
     b = {r.doc_id: r.text for r in docs.collect()}
     assert a == b
+    # the scratch copy persists DISK_ONLY (never steals executor memory)
+    # and release() drops it
+    levels = [info.storageLevel() for info in
+              spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    assert levels and all(not lvl.useMemory() and lvl.useDisk()
+                          for lvl in levels)
+    release()
+    assert not list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
     # damaged delivery: parseable rows flow, broken lines quarantine RAW
     bad = tmp_path / "damaged.jsonl"
@@ -254,10 +263,11 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
                    '{"doc_id": 2, "text": "trunca\n'
                    'not json at all\n'
                    '{"doc_id": 3, "text": "fine", "source": "s"}\n')
-    good2, quar2 = jsonl.read_jsonl(spark, str(bad), schema)
+    good2, quar2, release2 = jsonl.read_jsonl(spark, str(bad), schema)
     assert {r.doc_id for r in good2.collect()} == {1, 3}
     raws = sorted(r.raw_line for r in quar2.collect())
     assert raws == ['not json at all', '{"doc_id": 2, "text": "trunca']
+    release2()
 
     import pytest as _pytest
     poisoned = StructType(list(schema.fields)

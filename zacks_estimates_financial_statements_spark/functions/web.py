@@ -18,21 +18,45 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: query parameters that never affect content — analytics/click tracking
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+#: default strip set: parameters that are UNAMBIGUOUSLY analytics/click
+#: tracking. Deliberately excludes bare ``ref``/``source``-style names —
+#: on plenty of sites (code hosts' ``?ref=branch``, docs sites'
+#: ``?ref=section``) they select CONTENT, and stripping them collapses
+#: distinct resources into one canonical URL so keep-first dedup drops
+#: real documents. Crawls that know their domains can widen the set via
+#: the ``strip_params`` argument.
+DEFAULT_TRACKING_PARAMS = ("utm_*", "gclid", "fbclid", "msclkid",
+                           "mc_cid", "mc_eid")
+
+
+def _strip_re(params: tuple[str, ...]) -> str:
+    """``^(p1|p2|...)=`` matcher for ``name=value`` query parts; a
+    trailing ``*`` in a name matches any suffix (``utm_*``)."""
+    import re as _re
+
+    alts = [_re.escape(p[:-1]) + "[^=]*" if p.endswith("*")
+            else _re.escape(p) for p in params]
+    return "^(" + "|".join(alts) + ")="
+
+
+#: prebuilt regex for the default strip set (kept for oracle SQL reuse)
+TRACKING_PARAM_RE = _strip_re(DEFAULT_TRACKING_PARAMS)
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column,
+                  strip_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
+                  ) -> Column:
     """RFC 3986-style canonical form of an absolute http(s) URL:
 
     - fragment dropped;
     - scheme and host lowercased (path/query case is significant and
       preserved);
     - leading ``www.`` and the scheme's default port stripped;
-    - tracking parameters removed (``TRACKING_PARAM_RE``), remaining
-      query parameters sorted bytewise;
+    - tracking parameters removed (``strip_params``, default
+      ``DEFAULT_TRACKING_PARAMS``; ``*`` suffix = prefix match),
+      remaining query parameters sorted bytewise;
     - trailing path slashes trimmed (empty path becomes ``/``).
 
     Pure expression — compose inside any projection. Inputs without a
@@ -52,9 +76,10 @@ def canonical_url(url: Column) -> Column:
                             "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     q = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    strip_re = _strip_re(tuple(strip_params))
     params = F.filter(
         F.split(q, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+        lambda p: (p != "") & ~p.rlike(strip_re))
     qs = F.array_join(F.array_sort(params), "&")
     # scheme-less inputs keep their shape (no bare '://' prefix), which
     # is also what makes canonical(canonical(u)) a fixed point for them
@@ -75,19 +100,23 @@ def url_host(url: Column) -> Column:
                             r":[0-9]+$", "")
 
 
-def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+def url_dedup(df: DataFrame, id_col: str, url_col: str,
+              strip_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
+              ) -> DataFrame:
     """Crawl-level URL dedup: canonicalize, then keep the minimum-id row
     per canonical URL. Adds ``canonical_url``, ``n_variants`` (rows
     collapsing to this canonical form) and ``keep``.
 
     One shuffle (the window on the canonical string); canonicalization
     itself is projection-only. The same keep-first-by-id convention as
-    ``dedup.exact_dup_groups``.
+    ``dedup.exact_dup_groups``. ``strip_params`` passes through to
+    ``canonical_url``.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("canonical_url")
-    out = (df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    out = (df.withColumn("canonical_url",
+                         canonical_url(F.col(url_col), strip_params))
            .withColumn("n_variants", F.count("*").over(w))
            .withColumn("keep",
                        F.col(id_col) == F.min(id_col).over(w)))
