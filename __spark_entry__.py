@@ -942,6 +942,46 @@ WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.2
 """
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup (operators/dedup.py): IVF-cluster
+    the embedding corpus (deterministic seed centroids, the
+    oracle-reproducible kmeans_iters=0 path), then drop every vector
+    with a smaller-id intra-cluster twin at cosine >= threshold. The
+    low 0.2 threshold makes the synthetic random embeddings actually
+    produce duplicate verdicts worth checking."""
+    emb = _t(spark, sf, "embeddings")
+    out = dedup.semantic_dedup(emb, "vec_id", "embedding",
+                               n_centroids=16, min_cosine=0.2)
+    return out.select("vec_id", "centroid_id", "dup_of", "keep")
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC, c.centroid_id)
+      AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+cl AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+dup_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cl a JOIN cl b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.2),
+drops AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM dup_pairs GROUP BY id_b)
+SELECT cl.vec_id, cl.centroid_id, d.dup_of, d.dup_of IS NULL AS keep
+FROM cl LEFT JOIN drops d ON cl.vec_id = d.vec_id
+"""
+
+
 def q_sessionize_batch(spark, sf):
     """Batch twin of the streaming sessionization operator: gap-based
     sessions per user via window functions (new session when the gap to
@@ -2365,6 +2405,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles": q_approx_quantiles,
     "json_extract": q_json_extract,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "clean_corpus": q_clean_corpus,
@@ -2435,6 +2476,7 @@ _ORACLE: dict[str, str] = {
     "approx_quantiles": ORACLE_APPROX_QUANTILES,
     "json_extract": ORACLE_JSON_EXTRACT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "clean_corpus": ORACLE_CLEAN_CORPUS,

@@ -412,3 +412,52 @@ def test_ivf_add_appends_without_retraining(emb, spark):
     assert [(r.query_id, r.vec_id) for r in got if r.rank == 1] == \
         [(400, 400)]
     idx2.unpersist()
+
+
+def test_semantic_dedup_keeps_minimal_twins(spark):
+    """Constructed clusters: two tight neighborhoods and a loner. Within
+    a neighborhood every member pairs above the threshold, so only the
+    smallest id survives; the loner always survives; and no
+    cross-cluster pair may ever fire (orthogonal groups)."""
+    rows = [
+        # seed centroids (3 lowest ids) span the three directions
+        (1, [1.0, 0.0, 0.01]),   # +x
+        (2, [0.0, 1.0, 0.0]),    # +y
+        (3, [0.0, 0.0, 1.0]),    # +z (loner)
+        # +x neighborhood: 4, 5 are near-identical twins of 1
+        (4, [0.99, 0.0, 0.0]), (5, [1.0, 0.01, 0.0]),
+        # +y neighborhood: 11 twins 2
+        (11, [0.01, 0.99, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<float>")
+    out = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=3,
+        min_cosine=0.95).collect()}
+    assert len(out) == 6
+    assert [out[i].keep for i in (1, 2, 3, 4, 5, 11)] == \
+        [True, True, True, False, False, False]
+    assert out[4].dup_of == 1 and out[5].dup_of == 1
+    assert out[11].dup_of == 2
+    assert out[1].dup_of is None and out[3].dup_of is None
+    # orthogonal groups land in distinct clusters — dedup stayed local
+    assert len({out[i].centroid_id for i in (1, 2, 3)}) == 3
+
+
+def test_semantic_dedup_cluster_cap_drops_degenerate_cluster(spark):
+    """A degenerate hot cluster above max_cluster_size generates no
+    pairs (everything in it survives) instead of going quadratic."""
+    rows = ([(0, [1.0, 0.0]), (1, [0.0, 1.0])]       # the two seeds
+            + [(i, [1.0, 0.0]) for i in range(2, 10)]  # hot +x cluster
+            + [(100, [0.0, 1.0]), (101, [0.01, 1.0])])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<float>")
+    out = {r.vec_id: r.keep for r in dedup.semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=2, min_cosine=0.95,
+        max_cluster_size=5).collect()}
+    # +x cluster has 9 members > cap: no pairs generated, all survive
+    assert all(out[i] for i in [0] + list(range(2, 10)))
+    # +y cluster (3 members) still dedups to its minimal id
+    assert out[1] and not out[100] and not out[101]

@@ -147,6 +147,33 @@ def main() -> None:
             planted, pq, k=topk, n_centroids=16, nprobe=8)),
     }
 
+    # --- SemDeDup pair recall on the planted corpus -----------------------
+    # ground truth = exact all-pairs cosine >= tau_sem (the planted
+    # near-dups sit at cos ~0.93); recall = fraction of true pairs whose
+    # two members land in the SAME IVF cluster — the only pairs
+    # semantic_dedup can act on. The knob is n_centroids (and Lloyd
+    # refinement); more clusters = cheaper quadratic stage, lower recall.
+    tau_sem = 0.8
+    sem_truth = dedup.embedding_near_dup_pairs(
+        planted, "vec_id", "embedding", min_cosine=tau_sem,
+        bucket_bits=0).select("id_a", "id_b").persist()
+    n_sem_truth = sem_truth.count()
+    sem = {}
+    for label, nc, iters in (("ivf_c16_seed", 16, 0),
+                             ("ivf_c60_seed", 60, 0),
+                             ("ivf_c60_lloyd2", 60, 2)):
+        assign, _ = similarity.ivf_assign(planted, nc, "vec_id",
+                                          "embedding", kmeans_iters=iters)
+        got = (sem_truth
+               .join(assign.select(F.col("vec_id").alias("id_a"),
+                                   F.col("centroid_id").alias("__ca")),
+                     "id_a")
+               .join(assign.select(F.col("vec_id").alias("id_b"),
+                                   F.col("centroid_id").alias("__cb")),
+                     "id_b")
+               .filter(F.col("__ca") == F.col("__cb")).count())
+        sem[label] = round(got / n_sem_truth, 4) if n_sem_truth else None
+
     print(json.dumps({
         "sf_dir": sf_dir, "tau": tau, "k": K, "bands": BANDS,
         "n_docs": docs.count(),
@@ -158,6 +185,8 @@ def main() -> None:
         "ann_recall_at_10": ann,
         "ann_recall_at_10_planted": ann_planted,
         "ann_queries": n_queries,
+        "semantic_dedup_pair_recall": {
+            "tau": tau_sem, "truth_pairs": n_sem_truth, **sem},
     }))
     spark.stop()
 

@@ -561,3 +561,55 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                     F.col(f"b.{id_col}").alias("id_b"),
                     cos.alias("cosine"))
             .filter(F.col("cosine") >= min_cosine))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   n_centroids: int = 16, min_cosine: float = 0.9,
+                   kmeans_iters: int = 0,
+                   max_cluster_size: int | None = 10000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): cluster the embedding corpus with the IVF coarse
+    quantizer, then drop documents that have a near-identical semantic
+    twin INSIDE their cluster — the tier of the dedup ladder above
+    MinHash/SimHash (surface forms differ, meaning does not; e.g.
+    templated rewrites, translations run back through the source).
+
+    Policy: within each cluster, every i<j pair with
+    ``cosine >= min_cosine`` marks the LARGER id a duplicate of the
+    smaller; a document survives iff it has no smaller-id twin. This
+    keeps exactly the minimal elements of each near-dup neighborhood —
+    deterministic, order-free, and closed-form in SQL for the oracle
+    twin (the paper keeps the lowest-centroid-distance member instead;
+    the keep-first-by-id convention matches every other dedup operator
+    here).
+
+    Returns one row per input: ``(id, centroid_id, dup_of, keep)`` with
+    ``dup_of`` = the smallest qualifying twin id (NULL when kept).
+
+    Plan shape: centroid assignment is a broadcast scoring pass (the
+    corpus never shuffles for it — ``similarity.ivf_assign``), pair
+    generation is the shared ``_bucket_pairs`` grouped i<j explode keyed
+    on ``centroid_id`` — ONE shuffle, and by construction no
+    cross-cluster pair is ever generated. Intra-cluster work is
+    quadratic in cluster size: size ``n_centroids`` like the SemDeDup
+    paper (~sqrt(N) clusters) so the expected cluster stays bounded,
+    and ``max_cluster_size`` drops degenerate hot clusters (their
+    members are near-always exact/fingerprint dups — route those
+    through ``dedup_exact``). ``kmeans_iters=0`` (deterministic seed
+    centroids) is the oracle-reproducible path; Lloyd refinement
+    improves cluster balance on real corpora.
+    """
+    from zacks_estimates_financial_statements_spark.operators.similarity \
+        import ivf_assign
+
+    assign, _ = ivf_assign(df, n_centroids, id_col, vec_col, kmeans_iters)
+    clustered = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    pairs = _bucket_pairs(
+        clustered, id_col, vec_col, ["centroid_id"], max_cluster_size,
+        lambda va, vb: V.cosine(va, vb).alias("cosine"))
+    drops = (pairs.filter(F.col("cosine") >= min_cosine)
+             .groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+             .withColumnRenamed("id_b", id_col))
+    return (clustered.select(F.col(id_col), F.col("centroid_id"))
+            .join(drops, id_col, "left")
+            .withColumn("keep", F.col("dup_of").isNull()))
