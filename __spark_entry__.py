@@ -30,6 +30,7 @@ from zacks_estimates_financial_statements_spark.export import decimal_text  # no
 from zacks_estimates_financial_statements_spark.functions import expressions as E  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import text as T  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import vectors  # noqa: E402
+from zacks_estimates_financial_statements_spark.functions import tokenize  # noqa: E402
 from zacks_estimates_financial_statements_spark.functions import web  # noqa: E402
 from zacks_estimates_financial_statements_spark.operators import (  # noqa: E402
     curation, dedup, graph, multimodal, similarity, sketches, temporal)
@@ -1825,6 +1826,77 @@ FROM c
 """
 
 
+def q_wordpiece_encode(spark, sf):
+    """Greedy longest-match subword tokenization
+    (functions/tokenize.py): the vocabulary (prefixes of the 20 most
+    frequent corpus words + the corpus alphabet) derives from the
+    corpus itself, so the DuckDB twin re-derives BOTH the vocab and the
+    encoding closed-form — a recursive CTE performing the same maximal
+    munch. Output is the per-doc model-token count and the full
+    space-joined piece stream (so the hash checks every piece
+    boundary, not just counts)."""
+    docs = _t(spark, sf, "documents")
+    vocab = tokenize.wordpiece_vocab(docs, "text", top_k=20,
+                                     max_piece_len=6)
+    enc = tokenize.wordpiece_encode(docs, "doc_id", "text", vocab,
+                                    max_piece_len=6)
+    return (docs.select("doc_id")
+            .join(enc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce(F.concat_ws(" ", "tokens"), F.lit(""))
+                    .alias("token_str")))
+
+
+ORACLE_WORDPIECE_ENCODE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+words AS (
+  SELECT doc_id, i AS widx, t[i] AS word
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+top AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS n FROM words GROUP BY word
+    ORDER BY n DESC, word LIMIT 20)),
+pieces AS (
+  SELECT DISTINCT substr(word, 1, l) AS piece
+  FROM top, unnest(range(1, least(length(word), 6) + 1)) AS u(l)
+  UNION
+  SELECT DISTINCT substr(word, i, 1) AS piece
+  FROM (SELECT DISTINCT word FROM words) w,
+       unnest(range(1, length(word) + 1)) AS u(i)),
+enc AS (
+  SELECT doc_id, widx, word, 1 AS pos, '' AS toks, 0 AS n
+  FROM words
+  UNION ALL
+  SELECT doc_id, widx, word,
+    pos + coalesce(length(best), 1),
+    toks || ' ' || coalesce(best, '<unk>'),
+    n + 1
+  FROM (
+    SELECT e.doc_id, e.widx, e.word, e.pos, e.toks, e.n,
+      (SELECT p.piece FROM pieces p
+       WHERE p.piece = substr(e.word, e.pos, length(p.piece))
+       ORDER BY length(p.piece) DESC LIMIT 1) AS best
+    FROM enc e
+    WHERE e.pos <= length(e.word)) s),
+per_word AS (
+  SELECT doc_id, widx, trim(toks) AS wt, n
+  FROM enc WHERE pos > length(word)),
+agg AS (
+  SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+    string_agg(wt, ' ' ORDER BY widx) AS token_str
+  FROM per_word GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(a.token_str, '') AS token_str
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def q_mixture_plan(spark, sf):
     """Corpus mixing plan: token accounting per source plus the
     repeat factor / max-retention sampling rate that hit the target
@@ -2419,6 +2491,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pii_scan": q_pii_scan,
     "chunk_tokens": q_chunk_tokens,
+    "wordpiece_encode": q_wordpiece_encode,
     "pack_sequences": q_pack_sequences,
     "mixture_plan": q_mixture_plan,
     "quantile_gate": q_quantile_gate,
@@ -2490,6 +2563,7 @@ _ORACLE: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "pii_scan": _oracle_pii_scan(),
     "chunk_tokens": ORACLE_CHUNK_TOKENS,
+    "wordpiece_encode": ORACLE_WORDPIECE_ENCODE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "mixture_plan": _oracle_mixture_plan(),
     "quantile_gate": ORACLE_QUANTILE_GATE,

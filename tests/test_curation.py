@@ -428,3 +428,90 @@ def test_bigram_lm_perplexity_hand_computed(spark):
     assert abs(rows[2].ppl - ppl([p_ab, p_bx])) < 1e-6
     # repetitive doc 1 scores LOWER perplexity than mixed doc 2
     assert rows[1].ppl < rows[2].ppl
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    """Maximal munch: 'thereby' with vocab pieces {'there', 'the', 'by',
+    chars} must pick 'there'+'by', never 'the'+...; an externally
+    supplied vocab missing a character falls back to <unk>+advance-1."""
+    from zacks_estimates_financial_statements_spark.functions import tokenize
+
+    vocab = spark.createDataFrame(
+        [(p,) for p in ["there", "the", "by", "t", "h", "e", "r", "b",
+                        "y", "a"]], ["piece"])
+    docs = spark.createDataFrame(
+        [(1, "Thereby the rat"),   # 'rat': r + a + <unk>(t? no, t IS in vocab)
+         (2, ""), (3, None)],
+        "doc_id: long, text: string")
+    out = {r.doc_id: (list(r.tokens), r.n_tokens) for r in
+           tokenize.wordpiece_encode(docs, "doc_id", "text", vocab,
+                                     max_piece_len=6).collect()}
+    assert out[1] == (["there", "by", "the", "r", "a", "t"], 6)
+    assert out[2] == ([], 0) and out[3] == ([], 0)
+
+    # drop 'a' from the vocab: the unmatched char becomes <unk>
+    vocab2 = vocab.filter("piece <> 'a'")
+    out2 = {r.doc_id: list(r.tokens) for r in
+            tokenize.wordpiece_encode(docs, "doc_id", "text", vocab2,
+                                      max_piece_len=6).collect()}
+    assert out2[1] == ["there", "by", "the", "r", "<unk>", "t"]
+
+
+def test_wordpiece_vocab_derivation(spark):
+    """Vocab = prefixes of top-k frequent words + corpus alphabet,
+    deterministic ids."""
+    from zacks_estimates_financial_statements_spark.functions import tokenize
+
+    docs = spark.createDataFrame(
+        [(1, "hello hello hello world world zap")],
+        "doc_id: long, text: string")
+    v = tokenize.wordpiece_vocab(docs, "text", top_k=2, max_piece_len=4)
+    pieces = {r.piece for r in v.collect()}
+    # prefixes (<=4) of 'hello' and 'world' only (zap is rank 3)...
+    assert {"h", "he", "hel", "hell", "w", "wo", "wor", "worl"} <= pieces
+    assert "hello" not in pieces and "world" not in pieces  # len 5 > 4
+    # ...plus every corpus char, including zap's
+    assert {"z", "a", "p", "d", "o"} <= pieces
+    # ids are the bytewise rank
+    rows = sorted((r.piece_id, r.piece) for r in v.collect())
+    assert [p for _, p in rows] == sorted(p for _, p in rows)
+
+
+def test_budget_operators_accept_model_token_counts(spark):
+    """chunk/pack/fill/mixture parameterized on wordpiece tokens: the
+    budget unit changes from whitespace words to model tokens."""
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.functions import tokenize
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", "s"), (2, "aa", "s")],
+        "doc_id: long, text: string, src: string")
+    vocab = spark.createDataFrame([("a",), ("b",)], ["piece"])  # chars only
+    enc = tokenize.wordpiece_encode(docs, "doc_id", "text", vocab)
+    with_toks = docs.join(enc, "doc_id")   # doc1: 4 tokens, doc2: 2
+
+    # chunking on the model-token array: doc1 -> 2 chunks of 2
+    chunks = curation.chunk_tokens(with_toks, "doc_id", "text",
+                                   chunk_size=2,
+                                   token_array=F.col("tokens"))
+    got = {(r.doc_id, r.chunk_idx): r.n_tokens for r in chunks.collect()}
+    assert got == {(1, 0): 2, (1, 1): 2, (2, 0): 2}
+
+    # budget fill in model tokens: budget 4 admits doc1 (4) not doc2
+    fill = curation.token_budget_fill(
+        with_toks, "src", "text", order_col="n_tokens", id_col="doc_id",
+        budget=4, token_count=F.col("n_tokens"))
+    assert {r.doc_id for r in fill.collect()} == {1}
+
+    # mixture accounting in model tokens: 6 total, not 3 words
+    mix = curation.mixture_plan(with_toks, "src", "text", {"s": 1.0},
+                                token_count=F.col("n_tokens"))
+    assert mix.collect()[0].n_tokens == 6
+
+    # packing offsets in model tokens
+    pack = curation.pack_sequences(with_toks, "doc_id", "text",
+                                   budget=4, n_streams=1,
+                                   token_count=F.col("n_tokens"))
+    assert {r.doc_id: r.n_tokens for r in pack.collect()} == {1: 4, 2: 2}

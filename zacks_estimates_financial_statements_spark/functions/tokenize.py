@@ -1,0 +1,138 @@
+"""Subword tokenization with a broadcast vocabulary.
+
+The curation operators' default token unit is the whitespace word — a
+proxy. Training budgets ("fill 50 B tokens", "pack to 2048") mean
+MODEL tokens, so this module provides a deterministic greedy
+longest-prefix-match subword encoder (the BPE/WordPiece inference
+rule: maximal munch against a fixed piece vocabulary, Wu et al. 2016
+§4.1 / Sennrich et al. 2016) whose vocabulary derives reproducibly
+from the corpus itself, so the DuckDB oracle twin can re-derive both
+the vocabulary and the encoding closed-form.
+
+Vocabulary = all prefixes (length ≤ ``max_piece_len``) of the
+``top_k`` most frequent words, plus every single character occurring
+in any word. The single-char floor means greedy matching always
+terminates without an ``<unk>`` escape on corpus-derived vocabularies;
+the encoder still guards with ``<unk>`` + advance-one for externally
+supplied vocabularies that lack a character.
+
+Encoding runs in ONE bounded ``mapInPandas`` pass — the legitimate
+Python case: per-word greedy matching is an inherently sequential loop
+that Spark's built-ins can only express as nested higher-order
+functions (position fold × length probe), which leave whole-stage
+codegen AND go quadratic per word. The vocabulary ships once per
+executor as a Spark broadcast frozenset (set-membership probes are
+O(1)), never per row; word splitting matches
+``curation._word_array`` / ``functions.text.word_tokens`` exactly
+(lowercase, split on ``[^a-z0-9_]+``, empties dropped — the ASCII
+class all three engines agree on).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+UNK = "<unk>"
+
+_WORD_SPLIT_RE = re.compile(r"[^a-z0-9_]+")
+
+
+def wordpiece_vocab(df: DataFrame, text_col: str, top_k: int = 50,
+                    max_piece_len: int = 8) -> DataFrame:
+    """Derive a deterministic subword vocabulary from the corpus:
+    ``(piece, piece_id)``.
+
+    Pieces are (a) every prefix up to ``max_piece_len`` of the
+    ``top_k`` most frequent words (frequency desc, word asc tie-break —
+    the closed-form analog of BPE's learned merges: frequent surface
+    strings become single pieces, and their prefixes give partial
+    matches for unseen inflections) and (b) every single character in
+    any corpus word (the OOV floor). ``piece_id`` is the bytewise rank
+    of the piece — stable across engines.
+
+    Plan: one explode + count shuffle (map-side combined) for the
+    frequency table; everything after operates on ≤ top_k × max_piece_len
+    + |alphabet| rows, so the ordering window is bounded, not
+    corpus-sized.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    words = df.select(F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+                 lambda x: x != "")).alias("word"))
+    top = (words.groupBy("word").agg(F.count("*").alias("__n"))
+           .orderBy(F.desc("__n"), F.asc("word")).limit(top_k))
+    prefixes = top.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.least(F.length("word"),
+                                     F.lit(max_piece_len))),
+        lambda i: F.col("word").substr(F.lit(1), i))).alias("piece"))
+    chars = (words.distinct().select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)))).alias("piece")))
+    vocab = prefixes.unionByName(chars).distinct()
+    return vocab.withColumn(
+        "piece_id",
+        F.row_number().over(Window.orderBy("piece")).cast("bigint"))
+
+
+def wordpiece_encode(df: DataFrame, id_col: str, text_col: str,
+                     vocab: DataFrame,
+                     max_piece_len: int = 8) -> DataFrame:
+    """Greedy longest-match subword encoding: one output row per input
+    row with ``tokens array<string>`` and ``n_tokens bigint`` (join
+    back on ``id_col`` for the rest of the schema).
+
+    Per word, repeatedly emit the longest vocabulary piece that
+    prefixes the remaining suffix (trying lengths ``max_piece_len``
+    down to 1) and advance past it; if nothing matches — impossible
+    when the vocab carries the corpus alphabet — emit ``<unk>`` and
+    advance one character. Deterministic given (vocab, max_piece_len).
+
+    The vocabulary is collected once (bounded: it is an already
+    aggregated piece table, not corpus data) and broadcast to
+    executors as a frozenset; encoding is a single ``mapInPandas``
+    projection — no shuffle at any corpus size.
+    """
+    spark = df.sparkSession
+    pieces = frozenset(r["piece"] for r in vocab.select("piece").collect())
+    bc = spark.sparkContext.broadcast(pieces)
+    from zacks_estimates_financial_statements_spark import util
+    util.ensure_package_on_executors(spark)
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, tokens array<string>, n_tokens bigint"
+    plen = int(max_piece_len)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        vs = bc.value
+        for pdf in batches:
+            toks_out, counts = [], []
+            for text in pdf[text_col]:
+                ws = [w for w in
+                      _WORD_SPLIT_RE.split(("" if text is None
+                                            else str(text)).lower()) if w]
+                out = []
+                for w in ws:
+                    pos, n = 0, len(w)
+                    while pos < n:
+                        for k in range(min(plen, n - pos), 0, -1):
+                            piece = w[pos:pos + k]
+                            if piece in vs:
+                                out.append(piece)
+                                pos += k
+                                break
+                        else:
+                            out.append(UNK)
+                            pos += 1
+                toks_out.append(out)
+                counts.append(len(out))
+            yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks_out,
+                                "n_tokens": counts})
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches, schema)

@@ -264,7 +264,8 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str,
 
 
 def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
-                 chunk_size: int = 512) -> DataFrame:
+                 chunk_size: int = 512,
+                 token_array: Column | None = None) -> DataFrame:
     """Split each document's token stream into training-context chunks:
     one row per ``chunk_size``-token window (last chunk ragged), with
     ``n_tokens`` and an md5 ``chunk_hash`` of the space-joined chunk.
@@ -274,10 +275,16 @@ def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
     chunk boundaries depend only on the row itself, so there is no
     shuffle at any corpus size and Catalyst keeps the whole plan in one
     codegen stage. Zero-token documents yield no rows.
+
+    ``token_array`` overrides the whitespace-word default with a real
+    token column (e.g. ``tokens`` from
+    ``functions.tokenize.wordpiece_encode``) so chunk boundaries fall
+    on MODEL tokens; ``text_col`` is ignored then.
     """
     if chunk_size < 1:
         raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
-    base = df.select(F.col(id_col), _word_array(text_col).alias("__w"))
+    toks = token_array if token_array is not None else _word_array(text_col)
+    base = df.select(F.col(id_col), toks.alias("__w"))
     n_chunks = F.ceil(F.size("__w") / F.lit(float(chunk_size))).cast("int")
     idx = F.when(F.size("__w") >= 1,
                  F.sequence(F.lit(0), n_chunks - 1)) \
@@ -320,7 +327,8 @@ def quantile_gate(df: DataFrame, strata_col: str, score_col: str,
 
 def token_budget_fill(df: DataFrame, strata_col: str, text_col: str,
                       order_col: str, id_col: str,
-                      budget: int) -> DataFrame:
+                      budget: int,
+                      token_count: Column | None = None) -> DataFrame:
     """Budget-constrained subset selection: walk each stratum's rows in
     priority order (``order_col`` descending, id ascending as the
     deterministic tie-break) and keep rows until the stratum's token
@@ -333,22 +341,29 @@ def token_budget_fill(df: DataFrame, strata_col: str, text_col: str,
     within each stratum) for the running sum, then a filter — the sort
     is the operator's semantics (a priority fill is an ordered scan),
     and strata partition it.
+
+    ``token_count`` overrides the whitespace-word default with a real
+    per-row token count (e.g. ``n_tokens`` from
+    ``functions.tokenize.wordpiece_encode``) so the budget means MODEL
+    tokens; ``text_col`` is ignored then.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     from pyspark.sql import Window
+    nt = (token_count if token_count is not None
+          else F.size(_word_array(text_col)))
     w = (Window.partitionBy(strata_col)
          .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (df
-            .withColumn("n_tokens",
-                        F.size(_word_array(text_col)).cast("bigint"))
+            .withColumn("n_tokens", nt.cast("bigint"))
             .withColumn("cum_tokens", F.sum("n_tokens").over(w))
             .filter(F.col("cum_tokens") <= budget))
 
 
 def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
-                 targets: Mapping[str, float]) -> DataFrame:
+                 targets: Mapping[str, float],
+                 token_count: Column | None = None) -> DataFrame:
     """Data-mixing plan: per stratum (source/domain/language), the token
     accounting and the resampling knobs needed to hit a target mixture.
 
@@ -369,6 +384,11 @@ def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
     |strata| rows (the single-partition windows are over that tiny
     frame, not the corpus). Double math is rounded to 6 digits at the
     output edge only, from identical expression shapes both engines.
+
+    ``token_count`` overrides the whitespace-word default with a real
+    per-row token count (``functions.tokenize.wordpiece_encode``) so
+    shares and repeat factors are in MODEL tokens; ``text_col`` is
+    ignored then.
     """
     if not targets:
         raise ValueError("targets must name at least one stratum")
@@ -382,10 +402,11 @@ def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
         cond = F.col(strata_col) == F.lit(name)
         tgt = F.when(cond, share) if tgt is None else tgt.when(cond, share)
     tgt = tgt.otherwise(F.lit(0.0))
+    nt = (token_count if token_count is not None
+          else F.size(_word_array(text_col)))
     per = (df.groupBy(strata_col)
            .agg(F.count("*").alias("n_docs"),
-                F.sum(F.size(_word_array(text_col)).cast("bigint"))
-                .alias("n_tokens")))
+                F.sum(nt.cast("bigint")).alias("n_tokens")))
     # constant partition key: same single-partition execution as an
     # unpartitioned window over this |strata|-row frame, without the
     # WindowExec "no partition defined" log noise
@@ -408,7 +429,8 @@ def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
 
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                    budget: int = 2048, n_streams: int = 64,
-                   seed: str = "pack") -> DataFrame:
+                   seed: str = "pack",
+                   token_count: Column | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing: lay documents end-to-end into
     token streams and record where each document lands, so a training
     job can cut ``budget``-token windows with documents crossing window
@@ -436,9 +458,13 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
     if n_streams < 1:
         raise ValueError(f"n_streams must be >= 1, got {n_streams}")
     from pyspark.sql import Window
+    # token_count (e.g. tokenize.wordpiece_encode's n_tokens) switches
+    # packing offsets from whitespace words to MODEL tokens
+    nt = (token_count if token_count is not None
+          else F.size(_word_array(text_col)))
     base = df.select(
         F.col(id_col),
-        F.size(_word_array(text_col)).cast("bigint").alias("n_tokens"),
+        nt.cast("bigint").alias("n_tokens"),
         _bucket(id_col, seed))
     w = (Window.partitionBy(F.col("bucket") % n_streams)
          .orderBy("bucket", id_col)
