@@ -1826,6 +1826,49 @@ FROM c
 """
 
 
+def q_classifier_score(spark, sf):
+    """Model-based quality scoring (operators/curation.py): hashed
+    bag-of-words linear classifier, fastText-style mean pooling through
+    a sigmoid. The weight relation is synthesized deterministically
+    from the corpus's own observed feature buckets (a closed-form
+    pseudo-model both engines can derive), so the oracle checks the
+    whole inference machinery — feature hashing, broadcast model join,
+    decimal-exact pooling, sigmoid — not a stored artifact."""
+    from zacks_estimates_financial_statements_spark.operators.curation import _word_array
+    from zacks_estimates_financial_statements_spark.operators.dedup import hash60
+
+    docs = _t(spark, sf, "documents")
+    dim = 1 << 20
+    buckets = (docs.select(F.explode(_word_array("text")).alias("__tok"))
+               .select((hash60(F.col("__tok")) % F.lit(dim))
+                       .alias("bucket")).distinct())
+    weights = buckets.withColumn(
+        "weight", (F.col("bucket") % 1000 - 500) / F.lit(500.0))
+    return curation.classifier_quality_score(docs, "doc_id", "text",
+                                             weights, dim=dim)
+
+
+ORACLE_CLASSIFIER_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                       x -> x <> '')) AS tok
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1048576) AS bucket
+  FROM toks),
+per AS (
+  SELECT doc_id,
+    sum(round(((bucket % 1000) - 500) / 500.0, 6)::DECIMAL(38,6)) AS s,
+    count(*) AS n
+  FROM feat GROUP BY doc_id)
+SELECT doc_id, n::BIGINT AS n_features,
+  round(1.0 / (1.0 + exp(-(s::DOUBLE / n))), 6) AS score
+FROM per
+"""
+
+
 def q_wordpiece_encode(spark, sf):
     """Greedy longest-match subword tokenization
     (functions/tokenize.py): the vocabulary (prefixes of the 20 most
@@ -2352,7 +2395,20 @@ def q_curate_pipeline(spark, sf):
     3. drop survivors sharing any 4-gram with the benchmark,
     4. keep each source's top half by quality score.
 
-    Returns the curated corpus with its provenance columns."""
+    Returns the curated corpus with its provenance columns.
+
+    Plan-shape notes (measured at sf0.1): contamination is computed
+    against the CORPUS slice, not the dedup survivors — identical
+    final result (survivors are a subset and the flags inner-join
+    back), but the gram branch then skips the cluster-label join, so
+    the expensive keepers subtree appears once, not twice. And the
+    narrow ``scored`` frame (id, source, component, quality) is
+    localCheckpoint-ed before the quantile gate: ``quantile_gate``
+    necessarily embeds its input twice (threshold aggregate + gated
+    rows), and without the barrier the whole dedup-CC-decontaminate
+    lineage replayed per use — a measured 30 s → ~10 s at sf0.1. At
+    cluster scale the checkpoint materializes 4 narrow columns per
+    surviving doc — the standard mid-composite cut point."""
     docs = _t(spark, sf, "documents")
     split = curation.hash_split(docs, "doc_id", {"bench": 1, "corpus": 9},
                                 seed="decontam")
@@ -2362,13 +2418,13 @@ def q_curate_pipeline(spark, sf):
                                          k=12, bands=4)
     keepers = (graph.resolve_duplicate_clusters(corpus, pairs, "doc_id")
                .filter("keep"))
-    cont = curation.benchmark_contamination(keepers, bench, "doc_id",
+    cont = curation.benchmark_contamination(corpus, bench, "doc_id",
                                             "text", n=4)
     clean = (keepers.join(cont.filter(~F.col("contaminated"))
                           .select("doc_id"), "doc_id"))
     scored = clean.select(
         "doc_id", "source", "component",
-        T.quality_score(F.col("text")).alias("quality"))
+        T.quality_score(F.col("text")).alias("quality")).localCheckpoint()
     gated = curation.quantile_gate(scored, "source", "quality", q=0.5)
     return gated.select("doc_id", "source", "component",
                         F.round("quality", 6).alias("quality"),
@@ -2492,6 +2548,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scan": q_pii_scan,
     "chunk_tokens": q_chunk_tokens,
     "wordpiece_encode": q_wordpiece_encode,
+    "classifier_score": q_classifier_score,
     "pack_sequences": q_pack_sequences,
     "mixture_plan": q_mixture_plan,
     "quantile_gate": q_quantile_gate,
@@ -2564,6 +2621,7 @@ _ORACLE: dict[str, str] = {
     "pii_scan": _oracle_pii_scan(),
     "chunk_tokens": ORACLE_CHUNK_TOKENS,
     "wordpiece_encode": ORACLE_WORDPIECE_ENCODE,
+    "classifier_score": ORACLE_CLASSIFIER_SCORE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "mixture_plan": _oracle_mixture_plan(),
     "quantile_gate": ORACLE_QUANTILE_GATE,

@@ -56,6 +56,10 @@ HEADLINE = [
     "corpus_report",        # per-stratum health aggregate
     "lm_perplexity",        # self-trained bigram-LM quality scoring
     "heavy_hitters",        # count-min sketch heavy hitters
+    "semantic_dedup",       # SemDeDup intra-cluster cosine pruning
+    "wordpiece_encode",     # broadcast-vocab subword tokenization
+    "curate_pipeline",      # end-to-end curation composite (4 operators)
+    "cross_modal_pairs",    # text-dup evidence joined to media corpus
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +

@@ -249,13 +249,18 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     b = {r.doc_id: r.text for r in docs.collect()}
     assert a == b
     # the scratch copy persists DISK_ONLY (never steals executor memory)
-    # and release() drops it
-    levels = [info.storageLevel() for info in
-              spark.sparkContext._jsc.sc().getRDDStorageInfo()]
-    assert levels and all(not lvl.useMemory() and lvl.useDisk()
-                          for lvl in levels)
+    # and release() drops it. Other fixtures may hold their own cached
+    # RDDs in the shared session, so assert on the DELTA: at least one
+    # disk-only, zero-memory entry exists now and is gone after release.
+    def disk_only_ids():
+        return {info.id() for info in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                if info.storageLevel().useDisk()
+                and not info.storageLevel().useMemory()}
+    before = disk_only_ids()
+    assert before
     release()
-    assert not list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert disk_only_ids() < before
 
     # damaged delivery: parseable rows flow, broken lines quarantine RAW
     bad = tmp_path / "damaged.jsonl"

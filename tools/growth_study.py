@@ -1,0 +1,102 @@
+"""Ingestion-gate growth study: is admitting a batch to a GROWING
+stored LSH index really O(batch)?
+
+The incremental-dedup design claim (operators/dedup.py,
+``incremental_minhash_pairs``) is that per-batch admission cost does
+not grow with the stored corpus: only the batch is sketched, its
+bucket rows broadcast into the index probe, and the stored index is
+scanned but never re-sketched or shuffled. This tool measures that
+claim directly: build an index from an initial corpus slice, then
+admit successive fixed-size batches, appending each batch's index rows
+to the STORED parquet index between rounds (the real ingestion loop),
+and record the per-batch admission wall time against the index size.
+
+Flat admission time across a 5× index growth = the claim holds at the
+scales local mode can exercise; the plan shape (broadcast probe, no
+corpus shuffle) is what extends it beyond.
+
+Usage: python tools/growth_study.py [sf_dir] [initial] [batch_size] [n_batches]
+Prints one JSON line; PERFORMANCE.md carries the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from zacks_estimates_financial_statements_spark.operators import dedup  # noqa: E402
+from zacks_estimates_financial_statements_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    initial = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    batch_size = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    spark = get_spark(app_name="growth-study", master=f"local[{cpus}]",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.ui.showConsoleProgress": "false",
+                                  "spark.sql.shuffle.partitions": cpus})
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text").persist())
+    docs.count()
+
+    tmp = tempfile.mkdtemp(prefix="growth_index_")
+    index_path = os.path.join(tmp, "minhash_index")
+    try:
+        seed = docs.filter(F.col("doc_id") < initial)
+        dedup.minhash_index(seed, "doc_id", "text") \
+            .write.mode("overwrite").parquet(index_path)
+
+        rows = []
+        for b in range(n_batches):
+            lo = initial + b * batch_size
+            batch = docs.filter((F.col("doc_id") >= lo)
+                                & (F.col("doc_id") < lo + batch_size))
+            stored = spark.read.parquet(index_path)
+            index_rows = stored.count()
+            times = []
+            for _ in range(reps):
+                t0 = time.time()
+                n_pairs = dedup.incremental_minhash_pairs(
+                    stored, batch, "doc_id", "text").count()
+                times.append(time.time() - t0)
+            # the real ingestion loop: admitted batch joins the index
+            dedup.minhash_index(batch, "doc_id", "text") \
+                .write.mode("append").parquet(index_path)
+            rows.append({"batch": b + 1, "index_rows": index_rows,
+                         "admit_s": round(statistics.median(times), 3),
+                         "pairs": n_pairs})
+            print(f"# batch {b + 1}/{n_batches}: index={index_rows} rows, "
+                  f"admit={rows[-1]['admit_s']}s, pairs={n_pairs}",
+                  file=sys.stderr)
+
+        first, last = rows[0]["admit_s"], rows[-1]["admit_s"]
+        print(json.dumps({
+            "sf_dir": sf_dir, "initial_docs": initial,
+            "batch_size": batch_size, "n": reps,
+            "batches": rows,
+            "growth_ratio": round(rows[-1]["index_rows"]
+                                  / rows[0]["index_rows"], 2),
+            "admit_ratio_last_vs_first": round(last / first, 2)
+            if first else None,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -203,19 +203,32 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     nothing breaks when a corpus is pervasively contaminated.
     ``total_grams`` itself is a per-row projection.
     """
-    words = _word_array(text_col)
-    per_doc = corpus.select(
-        F.col(id_col), _gram_array(words, n).alias("__grams"))
+    # Two hard-won plan rules meet here. (1) Materialize the word
+    # split before the gram lambdas reference it — Catalyst does not
+    # CSE through lambda functions, so an inline split re-tokenizes
+    # the document once per gram position. (2) Explode the gram arrays
+    # with explode_OUTER: plain explode triggers
+    # InferFiltersFromGenerate, which pushes an inferred
+    # `size(grams) > 0` predicate below the projections with the WHOLE
+    # gram expression inlined over raw text — re-tokenizing per row a
+    # second way (measured 27 s -> 3 s for the corpus gram stream at
+    # sf0.1). The null rows explode_outer emits for gram-less docs
+    # vanish in the inner gram join.
+    corpus_w = corpus.select(F.col(id_col),
+                             _word_array(text_col).alias("__w"))
+    per_doc = corpus_w.select(
+        F.col(id_col), _gram_array(F.col("__w"), n).alias("__grams"))
     totals = per_doc.select(
         id_col, F.size("__grams").cast("bigint").alias("total_grams"))
-    bench_grams = (benchmark
-                   .select(F.explode(_gram_array(_word_array(text_col), n))
+    bench_w = benchmark.select(_word_array(text_col).alias("__w"))
+    bench_grams = (bench_w
+                   .select(F.explode_outer(_gram_array(F.col("__w"), n))
                            .alias("gram"))
                    .distinct())
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     corpus_grams = per_doc.select(id_col,
-                                  F.explode("__grams").alias("gram"))
+                                  F.explode_outer("__grams").alias("gram"))
     overlaps = (corpus_grams.join(bench_grams, "gram")
                 .groupBy(id_col)
                 .agg(F.count("*").alias("overlap_grams")))
@@ -793,3 +806,48 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.exp(F.sum("__nll").cast("double")
                                / F.count("*")), 6).alias("ppl")))
+
+
+def classifier_quality_score(df: DataFrame, id_col: str, text_col: str,
+                             weights: DataFrame, dim: int = 1 << 20,
+                             bias: float = 0.0) -> DataFrame:
+    """Model-based quality scoring — the CCNet/fastText linear-classifier
+    tier of the quality ladder (heuristics → LM perplexity → trained
+    classifier): score each document with a hashed bag-of-words linear
+    model, ``sigmoid(bias + mean(w[h(token) % dim]))`` (fastText's mean
+    pooling over hashing-trick unigram features).
+
+    ``weights`` is the trained model as a relation ``(bucket bigint,
+    weight double)`` — training happens OFFLINE (fastText/sklearn on
+    labeled quality data); this operator is the distributed inference
+    pass. Missing buckets score 0 (sparse model). Returns one row per
+    document with ≥1 token: ``(id, n_features, score)``.
+
+    Plan shape: one token explode in a codegen projection, the model
+    attaches by broadcast hash join (a model of a few million hashed
+    buckets is tens of MB — the fastText regime; beyond that the join
+    degrades to AQE-skew-splittable shuffle, never a window), one
+    map-side-combined groupBy(id). Determinism: weights round to 6
+    digits and sum as ``decimal(38,6)`` (re-association-proof), the
+    sigmoid is applied to a double division of that exact sum, rounded
+    to 6 — the cross-engine hashing recipe used throughout.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = df.select(F.col(id_col),
+                     F.explode(_word_array(text_col)).alias("__tok"))
+    feat = toks.select(F.col(id_col),
+                       (hash60(F.col("__tok")) % F.lit(dim)).alias("bucket"))
+    w = weights.select(
+        F.col("bucket"),
+        F.round(F.col("weight"), 6).cast("decimal(38,6)").alias("__w"))
+    scored = (feat.join(F.broadcast(w), "bucket", "left")
+              .groupBy(id_col)
+              .agg(F.sum(F.coalesce(F.col("__w"),
+                                    F.lit(0).cast("decimal(38,6)")))
+                   .alias("__s"),
+                   F.count("*").alias("n_features")))
+    x = F.lit(bias) + F.col("__s").cast("double") / F.col("n_features")
+    return scored.select(
+        F.col(id_col), F.col("n_features"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6).alias("score"))
