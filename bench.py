@@ -58,6 +58,7 @@ HEADLINE = [
     "heavy_hitters",        # count-min sketch heavy hitters
     "semantic_dedup",       # SemDeDup intra-cluster cosine pruning
     "wordpiece_encode",     # broadcast-vocab subword tokenization
+    "classifier_score",     # hashed linear-model quality inference
     "curate_pipeline",      # end-to-end curation composite (4 operators)
     "cross_modal_pairs",    # text-dup evidence joined to media corpus
     # dedup_clusters is deliberately NOT a headline entry: it embeds
