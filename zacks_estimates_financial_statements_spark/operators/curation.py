@@ -775,9 +775,14 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
     toks = (df.select(F.col(id_col), _word_array(text_col).alias("__t"))
             .filter(F.size("__t") >= 2))
     n1 = F.size("__t") - 1
+    # explode_OUTER everywhere below: the >= 2 filter already
+    # guarantees non-empty arrays, and plain explode triggers
+    # InferFiltersFromGenerate, which re-inlines the whole tokenize
+    # into a pushed-down size()>0 filter — one wasted split pass per
+    # row per branch (the benchmark_contamination lesson)
     bi = (toks.select(
         F.col(id_col),
-        F.explode(F.arrays_zip(
+        F.explode_outer(F.arrays_zip(
             F.slice("__t", 1, n1).alias("w1"),
             F.slice("__t", 2, n1).alias("w2"))).alias("__b"))
         .select(F.col(id_col), F.col("__b.w1").alias("w1"),
@@ -786,7 +791,7 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
     # bigram iff __p < size-1; tokens that never head keep __c1 = 0
     # and simply find no partner in the inner join below
     tokrel = toks.select((F.size("__t") - 1).alias("__h"),
-                         F.posexplode("__t").alias("__p", "__tok"))
+                         F.posexplode_outer("__t").alias("__p", "__tok"))
     head_model = (tokrel.groupBy("__tok")
                   .agg(F.sum(F.when(F.col("__p") < F.col("__h"), 1)
                              .otherwise(0)).alias("__c1")))
