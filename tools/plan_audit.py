@@ -6,7 +6,15 @@ Red-flag rules:
 - ``CartesianProduct`` anywhere → ALL-PAIRS (scale-killer);
 - ``BroadcastNestedLoopJoin`` whose build side is NOT a tiny literal
   range/index fan-out → NON-EQUI JOIN (we whitelist the intentional
-  k-range/bit-range broadcasts, which are linear constant fan-outs).
+  k-range/bit-range broadcasts, which are linear constant fan-outs);
+- a ``Filter`` whose condition embeds a lambda over a fresh
+  ``split``/``sequence`` of raw input → INLINED-LAMBDA-FILTER: the
+  InferFiltersFromGenerate / pushed-predicate recompute class that cost
+  ``benchmark_contamination`` 9× in round 5 (the whole array expression
+  re-evaluates per row inside the filter, invisibly to ``count()``).
+  Queries where the recomputed expression IS the semantic gate (one
+  extra panel pass, accepted and documented in PERFORMANCE.md) are
+  whitelisted; any NEW query growing one fails the audit.
 
 Usage: python tools/plan_audit.py [sf_dir] [out_md]
 """
@@ -44,6 +52,38 @@ FANOUT_BNLJ_OK = {
                       "explode, never a nested loop",
 }
 
+#: queries where a Filter re-evaluating a lambda-built array is the
+#: SEMANTIC gate itself (language/quality predicates, caller-written
+#: size() guards) — one extra panel/tokenize pass per row, measured and
+#: accepted (PERFORMANCE.md "inferred-filter recompute class"). Kept
+#: deliberately: suppressing them needs statically-non-nullable score
+#: expressions, which would change NULL-text semantics vs the SQL twins.
+LAMBDA_FILTER_OK = {
+    "clean_corpus": "language/quality gate predicates recompute one "
+                    "panel pass (semantic filters, not inferred ones)",
+    "quantile_gate": "inferred isnotnull on the quality score "
+                     "duplicates one panel pass",
+    "repeated_spans": "caller-written size(tokens) >= n guard pushed "
+                      "into the scan filter — one extra split pass",
+    "lm_perplexity": "caller-written size(tokens) >= 2 guard pushed "
+                     "into the scan filter — one extra split pass",
+    "curate_pipeline": "embeds clean_corpus-style quality gates",
+}
+
+_LAMBDA_FILTER_RE = re.compile(r"Filter [^\n]+")
+
+
+def _inlined_lambda_filters(plan: str) -> int:
+    """Count Filter nodes whose condition re-evaluates a lambda over a
+    fresh split/sequence — the recompute class described above."""
+    n = 0
+    for m in _LAMBDA_FILTER_RE.finditer(plan):
+        cond = m.group(0)
+        if "lambdafunction" in cond and ("split(" in cond
+                                         or "sequence(" in cond):
+            n += 1
+    return n
+
 
 def audit(plan: str, name: str) -> dict:
     flags = []
@@ -51,6 +91,9 @@ def audit(plan: str, name: str) -> dict:
         flags.append("CARTESIAN")
     if "BroadcastNestedLoopJoin" in plan and name not in FANOUT_BNLJ_OK:
         flags.append("BNLJ")
+    lam = _inlined_lambda_filters(plan)
+    if lam and name not in LAMBDA_FILTER_OK:
+        flags.append("LAMBDA-FILTER")
     pushed = re.findall(r"PushedFilters: \[([^\]]+)\]", plan)
     pushed = [p for p in pushed if p.strip()]
     return {
@@ -62,6 +105,7 @@ def audit(plan: str, name: str) -> dict:
         # executed plans mark whole-stage-codegen spans as "*(N)" prefixes
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed": len(pushed),
+        "lam": lam,
         "flags": ",".join(flags) or "-",
     }
 
@@ -93,7 +137,7 @@ def main() -> int:
             a = audit(plan, name)
         except Exception as exc:  # noqa: BLE001
             a = {"bhj": "-", "smj": "-", "bnlj": "-", "exchanges": "-",
-                 "reused": "-", "codegen": "-", "pushed": "-",
+                 "reused": "-", "codegen": "-", "pushed": "-", "lam": "-",
                  "flags": f"ERR:{str(exc)[:40]}"}
         if a["flags"] != "-":
             bad += 1
@@ -109,18 +153,25 @@ def main() -> int:
             " bit-range constant fan-outs in the sketching operators —"
             " those broadcasts are tiny literal index ranges, a linear"
             " fan-out, not a pair join). `flags` is non-`-` only for"
-            " scale-killers: cartesian products or non-whitelisted"
-            " nested-loop joins.\n\n"
+            " scale-killers: cartesian products, non-whitelisted"
+            " nested-loop joins, or non-whitelisted inlined-lambda"
+            " filters (`lam` counts Filter nodes re-evaluating a"
+            " lambda-built array — the InferFiltersFromGenerate /"
+            " pushed-predicate recompute class; see PERFORMANCE.md).\n\n"
             "| query | BHJ | SMJ | BNLJ | shuffles | reused | codegen | "
-            "pushed scans | flags |\n"
-            "|---|---|---|---|---|---|---|---|---|\n")
+            "pushed scans | lam | flags |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n")
         for name, a in rows:
             f.write(f"| {name} | {a['bhj']} | {a['smj']} | {a['bnlj']} | "
                     f"{a['exchanges']} | {a['reused']} | {a['codegen']} | "
-                    f"{a['pushed']} | {a['flags']} |\n")
+                    f"{a['pushed']} | {a['lam']} | {a['flags']} |\n")
         f.write(f"\nQueries with red flags: **{bad}**.\n\n"
                 "## Whitelisted nested-loop fan-outs\n\n")
         for q, why in sorted(FANOUT_BNLJ_OK.items()):
+            f.write(f"- `{q}` — {why}\n")
+        f.write("\n## Whitelisted inlined-lambda filters"
+                " (one measured extra pass, semantic predicates)\n\n")
+        for q, why in sorted(LAMBDA_FILTER_OK.items()):
             f.write(f"- `{q}` — {why}\n")
     spark.stop()
     print(f"wrote {out_md}; {bad} flagged")
