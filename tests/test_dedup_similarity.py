@@ -461,3 +461,35 @@ def test_semantic_dedup_cluster_cap_drops_degenerate_cluster(spark):
     assert all(out[i] for i in [0] + list(range(2, 10)))
     # +y cluster (3 members) still dedups to its minimal id
     assert out[1] and not out[100] and not out[101]
+
+
+def test_incremental_prune_pushes_bucket_filter(spark, tmp_path):
+    """prune_index_scan=True on a parquet-backed index: identical
+    results, and the probed-bucket In() predicate reaches the parquet
+    scan (PushedFilters), so the stored index reads O(probed buckets)
+    files instead of O(index)."""
+    from zacks_estimates_financial_statements_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "completely different content about spark shuffles here"),
+         (102, "unrelated third document with its own words entirely")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "nothing like anything stored in the index at all ok")],
+        ["doc_id", "text"])
+    path = str(tmp_path / "stored_index")
+    D.minhash_index(corpus, "doc_id", "text", k=12, bands=4) \
+        .write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    plain = D.incremental_minhash_pairs(stored, batch, "doc_id", "text",
+                                        k=12, bands=4)
+    pruned = D.incremental_minhash_pairs(stored, batch, "doc_id", "text",
+                                         k=12, bands=4,
+                                         prune_index_scan=True)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, pruned.collect()))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(bucket" in plan

@@ -67,20 +67,29 @@ def main() -> None:
                                 & (F.col("doc_id") < lo + batch_size))
             stored = spark.read.parquet(index_path)
             index_rows = stored.count()
-            times = []
+            times, times_pruned = [], []
             for _ in range(reps):
                 t0 = time.time()
                 n_pairs = dedup.incremental_minhash_pairs(
                     stored, batch, "doc_id", "text").count()
                 times.append(time.time() - t0)
+                t0 = time.time()
+                n_pruned = dedup.incremental_minhash_pairs(
+                    stored, batch, "doc_id", "text",
+                    prune_index_scan=True).count()
+                times_pruned.append(time.time() - t0)
+            assert n_pruned == n_pairs, (n_pruned, n_pairs)
             # the real ingestion loop: admitted batch joins the index
             dedup.minhash_index(batch, "doc_id", "text") \
                 .write.mode("append").parquet(index_path)
             rows.append({"batch": b + 1, "index_rows": index_rows,
                          "admit_s": round(statistics.median(times), 3),
+                         "admit_pruned_s":
+                         round(statistics.median(times_pruned), 3),
                          "pairs": n_pairs})
             print(f"# batch {b + 1}/{n_batches}: index={index_rows} rows, "
-                  f"admit={rows[-1]['admit_s']}s, pairs={n_pairs}",
+                  f"admit={rows[-1]['admit_s']}s, "
+                  f"pruned={rows[-1]['admit_pruned_s']}s, pairs={n_pairs}",
                   file=sys.stderr)
 
         first, last = rows[0]["admit_s"], rows[-1]["admit_s"]

@@ -246,7 +246,8 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str,
 def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
                               id_col: str, text_col: str,
                               k: int = 12, bands: int = 4,
-                              shingle_k: int = 3) -> DataFrame:
+                              shingle_k: int = 3,
+                              prune_index_scan: bool = False) -> DataFrame:
     """Incremental near-dup check: which stored corpus documents is
     each NEW batch document a likely near-dup of?
 
@@ -255,11 +256,19 @@ def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
     documents. Only the batch is sketched here — its bucket rows are
     tiny and broadcast into the index probe, so the stored corpus is
     never re-sketched and never shuffles: the cost of admitting a batch
-    is O(batch) sketch work plus an index scan that partition-prunes to
-    the probed buckets when the index is stored bucketed by ``bucket``.
-    This is the ingestion-time dedup gate of a growing corpus (the
-    batch-vs-corpus complement of ``minhash_near_dup_pairs``'s
-    corpus-vs-itself sweep).
+    is O(batch) sketch work plus the index scan. This is the
+    ingestion-time dedup gate of a growing corpus (the batch-vs-corpus
+    complement of ``minhash_near_dup_pairs``'s corpus-vs-itself sweep).
+
+    ``prune_index_scan=True`` makes even the index SCAN O(probed
+    buckets) instead of O(index): the batch's bucket keys (bounded by
+    |batch| × bands — collected once from the eagerly materialized
+    probe sketch) push down as an ``In(bucket, ...)`` filter that
+    parquet row-group statistics prune against, so a 100 TB stored
+    index reads only the files containing probed buckets. Off by
+    default because the collect is an extra action (and pointless when
+    the index is an in-memory relation in tests); turn it on when the
+    index is parquet-backed — the streaming ingestion gate's regime.
 
     Returns ``(batch_id, corpus_id, est_jaccard)``, distinct pairs.
     """
@@ -268,6 +277,13 @@ def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
              .select(F.col(id_col).alias("__bid"),
                      F.col("sig").alias("__bsig"),
                      "band", "bucket"))
+    if prune_index_scan:
+        # materialize the batch sketch once so the key collect and the
+        # join don't each replay the shingle/hash lineage
+        probe = probe.localCheckpoint()
+        keys = [r["bucket"] for r in
+                probe.select("bucket").distinct().collect()]
+        index = index.filter(F.col("bucket").isin(keys))
     est = (F.aggregate(
         F.zip_with(F.col("sig"), F.col("__bsig"),
                    lambda x, y: F.when(x == y, 1).otherwise(0)),

@@ -330,9 +330,11 @@ def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
             batch_df = (resolved.filter(F.col("keep"))
                         .select(*batch_df.columns))
         if index.exists():
+            # the stored index is parquet-backed, so the probed-bucket
+            # In() pushdown prunes its scan to the batch's buckets
             pairs = dedup.incremental_minhash_pairs(
                 index.read(), batch_df, "doc_id", "text",
-                k=k, bands=bands)
+                k=k, bands=bands, prune_index_scan=True)
             # max(struct) breaks est_jaccard ties by the larger
             # corpus_id — deterministic across runs/replays, unlike a
             # bare max_by; localCheckpoint materializes the sketch +
