@@ -493,3 +493,30 @@ def test_incremental_prune_pushes_bucket_filter(spark, tmp_path):
         sorted(map(tuple, pruned.collect()))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(bucket" in plan
+
+
+def test_ivf_save_load_partition_pruned_probe(spark, emb, tmp_path):
+    """A saved IVF index round-trips exactly, and probing the loaded
+    index reads only the probed centroid partitions: the lists are
+    directory-partitioned by centroid_id and the probe join qualifies
+    for dynamic partition pruning."""
+    q = _queries(emb, 3)
+    built = similarity.ivf_build(emb, n_centroids=8)
+    want = sorted(map(tuple, similarity.topk_ivf(
+        emb, q, k=3, nprobe=3, index=built).collect()))
+
+    path = str(tmp_path / "ivf")
+    similarity.ivf_save(built, path)
+    built.unpersist()
+    loaded = similarity.ivf_load(spark, path)
+    out = similarity.topk_ivf(emb, q, k=3, nprobe=3, index=loaded)
+    assert sorted(map(tuple, out.collect())) == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the lists scan carries a partition filter on centroid_id —
+    # static or dynamic (DPP), either form prunes unprobed lists
+    assert "PartitionFilters" in plan
+    import re
+    pf = [m for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)
+          if "centroid_id" in m.group(1) or "dynamicpruning" in m.group(1)]
+    assert pf, plan[:2000]

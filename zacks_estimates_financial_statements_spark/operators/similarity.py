@@ -22,6 +22,7 @@ All math is native Spark (higher-order functions, see
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -320,3 +321,32 @@ def ivf_add(index: IvfIndex, batch: DataFrame,
     index.assigned.unpersist()
     return IvfIndex(assigned=combined, centroids=index.centroids,
                     id_col=index.id_col, vec_col=index.vec_col)
+
+
+def ivf_save(index: IvfIndex, path: str) -> None:
+    """Persist an IVF index to parquet: the inverted lists
+    directory-PARTITIONED by ``centroid_id`` (cardinality = n_centroids,
+    bounded — the legitimate partitionBy case), centroids as a tiny
+    side table. The partitioned layout is what makes loaded-index
+    probes read only the probed lists: the centroid_id join against the
+    (broadcast) probe set qualifies for dynamic partition pruning, so a
+    corpus-sized index on disk serves a query batch by scanning nprobe
+    partitions per query, not the corpus.
+    """
+    (index.assigned.write.partitionBy("centroid_id")
+     .mode("overwrite").parquet(os.path.join(path, "lists")))
+    (index.centroids.write.mode("overwrite")
+     .parquet(os.path.join(path, "centroids")))
+
+
+def ivf_load(spark, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> IvfIndex:
+    """Reopen a saved IVF index. The lists stay on disk (no persist —
+    the partitioned parquet IS the materialization); centroids localize
+    to a literal relation exactly as ``ivf_build`` leaves them, so the
+    probe side never touches the lists' lineage."""
+    assigned = spark.read.parquet(os.path.join(path, "lists"))
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    centroids = spark.createDataFrame(cent.collect(), schema=cent.schema)
+    return IvfIndex(assigned=assigned, centroids=centroids,
+                    id_col=id_col, vec_col=vec_col)
