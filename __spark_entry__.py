@@ -1826,6 +1826,73 @@ FROM c
 """
 
 
+def q_html_to_text(spark, sf):
+    """HTML -> training-text strip tier (operators/extraction.py):
+    documents wrapped in a synthesized page (script/style blocks,
+    comments, nav/footer chrome, the six common entities) and cleaned
+    by the native-expression strip. The oracle runs the same
+    RE2-compatible regex chain in DuckDB over identically synthesized
+    HTML, so the check covers block removal order, tag strip, entity
+    decode order (amp last) and whitespace collapse."""
+    from zacks_estimates_financial_statements_spark.operators import extraction
+
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit('<html><head><title>T</title>'
+              '<script type="text/javascript">var x = 1 && 2;</script>'
+              '<style>p { color: red; }</style></head>'
+              '<body><nav><a href="/">Home</a> | '
+              '<a href="/about">About</a></nav><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><!-- tracking --><p>'), F.col("text"),
+        F.lit(' &amp; more &lt;tags&gt; &quot;here&quot; '
+              '&#39;q&#39;&nbsp;end</p>'
+              '<footer>(c) 2026 example.com</footer></body></html>'))
+    return docs.select(
+        "doc_id", extraction.strip_html_tags(raw).alias("clean_text"))
+
+
+ORACLE_HTML_TO_TEXT = """
+WITH raw AS (
+  SELECT doc_id,
+    '<html><head><title>T</title>'
+    || '<script type="text/javascript">var x = 1 && 2;</script>'
+    || '<style>p { color: red; }</style></head>'
+    || '<body><nav><a href="/">Home</a> | '
+    || '<a href="/about">About</a></nav><h1>Doc '
+    || doc_id::VARCHAR
+    || '</h1><!-- tracking --><p>' || text
+    || ' &amp; more &lt;tags&gt; &quot;here&quot; '
+    || '&#39;q&#39;&nbsp;end</p>'
+    || '<footer>(c) 2026 example.com</footer></body></html>' AS h
+  FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(h,
+      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', CHR(39), 'g'),
+      '&nbsp;', ' ', 'g'),
+      '&amp;', '&', 'g'),
+    '\\s+', ' ', 'g')) AS clean_text
+FROM raw
+"""
+
+
 def q_classifier_score(spark, sf):
     """Model-based quality scoring (operators/curation.py): hashed
     bag-of-words linear classifier, fastText-style mean pooling through
@@ -2549,6 +2616,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_tokens": q_chunk_tokens,
     "wordpiece_encode": q_wordpiece_encode,
     "classifier_score": q_classifier_score,
+    "html_to_text": q_html_to_text,
     "pack_sequences": q_pack_sequences,
     "mixture_plan": q_mixture_plan,
     "quantile_gate": q_quantile_gate,
@@ -2622,6 +2690,7 @@ _ORACLE: dict[str, str] = {
     "chunk_tokens": ORACLE_CHUNK_TOKENS,
     "wordpiece_encode": ORACLE_WORDPIECE_ENCODE,
     "classifier_score": ORACLE_CLASSIFIER_SCORE,
+    "html_to_text": ORACLE_HTML_TO_TEXT,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "mixture_plan": _oracle_mixture_plan(),
     "quantile_gate": ORACLE_QUANTILE_GATE,

@@ -59,6 +59,7 @@ HEADLINE = [
     "semantic_dedup",       # SemDeDup intra-cluster cosine pruning
     "wordpiece_encode",     # broadcast-vocab subword tokenization
     "classifier_score",     # hashed linear-model quality inference
+    "html_to_text",         # native-expression HTML strip tier
     "curate_pipeline",      # end-to-end curation composite (4 operators)
     "cross_modal_pairs",    # text-dup evidence joined to media corpus
     # dedup_clusters is deliberately NOT a headline entry: it embeds
