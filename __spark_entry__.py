@@ -1826,6 +1826,67 @@ FROM c
 """
 
 
+def q_paragraph_dedup(spark, sf):
+    """CCNet-style paragraph dedup (operators/dedup.py): documents are
+    synthesized into multi-paragraph form (8-word groups joined by
+    newlines — closed-form in both engines), then every paragraph whose
+    normalized fingerprint occurred earlier in the corpus is dropped
+    and documents reassemble from the survivors. The testdata's planted
+    near/exact duplicate documents make the drop path non-vacuous."""
+    from zacks_estimates_financial_statements_spark.operators.curation import _word_array
+
+    docs = _t(spark, sf, "documents")
+    staged = docs.select("doc_id", _word_array("text").alias("__w"))
+    n_groups = F.ceil(F.size("__w") / F.lit(8.0)).cast("int")
+    paras = F.when(
+        F.size("__w") >= 1,
+        F.transform(F.sequence(F.lit(0), n_groups - 1),
+                    lambda g: F.concat_ws(
+                        " ", F.slice("__w", g * 8 + 1, 8)))) \
+        .otherwise(F.array().cast("array<string>"))
+    synth = staged.select("doc_id", F.array_join(paras, "\n").alias("t"))
+    return dedup.paragraph_dedup(synth, "doc_id", "t")
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+paras AS (
+  SELECT doc_id, g AS pidx,
+    array_to_string(t[g * 8 + 1 : least((g + 1) * 8, len(t))], ' ')
+      AS para,
+    md5(trim(regexp_replace(lower(
+      array_to_string(t[g * 8 + 1 : least((g + 1) * 8, len(t))], ' ')),
+      '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(g)
+  WHERE len(t) >= 1),
+winners AS (
+  SELECT fp, doc_id, pidx FROM (
+    SELECT fp, doc_id, pidx,
+      row_number() OVER (PARTITION BY fp ORDER BY doc_id, pidx) AS rn
+    FROM paras) WHERE rn = 1),
+kept AS (
+  SELECT p.doc_id, p.pidx, p.para
+  FROM paras p JOIN winners w
+    ON p.fp = w.fp AND p.doc_id = w.doc_id AND p.pidx = w.pidx),
+stats AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(para, chr(10) ORDER BY pidx) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(r.clean_text, '') AS clean_text,
+  coalesce(s.n_paras, 0)::BIGINT AS n_paras,
+  coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM documents d
+LEFT JOIN stats s ON d.doc_id = s.doc_id
+LEFT JOIN reb r ON d.doc_id = r.doc_id
+"""
+
+
 def q_html_to_text(spark, sf):
     """HTML -> training-text strip tier (operators/extraction.py):
     documents wrapped in a synthesized page (script/style blocks,
@@ -2617,6 +2678,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_encode": q_wordpiece_encode,
     "classifier_score": q_classifier_score,
     "html_to_text": q_html_to_text,
+    "paragraph_dedup": q_paragraph_dedup,
     "pack_sequences": q_pack_sequences,
     "mixture_plan": q_mixture_plan,
     "quantile_gate": q_quantile_gate,
@@ -2691,6 +2753,7 @@ _ORACLE: dict[str, str] = {
     "wordpiece_encode": ORACLE_WORDPIECE_ENCODE,
     "classifier_score": ORACLE_CLASSIFIER_SCORE,
     "html_to_text": ORACLE_HTML_TO_TEXT,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "mixture_plan": _oracle_mixture_plan(),
     "quantile_gate": ORACLE_QUANTILE_GATE,

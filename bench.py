@@ -60,6 +60,7 @@ HEADLINE = [
     "wordpiece_encode",     # broadcast-vocab subword tokenization
     "classifier_score",     # hashed linear-model quality inference
     "html_to_text",         # native-expression HTML strip tier
+    "paragraph_dedup",      # CCNet corpus-wide paragraph dedup
     "curate_pipeline",      # end-to-end curation composite (4 operators)
     "cross_modal_pairs",    # text-dup evidence joined to media corpus
     # dedup_clusters is deliberately NOT a headline entry: it embeds

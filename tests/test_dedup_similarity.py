@@ -520,3 +520,27 @@ def test_ivf_save_load_partition_pruned_probe(spark, emb, tmp_path):
     pf = [m for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)
           if "centroid_id" in m.group(1) or "dynamicpruning" in m.group(1)]
     assert pf, plan[:2000]
+
+
+def test_paragraph_dedup_drops_boilerplate_keeps_first(spark):
+    boiler = "Subscribe to our newsletter for updates"
+    df = spark.createDataFrame(
+        [(1, f"Unique intro one\n{boiler}\nUnique body one"),
+         (2, f"{boiler}\nUnique body two\n{boiler.upper()}!!"),
+         (3, "Unique body two"),     # dup of doc 2's middle paragraph
+         (4, "")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: r for r in
+           dedup.paragraph_dedup(df, "doc_id", "text").collect()}
+    # doc 1 holds the first occurrence of the boilerplate -> intact
+    assert out[1].clean_text.split("\n") == \
+        ["Unique intro one", boiler, "Unique body one"]
+    assert (out[1].n_paras, out[1].n_kept) == (3, 3)
+    # doc 2 loses both boilerplate copies (normalization-invariant:
+    # the upper-cased '!!' variant fingerprints identically)
+    assert out[2].clean_text == "Unique body two"
+    assert (out[2].n_paras, out[2].n_kept) == (3, 1)
+    # doc 3's only paragraph already occurred in doc 2 -> empty doc
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    # empty doc: zero paragraphs, still one output row
+    assert (out[4].n_paras, out[4].n_kept) == (0, 0)

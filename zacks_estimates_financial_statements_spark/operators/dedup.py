@@ -629,3 +629,61 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     return (clustered.select(F.col(id_col), F.col("centroid_id"))
             .join(drops, id_col, "left")
             .withColumn("keep", F.col("dup_of").isNull()))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    sep: str = r"\n+") -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al.,
+    arXiv:1911.00359 §3.1): drop every paragraph whose normalized
+    fingerprint already occurred earlier in the corpus (first
+    occurrence by (doc id, paragraph index) wins — boilerplate like
+    cookie banners and share-bars repeats across pages and vanishes
+    from all but one), then reassemble each document from its surviving
+    paragraphs in order.
+
+    Returns one row per input document: ``clean_text`` (kept paragraphs
+    joined with newlines, '' when everything was dropped), ``n_paras``
+    (non-empty paragraphs before dedup) and ``n_kept``.
+
+    Plan shape: paragraphs explode once (``posexplode_outer`` — plain
+    explode would re-inline the split into an inferred pushed filter),
+    winners come from ``groupBy(fingerprint).min(struct(id, idx))`` —
+    map-side combine collapses the million-fold repeated boilerplate
+    fingerprint to one row per task, the skew-safe shape a
+    ``partitionBy(fingerprint)`` keep-first window does NOT have (AQE
+    splits skewed joins, not windows) — and survivors rejoin on the
+    well-distributed composite (fingerprint, id, idx) key. One final
+    per-document reassembly aggregation. Everything is corpus-linear
+    with three narrow shuffles.
+    """
+    paras = (df.select(F.col(id_col),
+                       F.posexplode_outer(F.split(F.col(text_col), sep))
+                       .alias("__pidx", "__para"))
+             .filter(F.col("__para").isNotNull()
+                     & (F.trim(F.col("__para")) != ""))
+             .withColumn("__fp", T.fingerprint(F.col("__para"))))
+    winners = (paras.groupBy("__fp")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("__pidx").alias("p")))
+                    .alias("__w"))
+               .select("__fp", F.col("__w.i").alias(id_col),
+                       F.col("__w.p").alias("__pidx")))
+    kept = paras.join(winners, ["__fp", id_col, "__pidx"], "left_semi")
+    stats = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pidx", "__para"))),
+                            lambda s: s["__para"]), "\n")
+                    .alias("clean_text")))
+    return (df.select(id_col)
+            .join(stats, id_col, "left")
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_paras", F.lit(0)).cast("bigint")
+                    .alias("n_paras"),
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                    .alias("n_kept")))
