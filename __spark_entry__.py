@@ -1826,6 +1826,66 @@ FROM c
 """
 
 
+def q_bm25_search(spark, sf):
+    """Okapi BM25 keyword retrieval (operators/retrieval.py). The query
+    derives deterministically from the corpus itself (its 3 most
+    frequent words — count desc, word asc; literal terms would break
+    when the driver regenerates testdata content), collected driver-side
+    as a bounded 3-row scalar. Scores follow the per-term
+    round-6 → decimal-sum recipe, so the DuckDB twin matches on the
+    full scored relation, not a top-k."""
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+    from zacks_estimates_financial_statements_spark.operators.curation import _word_array
+
+    docs = _t(spark, sf, "documents")
+    top = (docs.select(F.explode(_word_array("text")).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n"))
+           .orderBy(F.desc("n"), F.asc("w")).limit(3).collect())
+    out = retrieval.bm25_score(docs, "doc_id", "text",
+                               [r["w"] for r in top])
+    return out.select("doc_id", "n_matched_terms",
+                      F.round("score", 6).alias("score"))
+
+
+ORACLE_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                       x -> x <> '')) AS tok
+  FROM documents),
+q AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 3)),
+dl AS (
+  SELECT d.doc_id, coalesce(c.cnt, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) c
+    ON d.doc_id = c.doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT t.doc_id, t.tok, count(*) AS tf
+  FROM toks t JOIN q ON t.tok = q.tok
+  GROUP BY t.doc_id, t.tok),
+dft AS (
+  SELECT tok, ln(1.0 + (s.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf, stats s GROUP BY tok, s.n),
+per_term AS (
+  SELECT tf.doc_id,
+    round(d.idf * tf.tf * (1.2 + 1.0)
+          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+          6)::DECIMAL(38,6) AS contrib
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dft d ON tf.tok = d.tok
+  CROSS JOIN stats s)
+SELECT doc_id, count(*)::BIGINT AS n_matched_terms,
+  round(sum(contrib)::DOUBLE, 6) AS score
+FROM per_term GROUP BY doc_id
+"""
+
+
 def q_paragraph_dedup(spark, sf):
     """CCNet-style paragraph dedup (operators/dedup.py): documents are
     synthesized into multi-paragraph form (8-word groups joined by
@@ -2679,6 +2739,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": q_classifier_score,
     "html_to_text": q_html_to_text,
     "paragraph_dedup": q_paragraph_dedup,
+    "bm25_search": q_bm25_search,
     "pack_sequences": q_pack_sequences,
     "mixture_plan": q_mixture_plan,
     "quantile_gate": q_quantile_gate,
@@ -2754,6 +2815,7 @@ _ORACLE: dict[str, str] = {
     "classifier_score": ORACLE_CLASSIFIER_SCORE,
     "html_to_text": ORACLE_HTML_TO_TEXT,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+    "bm25_search": ORACLE_BM25_SEARCH,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "mixture_plan": _oracle_mixture_plan(),
     "quantile_gate": ORACLE_QUANTILE_GATE,

@@ -61,6 +61,7 @@ HEADLINE = [
     "classifier_score",     # hashed linear-model quality inference
     "html_to_text",         # native-expression HTML strip tier
     "paragraph_dedup",      # CCNet corpus-wide paragraph dedup
+    "bm25_search",          # Okapi BM25 keyword retrieval
     "curate_pipeline",      # end-to-end curation composite (4 operators)
     "cross_modal_pairs",    # text-dup evidence joined to media corpus
     # dedup_clusters is deliberately NOT a headline entry: it embeds

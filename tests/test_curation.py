@@ -515,3 +515,37 @@ def test_budget_operators_accept_model_token_counts(spark):
                                    budget=4, n_streams=1,
                                    token_count=F.col("n_tokens"))
     assert {r.doc_id: r.n_tokens for r in pack.collect()} == {1: 4, 2: 2}
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity on a constructed corpus: rarer terms weigh more,
+    higher tf scores higher within a term, longer docs are penalized,
+    and non-matching docs are absent."""
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+
+    df = spark.createDataFrame(
+        [(1, "apple banana cherry date egg"),
+         (2, "apple apple apple banana fig"),
+         (3, "apple grape melon kiwi pear"),
+         (4, "zebra yak xylophone wombat vole"),
+         (5, "banana banana nut bread loaf")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: r for r in retrieval.bm25_score(
+        df, "doc_id", "text", ["apple", "banana"]).collect()}
+    assert 4 not in out                       # no query term
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1].n_matched_terms == 2
+    # doc 2 has tf(apple)=3 vs doc 3's 1, same length -> higher score
+    assert out[2].score > out[3].score
+    # 'banana' (df=3) is rarer than 'apple' (df=3)? equal here — check
+    # the idf monotonicity with a 3rd query instead: a term in every
+    # doc scores below a term in one doc at equal tf
+    common = {r.doc_id: r.score for r in retrieval.bm25_score(
+        df, "doc_id", "text", ["apple"]).collect()}
+    rare = {r.doc_id: r.score for r in retrieval.bm25_score(
+        df, "doc_id", "text", ["cherry"]).collect()}
+    assert rare[1] > common[3]    # tf=1 both; cherry df=1 < apple df=3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one term"):
+        retrieval.bm25_score(df, "doc_id", "text", ["  "])

@@ -50,6 +50,9 @@ FANOUT_BNLJ_OK = {
                       "quantizer scoring — same shape as ann_ivf_topk); "
                       "pair generation itself is the grouped equi-key "
                       "explode, never a nested loop",
+    "bm25_search": "1-row corpus-stats aggregate broadcast (N/avgdl "
+                   "scalar attach; folded-constant-key shape as "
+                   "token_frequencies)",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the

@@ -1,0 +1,74 @@
+"""Keyword retrieval over a document corpus (Okapi BM25).
+
+The lexical complement of ``operators/similarity``'s embedding ANN:
+corpus QA ("what does the corpus say about X"), retrieval-based
+decontamination, and hard-negative mining all need a scalable BM25
+pass. Formula (Robertson/Spärck Jones, TREC-3 Okapi):
+
+    score(d, q) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                              (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    idf(t) = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+
+Plan shape — the trick is that the QUERY is tiny, so everything heavy
+filters before it shuffles: the token explode drops every non-query
+term in the same codegen stage (an ``isin`` over the broadcast-able
+term list), leaving per-(doc, query-term) partial counts whose shuffle
+is bounded by |matching docs| × |query terms|, with map-side combine.
+Document lengths ride the same single corpus scan as a separate
+(cheap, map-side-combined) aggregate; N and avgdl are a 1-row
+broadcast; df_t is |query|-rows and broadcast. No corpus-wide shuffle
+ever carries non-matching rows.
+
+Determinism for the cross-engine oracle: per-term scores round to 6
+digits and sum as ``decimal(38,6)``, the output score is that exact
+sum rendered as double — the hashing recipe used throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_score(df: DataFrame, id_col: str, text_col: str,
+               query: list[str], k1: float = 1.2,
+               b: float = 0.75) -> DataFrame:
+    """BM25 scores for every document matching ≥1 query term:
+    ``(id, n_matched_terms, score)``. Query terms are lowercased and
+    deduplicated; callers sort/limit for top-k (kept out of the
+    operator so no global single-partition rank window exists at
+    corpus size)."""
+    terms = sorted({t.strip().lower() for t in query if t.strip()})
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    from zacks_estimates_financial_statements_spark.operators.curation import _word_array
+
+    toks = df.select(F.col(id_col), F.explode_outer(_word_array(text_col))
+                     .alias("__tok"))
+    # doc lengths + corpus stats (explode_outer keeps zero-token docs
+    # in the length relation at length 0 via the null-token count)
+    dl = toks.groupBy(id_col).agg(
+        F.count("__tok").alias("__dl"))
+    stats = dl.agg(F.count("__dl").cast("double").alias("__n"),
+                   F.avg("__dl").alias("__avgdl")) \
+        .withColumn("__k", F.lit(1))
+    # everything below operates on query-term rows only
+    hits = toks.filter(F.col("__tok").isin(terms))
+    tf = hits.groupBy(id_col, "__tok").agg(F.count("*").alias("__tf"))
+    dft = (tf.groupBy("__tok").agg(F.count("*").alias("__df"))
+           .withColumn("__k", F.lit(1))
+           .join(F.broadcast(stats), "__k")
+           .select("__tok",
+                   F.log(F.lit(1.0)
+                         + (F.col("__n") - F.col("__df") + 0.5)
+                         / (F.col("__df") + 0.5)).alias("__idf"),
+                   "__avgdl"))
+    per_term = (tf.join(dl, id_col)
+                .join(F.broadcast(dft), "__tok"))
+    denom = (F.col("__tf")
+             + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    contrib = F.round(
+        F.col("__idf") * F.col("__tf") * (k1 + 1.0) / denom,
+        6).cast("decimal(38,6)")
+    return (per_term.groupBy(id_col)
+            .agg(F.count("*").alias("n_matched_terms"),
+                 F.sum(contrib).cast("double").alias("score")))
