@@ -1826,6 +1826,60 @@ FROM c
 """
 
 
+def q_topic_summaries(spark, sf):
+    """BERTopic-style corpus topic map (operators/topics.py): IVF
+    clusters over the embedding table (deterministic seed centroids),
+    each labeled with its top-5 class-TF-IDF terms from the documents
+    that share the vector's id. The oracle re-derives assignment,
+    per-cluster term counts, cluster frequencies and the rank in SQL."""
+    from zacks_estimates_financial_statements_spark.operators import topics
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    return topics.topic_summaries(docs, emb, n_clusters=16, top_terms=5)
+
+
+ORACLE_TOPIC_SUMMARIES = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC, c.centroid_id)
+      AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+clustered AS (
+  SELECT d.doc_id, d.text, a.centroid_id
+  FROM documents d JOIN assign a ON d.doc_id = a.vec_id),
+nd AS (SELECT centroid_id, count(*) AS n_docs FROM clustered GROUP BY 1),
+toks AS (
+  SELECT centroid_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                       x -> x <> '')) AS term
+  FROM clustered),
+tf AS (
+  SELECT centroid_id, term, count(*) AS tf
+  FROM toks GROUP BY centroid_id, term),
+cf AS (SELECT term, count(*) AS cf FROM tf GROUP BY term),
+ctot AS (SELECT count(DISTINCT centroid_id)::DOUBLE AS c FROM tf),
+scored AS (
+  SELECT t.centroid_id, t.term,
+    round(t.tf * ln((ctot.c + 1.0) / cf.cf), 6) AS score
+  FROM tf t JOIN cf ON t.term = cf.term CROSS JOIN ctot),
+ranked AS (
+  SELECT centroid_id, term, score,
+    row_number() OVER (PARTITION BY centroid_id
+                       ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT r.centroid_id, nd.n_docs, r.rank, r.term, r.score
+FROM ranked r JOIN nd ON r.centroid_id = nd.centroid_id
+WHERE r.rank <= 5
+"""
+
+
 def q_bm25_search(spark, sf):
     """Okapi BM25 keyword retrieval (operators/retrieval.py). The query
     derives deterministically from the corpus itself (its 3 most
@@ -2740,6 +2794,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_to_text": q_html_to_text,
     "paragraph_dedup": q_paragraph_dedup,
     "bm25_search": q_bm25_search,
+    "topic_summaries": q_topic_summaries,
     "pack_sequences": q_pack_sequences,
     "mixture_plan": q_mixture_plan,
     "quantile_gate": q_quantile_gate,
@@ -2816,6 +2871,7 @@ _ORACLE: dict[str, str] = {
     "html_to_text": ORACLE_HTML_TO_TEXT,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "topic_summaries": ORACLE_TOPIC_SUMMARIES,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "mixture_plan": _oracle_mixture_plan(),
     "quantile_gate": ORACLE_QUANTILE_GATE,

@@ -62,6 +62,7 @@ HEADLINE = [
     "html_to_text",         # native-expression HTML strip tier
     "paragraph_dedup",      # CCNet corpus-wide paragraph dedup
     "bm25_search",          # Okapi BM25 keyword retrieval
+    "topic_summaries",      # IVF-cluster class-TF-IDF topic map
     "curate_pipeline",      # end-to-end curation composite (4 operators)
     "cross_modal_pairs",    # text-dup evidence joined to media corpus
     # dedup_clusters is deliberately NOT a headline entry: it embeds

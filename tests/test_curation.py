@@ -549,3 +549,36 @@ def test_bm25_ranking_properties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one term"):
         retrieval.bm25_score(df, "doc_id", "text", ["  "])
+
+
+def test_topic_summaries_separates_vocabularies(spark):
+    """Two orthogonal embedding clusters with disjoint vocabularies:
+    each cluster's top terms come from its own vocabulary, and a word
+    common to every cluster never outranks cluster-specific terms."""
+    from zacks_estimates_financial_statements_spark.operators import topics
+
+    docs = spark.createDataFrame(
+        [(0, "stock market trading shares common"),
+         (1, "genome protein enzyme cell common"),
+         (2, "market shares dividend stock common"),
+         (3, "protein cell genome dna common")],
+        "doc_id: long, text: string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+         (2, [0.99, 0.01]), (3, [0.01, 0.99])],
+        "vec_id: long, embedding: array<float>")
+    out = topics.topic_summaries(docs, emb, n_clusters=2, top_terms=3)
+    rows = out.collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.centroid_id, []).append(r)
+    assert len(by_c) == 2
+    fin = {r.term for r in by_c[0]}
+    bio = {r.term for r in by_c[1]}
+    assert fin <= {"stock", "market", "trading", "shares", "dividend"}
+    assert bio <= {"genome", "protein", "enzyme", "cell", "dna"}
+    # the everywhere-word scores ~0 and never makes top-3
+    assert "common" not in fin | bio
+    assert all(r.n_docs == 2 for r in rows)
+    assert [r.rank for r in sorted(by_c[0], key=lambda r: r.rank)] == \
+        [1, 2, 3]

@@ -53,6 +53,9 @@ FANOUT_BNLJ_OK = {
     "bm25_search": "1-row corpus-stats aggregate broadcast (N/avgdl "
                    "scalar attach; folded-constant-key shape as "
                    "token_frequencies)",
+    "topic_summaries": "n_centroids-row centroid broadcast (coarse "
+                       "quantizer scoring, same as ann_ivf_topk) plus "
+                       "the 1-row cluster-count scalar attach",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the
