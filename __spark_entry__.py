@@ -741,6 +741,47 @@ WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
 """
 
 
+def q_split_leakage(spark, sf):
+    """Train/val leakage detector — the QA pass a pipeline runs AFTER
+    splitting: near-dup pairs (MinHash LSH) whose members landed on
+    opposite sides of a deterministic hash split. Pure composition of
+    `hash_split` + `minhash_near_dup_pairs`; the tiny pair relation
+    broadcasts into the split-assignment joins."""
+    docs = _t(spark, sf, "documents")
+    split = curation.hash_split(docs, "doc_id", {"val": 1, "train": 9},
+                                seed="leakage")
+    pairs = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                         k=12, bands=4)
+    sa = split.select(F.col("doc_id").alias("id_a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"),
+                      F.col("split").alias("split_b"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("id_a", "id_b", "est_jaccard",
+                    "split_a", "split_b"))
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+{_MINHASH_SIGS_CTE},
+{_LSH_CAND_CTES},
+scored AS ({_LSH_SCORED_SELECT}),
+split AS (
+  SELECT doc_id,
+    CASE WHEN ('0x' || substr(md5('leakage|' || doc_id::VARCHAR), 1, 15))
+              ::BIGINT % 1000000 < 100000
+         THEN 'val' ELSE 'train' END AS s
+  FROM documents)
+SELECT sc.id_a, sc.id_b, sc.est_jaccard,
+  a.s AS split_a, b.s AS split_b
+FROM scored sc
+JOIN split a ON sc.id_a = a.doc_id
+JOIN split b ON sc.id_b = b.doc_id
+WHERE a.s <> b.s
+"""
+
+
 def q_incremental_dedup(spark, sf):
     """Ingestion-time dedup gate: docs 0-99 arrive as a NEW batch and
     probe the stored LSH index of the rest of the corpus (docs 100+).
@@ -2795,6 +2836,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "bm25_search": q_bm25_search,
     "topic_summaries": q_topic_summaries,
+    "split_leakage": q_split_leakage,
     "pack_sequences": q_pack_sequences,
     "mixture_plan": q_mixture_plan,
     "quantile_gate": q_quantile_gate,
@@ -2872,6 +2914,7 @@ _ORACLE: dict[str, str] = {
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "bm25_search": ORACLE_BM25_SEARCH,
     "topic_summaries": ORACLE_TOPIC_SUMMARIES,
+    "split_leakage": ORACLE_SPLIT_LEAKAGE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "mixture_plan": _oracle_mixture_plan(),
     "quantile_gate": ORACLE_QUANTILE_GATE,
