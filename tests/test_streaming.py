@@ -304,3 +304,53 @@ def test_dedup_gate_stream_within_batch(spark, tmp_path):
     rej = {r.doc_id: (r.matched_id, r.est_jaccard) for r in TableStore(
         spark, str(tmp_path / "tables"), "gate_rejects").read().collect()}
     assert rej == {2: (1, None)}
+
+
+def test_dedup_gate_stream_quality_gate(spark, tmp_path):
+    """min_quality routes junk to gate_lowquality BEFORE any sketch
+    work; surviving docs still dedup against the stored index."""
+    import json as J
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import (
+        run_dedup_gate_stream,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    tables = str(tmp_path / "tables")
+    ck = str(tmp_path / "ck")
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "into the forest while the sun sets over the quiet hills")
+    (inbox / "b1.jsonl").write_text("\n".join(J.dumps(r) for r in [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "!!! ### $$$ %%%"},   # symbol soup
+    ]) + "\n")
+    q = run_dedup_gate_stream(spark, str(inbox / "*.jsonl"), tables, ck,
+                              min_quality=0.3)
+    q.awaitTermination(120)
+
+    corpus = TableStore(spark, tables, "gate_corpus")
+    assert {r.doc_id for r in corpus.read().collect()} == {1}
+    lowq = {r.doc_id: r.quality for r in
+            TableStore(spark, tables, "gate_lowquality").read().collect()}
+    assert set(lowq) == {2} and lowq[2] < 0.3
+    # the junk doc never reached the index
+    assert {r.doc_id for r in
+            TableStore(spark, tables, "gate_index").read().collect()} == {1}
+
+    # batch 2: a dup of doc 1 (quarantined by dedup) + junk (by quality)
+    (inbox / "b2.jsonl").write_text("\n".join(J.dumps(r) for r in [
+        {"doc_id": 10, "text": good},
+        {"doc_id": 11, "text": "!!! ??? ,,, ;;;"},
+    ]) + "\n")
+    q = run_dedup_gate_stream(spark, str(inbox / "*.jsonl"), tables, ck,
+                              min_quality=0.3)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in corpus.read().collect()} == {1}
+    rej = {r.doc_id for r in
+           TableStore(spark, tables, "gate_rejects").read().collect()}
+    assert rej == {10}
+    assert set(r.doc_id for r in
+               TableStore(spark, tables, "gate_lowquality").read()
+               .collect()) == {2, 11}

@@ -274,7 +274,8 @@ def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
                           tables_root: str, checkpoint: str,
                           threshold: float = 0.7, k: int = 12,
                           bands: int = 4,
-                          dedup_within_batch: bool = False):
+                          dedup_within_batch: bool = False,
+                          min_quality: float | None = None):
     """Streaming ingestion dedup gate: new JSONL documents stream in,
     and each microbatch probes the STORED corpus LSH index before
     admission — near-dups (est_jaccard >= threshold) land in a
@@ -295,7 +296,14 @@ def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
     their cluster keeper with a NULL est_jaccard (membership is
     transitive, not a direct pair estimate). Off by default: it adds the
     in-batch pair sweep's cost, unnecessary when the source is already
-    unique per batch. Returns the started query
+    unique per batch.
+
+    ``min_quality`` (opt-in) runs the heuristic quality gate FIRST —
+    before any sketch work is spent: documents scoring below the
+    threshold (``functions.text.quality_score``, [0, 1]) land in a
+    ``gate_lowquality`` table with their score and never reach the
+    dedup probe, the corpus, or the index. Replay-safe like the other
+    tables (PK upserts). Returns the started query
     (``trigger(availableNow=True)``, one incremental pass per call).
     """
     from pyspark.sql.types import (LongType, StringType, StructField,
@@ -307,10 +315,27 @@ def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
     corpus = TableStore(spark, tables_root, "gate_corpus")
     index = TableStore(spark, tables_root, "gate_index")
     rejects = TableStore(spark, tables_root, "gate_rejects")
+    lowq = TableStore(spark, tables_root, "gate_lowquality")
 
     def _gate(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
             return
+        if min_quality is not None:
+            from zacks_estimates_financial_statements_spark.functions import text as T
+
+            # score once (localCheckpoint), route both sides from it
+            scored = (batch_df.withColumn(
+                "__q", F.round(T.quality_score(F.col("text")), 6))
+                .localCheckpoint(eager=True))
+            bad = scored.filter(F.col("__q") < min_quality)
+            if not bad.isEmpty():
+                lowq.upsert_ignore(
+                    bad.select("doc_id", F.col("__q").alias("quality")),
+                    pk=("doc_id",))
+            batch_df = (scored.filter(F.col("__q") >= min_quality)
+                        .drop("__q"))
+            if batch_df.isEmpty():
+                return
         if dedup_within_batch:
             from zacks_estimates_financial_statements_spark.operators import graph
 
