@@ -298,3 +298,60 @@ def test_write_training_shards_emits_empty_shards(spark, tmp_path):
         with gzip.open(p, "rt") as fh:   # empty shards are valid gzip
             total += sum(1 for _ in fh)
     assert total == 3
+
+
+def test_webdataset_shards_roundtrip_and_determinism(spark, tmp_path):
+    import hashlib
+    import json as J
+    import tarfile
+
+    from zacks_estimates_financial_statements_spark import export as E
+
+    rows = [(i, f"text of document {i}", bytes([i % 251] * (10 + i)),
+             f"src{i % 3}") for i in range(23)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, payload: binary, source: string")
+    out1 = str(tmp_path / "wds1")
+    paths = E.write_webdataset_shards(
+        df, out1, "doc_id", shards=3, text_col="text",
+        media_col="payload", media_ext="img", meta_cols=["source"])
+    assert [p.split("/")[-1] for p in paths] == \
+        [f"shard-{i:05d}.tar" for i in range(3)]
+
+    got = {}
+    for p in paths:
+        with tarfile.open(p) as tf:
+            members = tf.getnames()
+            # samples are contiguous and keys sorted within a shard
+            keys = [m.split(".")[0] for m in members]
+            assert keys == sorted(keys)
+            for m in members:
+                got[m] = tf.extractfile(m).read()
+    # loss-free: every sample's three files round-trip
+    for i, text, payload, source in rows:
+        key = f"{i:012d}"
+        assert got[f"{key}.txt"].decode() == text
+        assert got[f"{key}.img"] == payload
+        assert J.loads(got[f"{key}.json"]) == {"source": source}
+    assert len(got) == 3 * 23
+
+    # determinism: a re-run (different partitioning) is byte-identical
+    out2 = str(tmp_path / "wds2")
+    E.write_webdataset_shards(
+        df.repartition(7), out2, "doc_id", shards=3, text_col="text",
+        media_col="payload", media_ext="img", meta_cols=["source"])
+    for i in range(3):
+        h1 = hashlib.md5(open(f"{out1}/shard-{i:05d}.tar", "rb")
+                         .read()).hexdigest()
+        h2 = hashlib.md5(open(f"{out2}/shard-{i:05d}.tar", "rb")
+                         .read()).hexdigest()
+        assert h1 == h2, i
+
+    # empty-shard contract: more shards than docs still yields n files
+    out3 = str(tmp_path / "wds3")
+    p3 = E.write_webdataset_shards(
+        df.limit(1), out3, "doc_id", shards=4, text_col="text")
+    assert len(p3) == 4
+    for p in p3:
+        with tarfile.open(p) as tf:   # every file is a valid tar
+            tf.getnames()

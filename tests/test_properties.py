@@ -227,3 +227,31 @@ def test_asof_join_matches_duckdb_on_random_tables(spark, ddb, lrows,
     ddb.unregister("pl")
     ddb.unregister("pr")
     assert sp == du, (direction, lrows, rrows)
+
+
+_WP_TEXTS = st.lists(
+    st.text(alphabet="abcxyz01 _", min_size=0, max_size=60),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_WP_TEXTS)
+def test_wordpiece_pieces_partition_every_word(spark, texts):
+    """For a corpus-derived vocabulary (which always carries the corpus
+    alphabet), greedy longest-match must PARTITION each word exactly:
+    concatenating a word's pieces reproduces the word, no <unk> ever
+    appears, and per-doc n_tokens equals the sum of word piece counts."""
+    from zacks_estimates_financial_statements_spark.functions import tokenize
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    vocab = tokenize.wordpiece_vocab(df, "text", top_k=3, max_piece_len=4)
+    out = tokenize.wordpiece_encode(df, "doc_id", "text", vocab,
+                                    max_piece_len=4).collect()
+    import re as _re
+
+    for r in out:
+        words = [w for w in
+                 _re.split(r"[^a-z0-9_]+", texts[r.doc_id].lower()) if w]
+        assert tokenize.UNK not in r.tokens
+        assert "".join(r.tokens) == "".join(words)
+        assert r.n_tokens == len(r.tokens)
