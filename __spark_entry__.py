@@ -2589,6 +2589,24 @@ FROM ev ASOF LEFT JOIN purch p
 """
 
 
+def q_media_phash_pairs(spark, sf):
+    """Perceptual-hash image dedup (operators/multimodal.py): a
+    deterministic synthesized PPM corpus where ids sharing
+    ``doc_id % 40`` are planted exact-duplicate images; REAL decode →
+    dHash → pigeonhole-banded hamming pairing. Registered WITHOUT an
+    oracle_sql twin (the rows-only driver check): predicting a dHash in
+    SQL would mean replaying the decoder + NN resize closed-form, which
+    is exactly the non-SQL work the operator exists for — determinism
+    is still pinned by the planted-pair unit tests and the synthesized
+    corpus' md5-chain content."""
+    ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+           .select("doc_id"))
+    keyed = ids.select(F.col("doc_id").alias("media_id"),
+                       (F.col("doc_id") % 40).alias("content_key"))
+    media = multimodal.synthesize_image_corpus(keyed)
+    return multimodal.media_near_dup_pairs(media, max_hamming=4)
+
+
 def q_media_metadata(spark, sf):
     """Driver-checkable correctness row for the multimodal codec path:
     synthesize deterministic PPM/BMP/PNG/WAV payloads from documents
@@ -2844,6 +2862,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_pipeline": q_curate_pipeline,
     "cross_modal_pairs": q_cross_modal_pairs,
     "media_metadata": q_media_metadata,
+    "media_phash_pairs": q_media_phash_pairs,
     "video_frames": q_video_frames,
     "asof_join": q_asof_join,
     "repeated_spans": q_repeated_spans,

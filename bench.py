@@ -64,6 +64,7 @@ HEADLINE = [
     "bm25_search",          # Okapi BM25 keyword retrieval
     "topic_summaries",      # IVF-cluster class-TF-IDF topic map
     "split_leakage",        # cross-split near-dup QA gate
+    "media_phash_pairs",    # perceptual-hash image dedup (real decode)
     "curate_pipeline",      # end-to-end curation composite (4 operators)
     "cross_modal_pairs",    # text-dup evidence joined to media corpus
     # dedup_clusters is deliberately NOT a headline entry: it embeds

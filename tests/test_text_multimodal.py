@@ -475,3 +475,55 @@ def test_mjpeg_mp4_real_frame_extraction(spark):
                 [(32, "video", bytearray(C.encode_mp4_stub(64, 48, 1500)),
                   "video/mp4", None, None, None)], M.MEDIA_SCHEMA),
             strict=True).collect()
+
+
+def test_dhash_brightness_invariance_and_discrimination():
+    import numpy as np
+
+    from zacks_estimates_financial_statements_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, (32, 40, 3)).astype(np.uint8)
+    h = codecs.dhash64(img)
+    assert 0 <= h < 1 << 64
+    # deterministic
+    assert codecs.dhash64(img) == h
+    # global brightness shift: gradients unchanged -> hamming ~0
+    shifted = np.clip(img.astype(int) + 40, 0, 255).astype(np.uint8)
+    assert bin(h ^ codecs.dhash64(shifted)).count("1") <= 2
+    # a thumbnail of a SMOOTH image stays close (dHash reads gradients,
+    # which survive resizing when the image has low-frequency structure;
+    # pure noise would not — and need not)
+    yy, xx = np.mgrid[0:32, 0:40]
+    smooth = np.stack([(yy * 4) % 256, (xx * 3) % 256,
+                       ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+    hs = codecs.dhash64(smooth)
+    thumb = codecs.resize_nn(smooth, 16, 20)
+    assert bin(hs ^ codecs.dhash64(thumb)).count("1") <= 8
+    # a different image is far
+    other = rng.integers(0, 200, (32, 40, 3)).astype(np.uint8)
+    assert bin(h ^ codecs.dhash64(other)).count("1") >= 16
+
+
+def test_media_near_dup_pairs_finds_planted_images(spark):
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i, i % 4) for i in range(8)],
+                                "media_id: long, content_key: long")
+    media = M.synthesize_image_corpus(ids)
+    # every payload decodes (real PPM roundtrip)
+    ph = M.perceptual_hashes(media)
+    assert ph.filter("decode_error is not null").count() == 0
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in M.media_near_dup_pairs(media, max_hamming=4).collect()}
+    assert got == {(i, i + 4): 0 for i in range(4)}
+
+    # a corrupt payload quarantines instead of pairing or failing
+    broken = media.limit(0).unionByName(spark.createDataFrame(
+        [(99, "image", b"P6\nnot really", "image/x-ppm", None, None,
+          None)], media.schema))
+    ph2 = M.perceptual_hashes(broken)
+    row = ph2.collect()[0]
+    assert row.dhash is None and row.decode_error

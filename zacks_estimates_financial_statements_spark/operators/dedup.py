@@ -390,13 +390,27 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     pigeonhole argument is void (a pair inside the hamming budget could
     differ in every block and share no band), so that configuration is
     rejected rather than silently losing the exact-recall guarantee."""
+    sh = simhash_bits(df, id_col, text_col)
+    return hamming_near_dup_pairs(sh, id_col, "simhash",
+                                  max_hamming=max_hamming, bands=bands,
+                                  max_bucket_size=max_bucket_size)
+
+
+def hamming_near_dup_pairs(sketches: DataFrame, id_col: str,
+                           sketch_col: str, max_hamming: int = 3,
+                           bands: int | None = None,
+                           max_bucket_size: int | None = 10000) -> DataFrame:
+    """Pigeonhole-banded hamming pairing over ANY 64-bit sketch relation
+    ``(id, sketch)`` — the shared engine behind ``simhash_near_dup_
+    pairs`` (text) and ``multimodal.media_near_dup_pairs`` (perceptual
+    image hashes). Same exact-recall guarantee, same hot-bucket cap,
+    same (id_a, id_b, hamming) contract."""
     nbands = bands or (max_hamming + 1)
     if nbands <= max_hamming:
         raise ValueError(
             f"bands={nbands} <= max_hamming={max_hamming}: pigeonhole "
             f"exact recall requires bands >= max_hamming + 1")
     width = 64 // nbands
-    sh = simhash_bits(df, id_col, text_col)
     # band b covers bits [64 - (b+1)*width - rem, 64 - b*width); band 0
     # absorbs the 64 % nbands remainder bits (shift amounts are Python
     # ints, computed per band here)
@@ -404,20 +418,21 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     band_cols = []
     for b in range(nbands):
         if b == 0:
-            bits = F.shiftrightunsigned(F.col("simhash"), 64 - width - rem)
+            bits = F.shiftrightunsigned(F.col(sketch_col),
+                                        64 - width - rem)
         else:
-            bits = (F.shiftrightunsigned(F.col("simhash"),
+            bits = (F.shiftrightunsigned(F.col(sketch_col),
                                          64 - (b + 1) * width - rem)
                     .bitwiseAND(F.lit((1 << width) - 1)))
         band_cols.append(F.struct(F.lit(b).alias("band"),
                                   bits.alias("bits")))
     band_structs = F.array(*band_cols)
-    buckets = (sh.select(F.col(id_col), F.col("simhash"),
-                         F.explode(band_structs).alias("bb"))
-               .select(id_col, "simhash", F.col("bb.band").alias("band"),
+    buckets = (sketches.select(F.col(id_col), F.col(sketch_col),
+                               F.explode(band_structs).alias("bb"))
+               .select(id_col, sketch_col, F.col("bb.band").alias("band"),
                        F.col("bb.bits").alias("bits")))
     pairs = _bucket_pairs(
-        buckets, id_col, "simhash", ["band", "bits"], max_bucket_size,
+        buckets, id_col, sketch_col, ["band", "bits"], max_bucket_size,
         lambda sa, sb: F.bit_count(sa.bitwiseXOR(sb)).alias("hamming"))
     return pairs.filter(F.col("hamming") <= max_hamming)
 

@@ -525,3 +525,107 @@ def media_metadata_only(media: DataFrame) -> DataFrame:
     difference between a metadata query and a full-corpus scan)."""
     return media.select("media_id", "kind", "mime", "width", "height",
                         "duration_ms")
+
+
+PHASH_SCHEMA = "media_id long, dhash long, decode_error string"
+
+
+def perceptual_hashes(media: DataFrame,
+                      hash_size: int = 8) -> DataFrame:
+    """64-bit dHash per image payload (REAL decode via
+    ``functions/codecs.py``; Krawetz difference hash — brightness-shift
+    invariant, robust to re-encode/resize). Rows whose payload has no
+    in-container codec or fails to decode carry a NULL hash and the
+    ``decode_error`` — quarantined, never silently hashed from bytes.
+    One bounded ``mapInPandas`` projection; the hash is emitted as a
+    SIGNED 64-bit long (two's complement) so downstream xor/bit_count
+    banding matches the simhash convention."""
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    h = codecs.dhash64(codecs.decode_image(payload),
+                                       hash_size)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    rows.append({"media_id": mid, "dhash": h,
+                                 "decode_error": None})
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    rows.append({"media_id": mid, "dhash": None,
+                                 "decode_error":
+                                 f"{type(exc).__name__}: {exc}"[:200]})
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "dhash",
+                                        "decode_error"])
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(fn, PHASH_SCHEMA))
+
+
+def media_near_dup_pairs(media: DataFrame, max_hamming: int = 4,
+                         hash_size: int = 8,
+                         max_bucket_size: int | None = 10000) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual dHash sketches paired by
+    the shared pigeonhole banding engine
+    (``dedup.hamming_near_dup_pairs`` — block-value equi-join with
+    exact recall inside the hamming budget, never an all-pairs scan).
+    Returns ``(id_a, id_b, hamming)``; undecodable payloads drop out
+    of pairing (their quarantine rows live in ``perceptual_hashes``).
+    The multimodal tier of the dedup ladder: the same crawl image
+    re-encoded, brightness-shifted or thumbnailed collapses to the
+    same (or near-same) dHash while distinct photos stay ~32 bits
+    apart."""
+    from zacks_estimates_financial_statements_spark.operators import dedup
+
+    sketches = (perceptual_hashes(media, hash_size)
+                .filter(F.col("dhash").isNotNull())
+                .select("media_id", "dhash"))
+    return dedup.hamming_near_dup_pairs(
+        sketches, "media_id", "dhash", max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size)
+
+
+def synthesize_image_corpus(ids: DataFrame, id_col: str = "media_id",
+                            content_key_col: str = "content_key",
+                            width: int = 24, height: int = 16) -> DataFrame:
+    """Deterministic PPM image corpus for pipeline tests/queries: pixel
+    bytes come from the md5 chain of the CONTENT KEY (not the id), so
+    distinct ids sharing a key are planted exact-duplicate images.
+    Returns MEDIA_SCHEMA rows."""
+    import pandas as pd  # noqa: F401 — engine requirement for mapInPandas
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(ids.sparkSession)
+    n = width * height * 3
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.functions import codecs  # noqa: F401
+
+        for pdf in batches:
+            rows = []
+            for mid, key in zip(pdf[id_col], pdf[content_key_col]):
+                content = bytes.fromhex(_hex_chain(int(key), n))
+                payload = (b"P6\n%d %d\n255\n" % (width, height)) + content
+                rows.append({"media_id": int(mid), "kind": "image",
+                             "payload": payload, "mime": "image/x-ppm",
+                             "width": width, "height": height,
+                             "duration_ms": None})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return (ids.select(F.col(id_col), F.col(content_key_col))
+            .mapInPandas(fn, MEDIA_SCHEMA))
