@@ -2797,6 +2797,54 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_attribution(spark, sf):
+    """Last-touch conversion attribution (streaming/raw_zone_stream.py
+    ``attribute_conversions`` + ``last_touch``): every purchase joined
+    to same-user clicks inside a 1-hour look-back via the watermarked
+    stream-stream interval-join operator (running here on its batch
+    twin — the unified-semantics code path), then folded to the latest
+    click per conversion with a deterministic max(struct) tie-break.
+    One hash join on user_id + one map-side-combined agg."""
+    from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import (
+        attribute_conversions, last_touch)
+    ev = _t(spark, sf, "events")
+    pairs = attribute_conversions(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour")
+    out = last_touch(pairs)
+    return out.select(
+        "conversion_id", "user_id",
+        F.unix_micros("conv_ts").alias("conv_ts_us"),
+        "impression_id",
+        F.unix_micros("imp_ts").alias("imp_ts_us"),
+        "lag_us", "n_candidates")
+
+
+ORACLE_ATTRIBUTION = """
+WITH imp AS (
+  SELECT event_id AS impression_id, user_id, ts AS imp_ts
+  FROM events WHERE event_type = 'click'),
+conv AS (
+  SELECT event_id AS conversion_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.conversion_id, c.user_id, c.conv_ts, i.impression_id, i.imp_ts,
+    row_number() OVER (PARTITION BY c.conversion_id
+      ORDER BY i.imp_ts DESC, i.impression_id DESC) AS rn,
+    count(*) OVER (PARTITION BY c.conversion_id) AS n_candidates
+  FROM conv c
+  JOIN imp i ON i.user_id = c.user_id
+    AND i.imp_ts <= c.conv_ts
+    AND i.imp_ts >= c.conv_ts - INTERVAL 1 HOUR)
+SELECT conversion_id, user_id, epoch_us(conv_ts) AS conv_ts_us,
+  impression_id, epoch_us(imp_ts) AS imp_ts_us,
+  epoch_us(conv_ts) - epoch_us(imp_ts) AS lag_us,
+  n_candidates::BIGINT AS n_candidates
+FROM pairs WHERE rn = 1
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -2874,6 +2922,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "lm_perplexity": q_lm_perplexity,
     "heavy_hitters": q_heavy_hitters,
+    "attribution": q_attribution,
 }
 
 _ORACLE: dict[str, str] = {
@@ -2952,6 +3001,7 @@ _ORACLE: dict[str, str] = {
     "corpus_report": ORACLE_CORPUS_REPORT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "attribution": ORACLE_ATTRIBUTION,
 }
 
 

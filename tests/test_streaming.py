@@ -354,3 +354,54 @@ def test_dedup_gate_stream_quality_gate(spark, tmp_path):
     assert set(r.doc_id for r in
                TableStore(spark, tables, "gate_lowquality").read()
                .collect()) == {2, 11}
+
+
+def test_attribution_stream_batch_parity(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit the same
+    attribution pairs as the batch twin, across microbatch boundaries
+    (impression and its conversion can land in different batches)."""
+    from pyspark.sql import functions as F
+
+    imp_rows = [(10, 1, D(2024, 5, 1, 10, 0)),
+                (11, 1, D(2024, 5, 1, 10, 40)),
+                (12, 2, D(2024, 5, 1, 9, 0)),    # outside horizon
+                (13, 3, D(2024, 5, 1, 11, 0))]   # after the conversion
+    conv_rows = [(20, 1, D(2024, 5, 1, 11, 5)),  # matches 11 (and 10? 10:00 is 65min before -> no)
+                 (21, 2, D(2024, 5, 1, 10, 30)),  # no in-horizon click
+                 (22, 3, D(2024, 5, 1, 10, 59))]  # click is later -> no
+    schema = "event_id long, user_id long, ts timestamp"
+    imp_b = spark.createDataFrame(imp_rows, schema)
+    conv_b = spark.createDataFrame(conv_rows, schema)
+    batch = {tuple(r) for r in S.attribute_conversions(
+        imp_b, conv_b, horizon="1 hour")
+        .select("conversion_id", "impression_id", "lag_us").collect()}
+    assert batch == {(20, 11, 25 * 60 * 1_000_000)}
+
+    # streaming twin: one file per microbatch, join state spans batches
+    imp_src, conv_src = tmp_path / "imp", tmp_path / "conv"
+    imp_b.filter("event_id = 10").write.parquet(str(imp_src / "a"))
+    imp_b.filter("event_id != 10").write.parquet(str(imp_src / "b"))
+    conv_b.write.parquet(str(conv_src / "a"))
+    imp_s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1")
+             .parquet(str(imp_src) + "/*"))
+    conv_s = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(conv_src) + "/*"))
+    out = S.attribute_conversions(imp_s, conv_s, horizon="1 hour")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("attr_pairs")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql(
+        "select conversion_id, impression_id, lag_us from attr_pairs")
+        .collect()}
+    assert streamed == batch
+
+    # last-touch fold picks the latest impression deterministically
+    folded = S.last_touch(S.attribute_conversions(
+        imp_b, conv_b, horizon="2 hours"))
+    got = {(r["conversion_id"], r["impression_id"], r["n_candidates"])
+           for r in folded.collect()}
+    assert got == {(20, 11, 2), (21, 12, 1)}

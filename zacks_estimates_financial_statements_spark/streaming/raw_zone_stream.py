@@ -398,3 +398,75 @@ def run_dedup_gate_stream(spark: SparkSession, input_glob: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def attribute_conversions(impressions: DataFrame, conversions: DataFrame,
+                          horizon: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join: every conversion paired
+    with each same-user impression inside the look-back ``horizon``
+    (``imp_ts`` in ``[conv_ts - horizon, conv_ts]``) — the
+    click-to-purchase attribution shape of an ingestion telemetry
+    pipeline. Works on streaming OR batch inputs through the SAME join
+    expression (unified semantics); the batch twin is what the oracle
+    checks.
+
+    Scale contract (streaming): a stream-stream inner join buffers both
+    sides in state, and Spark can only evict that state when the join
+    condition bounds event time on BOTH inputs — which the two-sided
+    range predicate here does. With a ``watermark`` of W and a horizon
+    of H, impression state is held for ~W+H and conversion state for
+    ~W, independent of total stream length; without the time bound the
+    state would grow forever. Late rows beyond W are dropped at the
+    source, the standard watermark contract.
+
+    Batch: Catalyst plans the equi-key (user) + range predicate as a
+    hash join on ``user_id`` with the time bound as a post-filter — one
+    shuffle per side, no row amplification beyond true candidates. The
+    per-conversion last-touch reduction is deliberately NOT applied
+    here (a second stateful op on a stream-stream join needs its own
+    watermark stage); ``last_touch`` below folds the pairs, and in
+    streaming the same fold runs downstream in ``foreachBatch`` or as a
+    follow-up stateful agg.
+
+    Output: conversion_id, user_id, conv_ts, impression_id, imp_ts,
+    lag_us (conv_ts - imp_ts in µs, >= 0).
+    """
+    imp = impressions.select(
+        F.col("event_id").alias("impression_id"),
+        F.col("user_id").alias("imp_user"),
+        F.col("ts").alias("imp_ts"))
+    conv = conversions.select(
+        F.col("event_id").alias("conversion_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("conv_ts"))
+    if imp.isStreaming:
+        imp = imp.withWatermark("imp_ts", watermark)
+    if conv.isStreaming:
+        conv = conv.withWatermark("conv_ts", watermark)
+    cond = ((conv["user_id"] == imp["imp_user"])
+            & (imp["imp_ts"] <= conv["conv_ts"])
+            & (imp["imp_ts"] >= conv["conv_ts"] - F.expr(
+                f"INTERVAL {horizon}")))
+    return (conv.join(imp, cond, "inner")
+            .select("conversion_id", "user_id", "conv_ts",
+                    "impression_id", "imp_ts",
+                    (F.unix_micros("conv_ts")
+                     - F.unix_micros("imp_ts")).alias("lag_us")))
+
+
+def last_touch(pairs: DataFrame) -> DataFrame:
+    """Fold attribution pairs to one row per conversion: the LATEST
+    impression wins (ties broken by the larger impression_id —
+    ``max(struct)`` is deterministic across runs, unlike a bare
+    ``max_by``), plus the candidate count. One map-side-combined
+    aggregation on conversion_id."""
+    return (pairs.groupBy("conversion_id", "user_id", "conv_ts")
+            .agg(F.max(F.struct("imp_ts", "impression_id")).alias("m"),
+                 F.count(F.lit(1)).alias("n_candidates"))
+            .select("conversion_id", "user_id", "conv_ts",
+                    F.col("m.impression_id").alias("impression_id"),
+                    F.col("m.imp_ts").alias("imp_ts"),
+                    (F.unix_micros("conv_ts")
+                     - F.unix_micros("m.imp_ts")).alias("lag_us"),
+                    "n_candidates"))
