@@ -2797,6 +2797,38 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (operators/curation.py ``weighted_sample``, Efraimidis–Spirakis
+    A-ES): top-25 documents per source with inclusion probability
+    proportional to n_chars, the uniform drawn from the keyed md5 —
+    reproducible across engines, which is exactly what the oracle
+    verifies. One window shuffle on the stratum."""
+    docs = _t(spark, sf, "documents")
+    out = curation.weighted_sample(docs, "doc_id", "n_chars", 25,
+                                   strata_col="source")
+    return out.select("doc_id", "source",
+                      F.col("n_chars").alias("weight"), "es_key", "rank")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH u AS (
+  SELECT doc_id, source, n_chars AS weight,
+    (('0x' || substr(md5('wsample|' || doc_id::VARCHAR), 1, 15))::BIGINT
+       % 1000000 + 0.5) / 1000000.0 AS u
+  FROM documents WHERE n_chars > 0),
+k AS (
+  SELECT doc_id, source, weight,
+    round(ln(u) / weight::DOUBLE, 6) AS es_key
+  FROM u),
+r AS (
+  SELECT *, (row_number() OVER (PARTITION BY source
+     ORDER BY es_key DESC, doc_id DESC))::INT AS rank
+  FROM k)
+SELECT doc_id, source, weight, es_key, rank FROM r WHERE rank <= 25
+"""
+
+
 def q_attribution(spark, sf):
     """Last-touch conversion attribution (streaming/raw_zone_stream.py
     ``attribute_conversions`` + ``last_touch``): every purchase joined
@@ -2923,6 +2955,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "heavy_hitters": q_heavy_hitters,
     "attribution": q_attribution,
+    "weighted_sample": q_weighted_sample,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3002,6 +3035,7 @@ _ORACLE: dict[str, str] = {
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "attribution": ORACLE_ATTRIBUTION,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }
 
 

@@ -582,3 +582,45 @@ def test_topic_summaries_separates_vocabularies(spark):
     assert all(r.n_docs == 2 for r in rows)
     assert [r.rank for r in sorted(by_c[0], key=lambda r: r.rank)] == \
         [1, 2, 3]
+
+
+def test_weighted_sample_proportional_and_global_path(spark):
+    """A-ES inclusion frequency tracks weight, the sample is
+    deterministic, non-positive weights never appear, and the global
+    (no-strata) path plans as TakeOrdered — no full-sort exchange."""
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    rows = [(i, "heavy" if i % 10 == 0 else "light",
+             100.0 if i % 10 == 0 else 1.0) for i in range(200)]
+    rows.append((900, "zero", 0.0))
+    rows.append((901, "neg", -5.0))
+    df = spark.createDataFrame(rows, "id long, kind string, w double")
+
+    picks: dict[str, int] = {"heavy": 0, "light": 0}
+    for seed in ("a", "b", "c", "d", "e"):
+        got = curation.weighted_sample(df, "id", "w", 20, seed=seed)
+        for r in got.collect():
+            assert r["kind"] in picks  # zero/neg weights excluded
+            picks[r["kind"]] += 1
+    # 20 heavy rows at w=100 vs 180 light at w=1: heavy dominates
+    assert picks["heavy"] > picks["light"]
+
+    # determinism: same seed -> identical sample set and ranks
+    a = sorted((r["id"], r["rank"]) for r in
+               curation.weighted_sample(df, "id", "w", 15).collect())
+    b = sorted((r["id"], r["rank"]) for r in
+               curation.weighted_sample(df, "id", "w", 15).collect())
+    assert a == b and len(a) == 15
+
+    # global path: TakeOrdered, not a global Sort exchange
+    plan = curation.weighted_sample(df, "id", "w", 15) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # strata path: exactly n per stratum when the stratum is big enough
+    s = curation.weighted_sample(df, "id", "w", 5, strata_col="kind")
+    counts = {r["kind"]: r["n"] for r in
+              s.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"heavy": 5, "light": 5}

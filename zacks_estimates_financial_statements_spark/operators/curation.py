@@ -123,6 +123,52 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
             .filter(F.col("bucket") < thresh))
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, n: int,
+                    strata_col: str | None = None,
+                    seed: str = "wsample") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-``n``
+    rows by the Efraimidis–Spirakis A-ES key (IPL 2006), where each
+    row's inclusion probability is proportional to its weight.
+
+    The A-ES key is ``u^(1/w)`` for uniform ``u``; ranking by the
+    monotone-equivalent ``ln(u)/w`` avoids the overflow-prone power.
+    ``u`` is not random but a pure function of ``(seed, id)`` — the
+    keyed md5 bucket mapped to ``(0, 1)`` — so the sample is exactly
+    reproducible across runs, engines and repartitioning, the property
+    ``hash_split`` gives splits (``rand(seed)`` changes with partition
+    layout; a 100 TB re-run must not).
+
+    With ``strata_col``, top-``n`` PER STRATUM via one window shuffle
+    on the stratum (parallel across strata). Without it, a global
+    top-``n``: ``orderBy(...).limit(n)`` — Spark's TakeOrdered keeps a
+    size-``n`` heap per partition and merges on the driver, so the
+    global path never sorts, shuffles, or single-partitions the full
+    corpus; the rank window then runs over only ``n`` rows.
+
+    Keys are rounded to 6 digits BEFORE ranking (both engines rank the
+    identical rounded double; ties broken by id) — the cross-engine
+    determinism contract the oracle check needs. Non-positive weights
+    are excluded, per the sampling-design semantics (P ∝ w = 0).
+
+    Output: input columns + ``es_key`` + ``rank`` (1-based within
+    stratum or globally).
+    """
+    from pyspark.sql import Window
+
+    u = (_bucket(id_col, seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    scored = (df.filter(F.col(weight_col) > 0)
+              .withColumn("es_key", key))
+    order = [F.col("es_key").desc(), F.col(id_col).desc()]
+    if strata_col is not None:
+        w = Window.partitionBy(strata_col).orderBy(*order)
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= n))
+    top = scored.orderBy(*order).limit(n)
+    w = Window.orderBy(*order)  # n rows only — bounded by the limit
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def token_frequencies(df: DataFrame, id_col: str, text_col: str,
                       min_tf: int = 1) -> DataFrame:
     """Corpus vocabulary: per-token term frequency, document frequency
