@@ -2797,6 +2797,48 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_profile_table(spark, sf):
+    """Single-pass per-column table profile (operators/profiling.py):
+    null/distinct/min/max/length panel over the events table as ONE
+    map-side-combined aggregation (exact distinct here for the oracle;
+    the default is HLL for corpus scale). min/max render through the
+    canonical per-type text forms so the two engines hash equal."""
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    ev = _t(spark, sf, "events")
+    return profiling.profile_table(ev, exact=True)
+
+
+def _profile_branch(col: str, kind: str) -> str:
+    tot = "(SELECT count(*) FROM events)"
+    if kind == "long":
+        mn, mx = f"min({col})::VARCHAR", f"max({col})::VARCHAR"
+        al = "NULL::DOUBLE"
+    elif kind == "ts":
+        mn = f"epoch_us(min({col}))::VARCHAR"
+        mx = f"epoch_us(max({col}))::VARCHAR"
+        al = "NULL::DOUBLE"
+    elif kind == "double":
+        mn = _dt_sql(f"min({col})::DECIMAL(38,6)")
+        mx = _dt_sql(f"max({col})::DECIMAL(38,6)")
+        al = "NULL::DOUBLE"
+    else:  # string
+        mn, mx = f"min({col})", f"max({col})"
+        al = f"round(sum(length({col}))::DOUBLE / count({col}), 6)"
+    return f"""
+SELECT '{col}' AS "column", {tot}::BIGINT AS n_rows,
+  ({tot} - count({col}))::BIGINT AS n_nulls,
+  count(DISTINCT {col})::BIGINT AS n_distinct,
+  {mn} AS min_value, {mx} AS max_value, {al} AS avg_len
+FROM events"""
+
+
+ORACLE_PROFILE_TABLE = " UNION ALL ".join(
+    _profile_branch(c, k) for c, k in [
+        ("event_id", "long"), ("ts", "ts"), ("user_id", "long"),
+        ("event_type", "string"), ("value", "double"),
+        ("props", "string")])
+
+
 def q_weighted_sample(spark, sf):
     """Deterministic weighted sampling without replacement
     (operators/curation.py ``weighted_sample``, Efraimidis–Spirakis
@@ -2956,6 +2998,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "attribution": q_attribution,
     "weighted_sample": q_weighted_sample,
+    "profile_table": q_profile_table,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3036,6 +3079,7 @@ _ORACLE: dict[str, str] = {
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "attribution": ORACLE_ATTRIBUTION,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "profile_table": ORACLE_PROFILE_TABLE,
 }
 
 

@@ -1,0 +1,58 @@
+"""Table profiler: single-pass panel correctness, unsupported-type
+tolerance, and drift flagging."""
+
+from __future__ import annotations
+
+from zacks_estimates_financial_statements_spark.operators import profiling
+
+
+def _by_col(df):
+    return {r["column"]: r.asDict() for r in df.collect()}
+
+
+def test_profile_table_panel(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5, [1, 2]),
+         (2, None, 2.25, []),
+         (3, "bbbb", None, None),
+         (3, "aa", -0.5, [9])],
+        "id long, s string, v double, arr array<int>")
+    p = _by_col(profiling.profile_table(df, exact=True))
+    assert set(p) == {"id", "s", "v", "arr"}
+    assert all(r["n_rows"] == 4 for r in p.values())
+    assert (p["id"]["n_nulls"], p["id"]["n_distinct"]) == (0, 3)
+    assert (p["id"]["min_value"], p["id"]["max_value"]) == ("1", "3")
+    assert (p["s"]["n_nulls"], p["s"]["n_distinct"]) == (1, 2)
+    assert p["s"]["avg_len"] == round((2 + 4 + 2) / 3, 6)
+    assert (p["v"]["min_value"], p["v"]["max_value"]) == ("-0.5", "2.25")
+    # unsupported type: null count only, everything else NULL, no error
+    assert p["arr"]["n_nulls"] == 1
+    assert p["arr"]["n_distinct"] is None
+    assert p["arr"]["min_value"] is None and p["arr"]["avg_len"] is None
+
+
+def test_profile_table_single_shuffle(spark):
+    """The whole panel must be ONE aggregation over one scan — no
+    per-column jobs, no join of partial profiles."""
+    df = spark.createDataFrame([(1, "x", 0.5)], "a long, b string, c double")
+    plan = (profiling.profile_table(df)  # default approx mode
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_profile_drift_flags(spark):
+    base = spark.createDataFrame(
+        [(i, "k%d" % (i % 50), None if i % 100 == 0 else float(i))
+         for i in range(1000)],
+        "id long, k string, v double")
+    # drifted: v nulls jump to 20%, k cardinality collapses to 2
+    cur = spark.createDataFrame(
+        [(i, "k%d" % (i % 2), None if i % 5 == 0 else float(i))
+         for i in range(1000)],
+        "id long, k string, v double")
+    drift = {r["column"]: r.asDict() for r in profiling.profile_drift(
+        profiling.profile_table(base, exact=True),
+        profiling.profile_table(cur, exact=True)).collect()}
+    assert drift["v"]["null_drift"] and not drift["id"]["null_drift"]
+    assert drift["k"]["distinct_drift"] and not drift["id"]["distinct_drift"]
+    assert abs(drift["v"]["null_rate_delta"] - 0.19) < 1e-6

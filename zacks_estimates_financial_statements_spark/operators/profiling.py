@@ -1,0 +1,134 @@
+"""Table profiling: per-column data-contract statistics in one pass.
+
+A 100 TB ingestion pipeline needs cheap, continuous answers to "did this
+delivery drift?" — null-rate spikes, cardinality collapse, range
+excursions — before the data reaches training jobs. ``profile_table``
+computes the per-column panel (null count, distinct count, min/max,
+string length) as ONE map-side-combined aggregation over a single scan:
+every statistic is an ordinary Spark aggregate, so the job is a single
+shuffle of one combiner row per partition regardless of table size.
+
+Scale notes:
+
+- Distinct counts default to ``approx_count_distinct`` (HyperLogLog++,
+  constant memory, folds into the same single-pass agg). ``exact=True``
+  switches to ``count(DISTINCT ...)`` — which Catalyst plans via Expand
+  (input replicated once per distinct aggregate, i.e. ×n_columns
+  pre-shuffle rows). Exact mode exists for oracle-grade verification
+  and small tables; at corpus scale use the default.
+- min/max/avg-length are rendered through a per-type canonical text
+  form (doubles via ``decimal(38,6)`` trim, timestamps as epoch-µs) so
+  profiles diff cleanly across engines and snapshot stores — the same
+  cross-engine contract the oracle harness uses.
+- Unsupported types (arrays, structs, binary) profile null-count only;
+  min/max/distinct are NULL, not an error — a profiler must never fail
+  the pipeline it guards.
+
+The long (one-row-per-column) output shape is deliberate: profiles of
+different tables/snapshots union and join by ``column`` for drift
+comparison (see ``profile_drift``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as Ty
+
+from zacks_estimates_financial_statements_spark.export import decimal_text
+
+#: types whose min/max/distinct are well-defined and text-renderable
+_ORDERED = (Ty.StringType, Ty.ByteType, Ty.ShortType, Ty.IntegerType,
+            Ty.LongType, Ty.FloatType, Ty.DoubleType, Ty.DecimalType,
+            Ty.DateType, Ty.TimestampType, Ty.BooleanType)
+
+
+def _render(col: F.Column, dt: Ty.DataType) -> F.Column:
+    """Canonical text form of a value: stable across engines."""
+    if isinstance(dt, (Ty.FloatType, Ty.DoubleType, Ty.DecimalType)):
+        return decimal_text(col.cast("decimal(38,6)"))
+    if isinstance(dt, Ty.TimestampType):
+        return F.unix_micros(col).cast("string")
+    return col.cast("string")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact: bool = False, rsd: float = 0.05) -> DataFrame:
+    """Per-column profile of ``df`` as one single-scan aggregation.
+
+    Output: one row per profiled column —
+    ``column, n_rows, n_nulls, n_distinct, min_value, max_value,
+    avg_len`` (``avg_len`` is the mean string length, string columns
+    only; min/max in the canonical text form; ``n_distinct`` excludes
+    NULLs and is approximate unless ``exact``).
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        q = F.col(c)
+        aggs.append(F.count(q).alias(f"{c}__nn"))
+        if isinstance(dt, _ORDERED):
+            nd = (F.countDistinct(q) if exact
+                  else F.approx_count_distinct(q, rsd))
+            aggs += [nd.alias(f"{c}__nd"),
+                     _render(F.min(q), dt).alias(f"{c}__min"),
+                     _render(F.max(q), dt).alias(f"{c}__max")]
+        else:
+            aggs += [F.lit(None).cast("long").alias(f"{c}__nd"),
+                     F.lit(None).cast("string").alias(f"{c}__min"),
+                     F.lit(None).cast("string").alias(f"{c}__max")]
+        if isinstance(dt, Ty.StringType):
+            # integer length sums stay exact in double far past corpus
+            # scale (2^53 chars); round once at the end
+            aggs.append(F.round(F.sum(F.length(q))
+                                / F.count(q), 6).alias(f"{c}__al"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__al"))
+    row = df.agg(*aggs)
+    panels = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("__n").alias("n_rows"),
+                 (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                 F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_value"),
+                 F.col(f"{c}__max").alias("max_value"),
+                 F.col(f"{c}__al").alias("avg_len"))
+        for c in cols])
+    return (row.select(F.explode(panels).alias("p")).select("p.*"))
+
+
+def profile_drift(baseline: DataFrame, current: DataFrame,
+                  null_rate_jump: float = 0.05,
+                  distinct_ratio_band: tuple[float, float] = (0.5, 2.0),
+                  ) -> DataFrame:
+    """Join two profiles by column and flag contract drift: null-rate
+    jumps beyond ``null_rate_jump`` (absolute), distinct-cardinality
+    ratio outside ``distinct_ratio_band``, and min/max range excursions
+    (current min below baseline min or max above it — textual compare
+    only flags when both sides render). |columns| rows: driver-scale.
+    """
+    b = baseline.select(
+        "column", F.col("n_rows").alias("b_rows"),
+        F.col("n_nulls").alias("b_nulls"),
+        F.col("n_distinct").alias("b_distinct"),
+        F.col("min_value").alias("b_min"), F.col("max_value").alias("b_max"))
+    c = current.select(
+        "column", F.col("n_rows").alias("c_rows"),
+        F.col("n_nulls").alias("c_nulls"),
+        F.col("n_distinct").alias("c_distinct"),
+        F.col("min_value").alias("c_min"), F.col("max_value").alias("c_max"))
+    j = b.join(c, "column", "full_outer")
+    b_nr = F.col("b_nulls") / F.col("b_rows")
+    c_nr = F.col("c_nulls") / F.col("c_rows")
+    lo, hi = distinct_ratio_band
+    ratio = F.col("c_distinct") / F.nullif(F.col("b_distinct"), F.lit(0))
+    return j.select(
+        "column",
+        F.col("b_rows").isNull().alias("added"),
+        F.col("c_rows").isNull().alias("removed"),
+        F.round(c_nr - b_nr, 6).alias("null_rate_delta"),
+        (F.coalesce(F.abs(c_nr - b_nr) > null_rate_jump, F.lit(False))
+         ).alias("null_drift"),
+        F.round(ratio, 6).alias("distinct_ratio"),
+        (F.coalesce((ratio < lo) | (ratio > hi), F.lit(False))
+         ).alias("distinct_drift"))
