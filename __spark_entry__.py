@@ -2797,6 +2797,54 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_zorder_key(spark, sf):
+    """Z-order (Morton) clustering key (operators/layout.py): events
+    mapped onto a 2-D curve over (user_id, minute-of-month), the write
+    layout that keeps BOTH columns' parquet min-max ranges tight for
+    multi-dimensional file skipping. Pure integer scaling + a flat
+    shift/mask interleave — one codegen projection, zero shuffles,
+    integer-exact across engines (which is what the oracle checks)."""
+    from zacks_estimates_financial_statements_spark.operators import layout
+    ev = _t(spark, sf, "events")
+    minute = F.floor(F.unix_micros("ts") / F.lit(60_000_000)) - F.lit(_ZO_BASE_MIN)
+    zx = layout.scale_to_bits(F.col("user_id"), 0, 149, _ZO_BITS)
+    zy = layout.scale_to_bits(minute, 0, 44639, _ZO_BITS)
+    return (ev.select(
+        "event_id", zx.alias("zx"), zy.alias("zy"),
+        layout.zorder_key([zx, zy], _ZO_BITS).alias("zkey")))
+
+
+_ZO_BITS = 12
+_ZO_BASE_MIN = 1704067200 // 60  # 2024-01-01T00:00Z in minutes
+
+
+def _zo_scale_sql(v: str, lo: int, hi: int, bits: int) -> str:
+    top, span = (1 << bits) - 1, max(hi - lo, 1)
+    return (f"((least(greatest(({v})::BIGINT, {lo}), {hi}) - {lo})"
+            f" * {top}) // {span}")
+
+
+def _zo_interleave_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+ORACLE_ZORDER_KEY = f"""
+WITH dims AS (
+  SELECT event_id,
+    {_zo_scale_sql("user_id", 0, 149, _ZO_BITS)} AS zx,
+    {_zo_scale_sql(f"epoch_us(ts) // 60000000 - {_ZO_BASE_MIN}",
+                   0, 44639, _ZO_BITS)} AS zy
+  FROM events)
+SELECT event_id, zx, zy,
+  ({_zo_interleave_sql("zx", "zy", _ZO_BITS)})::BIGINT AS zkey
+FROM dims
+"""
+
+
 def q_profile_table(spark, sf):
     """Single-pass per-column table profile (operators/profiling.py):
     null/distinct/min/max/length panel over the events table as ONE
@@ -2999,6 +3047,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "weighted_sample": q_weighted_sample,
     "profile_table": q_profile_table,
+    "zorder_key": q_zorder_key,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3080,6 +3129,7 @@ _ORACLE: dict[str, str] = {
     "attribution": ORACLE_ATTRIBUTION,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "profile_table": ORACLE_PROFILE_TABLE,
+    "zorder_key": ORACLE_ZORDER_KEY,
 }
 
 
