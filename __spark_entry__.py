@@ -2797,6 +2797,40 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_robust_outliers(spark, sf):
+    """Ingestion anomaly monitor (operators/profiling.py
+    ``robust_outliers``): per (event_type, day) median/MAD modified
+    z-score flags on the value stream. Two exact-percentile aggs on the
+    same key, per-bucket stats broadcast back — the fact rows shuffle
+    for aggregation, never for the joins."""
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    ev = _t(spark, sf, "events")
+    out = profiling.robust_outliers(ev, "ts", ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "med", "mad", "is_outlier")
+
+
+ORACLE_ROBUST_OUTLIERS = """
+WITH b AS (
+  SELECT event_id, event_type, date_trunc('day', ts) AS bucket, value
+  FROM events),
+med AS (
+  SELECT event_type, bucket, quantile_cont(value, 0.5) AS med
+  FROM b GROUP BY 1, 2),
+dev AS (
+  SELECT b.*, m.med FROM b JOIN med m USING (event_type, bucket)),
+mad AS (
+  SELECT event_type, bucket, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM dev GROUP BY 1, 2)
+SELECT d.event_id, d.event_type, epoch_us(d.bucket) AS bucket_us,
+  round(d.med, 6) AS med, round(m.mad, 6) AS mad,
+  abs(d.value - d.med) > 3.5 * 1.4826 * m.mad AS is_outlier
+FROM dev d JOIN mad m USING (event_type, bucket)
+"""
+
+
 def q_zorder_key(spark, sf):
     """Z-order (Morton) clustering key (operators/layout.py): events
     mapped onto a 2-D curve over (user_id, minute-of-month), the write
@@ -3048,6 +3082,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "profile_table": q_profile_table,
     "zorder_key": q_zorder_key,
+    "robust_outliers": q_robust_outliers,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3130,6 +3165,7 @@ _ORACLE: dict[str, str] = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "profile_table": ORACLE_PROFILE_TABLE,
     "zorder_key": ORACLE_ZORDER_KEY,
+    "robust_outliers": ORACLE_ROBUST_OUTLIERS,
 }
 
 

@@ -56,3 +56,26 @@ def test_profile_drift_flags(spark):
     assert drift["v"]["null_drift"] and not drift["id"]["null_drift"]
     assert drift["k"]["distinct_drift"] and not drift["id"]["distinct_drift"]
     assert abs(drift["v"]["null_rate_delta"] - 0.19) < 1e-6
+
+
+def test_robust_outliers_flags_planted_anomaly(spark):
+    """A single wild value in an otherwise tight bucket is flagged; the
+    tight values are not; MAD is immune to the outlier itself (a
+    mean/stddev detector would have its threshold dragged)."""
+    import datetime
+
+    from zacks_estimates_financial_statements_spark.operators import profiling
+
+    base = datetime.datetime(2024, 5, 1, 12, 0)
+    rows = [(i, base, "m", 10.0 + (i % 5) * 0.1) for i in range(20)]
+    rows.append((99, base, "m", 10_000.0))          # the anomaly
+    rows.append((100, base + datetime.timedelta(days=1), "m", 10_000.0))
+    # day 2 has ONE value: med = the value itself, MAD = 0 -> not flagged
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, g string, value double")
+    out = {r["event_id"]: r for r in profiling.robust_outliers(
+        df, "ts", ["g"], "value").collect()}
+    assert out[99]["is_outlier"] is True
+    assert all(out[i]["is_outlier"] is False for i in range(20))
+    assert out[100]["is_outlier"] is False and out[100]["mad"] == 0.0
+    assert out[0]["med"] == 10.2  # median of the tight cluster, not dragged

@@ -132,3 +132,47 @@ def profile_drift(baseline: DataFrame, current: DataFrame,
         F.round(ratio, 6).alias("distinct_ratio"),
         (F.coalesce((ratio < lo) | (ratio > hi), F.lit(False))
          ).alias("distinct_drift"))
+
+
+#: scale factor making MAD a consistent sigma estimator under normality
+MAD_SIGMA = 1.4826
+
+
+def robust_outliers(df: DataFrame, ts_col: str, group_cols: list[str],
+                    value_col: str, granularity: str = "day",
+                    k: float = 3.5) -> DataFrame:
+    """Per-time-bucket robust anomaly flags: a value is an outlier when
+    its absolute deviation from the bucket median exceeds ``k`` robust
+    sigmas (median absolute deviation × 1.4826 — Iglewicz & Hoaglin's
+    modified z-score, the standard ingestion-drift detector; mean/stddev
+    would let the outliers it hunts drag the threshold toward
+    themselves).
+
+    Two-pass by necessity (MAD needs the median first), but both passes
+    are exact-percentile aggregations keyed on the SAME
+    ``(group, bucket)`` — two shuffles of per-group rows, and the
+    per-group median/MAD relations (|groups × buckets| rows) broadcast
+    back onto the fact rows, so the fact table is never re-shuffled for
+    the joins. Medians are interpolated (type R-7), matching DuckDB's
+    ``quantile_cont`` for the oracle.
+
+    Output: input columns + ``bucket``, ``med``, ``mad``, ``is_outlier``
+    (med/mad rounded to 6).
+    """
+    from pyspark.sql.functions import broadcast
+
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    keys = group_cols + ["bucket"]
+    b = df.withColumn("bucket", bucket)
+    med = (b.groupBy(*keys)
+           .agg(F.percentile(F.col(value_col), 0.5).alias("med")))
+    dev = b.join(broadcast(med), keys)
+    mad = (dev.groupBy(*keys)
+           .agg(F.percentile(F.abs(F.col(value_col) - F.col("med")), 0.5)
+                .alias("mad")))
+    out = dev.join(broadcast(mad), keys)
+    return out.select(
+        *df.columns, "bucket",
+        F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
+        (F.abs(F.col(value_col) - F.col("med"))
+         > F.lit(k) * F.lit(MAD_SIGMA) * F.col("mad")).alias("is_outlier"))
