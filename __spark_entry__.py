@@ -2797,6 +2797,57 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_fuzzy_match(spark, sf):
+    """Blocked fuzzy record linkage (operators/linkage.py): part names
+    with one deterministic character deletion matched back to the
+    catalog via prefix/suffix blocking + in-block levenshtein, folded
+    to the best match per dirty record. Two equi-joins + one distinct +
+    one agg — never |dirty| x |catalog| distance computations."""
+    from zacks_estimates_financial_statements_spark.operators import linkage
+    part = _t(spark, sf, "part")
+    dirty = (part.filter(F.col("p_partkey") % 10 == 0)
+             .select(F.col("p_partkey").alias("dirty_id"),
+                     F.concat(
+                         F.expr("substring(p_name, 1, "
+                                "p_partkey % length(p_name))"),
+                         F.expr("substring(p_name, "
+                                "p_partkey % length(p_name) + 2)"))
+                     .alias("dirty_name")))
+    pairs = linkage.fuzzy_join(dirty, part.select("p_partkey", "p_name"),
+                               "dirty_name", "p_name", max_dist=1)
+    return linkage.best_match(pairs, "dirty_id", "p_partkey")
+
+
+ORACLE_FUZZY_MATCH = """
+WITH dirty AS (
+  SELECT p_partkey AS dirty_id,
+    substr(p_name, 1, p_partkey % length(p_name))
+      || substr(p_name, p_partkey % length(p_name) + 2) AS dirty_name
+  FROM part WHERE p_partkey % 10 = 0),
+cand AS (
+  SELECT d.dirty_id, d.dirty_name, p.p_partkey, p.p_name
+  FROM dirty d JOIN part p
+    ON substr(d.dirty_name, 1, 3) = substr(p.p_name, 1, 3)
+  UNION
+  SELECT d.dirty_id, d.dirty_name, p.p_partkey, p.p_name
+  FROM dirty d JOIN part p
+    ON right(d.dirty_name, 3) = right(p.p_name, 3)),
+pairs AS (
+  SELECT dirty_id, p_partkey,
+    levenshtein(dirty_name, p_name) AS dist
+  FROM cand WHERE levenshtein(dirty_name, p_name) <= 1),
+ranked AS (
+  SELECT dirty_id, p_partkey, dist,
+    row_number() OVER (PARTITION BY dirty_id
+      ORDER BY dist ASC, p_partkey ASC) AS rn,
+    count(*) OVER (PARTITION BY dirty_id) AS n_candidates
+  FROM pairs)
+SELECT dirty_id, p_partkey, dist::INT AS dist,
+  n_candidates::BIGINT AS n_candidates
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_robust_outliers(spark, sf):
     """Ingestion anomaly monitor (operators/profiling.py
     ``robust_outliers``): per (event_type, day) median/MAD modified
@@ -3083,6 +3134,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_table": q_profile_table,
     "zorder_key": q_zorder_key,
     "robust_outliers": q_robust_outliers,
+    "fuzzy_match": q_fuzzy_match,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3166,6 +3218,7 @@ _ORACLE: dict[str, str] = {
     "profile_table": ORACLE_PROFILE_TABLE,
     "zorder_key": ORACLE_ZORDER_KEY,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
+    "fuzzy_match": ORACLE_FUZZY_MATCH,
 }
 
 
