@@ -2797,6 +2797,52 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_pagerank(spark, sf):
+    """Distributed fixed-iteration PageRank (operators/graph.py): the
+    crawl-quality prior over a deterministic link graph derived from
+    document ids (97 hosts, edge doc%97 -> (doc*31+7)%97). Five
+    iterations, decimal-summed contributions, per-iteration rank
+    rounding — bit-equal to the chained-CTE ANSI twin."""
+    docs = _t(spark, sf, "documents")
+    edges = (docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    return graph.pagerank(edges, n_iter=5)
+
+
+def _oracle_pagerank(n_iter: int = 5) -> str:
+    one_minus_d = "(1.0::DOUBLE - 0.85::DOUBLE)"
+    parts = ["""WITH e AS (
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+  FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+base AS (SELECT n.node, d.deg FROM nodes n LEFT JOIN outdeg d USING (node)),
+nn AS (SELECT count(*)::BIGINT AS n FROM base),
+r0 AS (SELECT node, deg, round(1.0::DOUBLE / (SELECT n FROM nn), 6) AS rank
+       FROM base)"""]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts.append(f"""dang{k} AS (
+  SELECT coalesce(sum(rank::DECIMAL(38,6)), 0::DECIMAL(38,6)) AS dm
+  FROM r{p} WHERE deg IS NULL),
+contrib{k} AS (
+  SELECT e.dst AS node,
+    sum(round(r.rank / r.deg, 12)::DECIMAL(38,12)) AS c
+  FROM e JOIN r{p} r ON e.src = r.node AND r.deg IS NOT NULL
+  GROUP BY e.dst),
+r{k} AS (
+  SELECT b.node, b.deg,
+    round({one_minus_d} / (SELECT n FROM nn)
+      + 0.85::DOUBLE * (coalesce(c.c::DOUBLE, 0.0::DOUBLE)
+          + (SELECT dm FROM dang{k})::DOUBLE / (SELECT n FROM nn)),
+      6) AS rank
+  FROM r{p} b LEFT JOIN contrib{k} c USING (node))""")
+        # each r{k} re-derives deg so the dangling filter keeps working
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM r{n_iter}"
+
+
 def q_fuzzy_match(spark, sf):
     """Blocked fuzzy record linkage (operators/linkage.py): part names
     with one deterministic character deletion matched back to the
@@ -3135,6 +3181,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_key": q_zorder_key,
     "robust_outliers": q_robust_outliers,
     "fuzzy_match": q_fuzzy_match,
+    "pagerank": q_pagerank,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3219,6 +3266,7 @@ _ORACLE: dict[str, str] = {
     "zorder_key": ORACLE_ZORDER_KEY,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "fuzzy_match": ORACLE_FUZZY_MATCH,
+    "pagerank": _oracle_pagerank(),
 }
 
 

@@ -120,3 +120,29 @@ def test_reliable_checkpoint_branch(spark, tmp_path):
     got = {r["node"]: r["component"]
            for r in graph.connected_components(df, reliable=True).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_pagerank_ring_uniform(spark):
+    """A directed ring is perfectly symmetric: every node keeps exactly
+    the uniform rank at every iteration."""
+    from zacks_estimates_financial_statements_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in G.pagerank(e, n_iter=3).collect()}
+    assert set(got) == set(range(5))
+    assert all(v == 0.2 for v in got.values())
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """A sink node (no out-edges) must not leak rank: total stays ~1,
+    and the hub pointed to by everyone outranks the spokes."""
+    from zacks_estimates_financial_statements_spark.operators import graph as G
+
+    # spokes 1..4 -> hub 0; hub is dangling
+    e = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in G.pagerank(e, n_iter=5).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got[0] > got[1] and len(got) == 5
+    assert len({got[i] for i in range(1, 5)}) == 1  # spokes symmetric

@@ -171,3 +171,79 @@ def resolve_duplicate_clusters(df: DataFrame, pairs: DataFrame,
             .withColumn("cluster_size",
                         F.coalesce(F.col("cluster_size"), F.lit(1)))
             .withColumn("keep", F.col(id_col) == F.col("component")))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 5, damping: float = 0.85,
+             reliable: bool = False) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set (Page, Brin,
+    Motwani, Winograd 1999) — the crawl-side quality prior: a host/page
+    linked from many well-linked pages outranks orphaned spam farms,
+    and the score feeds the same curation gates as ``quality_score``.
+
+    Each iteration is ONE shuffle class: edges join the (node, rank,
+    outdeg) relation on ``src`` (rank relation is |V|-sized — broadcast
+    when it fits, AQE decides), contributions aggregate map-side onto
+    ``dst``, and dangling mass (rank parked on nodes with no
+    out-links) is redistributed uniformly. Edge data never re-shuffles
+    across iterations beyond the contribution aggregation, and every
+    round ends in a checkpoint for the same lineage-truncation reason
+    as ``connected_components`` (the rank frame is referenced 3× per
+    round).
+
+    Cross-engine determinism (the oracle contract): ranks are rounded
+    to 6 decimals each iteration, per-edge contributions to 12 BEFORE
+    summation, and both sums run in ``decimal(38,12)`` — exact,
+    order-independent addition, so Spark and an ANSI-SQL twin agree
+    bit-for-bit at every iteration. Driver-side state per iteration is
+    two bounded scalars (dangling mass, like ``connected_components``'
+    convergence signature) — never the graph.
+
+    Returns (node, rank) with ranks summing to ~1 (quantization drift
+    bounded by 1e-6 · |V| · n_iter).
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+
+    def mat(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = mat(e)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    outdeg = e.groupBy(F.col("src").alias("node")) \
+              .agg(F.count(F.lit(1)).alias("deg"))
+    base = mat(nodes.join(outdeg, "node", "left"))
+    n = base.count()
+    if n == 0:
+        return base.select("node", F.lit(0.0).alias("rank"))
+    ranks = mat(base.withColumn("rank", F.lit(round(1.0 / n, 6))))
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dang = (ranks.filter(F.col("deg").isNull())
+                .agg(F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,6)")),
+                    F.lit(0).cast("decimal(38,6)")).alias("m"))
+                .collect()[0]["m"])
+        dang_share = float(dang) / n
+        contrib = (e.join(ranks.filter(F.col("deg").isNotNull())
+                          .select(F.col("node").alias("src"),
+                                  "rank", "deg"), "src")
+                   .select("dst",
+                           F.round(F.col("rank") / F.col("deg"), 12)
+                           .cast("decimal(38,12)").alias("c"))
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum("c").alias("c")))
+        ranks = mat(
+            ranks.select("node", "deg")
+            .join(contrib, "node", "left")
+            .withColumn("rank", F.round(
+                F.lit(teleport)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c").cast("double"), F.lit(0.0))
+                   + F.lit(dang_share)), 6))
+            .drop("c"))
+    return ranks.select("node", "rank")
