@@ -67,6 +67,13 @@ HEADLINE = [
     "media_phash_pairs",    # perceptual-hash image dedup (real decode)
     "curate_pipeline",      # end-to-end curation composite (4 operators)
     "cross_modal_pairs",    # text-dup evidence joined to media corpus
+    "attribution",          # stream-stream interval join (batch twin)
+    "weighted_sample",      # A-ES weighted sampling, per-stratum top-n
+    "profile_table",        # single-pass per-column contract panel
+    "zorder_key",           # Morton-key layout projection
+    "robust_outliers",      # median/MAD ingestion anomaly flags
+    "fuzzy_match",          # blocked levenshtein record linkage
+    "pagerank",             # 5-iteration link-graph quality prior
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +
