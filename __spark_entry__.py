@@ -2797,6 +2797,54 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_bpe_train(spark, sf):
+    """Distributed BPE merge learning (functions/tokenize.py
+    ``bpe_train``): 6 merges learned from the documents corpus — one
+    corpus shuffle builds the word-frequency table, every merge
+    iteration runs on that vocabulary-sized relation. The ordered merge
+    list is the model artifact; the oracle re-learns it with an
+    identical chained-CTE procedure."""
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+    docs = _t(spark, sf, "documents")
+    merges = TK.bpe_train(docs, "text", n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, x, y, x + y) for i, (x, y) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, merged string")
+
+
+def _oracle_bpe_train(n_merges: int = 6) -> str:
+    parts = [r"""WITH words AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY w),
+seg0 AS MATERIALIZED (
+  SELECT w, cnt, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS seg
+  FROM words)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""arr{k} AS (
+  SELECT cnt, list_filter(string_split(seg, '  '), z -> z <> '') AS a
+  FROM seg{p}),
+pairs{k} AS (
+  SELECT a[i] AS x, a[i + 1] AS y, sum(cnt) AS c
+  FROM arr{k}, unnest(range(1, len(a))) AS r(i)
+  WHERE len(a) >= 2 GROUP BY 1, 2),
+best{k} AS MATERIALIZED (SELECT x, y FROM pairs{k}
+            ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+seg{k} AS MATERIALIZED (
+  SELECT w, cnt,
+    replace(seg,
+      ' ' || (SELECT x FROM best{k}) || '  '
+          || (SELECT y FROM best{k}) || ' ',
+      ' ' || (SELECT x || y FROM best{k}) || ' ') AS seg
+  FROM seg{p})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, x AS lhs, y AS rhs, x || y AS merged "
+        f"FROM best{k}" for k in range(1, n_merges + 1))
+    return ",\n".join(parts) + "\n" + sel
+
+
 def q_pagerank(spark, sf):
     """Distributed fixed-iteration PageRank (operators/graph.py): the
     crawl-quality prior over a deterministic link graph derived from
@@ -3182,6 +3230,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers": q_robust_outliers,
     "fuzzy_match": q_fuzzy_match,
     "pagerank": q_pagerank,
+    "bpe_train": q_bpe_train,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3267,6 +3316,7 @@ _ORACLE: dict[str, str] = {
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "fuzzy_match": ORACLE_FUZZY_MATCH,
     "pagerank": _oracle_pagerank(),
+    "bpe_train": _oracle_bpe_train(),
 }
 
 

@@ -624,3 +624,47 @@ def test_weighted_sample_proportional_and_global_path(spark):
     counts = {r["kind"]: r["n"] for r in
               s.groupBy("kind").agg(F.count("*").alias("n")).collect()}
     assert counts == {"heavy": 5, "light": 5}
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer must reproduce textbook BPE (Sennrich
+    ACL'16) merge-for-merge, including count ties broken
+    lexicographically and chained same-pair occurrences."""
+    import collections
+
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    corpus = ["low low low lower lower newest newest newest newest widest",
+              "aaaa aaaa bb bb"]   # 'a a' chains: overlap semantics
+
+    def ref_bpe(words, k):
+        vocab = collections.Counter(words)
+        segs = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(k):
+            stats = collections.Counter()
+            for w, cnt in vocab.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    stats[(s[i], s[i + 1])] += cnt
+            if not stats:
+                break
+            m = max(stats.values())
+            pair = sorted(p for p, c in stats.items() if c == m)[0]
+            merges.append(pair)
+            for w in segs:
+                s, out, i = segs[w], [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and (s[i], s[i + 1]) == pair:
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+        return merges
+
+    df = spark.createDataFrame([(c,) for c in corpus], "text string")
+    got = TK.bpe_train(df, "text", n_merges=8)
+    want = ref_bpe(" ".join(corpus).split(), 8)
+    assert got == want and len(got) == 8

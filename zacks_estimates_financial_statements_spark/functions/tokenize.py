@@ -136,3 +136,71 @@ def wordpiece_encode(df: DataFrame, id_col: str, text_col: str,
                                 "n_tokens": counts})
 
     return df.select(id_col, text_col).mapInPandas(encode_batches, schema)
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 6,
+              min_word_count: int = 1) -> list[tuple[str, str]]:
+    """Distributed BPE merge learning (Sennrich, Haddow, Birch, ACL
+    2016 §3.2): learn ``n_merges`` symbol-pair merges from the corpus.
+
+    Scale shape — the one real BPE trainers use: the corpus is touched
+    by exactly ONE shuffle (word → count); every merge iteration then
+    runs on the VOCABULARY-sized (word, count, segmentation) relation,
+    so k merges cost k small jobs, not k corpus passes. Per iteration:
+    a bigram explode over the segmentation arrays + one count-weighted
+    aggregation ranks candidate pairs, the winner (ties broken
+    lexicographically — fully deterministic) comes back as a single
+    bounded driver row via TakeOrdered, and the merge applies as one
+    plain string ``replace`` projection. The segmentation relation is
+    checkpointed per round so round ``k`` never replays rounds
+    ``1..k-1``.
+
+    Segmentations are strings with a TWO-space separator and two-space
+    padding; the merge replacement ``" a  b " -> " ab "`` consumes one
+    boundary space from each side, which keeps chained occurrences
+    (``a b a b``) all mergeable under plain left-to-right global
+    replace — no lookaround regex needed, so the identical operation
+    exists in ANSI SQL for the oracle twin.
+
+    Returns the ordered merge list ``[(left, right), ...]`` (may be
+    shorter than ``n_merges`` if the pair space is exhausted). Feed
+    the resulting pieces to ``wordpiece_encode`` as the vocabulary.
+    """
+    words = (df.select(F.explode(_words(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= min_word_count))
+    seg = (words.select(
+        "w", "cnt",
+        F.concat(F.lit("  "),
+                 F.regexp_replace(F.col("w"), r"(.)", "$1  "))
+        .alias("seg"))
+        .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        arr = F.array_remove(F.split(F.col("seg"), "  "), "")
+        pairs = (seg.select("cnt", arr.alias("a"))
+                 .filter(F.size("a") >= 2)
+                 .select("cnt", F.explode(F.arrays_zip(
+                     F.slice("a", 1, F.size("a") - 1).alias("x"),
+                     F.slice("a", 2, F.size("a") - 1).alias("y")))
+                     .alias("p"))
+                 .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+                 .agg(F.sum("cnt").alias("c")))
+        best = (pairs.orderBy(F.col("c").desc(), F.col("x").asc(),
+                              F.col("y").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        x, y = best[0]["x"], best[0]["y"]
+        merges.append((x, y))
+        seg = (seg.withColumn(
+            "seg", F.replace(F.col("seg"),
+                             F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")))
+            .localCheckpoint(eager=True))
+    return merges
+
+
+def _words(text: F.Column) -> F.Column:
+    """The shared word split (lowercase, ``[^a-z0-9_]+``, no empties) —
+    must stay identical to ``curation._word_array``."""
+    return F.array_remove(F.split(F.lower(text), r"[^a-z0-9_]+"), "")
