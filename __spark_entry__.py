@@ -2797,6 +2797,31 @@ WHERE s.quality >= th.threshold
 """
 
 
+def q_char_entropy(spark, sf):
+    """Character-distribution Shannon entropy per document
+    (operators/curation.py ``char_entropy``): the compression-style
+    garbage/repetition gate. One char explode with map-side-combined
+    counts (shuffle ≤ |alphabet| rows per doc), per-char terms rounded
+    to 12 and decimal-summed for cross-engine exactness."""
+    docs = _t(spark, sf, "documents")
+    return curation.char_entropy(docs, "doc_id", "text")
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, length(text) AS n_chars,
+    unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0),
+counts AS (
+  SELECT doc_id, n_chars, ch, count(*) AS c
+  FROM chars WHERE ch <> '' GROUP BY 1, 2, 3)
+SELECT doc_id, n_chars, count(*)::BIGINT AS n_distinct_chars,
+  round(sum(round(-(c::DOUBLE / n_chars) * ln(c::DOUBLE / n_chars),
+                  12)::DECIMAL(38,12))::DOUBLE, 6) AS entropy
+FROM counts GROUP BY doc_id, n_chars
+"""
+
+
 def q_bpe_train(spark, sf):
     """Distributed BPE merge learning (functions/tokenize.py
     ``bpe_train``): 6 merges learned from the documents corpus — one
@@ -3231,6 +3256,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": q_fuzzy_match,
     "pagerank": q_pagerank,
     "bpe_train": q_bpe_train,
+    "char_entropy": q_char_entropy,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3317,6 +3343,7 @@ _ORACLE: dict[str, str] = {
     "fuzzy_match": ORACLE_FUZZY_MATCH,
     "pagerank": _oracle_pagerank(),
     "bpe_train": _oracle_bpe_train(),
+    "char_entropy": ORACLE_CHAR_ENTROPY,
 }
 
 

@@ -74,6 +74,7 @@ HEADLINE = [
     "robust_outliers",      # median/MAD ingestion anomaly flags
     "fuzzy_match",          # blocked levenshtein record linkage
     "pagerank",             # 5-iteration link-graph quality prior
+    "bpe_train",            # distributed BPE merge learning (6 merges)
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +

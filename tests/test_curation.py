@@ -668,3 +668,33 @@ def test_bpe_train_matches_reference_implementation(spark):
     got = TK.bpe_train(df, "text", n_merges=8)
     want = ref_bpe(" ".join(corpus).split(), 8)
     assert got == want and len(got) == 8
+
+
+def test_char_entropy_and_compression_ratio_rank_garbage(spark):
+    """Both quality signals must separate natural-ish text from
+    repeated-character padding, and entropy must match the closed
+    form on a hand-computable distribution."""
+    import math
+
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "abab"),              # p(a)=p(b)=.5 -> ln 2
+         (2, "aaaaaaaaaaaaaaaa" * 16),   # degenerate
+         (3, "the quick brown fox jumps over the lazy dog " * 6),
+         (4, "")],                 # empty: excluded
+        "doc_id long, text string")
+    ent = {r["doc_id"]: r for r in
+           curation.char_entropy(df, "doc_id", "text").collect()}
+    assert set(ent) == {1, 2, 3}
+    assert ent[1]["entropy"] == round(math.log(2), 6)
+    assert ent[1]["n_chars"] == 4 and ent[1]["n_distinct_chars"] == 2
+    assert ent[2]["entropy"] == 0.0
+    assert ent[3]["entropy"] > 2.5  # natural-ish text
+
+    cr = {r["doc_id"]: r for r in
+          curation.compression_ratio(df, "doc_id", "text").collect()}
+    assert cr[2]["ratio"] < 0.1 < cr[3]["ratio"]
+    assert cr[4]["ratio"] is None and cr[4]["raw_bytes"] == 0
+    assert cr[3]["raw_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog " * 6)

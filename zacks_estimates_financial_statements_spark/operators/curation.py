@@ -902,3 +902,79 @@ def classifier_quality_score(df: DataFrame, id_col: str, text_col: str,
     return scored.select(
         F.col(id_col), F.col("n_features"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6).alias("score"))
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the cheap compression-style quality signal: keyboard-mash,
+    repeated-character padding and binary-ish garbage score far below
+    natural text (~3 nats for English), so a band filter on entropy is
+    a standard first-pass gate (the heuristic tier of the quality
+    ladder, alongside ``functions.text.quality_score``).
+
+    One char explode → one map-side-combined (doc, char) count → one
+    per-doc fold. The shuffle carries AT MOST |alphabet| rows per
+    document (combiners collapse repeats before the exchange), so the
+    exchanged volume is corpus-sublinear on natural text. Per-char
+    ``p·ln p`` terms round to 12 digits and sum in decimal — exact,
+    order-independent addition, the same cross-engine determinism
+    contract as ``pagerank``.
+
+    Output: id, n_chars, n_distinct_chars, entropy (nats, round 6).
+    The per-doc total is ``length(text)`` carried from the source row —
+    no second window shuffle.
+    """
+    chars = (df.filter(F.length(text_col) > 0)
+             .select(F.col(id_col),
+                     F.length(text_col).alias("n_chars"),
+                     F.explode(F.split(F.col(text_col), "")).alias("ch"))
+             .filter(F.col("ch") != ""))
+    counts = (chars.groupBy(id_col, "n_chars", "ch")
+              .agg(F.count(F.lit(1)).alias("c")))
+    p = F.col("c") / F.col("n_chars")
+    term = F.round(-p * F.log(p), 12).cast("decimal(38,12)")
+    return (counts
+            .groupBy(id_col, "n_chars")
+            .agg(F.count(F.lit(1)).alias("n_distinct_chars"),
+                 F.round(F.sum(term).cast("double"), 6).alias("entropy")))
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str,
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    Gopher-style redundancy signal ``char_entropy`` approximates:
+    boilerplate and repeated spans compress far below natural text
+    (~0.4), so a low-ratio band is a cheap dedup-adjacent gate.
+
+    DEFLATE is a sequential bit-level codec Catalyst cannot express, so
+    this is the legitimate Python case: one bounded ``mapInPandas``
+    pass, zlib from the stdlib, fixed ``level`` for determinism (ratio
+    values are zlib-build-dependent in the last percent — treat as a
+    signal, not a portable hash; hence fixture tests, no SQL oracle).
+
+    Output: id, raw_bytes, compressed_bytes, ratio (round 6).
+    """
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, raw_bytes bigint, "
+                  "compressed_bytes bigint, ratio double")
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            rb = raw.str.len()
+            cb = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "raw_bytes": rb.astype("int64"),
+                "compressed_bytes": cb.astype("int64"),
+                "ratio": (cb / rb.where(rb > 0)).round(6),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
