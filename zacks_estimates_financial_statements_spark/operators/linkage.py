@@ -38,21 +38,30 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     ``>= 2*block_chars``; see module docstring).
 
     Output: every left column, every right column (caller aliases
-    collisions), ``dist``. Exact-duplicate pairs produced by both
-    blocks are deduplicated with one distinct on the joined keys.
+    collisions), ``dist``.
+
+    The block join and the distance filter run over the DISTINCT key
+    strings of each side, not the rows: real catalogs repeat the same
+    name across many rows, and repeating a key ``m`` times on the left
+    and ``n`` times on the right would otherwise put ``m×n`` copies of
+    every candidate through ``levenshtein``. Matched key PAIRS (already
+    distance-filtered, usually tiny) then join back to both row sets —
+    row-level fan-out only for actual matches.
     """
     lk, rk = F.col(left_key), F.col(right_key)
-    l = left.withColumn("__lpre", F.substring(lk, 1, block_chars)) \
-            .withColumn("__lsuf", F.substring(lk, -block_chars, block_chars))
-    r = right.withColumn("__rpre", F.substring(rk, 1, block_chars)) \
+    lkeys = left.select(lk).distinct()
+    rkeys = right.select(rk).distinct()
+    l = lkeys.withColumn("__lpre", F.substring(lk, 1, block_chars)) \
+             .withColumn("__lsuf", F.substring(lk, -block_chars, block_chars))
+    r = rkeys.withColumn("__rpre", F.substring(rk, 1, block_chars)) \
              .withColumn("__rsuf", F.substring(rk, -block_chars, block_chars))
     pre = l.join(r, F.col("__lpre") == F.col("__rpre"))
     suf = l.join(r, F.col("__lsuf") == F.col("__rsuf"))
-    cand = pre.unionByName(suf).drop("__lpre", "__lsuf", "__rpre", "__rsuf") \
-              .distinct()
-    return (cand
-            .withColumn("dist", F.levenshtein(lk, rk))
-            .filter(F.col("dist") <= max_dist))
+    cand = pre.unionByName(suf).select(left_key, right_key).distinct()
+    matched = (cand
+               .withColumn("dist", F.levenshtein(lk, rk))
+               .filter(F.col("dist") <= max_dist))
+    return left.join(matched, left_key).join(right, right_key)
 
 
 def best_match(pairs: DataFrame, left_id: str, right_id: str) -> DataFrame:
