@@ -2607,6 +2607,25 @@ def q_media_phash_pairs(spark, sf):
     return multimodal.media_near_dup_pairs(media, max_hamming=4)
 
 
+def q_video_near_dup(spark, sf):
+    """Cross-video perceptual near-dup detection
+    (operators/multimodal.py): a synthesized structured MJPEG corpus
+    where ids sharing ``doc_id % 15`` are planted near-duplicate
+    videos; REAL demux → per-frame JPEG decode → dHash → the shared
+    pigeonhole hamming banding → per-video containment overlap.
+    Registered WITHOUT an oracle_sql twin (rows-only driver check) for
+    the same reason as ``media_phash_pairs``: an SQL twin would replay
+    the JPEG decoder closed-form. Determinism is pinned by the
+    planted-clip unit test and the deterministic gradient corpus."""
+    ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+           .select("doc_id"))
+    keyed = ids.select(F.col("doc_id").alias("media_id"),
+                       (F.col("doc_id") % 15).alias("content_key"))
+    media = multimodal.synthesize_video_corpus(keyed)
+    return multimodal.video_near_dup_pairs(media, every_ms=500,
+                                           max_hamming=4)
+
+
 def q_media_metadata(spark, sf):
     """Driver-checkable correctness row for the multimodal codec path:
     synthesize deterministic PPM/BMP/PNG/WAV payloads from documents
@@ -3257,6 +3276,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "bpe_train": q_bpe_train,
     "char_entropy": q_char_entropy,
+    "video_near_dup": q_video_near_dup,
 }
 
 _ORACLE: dict[str, str] = {

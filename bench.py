@@ -75,6 +75,7 @@ HEADLINE = [
     "fuzzy_match",          # blocked levenshtein record linkage
     "pagerank",             # 5-iteration link-graph quality prior
     "bpe_train",            # distributed BPE merge learning (6 merges)
+    "char_entropy",         # per-doc character-entropy quality signal
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +

@@ -527,3 +527,52 @@ def test_media_near_dup_pairs_finds_planted_images(spark):
     ph2 = M.perceptual_hashes(broken)
     row = ph2.collect()[0]
     assert row.dhash is None and row.decode_error
+
+
+def test_video_near_dup_pairs_flags_shared_clips(spark):
+    """Two videos sharing most frames (one brightness-shifted — dHash
+    invariant) are flagged; a structurally distinct video is not; stub
+    frames never enter fingerprints."""
+    import numpy as np
+    import pandas as pd
+
+    from zacks_estimates_financial_statements_spark.functions import codecs
+    from zacks_estimates_financial_statements_spark.operators import multimodal as MM
+
+    def pattern(k):
+        # structured gradient unique per k (flat frames all dHash to 0)
+        y, x = np.indices((32, 32))
+        img = ((x * (k + 3) + y * (2 * k + 1)) % 128 * 2).astype(np.uint8)
+        return np.stack([img] * 3, axis=-1)
+
+    p = [pattern(k) for k in range(6)]
+    vids = [
+        (1, codecs.encode_mjpeg_mp4([p[0], p[1], p[2], p[3]], fps=2)),
+        # clip of video 1, +20 brightness (dHash is gradient-based)
+        (2, codecs.encode_mjpeg_mp4(
+            [np.clip(f.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+             for f in (p[1], p[2], p[3])], fps=2)),
+        (3, codecs.encode_mjpeg_mp4([p[4], p[5]], fps=2)),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [v[0] for v in vids],
+                      "kind": "video",
+                      "payload": [v[1] for v in vids],
+                      "mime": "video/mp4", "width": 32, "height": 32,
+                      "duration_ms": None}),
+        schema=MM.MEDIA_SCHEMA)
+
+    fp = MM.video_fingerprints(media, every_ms=500)
+    rows = fp.collect()
+    assert all(r["decode_error"] is None for r in rows)
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r["dhash"])
+    assert len(by_vid[1]) == 4 and len(by_vid[2]) == 3 and len(by_vid[3]) == 2
+
+    pairs = MM.video_near_dup_pairs(media, every_ms=500, max_hamming=6,
+                                    min_overlap=0.5).collect()
+    got = {(r["video_a"], r["video_b"]): r for r in pairs}
+    assert (1, 2) in got
+    assert got[(1, 2)]["overlap"] >= 2 / 3   # clip containment
+    assert (1, 3) not in got and (2, 3) not in got

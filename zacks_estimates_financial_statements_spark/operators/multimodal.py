@@ -629,3 +629,153 @@ def synthesize_image_corpus(ids: DataFrame, id_col: str = "media_id",
 
     return (ids.select(F.col(id_col), F.col(content_key_col))
             .mapInPandas(fn, MEDIA_SCHEMA))
+
+
+VIDEO_FP_SCHEMA = ("media_id long, frame_idx int, ts_ms long, "
+                   "dhash long, decode_error string")
+
+#: frame index headroom inside the surrogate frame id (media_id * this
+#: + frame_idx) — 1e6 sampled frames is ~11 days of video at 1 fps
+_FRAME_ID_SPAN = 1_000_000
+
+
+def video_fingerprints(media: DataFrame, every_ms: int = 1000,
+                       hash_size: int = 8) -> DataFrame:
+    """Per-video perceptual fingerprint: the sampled-frame sequence
+    hashed frame-by-frame with the same dHash the image tier uses.
+    Only REAL decoded frames are hashed (``source = 'mjpeg'``) — stub
+    frames from codecs this container cannot decode are excluded, never
+    silently hashed from byte slices. Failed frame decodes quarantine
+    with ``decode_error``. One bounded ``mapInPandas`` over the demuxed
+    frames; upstream sampling bounds rows at duration/every_ms per
+    video."""
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    frames = (sample_video_frames(media, every_ms)
+              .filter(F.col("source") == "mjpeg"))
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, fi, ts, fb in zip(pdf["media_id"], pdf["frame_idx"],
+                                       pdf["ts_ms"], pdf["frame_bytes"]):
+                try:
+                    h = codecs.dhash64(
+                        codecs.decode_jpeg(bytes(fb)), hash_size)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    rows.append({"media_id": mid, "frame_idx": fi,
+                                 "ts_ms": ts, "dhash": h,
+                                 "decode_error": None})
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    rows.append({"media_id": mid, "frame_idx": fi,
+                                 "ts_ms": ts, "dhash": None,
+                                 "decode_error":
+                                 f"{type(exc).__name__}: {exc}"[:200]})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "ts_ms", "dhash",
+                                              "decode_error"])
+
+    return (frames.select("media_id", "frame_idx", "ts_ms", "frame_bytes")
+            .mapInPandas(fn, VIDEO_FP_SCHEMA))
+
+
+def video_near_dup_pairs(media: DataFrame, every_ms: int = 1000,
+                         max_hamming: int = 4,
+                         min_overlap: float = 0.5,
+                         hash_size: int = 8) -> DataFrame:
+    """Cross-VIDEO near-duplicate detection: two videos are near-dups
+    when a large share of the shorter one's sampled frames each have a
+    perceptual near-match in the other (containment overlap — catches
+    clips and re-encodes, not just full-length copies).
+
+    Frame hashes pair through the SAME pigeonhole hamming banding the
+    text (simhash) and image (dHash) tiers use — an equi-join on band
+    values, never |frames|² — via a surrogate frame id
+    ``media_id * 1e6 + frame_idx``. Matched frame pairs then aggregate
+    per video pair (map-side combined), and overlap compares matched
+    distinct frames against each side's frame count. Output:
+    ``(video_a, video_b, matched_a, matched_b, n_a, n_b, overlap)``
+    with ``video_a < video_b``, filtered to ``overlap >= min_overlap``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from zacks_estimates_financial_statements_spark.operators import dedup
+
+    fp = (video_fingerprints(media, every_ms, hash_size)
+          .filter(F.col("dhash").isNotNull())
+          .select("media_id", "frame_idx", "dhash")
+          .localCheckpoint(eager=True))  # sketches feed pairing AND counts
+    counts = fp.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    fid = (F.col("media_id") * _FRAME_ID_SPAN
+           + F.col("frame_idx")).alias("fid")
+    fpairs = dedup.hamming_near_dup_pairs(
+        fp.select(fid, "dhash"), "fid", "dhash", max_hamming=max_hamming)
+    va = F.expr(f"id_a DIV {_FRAME_ID_SPAN}")  # integer div: exact at
+    vb = F.expr(f"id_b DIV {_FRAME_ID_SPAN}")  # any 64-bit media_id
+    agg = (fpairs
+           .select(va.alias("video_a"), vb.alias("video_b"),
+                   F.col("id_a").alias("fa"), F.col("id_b").alias("fb"))
+           .filter(F.col("video_a") != F.col("video_b"))
+           .groupBy("video_a", "video_b")
+           .agg(F.countDistinct("fa").alias("matched_a"),
+                F.countDistinct("fb").alias("matched_b")))
+    out = (agg
+           .join(broadcast(counts.select(F.col("media_id").alias("video_a"),
+                                         F.col("n").alias("n_a"))), "video_a")
+           .join(broadcast(counts.select(F.col("media_id").alias("video_b"),
+                                         F.col("n").alias("n_b"))), "video_b"))
+    overlap = F.round(F.greatest(F.col("matched_a") / F.col("n_a"),
+                                 F.col("matched_b") / F.col("n_b")), 6)
+    return (out.select("video_a", "video_b", "matched_a", "matched_b",
+                       "n_a", "n_b", overlap.alias("overlap"))
+            .filter(F.col("overlap") >= min_overlap))
+
+
+def synthesize_video_corpus(ids: DataFrame, id_col: str = "media_id",
+                            content_key_col: str = "content_key",
+                            size: int = 32) -> DataFrame:
+    """Deterministic STRUCTURED MJPEG-in-MP4 corpus: frame pixels are
+    gradient patterns of the CONTENT KEY (not the id), so distinct ids
+    sharing a key are planted near-duplicate videos. Gradients (not the
+    flat colors of ``synthesize_mjpeg_media``) because dHash measures
+    horizontal gradient sign — every flat frame hashes to 0. Each video
+    has ``2 + key % 3`` frames at 2 fps. Returns MEDIA_SCHEMA rows."""
+    import pandas as pd  # noqa: F401 — engine requirement for mapInPandas
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(ids.sparkSession)
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        def pattern(key: int, i: int) -> "np.ndarray":
+            y, x = np.indices((size, size))
+            img = ((x * (key + 3) + y * (2 * key + 1) + i * 7)
+                   % 128 * 2).astype(np.uint8)
+            return np.stack([img] * 3, axis=-1)
+
+        for pdf in batches:
+            rows = []
+            for mid, key in zip(pdf[id_col], pdf[content_key_col]):
+                key = int(key)
+                frames = [pattern(key, i) for i in range(2 + key % 3)]
+                rows.append({"media_id": int(mid), "kind": "video",
+                             "payload": codecs.encode_mjpeg_mp4(
+                                 frames, fps=2),
+                             "mime": "video/mp4", "width": size,
+                             "height": size, "duration_ms": None})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return (ids.select(F.col(id_col), F.col(content_key_col))
+            .mapInPandas(fn, MEDIA_SCHEMA))
