@@ -405,3 +405,48 @@ def test_attribution_stream_batch_parity(spark, tmp_path):
     got = {(r["conversion_id"], r["impression_id"], r["n_candidates"])
            for r in folded.collect()}
     assert got == {(20, 11, 2), (21, 12, 1)}
+
+
+def test_profile_monitor_stream_flags_drift(spark, tmp_path):
+    """Two microbatches: the second's null spike and cardinality
+    collapse must land in profile_drift with that epoch; both batches'
+    profiles land in profile_history."""
+    import json
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        for i in range(200):
+            f.write(json.dumps({"doc_id": i, "text": f"alpha {i}",
+                                "source": f"s{i % 50}"}) + "\n")
+    tables, ckpt = str(tmp_path / "t"), str(tmp_path / "c")
+    schema = "doc_id long, text string, source string"
+
+    def run_once():
+        q = S.run_profile_monitor_stream(spark, str(src) + "/*.jsonl",
+                                         tables, ckpt, schema)
+        q.awaitTermination(120)
+
+    run_once()
+    hist = TableStore(spark, tables, "profile_history").read()
+    assert {r["column"] for r in hist.collect()} == \
+        {"doc_id", "text", "source"}
+    assert not TableStore(spark, tables, "profile_drift").exists()
+
+    # batch 2: 30% null text, source collapses to one value
+    with open(src / "b.jsonl", "w") as f:
+        for i in range(200, 400):
+            f.write(json.dumps({
+                "doc_id": i,
+                "text": None if i % 3 == 0 else f"beta {i}",
+                "source": "s0"}) + "\n")
+    run_once()
+    hist2 = TableStore(spark, tables, "profile_history").read()
+    assert hist2.select("epoch").distinct().count() == 2
+    flagged = {r["column"]: r for r in
+               TableStore(spark, tables, "profile_drift").read().collect()}
+    assert flagged["text"]["null_drift"]
+    assert flagged["source"]["distinct_drift"]
+    assert "doc_id" not in flagged

@@ -470,3 +470,61 @@ def last_touch(pairs: DataFrame) -> DataFrame:
                     (F.unix_micros("conv_ts")
                      - F.unix_micros("m.imp_ts")).alias("lag_us"),
                     "n_candidates"))
+
+
+def run_profile_monitor_stream(spark: SparkSession, input_glob: str,
+                               tables_root: str, checkpoint: str,
+                               schema: str,
+                               null_rate_jump: float = 0.05,
+                               distinct_ratio_band: tuple[float, float]
+                               = (0.5, 2.0)):
+    """Streaming ingestion observability: every microbatch's per-column
+    profile (operators/profiling.py — ONE map-side-combined agg over
+    the batch) appends to a ``profile_history`` table keyed
+    ``(epoch, column)``, and each batch after the first is
+    drift-compared against the PREVIOUS batch's stored profile —
+    null-rate jumps / cardinality collapse land in ``profile_drift``
+    with the epoch that tripped them.
+
+    This is the monitoring twin of the dedup/quality gates: the same
+    foreachBatch + PK-upsert shape (replays are no-ops), with profile
+    rows |columns|-sized regardless of batch volume, so the monitor's
+    own cost never scales with the delivery. Returns the started query
+    (``trigger(availableNow=True)``)."""
+    from pyspark.sql import functions as SF
+
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    history = TableStore(spark, tables_root, "profile_history")
+    drift = TableStore(spark, tables_root, "profile_drift")
+
+    def _monitor(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prof = (profiling.profile_table(batch_df)
+                .localCheckpoint(eager=True))
+        if history.exists():
+            prev = history.read()
+            last = prev.agg(SF.max("epoch").alias("m")).collect()[0]["m"]
+            flags = profiling.profile_drift(
+                prev.filter(SF.col("epoch") == last).drop("epoch"),
+                prof, null_rate_jump, distinct_ratio_band)
+            bad = flags.filter(SF.col("null_drift")
+                               | SF.col("distinct_drift")
+                               | SF.col("added") | SF.col("removed"))
+            if not bad.isEmpty():
+                drift.upsert_ignore(
+                    bad.withColumn("epoch", SF.lit(epoch)),
+                    pk=("epoch", "column"))
+        history.upsert_ignore(prof.withColumn("epoch", SF.lit(epoch)),
+                              pk=("epoch", "column"))
+
+    docs = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(input_glob))
+    return (docs.writeStream
+            .foreachBatch(_monitor)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
