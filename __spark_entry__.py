@@ -899,6 +899,37 @@ def q_ngram_jaccard_pairs(spark, sf):
                                      min_jaccard=0.2)
 
 
+def q_containment_pairs(spark, sf):
+    """Asymmetric containment near-dup (operators/dedup.py
+    ``containment_pairs``): |A∩B|/|A| per direction over distinct word
+    shingles — catches the quote/inclusion shape Jaccard misses (a doc
+    embedded in a longer one). Same single-lineage grouped pair
+    generation as the Jaccard verify stage."""
+    docs = _t(spark, sf, "documents")
+    out = dedup.containment_pairs(docs, "doc_id", "text", shingle_k=3,
+                                  min_containment=0.3)
+    return out.select("id_a", "id_b",
+                      F.round("containment_a", 6).alias("containment_a"),
+                      F.round("containment_b", 6).alias("containment_b"))
+
+
+ORACLE_CONTAINMENT = f"""
+WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+  round(shared / na.n, 6) AS containment_a,
+  round(shared / nb.n, 6) AS containment_b
+FROM shared
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE shared / na.n >= 0.3 OR shared / nb.n >= 0.3
+"""
+
+
 ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -3277,6 +3308,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "char_entropy": q_char_entropy,
     "video_near_dup": q_video_near_dup,
+    "containment_pairs": q_containment_pairs,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3364,6 +3396,7 @@ _ORACLE: dict[str, str] = {
     "pagerank": _oracle_pagerank(),
     "bpe_train": _oracle_bpe_train(),
     "char_entropy": ORACLE_CHAR_ENTROPY,
+    "containment_pairs": ORACLE_CONTAINMENT,
 }
 
 

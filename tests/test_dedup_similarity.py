@@ -544,3 +544,29 @@ def test_paragraph_dedup_drops_boilerplate_keeps_first(spark):
     assert out[3].clean_text == "" and out[3].n_kept == 0
     # empty doc: zero paragraphs, still one output row
     assert (out[4].n_paras, out[4].n_kept) == (0, 0)
+
+
+def test_containment_pairs_catch_quote_inclusion(spark):
+    """A short doc fully quoted inside a long one: Jaccard is tiny but
+    containment on the short side is 1.0 — the asymmetric operator must
+    flag it and the symmetric one must not (at matched thresholds)."""
+    from zacks_estimates_financial_statements_spark.operators import dedup
+
+    quote = "the quarterly revenue grew beyond every analyst estimate"
+    filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote),
+         (2, filler + " " + quote + " " + filler.replace("filler", "x")),
+         (3, "entirely unrelated content about gardening and weather")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r for r in dedup.containment_pairs(
+        docs, "doc_id", "text", shingle_k=3, min_containment=0.9)
+        .collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["containment_a"] == 1.0       # quote fully inside
+    assert got[(1, 2)]["containment_b"] < 0.1        # long side barely
+    assert all(3 not in k for k in got)
+    # symmetric Jaccard at the same bar misses the inclusion
+    jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                    shingle_k=3, min_jaccard=0.9)
+    assert jac.count() == 0

@@ -457,6 +457,48 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     shingles, and exact for everything else. ``None`` (default) keeps
     the operator fully exact — appropriate for its role as the LSH
     verification stage, where candidates are already bucketed."""
+    shared = _shared_shingle_counts(df, id_col, text_col, shingle_k,
+                                    max_shingle_df)
+    return (shared
+            .withColumn("jaccard",
+                        F.col("shared")
+                        / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      shingle_k: int = 3,
+                      min_containment: float = 0.5,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """ASYMMETRIC near-dup detection: exact shingle containment
+    ``|A∩B| / |A|`` per direction (Broder 1997's second resemblance
+    measure). Jaccard misses the quote/inclusion case — a short document
+    wholly embedded in a much longer one has tiny Jaccard but
+    containment 1.0 on the short side — which is exactly the
+    quote-farm / aggregator-page shape corpus dedup needs to see.
+
+    Same single-lineage grouped pair generation (and the same
+    ``max_shingle_df`` hot-shingle knob) as ``ngram_jaccard_pairs``.
+    Returns ``(id_a, id_b, containment_a, containment_b)`` — the share
+    of a's (resp. b's) shingles present in the other — for pairs where
+    EITHER direction ≥ ``min_containment``.
+    """
+    shared = _shared_shingle_counts(df, id_col, text_col, shingle_k,
+                                    max_shingle_df)
+    return (shared
+            .withColumn("containment_a", F.col("shared") / F.col("n_a"))
+            .withColumn("containment_b", F.col("shared") / F.col("n_b"))
+            .filter((F.col("containment_a") >= min_containment)
+                    | (F.col("containment_b") >= min_containment))
+            .select("id_a", "id_b", "containment_a", "containment_b"))
+
+
+def _shared_shingle_counts(df: DataFrame, id_col: str, text_col: str,
+                           shingle_k: int,
+                           max_shingle_df: int | None) -> DataFrame:
+    """(id_a, id_b, shared, n_a, n_b) for documents sharing ≥ 1 distinct
+    word shingle — the common core of the exact verify stages."""
     words = df.select(
         F.col(id_col),
         F.split(T.normalize_text(F.col(text_col)), " ").alias("__words"))
@@ -498,12 +540,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
               .groupBy("id_a", "id_b")
               .agg(F.count("*").alias("shared"),
                    F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b")))
-    return (shared
-            .withColumn("jaccard",
-                        F.col("shared")
-                        / (F.col("n_a") + F.col("n_b") - F.col("shared")))
-            .filter(F.col("jaccard") >= min_jaccard)
-            .select("id_a", "id_b", "jaccard"))
+    return shared
 
 
 # ---------------------------------------------------------------------------
