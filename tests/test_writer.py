@@ -367,3 +367,38 @@ def test_diff_spans_schema_evolution(spark, tmp_path):
     d = {(r.act_symbol, r.change)
          for r in store.diff(v1, pk=("act_symbol", "date")).collect()}
     assert d == {("AAA", "changed")}
+
+
+def test_optimize_zorder_and_file_manifest(spark, tmp_path):
+    """OPTIMIZE ZORDER rewrites the live version so BOTH clustered
+    columns' row-group ranges become prunable, data survives
+    bit-identical, and the manifest reports the tightened stats."""
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators import layout
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    store = TableStore(spark, str(tmp_path), "zopt", partition_by=None,
+                       keep_versions=2)
+    df = (spark.range(1 << 13)
+          .select(F.col("id"),
+                  (F.col("id") % 128).alias("x"),
+                  (F.hash("id") % 128 + 128).alias("yr"))
+          .withColumn("y", F.col("yr") % 128).drop("yr"))
+    store.overwrite(df)
+    before = {tuple(r) for r in store.read().collect()}
+
+    store.optimize_zorder([("x", 0, 127), ("y", 0, 127)], bits=7,
+                          n_files=16)
+    live = store._live_dir()
+    assert {tuple(r) for r in store.read().collect()} == before
+    assert layout.rowgroup_prune_fraction(live, "x", 10, 30) > 0.3
+    assert layout.rowgroup_prune_fraction(live, "y", 10, 30) > 0.3
+
+    man = store.file_manifest()
+    rows = man.filter(F.col("column") == "x").collect()
+    assert len(rows) >= 16          # one row per (row group, column)
+    assert all(r["n_rows"] > 0 and r["bytes"] > 0 for r in rows)
+    # stats are tight: at least one group's x-range excludes [10, 30]
+    assert any(int(r["max_value"]) < 10 or int(r["min_value"]) > 30
+               for r in rows)

@@ -251,6 +251,93 @@ class TableStore:
                 df = df.coalesce(max(files_per_partition, 1))
             self._overwrite_locked(df)
 
+    def optimize_zorder(self, cols: list[tuple[str, int, int]],
+                        bits: int = 12, n_files: int | None = None) -> None:
+        """Delta/Iceberg ``OPTIMIZE ZORDER BY`` analog: rewrite the live
+        version clustered on the Morton curve of ``cols`` (``(name, lo,
+        hi)`` integer-range triples — see operators/layout.py), so
+        selective filters on ANY clustered column skip most files via
+        parquet min-max stats. Like ``compact``, the rewrite lands as a
+        new version behind the atomic pointer flip — readers never see
+        partial state, and the layout benefit is permanent until the
+        next rewrite.
+
+        Partitioned tables keep their partition layout and cluster
+        WITHIN partitions; the in-file sort leads with the partition
+        columns because a ``partitionBy`` writer injects its own sort
+        otherwise, destroying the Z-order (the same trap as the
+        partitioned CSV export)."""
+        from zacks_estimates_financial_statements_spark.operators import layout
+
+        with self.write_lock():
+            df = self.read()
+            zk = layout.zorder_key_int(
+                [(F.col(c), lo, hi) for c, lo, hi in cols], bits)
+            tagged = df.withColumn("__zkey", zk)
+            n = int(n_files or tagged.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+            parts = list(self._partition_cols())
+            keys = [F.col(p) for p in parts] + [F.col("__zkey")]
+            arranged = (tagged.repartitionByRange(n, *keys)
+                        .sortWithinPartitions(*parts, "__zkey")
+                        .drop("__zkey"))
+            self._overwrite_locked(arranged)
+
+    def file_manifest(self) -> "DataFrame":
+        """Iceberg-style manifest of the LIVE version: one row per
+        parquet row group — file, rows, bytes, and per-column min/max
+        rendered as text — the metadata a human (or a layout test)
+        reads to see what a filter could skip. Footer parsing runs
+        DISTRIBUTED (mapInPandas over the file list): at 100 TB a table
+        has ~10⁵-10⁶ files and the driver should never open them all.
+        """
+        import pyarrow.parquet  # noqa: F401 — fail fast if unavailable
+
+        from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+        spark = self.spark
+        ensure_package_on_executors(spark)
+        live = self._live_dir()
+        if live is None:
+            raise ValueError(f"table {self.name} has no live version")
+        paths = []
+        for root, _dirs, files in os.walk(live):
+            paths.extend(os.path.join(root, f) for f in files
+                         if f.endswith(".parquet"))
+        pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+        def fn(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for b in batches:
+                rows = []
+                for p in b["path"]:
+                    md = pq.ParquetFile(p).metadata
+                    names = [md.schema.column(i).path
+                             for i in range(md.num_columns)]
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        for i, cname in enumerate(names):
+                            st = rg.column(i).statistics
+                            rows.append({
+                                "file": os.path.relpath(p, live),
+                                "row_group": g,
+                                "n_rows": rg.num_rows,
+                                "bytes": rg.total_byte_size,
+                                "column": cname,
+                                "min_value": None if st is None
+                                else str(st.min),
+                                "max_value": None if st is None
+                                else str(st.max)})
+                yield pd.DataFrame(rows, columns=[
+                    "file", "row_group", "n_rows", "bytes", "column",
+                    "min_value", "max_value"])
+
+        return pdf.mapInPandas(
+            fn, "file string, row_group int, n_rows long, bytes long, "
+                "column string, min_value string, max_value string")
+
     def diff(self, old_version: str, new_version: str | None = None,
              pk: tuple[str, ...] | None = None) -> DataFrame:
         """Time-travel diff between two retained versions: one row per
