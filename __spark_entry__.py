@@ -2657,6 +2657,25 @@ def q_video_near_dup(spark, sf):
                                            max_hamming=4)
 
 
+def q_audio_near_dup(spark, sf):
+    """Cross-audio perceptual near-dup detection
+    (operators/multimodal.py): synthesized seeded-noise WAV corpus
+    where ids sharing ``doc_id % 15`` are planted clips at DIFFERENT
+    volumes; REAL PCM decode → spectral-shape frame hashes →
+    the shared pigeonhole hamming banding → containment overlap.
+    Rows-only driver check (decoder-backed), like the image/video
+    tiers; volume invariance is what makes the planted pairs land."""
+    ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+           .select("doc_id"))
+    keyed = ids.select(F.col("doc_id").alias("media_id"),
+                       (F.col("doc_id") % 15).alias("content_key"))
+    media = multimodal.synthesize_audio_corpus(keyed)
+    out = multimodal.audio_near_dup_pairs(media, frame_ms=100,
+                                          max_hamming=4)
+    return out.select("media_a", "media_b", "matched_a", "matched_b",
+                      "n_a", "n_b", "overlap")
+
+
 def q_media_metadata(spark, sf):
     """Driver-checkable correctness row for the multimodal codec path:
     synthesize deterministic PPM/BMP/PNG/WAV payloads from documents
@@ -3309,6 +3328,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "video_near_dup": q_video_near_dup,
     "containment_pairs": q_containment_pairs,
+    "audio_near_dup": q_audio_near_dup,
 }
 
 _ORACLE: dict[str, str] = {

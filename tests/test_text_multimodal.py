@@ -576,3 +576,51 @@ def test_video_near_dup_pairs_flags_shared_clips(spark):
     assert (1, 2) in got
     assert got[(1, 2)]["overlap"] >= 2 / 3   # clip containment
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_near_dup_pairs_volume_invariant_clips(spark):
+    """A half-volume clip of the same audio matches (sign-of-difference
+    hashes are invariant to uniform scaling); distinct audio does not;
+    undecodable payloads quarantine."""
+    import numpy as np
+    import pandas as pd
+
+    from zacks_estimates_financial_statements_spark.functions import codecs
+    from zacks_estimates_financial_statements_spark.operators import multimodal as MM
+
+    rate, win = 8000, 800  # frame_ms=100 -> 800-sample windows
+
+    def signal(key, n_win):
+        # seeded broadband noise: rich spectra, key-specific band shape
+        x = np.random.RandomState(key).randn(n_win * win)
+        return x / np.abs(x).max() * 0.8
+
+    a = signal(1, 10)
+    clip = a[2 * win:8 * win] * 0.5          # aligned clip, -6 dB
+    c = signal(7, 10)
+    rows = [(1, codecs.encode_wav(a, rate)),
+            (2, codecs.encode_wav(clip, rate)),
+            (3, codecs.encode_wav(c, rate)),
+            (4, b"not a wav at all")]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [r[0] for r in rows], "kind": "audio",
+                      "payload": [r[1] for r in rows], "mime": "audio/wav",
+                      "width": None, "height": None, "duration_ms": None}),
+        schema=MM.MEDIA_SCHEMA)
+
+    fp = MM.audio_fingerprints(media, frame_ms=100)
+    rows_fp = fp.collect()
+    quarantined = [r for r in rows_fp if r["decode_error"] is not None]
+    assert [r["media_id"] for r in quarantined] == [4]
+    n_by = {}
+    for r in rows_fp:
+        if r["fp"] is not None:
+            n_by[r["media_id"]] = n_by.get(r["media_id"], 0) + 1
+    assert n_by == {1: 10, 2: 6, 3: 10}
+
+    got = {(r["media_a"], r["media_b"]): r for r in
+           MM.audio_near_dup_pairs(media, frame_ms=100, max_hamming=6,
+                                   min_overlap=0.5).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["overlap"] >= 5 / 6    # clip containment
+    assert all(3 not in k for k in got)

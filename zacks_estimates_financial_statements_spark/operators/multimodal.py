@@ -702,39 +702,14 @@ def video_near_dup_pairs(media: DataFrame, every_ms: int = 1000,
     distinct frames against each side's frame count. Output:
     ``(video_a, video_b, matched_a, matched_b, n_a, n_b, overlap)``
     with ``video_a < video_b``, filtered to ``overlap >= min_overlap``.
+    The banding/overlap tail is the shared ``sequence_near_dup_pairs``
+    (audio reuses it over its own frame hashes).
     """
-    from pyspark.sql.functions import broadcast
-
-    from zacks_estimates_financial_statements_spark.operators import dedup
-
-    fp = (video_fingerprints(media, every_ms, hash_size)
-          .filter(F.col("dhash").isNotNull())
-          .select("media_id", "frame_idx", "dhash")
-          .localCheckpoint(eager=True))  # sketches feed pairing AND counts
-    counts = fp.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
-    fid = (F.col("media_id") * _FRAME_ID_SPAN
-           + F.col("frame_idx")).alias("fid")
-    fpairs = dedup.hamming_near_dup_pairs(
-        fp.select(fid, "dhash"), "fid", "dhash", max_hamming=max_hamming)
-    va = F.expr(f"id_a DIV {_FRAME_ID_SPAN}")  # integer div: exact at
-    vb = F.expr(f"id_b DIV {_FRAME_ID_SPAN}")  # any 64-bit media_id
-    agg = (fpairs
-           .select(va.alias("video_a"), vb.alias("video_b"),
-                   F.col("id_a").alias("fa"), F.col("id_b").alias("fb"))
-           .filter(F.col("video_a") != F.col("video_b"))
-           .groupBy("video_a", "video_b")
-           .agg(F.countDistinct("fa").alias("matched_a"),
-                F.countDistinct("fb").alias("matched_b")))
-    out = (agg
-           .join(broadcast(counts.select(F.col("media_id").alias("video_a"),
-                                         F.col("n").alias("n_a"))), "video_a")
-           .join(broadcast(counts.select(F.col("media_id").alias("video_b"),
-                                         F.col("n").alias("n_b"))), "video_b"))
-    overlap = F.round(F.greatest(F.col("matched_a") / F.col("n_a"),
-                                 F.col("matched_b") / F.col("n_b")), 6)
-    return (out.select("video_a", "video_b", "matched_a", "matched_b",
-                       "n_a", "n_b", overlap.alias("overlap"))
-            .filter(F.col("overlap") >= min_overlap))
+    out = sequence_near_dup_pairs(
+        video_fingerprints(media, every_ms, hash_size), "dhash",
+        max_hamming=max_hamming, min_overlap=min_overlap)
+    return (out.withColumnRenamed("media_a", "video_a")
+            .withColumnRenamed("media_b", "video_b"))
 
 
 def synthesize_video_corpus(ids: DataFrame, id_col: str = "media_id",
@@ -774,6 +749,170 @@ def synthesize_video_corpus(ids: DataFrame, id_col: str = "media_id",
                                  frames, fps=2),
                              "mime": "video/mp4", "width": size,
                              "height": size, "duration_ms": None})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return (ids.select(F.col(id_col), F.col(content_key_col))
+            .mapInPandas(fn, MEDIA_SCHEMA))
+
+
+AUDIO_FP_SCHEMA = ("media_id long, frame_idx int, fp long, "
+                   "decode_error string")
+
+
+def audio_fingerprints(media: DataFrame, frame_ms: int = 100,
+                       n_bands: int = 65) -> DataFrame:
+    """Per-window robust audio hash (the spectral-shape half of
+    Haitsma & Kalker 2002's scheme): the signal is framed into
+    ``frame_ms`` windows, each window's spectrum is split into
+    ``n_bands`` contiguous energy bands, and bit ``b`` is the sign of
+    the adjacent-band energy difference ``E[b+1] - E[b]``. Signs of
+    differences are invariant to uniform volume scaling and robust to
+    re-encode noise, which is the point: the same clip at -6 dB or
+    transcoded hashes nearly identically, distinct audio does not.
+    (The paper's additional time-derivative term is deliberately
+    dropped: on stationary signals it measures numerical noise and
+    collapses every hash toward 0 — measured here — while the spatial
+    term alone keeps per-window discrimination.)
+
+    REAL decode only (PCM WAV via ``functions/codecs.py``); rows whose
+    payload cannot decode quarantine with ``decode_error``. One bounded
+    ``mapInPandas``; 64 bits per frame feed the same pigeonhole hamming
+    banding as every other sketch tier."""
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    if n_bands != 65:
+        raise ValueError("n_bands must be 65: 64 difference bits fill "
+                         "one long for the shared hamming banding")
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    x, rate = codecs.decode_wav(
+                        bytes(payload) if payload is not None else b"")
+                    mono = x.mean(axis=1)
+                    win = max(int(rate * frame_ms / 1000), n_bands * 2)
+                    nf = len(mono) // win
+                    for t in range(nf):
+                        seg = mono[t * win:(t + 1) * win]
+                        mag = np.abs(np.fft.rfft(seg)) ** 2
+                        bands = np.array_split(mag[1:], n_bands)
+                        e = np.array([b.sum() for b in bands])
+                        bits = (np.diff(e) > 0).astype(np.uint64)
+                        h = 0
+                        for bit in bits:
+                            h = (h << 1) | int(bit)
+                        if h >= 1 << 63:
+                            h -= 1 << 64
+                        rows.append({"media_id": mid, "frame_idx": t,
+                                     "fp": h, "decode_error": None})
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    rows.append({"media_id": mid, "frame_idx": -1,
+                                 "fp": None, "decode_error":
+                                 f"{type(exc).__name__}: {exc}"[:200]})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "fp", "decode_error"])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(fn, AUDIO_FP_SCHEMA))
+
+
+def sequence_near_dup_pairs(fp: DataFrame, hash_col: str,
+                            max_hamming: int = 4,
+                            min_overlap: float = 0.5) -> DataFrame:
+    """Shared tail of the video/audio near-dup detectors: per-frame
+    64-bit hashes ``(media_id, frame_idx, <hash_col>)`` → banded
+    hamming frame pairs (surrogate id, equi-join on band values) →
+    per-media-pair containment overlap. See ``video_near_dup_pairs``
+    for the scale argument; audio reuses it verbatim."""
+    from pyspark.sql.functions import broadcast
+
+    from zacks_estimates_financial_statements_spark.operators import dedup
+
+    fp = (fp.filter(F.col(hash_col).isNotNull())
+          .select("media_id", "frame_idx", hash_col)
+          .localCheckpoint(eager=True))
+    counts = fp.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    fid = (F.col("media_id") * _FRAME_ID_SPAN
+           + F.col("frame_idx")).alias("fid")
+    fpairs = dedup.hamming_near_dup_pairs(
+        fp.select(fid, hash_col), "fid", hash_col,
+        max_hamming=max_hamming)
+    va = F.expr(f"id_a DIV {_FRAME_ID_SPAN}")
+    vb = F.expr(f"id_b DIV {_FRAME_ID_SPAN}")
+    agg = (fpairs
+           .select(va.alias("media_a"), vb.alias("media_b"),
+                   F.col("id_a").alias("fa"), F.col("id_b").alias("fb"))
+           .filter(F.col("media_a") != F.col("media_b"))
+           .groupBy("media_a", "media_b")
+           .agg(F.countDistinct("fa").alias("matched_a"),
+                F.countDistinct("fb").alias("matched_b")))
+    out = (agg
+           .join(broadcast(counts.select(F.col("media_id").alias("media_a"),
+                                         F.col("n").alias("n_a"))), "media_a")
+           .join(broadcast(counts.select(F.col("media_id").alias("media_b"),
+                                         F.col("n").alias("n_b"))), "media_b"))
+    overlap = F.round(F.greatest(F.col("matched_a") / F.col("n_a"),
+                                 F.col("matched_b") / F.col("n_b")), 6)
+    return (out.select("media_a", "media_b", "matched_a", "matched_b",
+                       "n_a", "n_b", overlap.alias("overlap"))
+            .filter(F.col("overlap") >= min_overlap))
+
+
+def audio_near_dup_pairs(media: DataFrame, frame_ms: int = 100,
+                         max_hamming: int = 6,
+                         min_overlap: float = 0.5) -> DataFrame:
+    """Cross-AUDIO near-duplicate detection: the audio tier of the
+    dedup ladder — same containment-overlap contract as
+    ``video_near_dup_pairs`` over the Haitsma-Kalker frame hashes."""
+    return sequence_near_dup_pairs(
+        audio_fingerprints(media, frame_ms), "fp",
+        max_hamming=max_hamming, min_overlap=min_overlap)
+
+
+def synthesize_audio_corpus(ids: DataFrame, id_col: str = "media_id",
+                            content_key_col: str = "content_key",
+                            rate: int = 8000,
+                            n_windows: int = 8) -> DataFrame:
+    """Deterministic PCM-WAV corpus: samples are seeded broadband noise
+    of the CONTENT KEY (MT19937 is platform-stable), so distinct ids
+    sharing a key are planted near-duplicate clips; ids additionally
+    render at key-dependent volume (sign-of-difference hashes are
+    volume-invariant — the property the detector banks on). Returns
+    MEDIA_SCHEMA rows."""
+    import pandas as pd  # noqa: F401 — engine requirement for mapInPandas
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(ids.sparkSession)
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        win = rate // 10  # the detector's frame_ms=100 grid
+        for pdf in batches:
+            rows = []
+            for mid, key in zip(pdf[id_col], pdf[content_key_col]):
+                mid, key = int(mid), int(key)
+                x = np.random.RandomState(key).randn(n_windows * win)
+                x = x / np.abs(x).max() * (0.4 + 0.1 * (mid % 5))
+                rows.append({"media_id": mid, "kind": "audio",
+                             "payload": codecs.encode_wav(x, rate),
+                             "mime": "audio/wav", "width": None,
+                             "height": None,
+                             "duration_ms": 1000 * n_windows // 10})
             yield pd.DataFrame(rows,
                                columns=[f.name for f in MEDIA_SCHEMA])
 
