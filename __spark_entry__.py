@@ -2012,6 +2012,60 @@ FROM per_term GROUP BY doc_id
 """
 
 
+def q_hybrid_search(spark, sf):
+    """Hybrid lexical+semantic retrieval with RRF fusion
+    (operators/retrieval.py): BM25 top-50 and cosine top-50 candidate
+    lists (distributed TakeOrdered each — no corpus-wide rank window)
+    fused by reciprocal rank. Query terms derive from the corpus (top-3
+    words), the query vector is embedding id 0 — both deterministic
+    across testdata regenerations."""
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+    from zacks_estimates_financial_statements_spark.operators.curation import _word_array
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    top = (docs.select(F.explode(_word_array("text")).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n"))
+           .orderBy(F.desc("n"), F.asc("w")).limit(3).collect())
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding") \
+        .collect()[0]["embedding"]
+    out = retrieval.hybrid_search(
+        docs, "doc_id", "text", [r["w"] for r in top],
+        emb, "vec_id", "embedding", list(qvec), top_n=50)
+    return out.select("doc_id", "rank_1", "rank_2", "rrf_score", "rank")
+
+
+ORACLE_HYBRID_SEARCH = f"""
+WITH lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+      (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INT AS rank
+    FROM ({{bm25}}) b) WHERE rank <= 50),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+semall AS (
+  SELECT e.vec_id AS doc_id,
+    round({_COS_SQL.format(a="e.embedding", b="qv.q")}, 6) AS s
+  FROM embeddings e, qv),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+      (row_number() OVER (ORDER BY s DESC, doc_id ASC))::INT AS rank
+    FROM semall WHERE s IS NOT NULL) WHERE rank <= 50),
+f AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+    l.rank AS rank_1, s.rank AS rank_2
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id),
+scored AS (
+  SELECT doc_id, rank_1, rank_2,
+    round(coalesce(1.0 / (60.0 + rank_1), 0.0)
+          + coalesce(1.0 / (60.0 + rank_2), 0.0), 6) AS rrf_score
+  FROM f)
+SELECT doc_id, rank_1, rank_2, rrf_score,
+  (row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC))::INT AS rank
+FROM scored
+"""
+
+
 def q_paragraph_dedup(spark, sf):
     """CCNet-style paragraph dedup (operators/dedup.py): documents are
     synthesized into multi-paragraph form (8-word groups joined by
@@ -3329,6 +3383,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_near_dup": q_video_near_dup,
     "containment_pairs": q_containment_pairs,
     "audio_near_dup": q_audio_near_dup,
+    "hybrid_search": q_hybrid_search,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3417,6 +3472,7 @@ _ORACLE: dict[str, str] = {
     "bpe_train": _oracle_bpe_train(),
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "containment_pairs": ORACLE_CONTAINMENT,
+    "hybrid_search": ORACLE_HYBRID_SEARCH.format(bm25=ORACLE_BM25_SEARCH),
 }
 
 

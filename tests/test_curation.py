@@ -698,3 +698,47 @@ def test_char_entropy_and_compression_ratio_rank_garbage(spark):
     assert cr[4]["ratio"] is None and cr[4]["raw_bytes"] == 0
     assert cr[3]["raw_bytes"] == len(
         "the quick brown fox jumps over the lazy dog " * 6)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF fusion on a hand-computable example: overlap ranks sum,
+    single-list ids contribute one term, ordering ties break by id."""
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                                "doc_id long, rank int")
+    sem = spark.createDataFrame([(2, 1), (4, 2)],
+                                "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in
+           retrieval.rrf_fuse([lex, sem], "doc_id", rrf_k=60).collect()}
+    assert got[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert got[1]["rrf_score"] == round(1 / 61, 6)
+    assert got[4]["rank_1"] is None and got[4]["rank_2"] == 2
+    order = sorted(got.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order] == [2, 1, 4, 3]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([], "doc_id")
+
+
+def test_hybrid_search_prefers_doubly_retrieved(spark):
+    """A doc that is both lexically and semantically close must outrank
+    docs retrieved by only one list."""
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(1, "spark query engine"),     # lexical hit + semantic hit
+         (2, "spark query engine"),     # lexical hit, orthogonal vector
+         (3, "gardening on weekends")],  # semantic hit only
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    out = retrieval.hybrid_search(
+        docs, "doc_id", "text", ["spark", "query"],
+        emb, "vec_id", "embedding", [1.0, 0.0], top_n=10)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["doc_id"] == 1
+    assert rows[0]["rank_1"] is not None and rows[0]["rank_2"] == 1

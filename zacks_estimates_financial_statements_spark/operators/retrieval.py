@@ -72,3 +72,75 @@ def bm25_score(df: DataFrame, id_col: str, text_col: str,
     return (per_term.groupBy(id_col)
             .agg(F.count("*").alias("n_matched_terms"),
                  F.sum(contrib).cast("double").alias("score")))
+
+
+def rrf_fuse(ranked: list[DataFrame], id_col: str,
+             rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of candidate lists: each input carries ``(id, rank)`` (1-based
+    within its own retriever); the fused score is
+    ``Σ 1/(rrf_k + rank)``, with absent ids simply contributing
+    nothing. RRF needs no score calibration between retrievers — only
+    ranks — which is why it is the standard lexical+semantic fusion.
+
+    Inputs are CANDIDATE lists (top-n per retriever, bounded), so the
+    full-outer join chain and the final rank window run over at most
+    ``Σ n_i`` rows — never corpus-sized. Output: ``(id,
+    rank_1..rank_N, rrf_score, rank)``, best first."""
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = None
+    for i, r in enumerate(ranked, 1):
+        side = r.select(F.col(id_col),
+                        F.col("rank").alias(f"rank_{i}"))
+        fused = side if fused is None else \
+            fused.join(side, id_col, "full_outer")
+    score = None
+    for i in range(1, len(ranked) + 1):
+        term = F.when(F.col(f"rank_{i}").isNotNull(),
+                      F.lit(1.0) / (F.lit(float(rrf_k))
+                                    + F.col(f"rank_{i}"))) \
+            .otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    fused = fused.withColumn("rrf_score", F.round(score, 6))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return fused.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_search(docs: DataFrame, id_col: str, text_col: str,
+                  query_terms: list[str],
+                  emb: DataFrame, vec_id_col: str, vec_col: str,
+                  query_vec: list[float],
+                  top_n: int = 100, rrf_k: int = 60) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 candidates and
+    cosine-similarity candidates (top-``top_n`` EACH, via distributed
+    TakeOrdered — no global sort, no single-partition corpus window)
+    fused with RRF. The shape RAG retrieval uses: each retriever
+    prunes to a bounded candidate list in its own index space, fusion
+    touches only candidates.
+
+    Scores round to 6 before ranking (ties by id) on both retrievers,
+    so the whole pipeline is deterministic cross-engine. Output:
+    ``(id, rank_1 [lexical], rank_2 [semantic], rrf_score, rank)``."""
+    from pyspark.sql import Window
+
+    from zacks_estimates_financial_statements_spark.functions import vectors
+
+    lex = (bm25_score(docs, id_col, text_col, query_terms)
+           .select(F.col(id_col), F.round("score", 6).alias("s"))
+           .orderBy(F.col("s").desc(), F.col(id_col).asc())
+           .limit(top_n))
+    lex = lex.withColumn("rank", F.row_number().over(
+        Window.orderBy(F.col("s").desc(), F.col(id_col).asc())))
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sem = (emb.select(F.col(vec_id_col).alias(id_col),
+                      F.round(vectors.cosine(F.col(vec_col), qv), 6)
+                      .alias("s"))
+           .filter(F.col("s").isNotNull())
+           .orderBy(F.col("s").desc(), F.col(id_col).asc())
+           .limit(top_n))
+    sem = sem.withColumn("rank", F.row_number().over(
+        Window.orderBy(F.col("s").desc(), F.col(id_col).asc())))
+    return rrf_fuse([lex, sem], id_col, rrf_k)
