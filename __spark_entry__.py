@@ -1765,6 +1765,59 @@ FROM comp c JOIN sizes s USING (component)
 """
 
 
+def q_incremental_cc(spark, sf):
+    """Incremental dedup-cluster maintenance (operators/graph.py
+    ``incremental_components``): docs 100+ are the stored, already-
+    labeled corpus; docs 0-99 arrive as a batch whose in-batch pairs +
+    index-probe cross pairs run CC only on the CONTRACTED graph, then a
+    relabel map touches merged components. The oracle is the full
+    transitive closure over ALL documents — the driver thereby attests
+    incremental == full recompute."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    batch = docs.filter(F.col("doc_id") < 100)
+    cpairs = dedup.minhash_near_dup_pairs(corpus, "doc_id", "text",
+                                          k=12, bands=4)
+    cc = graph.connected_components(cpairs)
+    labels = (corpus.select(F.col("doc_id").alias("node"))
+              .join(cc, "node", "left")
+              .select("node", F.coalesce("component", "node")
+                      .alias("component")))
+    bpairs = dedup.minhash_near_dup_pairs(batch, "doc_id", "text",
+                                          k=12, bands=4) \
+        .select("id_a", "id_b")
+    index = dedup.minhash_index(corpus, "doc_id", "text", k=12, bands=4)
+    cross = dedup.incremental_minhash_pairs(index, batch, "doc_id",
+                                            "text", k=12, bands=4) \
+        .select(F.col("batch_id").alias("id_a"),
+                F.col("corpus_id").alias("id_b"))
+    batch_labels, relabel = graph.incremental_components(
+        labels, bpairs.union(cross))
+    merged = graph.apply_relabel(labels, relabel)
+    batch_all = (batch.select(F.col("doc_id").alias("node"))
+                 .join(batch_labels, "node", "left")
+                 .select("node", F.coalesce("component", "node")
+                         .alias("component")))
+    return (merged.union(batch_all)
+            .select(F.col("node").alias("doc_id"), "component"))
+
+
+ORACLE_INCREMENTAL_CC = f"""
+WITH RECURSIVE shingled AS ({{shingle}}),
+{{sigs}},
+{{cands}},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_decontaminate(spark, sf):
     """GPT-3-style benchmark decontamination: a 10 % hash-held-out
     "benchmark" slice, and per remaining corpus doc the count of
@@ -3384,6 +3437,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "audio_near_dup": q_audio_near_dup,
     "hybrid_search": q_hybrid_search,
+    "incremental_cc": q_incremental_cc,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3473,6 +3527,9 @@ _ORACLE: dict[str, str] = {
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "containment_pairs": ORACLE_CONTAINMENT,
     "hybrid_search": ORACLE_HYBRID_SEARCH.format(bm25=ORACLE_BM25_SEARCH),
+    "incremental_cc": ORACLE_INCREMENTAL_CC.format(
+        shingle=_SHINGLE_SQL.format(km1=2), sigs=_MINHASH_SIGS_CTE,
+        cands=_LSH_CAND_CTES),
 }
 
 

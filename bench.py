@@ -76,6 +76,10 @@ HEADLINE = [
     "pagerank",             # 5-iteration link-graph quality prior
     "bpe_train",            # distributed BPE merge learning (6 merges)
     "char_entropy",         # per-doc character-entropy quality signal
+    "containment_pairs",    # asymmetric quote/inclusion dedup
+    "hybrid_search",        # BM25 + cosine RRF fusion
+    "audio_near_dup",       # spectral-hash audio clip detection
+    "video_near_dup",       # perceptual video clip detection
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +

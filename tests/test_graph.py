@@ -146,3 +146,58 @@ def test_pagerank_dangling_mass_conserved(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-4
     assert got[0] > got[1] and len(got) == 5
     assert len({got[i] for i in range(1, 5)}) == 1  # spokes symmetric
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """Labels maintained incrementally over a batch (contracted-graph
+    CC + relabel map) must equal a full CC over the union graph —
+    including multi-component merges, fresh-node-only clusters, and a
+    new node becoming the new minimum of an old cluster."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators import graph as G
+
+    rng = random.Random(7)
+    nodes_old = list(range(100, 160))
+    old_edges = [(rng.choice(nodes_old), rng.choice(nodes_old))
+                 for _ in range(70)]
+    nodes_new = list(range(0, 40))
+    new_edges = ([(rng.choice(nodes_new), rng.choice(nodes_new))
+                  for _ in range(30)]          # batch-internal
+                 + [(rng.choice(nodes_new), rng.choice(nodes_old))
+                    for _ in range(12)])       # batch-to-corpus merges
+
+    oe = spark.createDataFrame([e for e in old_edges if e[0] != e[1]],
+                               "id_a long, id_b long")
+    ne = spark.createDataFrame([e for e in new_edges if e[0] != e[1]],
+                               "id_a long, id_b long")
+
+    # stored labels: full vertex set of the old graph (isolated -> self)
+    cc_old = G.connected_components(oe)
+    base = spark.createDataFrame([(n,) for n in nodes_old], "node long")
+    labels = (base.join(cc_old, "node", "left")
+              .select("node", F.coalesce("component", "node")
+                      .alias("component")))
+
+    batch_labels, relabel = G.incremental_components(labels, ne)
+    merged = G.apply_relabel(labels, relabel)
+    batch_all = spark.createDataFrame([(n,) for n in nodes_new],
+                                      "node long") \
+        .join(batch_labels, "node", "left") \
+        .select("node", F.coalesce("component", "node").alias("component"))
+    incremental = {(r["node"], r["component"])
+                   for r in merged.union(batch_all).collect()}
+
+    # ground truth: one CC over everything
+    full = G.connected_components(oe.union(ne))
+    base_all = spark.createDataFrame(
+        [(n,) for n in nodes_old + nodes_new], "node long")
+    truth = {(r["node"], r["component"]) for r in
+             (base_all.join(full, "node", "left")
+              .select("node", F.coalesce("component", "node")
+                      .alias("component"))).collect()}
+    assert incremental == truth
+    # the batch really did merge old components / take over minimums
+    assert relabel.count() > 0

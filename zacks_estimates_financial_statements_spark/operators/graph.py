@@ -247,3 +247,71 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                    + F.lit(dang_share)), 6))
             .drop("c"))
     return ranks.select("node", "rank")
+
+
+def incremental_components(labels: DataFrame, new_edges: DataFrame,
+                           src: str = "id_a", dst: str = "id_b",
+                           reliable: bool = False
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Maintain connected-component labels as a NEW batch of nodes and
+    edges arrives, without re-running CC over the stored graph — the
+    cluster-maintenance complement of ``incremental_minhash_pairs``:
+    admitting a batch to a 100 TB deduped corpus costs O(batch +
+    touched components), never O(corpus).
+
+    The stored graph is never revisited because a stored component is
+    an opaque SUPERNODE identified by its label (the minimum member
+    id). Every new edge endpoint projects through ``labels``
+    (``(node, component)``; an unlabeled endpoint is a fresh node and
+    stands for itself), and CC runs on that CONTRACTED graph — bounded
+    by the new edges and the components they touch. Contraction
+    preserves connectivity, and since a stored label IS the minimum of
+    its members, the contracted minimum equals the global minimum of
+    the merged cluster — labels stay canonical without ever reading
+    stored members.
+
+    Returns ``(batch_labels, relabel_map)``:
+
+    - ``batch_labels`` — ``(node, component)`` for every node of
+      ``new_edges`` absent from ``labels`` (callers add isolated
+      batch rows as their own singletons, the usual left-join +
+      coalesce);
+    - ``relabel_map`` — ``(component, new_component)`` for stored
+      components merged into a smaller label by the batch; apply with
+      one broadcast join (only touched components' rows change).
+    """
+    lab = labels.select(F.col("node").alias("__n"),
+                        F.col("component").alias("__c"))
+    e = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (e.join(lab.select(F.col("__n").alias("u"),
+                           F.col("__c").alias("__cu")), "u", "left")
+         .join(lab.select(F.col("__n").alias("v"),
+                          F.col("__c").alias("__cv")), "v", "left")
+         .select(F.coalesce("__cu", "u").alias("cu"),
+                 F.coalesce("__cv", "v").alias("cv"))
+         .filter(F.col("cu") != F.col("cv")))
+    contracted = connected_components(e, src="cu", dst="cv",
+                                      reliable=reliable)
+    batch_labels = (contracted.join(
+        lab.select(F.col("__n").alias("node")), "node", "left_anti"))
+    # a supernode whose contracted label differs from itself merged
+    # into a smaller cluster; fresh nodes are excluded via semi-join
+    relabel = (contracted
+               .join(lab.select(F.col("__c").alias("node")).distinct(),
+                     "node", "left_semi")
+               .filter(F.col("node") != F.col("component"))
+               .select(F.col("node").alias("component"),
+                       F.col("component").alias("new_component")))
+    return batch_labels, relabel
+
+
+def apply_relabel(labels: DataFrame, relabel_map: DataFrame) -> DataFrame:
+    """Fold a ``relabel_map`` from ``incremental_components`` into the
+    stored label relation: one broadcast left join; rows of untouched
+    components pass through unchanged."""
+    from pyspark.sql.functions import broadcast
+
+    return (labels.join(broadcast(relabel_map), "component", "left")
+            .select("node",
+                    F.coalesce("new_component", "component")
+                    .alias("component")))
