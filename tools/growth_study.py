@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from zacks_estimates_financial_statements_spark.operators import dedup  # noqa: E402
+from zacks_estimates_financial_statements_spark.operators import dedup, graph  # noqa: E402
 from zacks_estimates_financial_statements_spark.session import get_spark  # noqa: E402
 
 
@@ -59,6 +59,17 @@ def main() -> None:
         seed = docs.filter(F.col("doc_id") < initial)
         dedup.minhash_index(seed, "doc_id", "text") \
             .write.mode("overwrite").parquet(index_path)
+        # label-maintenance leg: stored (node, component) relation,
+        # seeded with a full CC over the seed slice
+        labels_a = os.path.join(tmp, "labels_a")
+        labels_b = os.path.join(tmp, "labels_b")
+        seed_pairs = dedup.minhash_near_dup_pairs(seed, "doc_id", "text")
+        seed_cc = graph.connected_components(seed_pairs)
+        (seed.select(F.col("doc_id").alias("node"))
+         .join(seed_cc, "node", "left")
+         .select("node", F.coalesce("component", "node").alias("component"))
+         .write.mode("overwrite").parquet(labels_a))
+        labels_path, labels_next = labels_a, labels_b
 
         rows = []
         for b in range(n_batches):
@@ -79,17 +90,42 @@ def main() -> None:
                     prune_index_scan=True).count()
                 times_pruned.append(time.time() - t0)
             assert n_pruned == n_pairs, (n_pruned, n_pairs)
+            # label maintenance: contracted-graph CC + relabel against
+            # the GROWING stored label relation (incremental_components)
+            stored_labels = spark.read.parquet(labels_path)
+            n_labels = stored_labels.count()
+            bpairs = dedup.minhash_near_dup_pairs(
+                batch, "doc_id", "text").select("id_a", "id_b")
+            cross = dedup.incremental_minhash_pairs(
+                stored, batch, "doc_id", "text") \
+                .select(F.col("batch_id").alias("id_a"),
+                        F.col("corpus_id").alias("id_b"))
+            t0 = time.time()
+            bl, rm = graph.incremental_components(stored_labels,
+                                                  bpairs.union(cross))
+            merged = graph.apply_relabel(stored_labels, rm)
+            batch_all = (batch.select(F.col("doc_id").alias("node"))
+                         .join(bl, "node", "left")
+                         .select("node",
+                                 F.coalesce("component", "node")
+                                 .alias("component")))
+            new_labels = merged.union(batch_all)
+            new_labels.write.mode("overwrite").parquet(labels_next)
+            label_s = round(time.time() - t0, 3)
+            labels_path, labels_next = labels_next, labels_path
             # the real ingestion loop: admitted batch joins the index
             dedup.minhash_index(batch, "doc_id", "text") \
                 .write.mode("append").parquet(index_path)
             rows.append({"batch": b + 1, "index_rows": index_rows,
+                         "label_rows": n_labels, "label_s": label_s,
                          "admit_s": round(statistics.median(times), 3),
                          "admit_pruned_s":
                          round(statistics.median(times_pruned), 3),
                          "pairs": n_pairs})
             print(f"# batch {b + 1}/{n_batches}: index={index_rows} rows, "
                   f"admit={rows[-1]['admit_s']}s, "
-                  f"pruned={rows[-1]['admit_pruned_s']}s, pairs={n_pairs}",
+                  f"pruned={rows[-1]['admit_pruned_s']}s, pairs={n_pairs}, "
+                  f"labels={n_labels} maintain={label_s}s",
                   file=sys.stderr)
 
         first, last = rows[0]["admit_s"], rows[-1]["admit_s"]
