@@ -56,6 +56,9 @@ FANOUT_BNLJ_OK = {
     "topic_summaries": "n_centroids-row centroid broadcast (coarse "
                        "quantizer scoring, same as ann_ivf_topk) plus "
                        "the 1-row cluster-count scalar attach",
+    "hybrid_search": "inherits bm25_search's 1-row corpus-stats scalar "
+                     "attach inside its lexical retriever; the fusion "
+                     "joins are bounded candidate-list equi-joins",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the
