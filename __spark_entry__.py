@@ -1765,6 +1765,36 @@ FROM comp c JOIN sizes s USING (component)
 """
 
 
+def q_chunk_overlap(spark, sf):
+    """Overlapping passage windows (curation.chunk_tokens with
+    stride < chunk_size): the RAG extraction layout where a fact
+    straddling a window boundary appears whole in the next window.
+    Same zero-shuffle projection+explode as the training layout."""
+    docs = _t(spark, sf, "documents")
+    return curation.chunk_tokens(docs, "doc_id", "text",
+                                 chunk_size=8, stride=4)
+
+
+ORACLE_CHUNK_OVERLAP = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, i AS chunk_idx,
+    t[i * 4 + 1 : least(i * 4 + 8, len(t))] AS chunk
+  FROM toks,
+    unnest(range(0, CAST(floor((len(t) - 1) / 4.0) AS BIGINT) + 1))
+      AS u(i)
+  WHERE len(t) >= 1)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+  len(chunk)::BIGINT AS n_tokens,
+  md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM w
+"""
+
+
 def q_incremental_cc(spark, sf):
     """Incremental dedup-cluster maintenance (operators/graph.py
     ``incremental_components``): docs 100+ are the stored, already-
@@ -3438,6 +3468,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_near_dup": q_audio_near_dup,
     "hybrid_search": q_hybrid_search,
     "incremental_cc": q_incremental_cc,
+    "chunk_overlap": q_chunk_overlap,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3530,6 +3561,7 @@ _ORACLE: dict[str, str] = {
     "incremental_cc": ORACLE_INCREMENTAL_CC.format(
         shingle=_SHINGLE_SQL.format(km1=2), sigs=_MINHASH_SIGS_CTE,
         cands=_LSH_CAND_CTES),
+    "chunk_overlap": ORACLE_CHUNK_OVERLAP,
 }
 
 

@@ -742,3 +742,29 @@ def test_hybrid_search_prefers_doubly_retrieved(spark):
     rows = sorted(out.collect(), key=lambda r: r["rank"])
     assert rows[0]["doc_id"] == 1
     assert rows[0]["rank_1"] is not None and rows[0]["rank_2"] == 1
+
+
+def test_chunk_tokens_stride_overlap(spark):
+    """stride < chunk_size gives overlapping windows covering every
+    start position; default stride reproduces the training layout;
+    invalid strides are rejected."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                               "doc_id long, text string")
+    got = sorted((r["chunk_idx"], r["n_tokens"]) for r in
+                 curation.chunk_tokens(df, "doc_id", "text",
+                                       chunk_size=4, stride=2).collect())
+    # 10 tokens, starts 0,2,4,6,8 -> lengths 4,4,4,4,2
+    assert got == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 2)]
+    plain = curation.chunk_tokens(df, "doc_id", "text", chunk_size=4)
+    dflt = curation.chunk_tokens(df, "doc_id", "text", chunk_size=4,
+                                 stride=4)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, dflt.collect()))
+    with pytest.raises(ValueError):
+        curation.chunk_tokens(df, "doc_id", "text", chunk_size=4,
+                              stride=5)
+    with pytest.raises(ValueError):
+        curation.chunk_tokens(df, "doc_id", "text", chunk_size=4,
+                              stride=0)

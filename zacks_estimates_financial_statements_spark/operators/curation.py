@@ -324,7 +324,8 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str,
 
 def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
                  chunk_size: int = 512,
-                 token_array: Column | None = None) -> DataFrame:
+                 token_array: Column | None = None,
+                 stride: int | None = None) -> DataFrame:
     """Split each document's token stream into training-context chunks:
     one row per ``chunk_size``-token window (last chunk ragged), with
     ``n_tokens`` and an md5 ``chunk_hash`` of the space-joined chunk.
@@ -339,19 +340,30 @@ def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
     token column (e.g. ``tokens`` from
     ``functions.tokenize.wordpiece_encode``) so chunk boundaries fall
     on MODEL tokens; ``text_col`` is ignored then.
+
+    ``stride`` < ``chunk_size`` gives OVERLAPPING windows (RAG passage
+    extraction: a fact straddling a boundary appears whole in the next
+    window); the default (``None`` → ``chunk_size``) is the exact
+    non-overlapping training layout. Window ``i`` starts at token
+    ``i*stride``; every start position < the token count emits.
     """
     if chunk_size < 1:
         raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    stride = chunk_size if stride is None else stride
+    if not 1 <= stride <= chunk_size:
+        raise ValueError(
+            f"stride must be in [1, chunk_size], got {stride}")
     toks = token_array if token_array is not None else _word_array(text_col)
     base = df.select(F.col(id_col), toks.alias("__w"))
-    n_chunks = F.ceil(F.size("__w") / F.lit(float(chunk_size))).cast("int")
+    n_chunks = (F.floor((F.size("__w") - 1) / F.lit(stride)) + 1) \
+        .cast("int")
     idx = F.when(F.size("__w") >= 1,
                  F.sequence(F.lit(0), n_chunks - 1)) \
         .otherwise(F.array().cast("array<int>"))
     chunked = (base.select(id_col, "__w",
                            F.explode(idx).alias("__i"))
                .withColumn("__chunk",
-                           F.slice("__w", F.col("__i") * chunk_size + 1,
+                           F.slice("__w", F.col("__i") * stride + 1,
                                    chunk_size)))
     return chunked.select(
         id_col,
