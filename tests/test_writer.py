@@ -402,3 +402,59 @@ def test_optimize_zorder_and_file_manifest(spark, tmp_path):
     # stats are tight: at least one group's x-range excludes [10, 30]
     assert any(int(r["max_value"]) < 10 or int(r["min_value"]) > 30
                for r in rows)
+
+
+def test_version_tags_snapshot_reads(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    store = TableStore(spark, str(tmp_path), "tagged", partition_by=None,
+                       keep_versions=3)
+    store.overwrite(spark.range(5).select(F.col("id")))
+    store.tag("run-a")
+    store.overwrite(spark.range(9).select(F.col("id")))
+    assert store.read().count() == 9
+    assert store.read_tag("run-a").count() == 5   # snapshot survives
+    assert store.tags()["run-a"].startswith("v-")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.read_tag("missing")
+    with pytest.raises(ValueError):
+        store.tag("bad name!")
+    # vacuum past the tag: dangling is reported, read refuses
+    store.keep_versions = 1
+    store.overwrite(spark.range(2).select(F.col("id")))
+    store.overwrite(spark.range(3).select(F.col("id")))
+    assert store.tags()["run-a"].startswith("!")
+    with pytest.raises(ValueError):
+        store.read_tag("run-a")
+
+
+def test_purge_rows_across_stores(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators.writer import (
+        TableStore,
+        purge_rows,
+    )
+
+    a = TableStore(spark, str(tmp_path), "ev_a", partition_by=None)
+    b = TableStore(spark, str(tmp_path), "ev_b", partition_by=None)
+    c = TableStore(spark, str(tmp_path), "no_user", partition_by=None)
+    a.overwrite(spark.range(10).select(F.col("id").alias("user_id"),
+                                       (F.col("id") * 2).alias("v")))
+    b.overwrite(spark.range(20).select((F.col("id") % 5).alias("user_id"),
+                                       F.col("id").alias("event")))
+    c.overwrite(spark.range(4).select(F.col("id").alias("other")))
+    condemned = spark.createDataFrame([(1,), (3,), (3,)], "user_id long")
+    removed = purge_rows([a, b, c], condemned, on=["user_id"])
+    assert removed == {"ev_a": 2, "ev_b": 8, "no_user": -1}
+    assert a.read().filter("user_id in (1, 3)").count() == 0
+    assert b.read().filter("user_id in (1, 3)").count() == 0
+    assert c.read().count() == 4
+    # idempotent: a replayed purge is a no-op
+    again = purge_rows([a, b], condemned, on=["user_id"])
+    assert again == {"ev_a": 0, "ev_b": 0}

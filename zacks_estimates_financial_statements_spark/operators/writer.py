@@ -42,6 +42,7 @@ Atomicity & scale:
 from __future__ import annotations
 
 import contextlib
+import re
 import datetime
 import os
 import shutil
@@ -71,6 +72,9 @@ _HOSTNAME = socket.gethostname()
 #: partitions than this skips the literal predicate (the broad scan is
 #: then legitimate) instead of building a megabyte IN-list.
 _MAX_PRUNE_PARTITIONS = 1000
+
+
+_TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -233,6 +237,51 @@ class TableStore:
             if entry not in retained:
                 shutil.rmtree(os.path.join(self.path, entry),
                               ignore_errors=True)
+
+    def tag(self, name: str, version: str | None = None) -> None:
+        """Name a retained version (``None`` = the live one) — the
+        cheap reproducibility primitive: a training run records
+        ``store.tag("run-2026-08-14")`` and any later job reads the
+        exact snapshot via ``read_tag`` regardless of subsequent
+        upserts (while the version stays within ``keep_versions``).
+        Tags are one-pointer files, atomic like the live pointer."""
+        version = version or self.current_version()
+        if version is None or not os.path.isdir(
+                os.path.join(self.path, version)):
+            raise ValueError(f"cannot tag: version {version!r} of table "
+                             f"{self.name} is not retained")
+        if not _TAG_RE.fullmatch(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        tmp = os.path.join(self.path, f"_TAG_{name}.tmp-{uuid.uuid4().hex[:6]}")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(self.path, f"_TAG_{name}"))
+
+    def tags(self) -> dict[str, str]:
+        """{tag: version}; tags whose version was vacuumed are
+        reported with a ``!`` prefix on the version (dangling)."""
+        out = {}
+        if not os.path.isdir(self.path):
+            return out
+        live = set(self.versions())
+        for entry in sorted(os.listdir(self.path)):
+            if entry.startswith("_TAG_") and ".tmp-" not in entry:
+                with open(os.path.join(self.path, entry)) as f:
+                    v = f.read().strip()
+                out[entry[5:]] = v if v in live else "!" + v
+        return out
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Snapshot read via tag — raises if the tag is missing or its
+        version fell out of the retention window."""
+        v = self.tags().get(name)
+        if v is None:
+            raise ValueError(f"table {self.name} has no tag {name!r}")
+        if v.startswith("!"):
+            raise ValueError(
+                f"tag {name!r} points at vacuumed version {v[1:]} "
+                f"(raise keep_versions to retain tagged snapshots)")
+        return self.read(version=v)
 
     def compact(self, files_per_partition: int = 1) -> None:
         """Rewrite the live version with consolidated files — the plain-
@@ -612,6 +661,34 @@ class TableStore:
                 kept = existing.join(F.broadcast(condemned_keys), on=condition,
                                      how="left_anti")
             self._overwrite_locked(kept)
+
+
+def purge_rows(stores: "list[TableStore]", condemned_keys: DataFrame,
+               on: list[str]) -> dict[str, int]:
+    """Right-to-be-forgotten across a table set: delete every stored
+    row matching ``condemned_keys`` (equi on ``on``) from EACH store
+    that carries those key columns; stores without them are skipped
+    (reported as -1). Returns {table: rows_removed}.
+
+    Each table's delete is the store's own ``delete_where`` — a
+    broadcast anti-join + atomic version flip, so per-table the purge
+    is partition-pruned and readers never see partial state. Cross-
+    table atomicity is intentionally NOT promised (that would need a
+    global lock across stores); the operation is idempotent, so a
+    crashed purge re-runs to completion — the same replay contract as
+    the loaders.
+    """
+    out: dict[str, int] = {}
+    condemned = condemned_keys.select(*on).distinct()
+    for store in stores:
+        cols = set(store.read().columns)
+        if not set(on) <= cols:
+            out[store.name] = -1
+            continue
+        before = store.read().count()
+        store.delete_where(condemned, on=on)
+        out[store.name] = before - store.read().count()
+    return out
 
 
 # ---------------------------------------------------------------------------
