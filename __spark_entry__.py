@@ -1765,6 +1765,52 @@ FROM comp c JOIN sizes s USING (component)
 """
 
 
+def q_funnel(spark, sf):
+    """Ordered conversion funnel (operators/temporal.py
+    ``conversion_funnel``): view → click → purchase per user, each step
+    the earliest event after the previous one and within 7 days of the
+    anchor. One type-pruned min-agg per step chained by per-user joins
+    — the fact stream never sorts per user."""
+    ev = _t(spark, sf, "events")
+    out = temporal.conversion_funnel(
+        ev, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], horizon_seconds=604800)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts_1").alias("ts_1_us"),
+        F.unix_micros("ts_2").alias("ts_2_us"),
+        F.unix_micros("ts_3").alias("ts_3_us"),
+        "depth")
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 604800 SECONDS
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL 604800 SECONDS
+  GROUP BY e.user_id)
+SELECT s1.user_id, epoch_us(s1.t1) AS ts_1_us,
+  epoch_us(s2.t2) AS ts_2_us, epoch_us(s3.t3) AS ts_3_us,
+  (CASE WHEN s3.t3 IS NOT NULL THEN 3
+        WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END)::INT AS depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_chunk_overlap(spark, sf):
     """Overlapping passage windows (curation.chunk_tokens with
     stride < chunk_size): the RAG extraction layout where a fact
@@ -3469,6 +3515,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search": q_hybrid_search,
     "incremental_cc": q_incremental_cc,
     "chunk_overlap": q_chunk_overlap,
+    "funnel": q_funnel,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3562,6 +3609,7 @@ _ORACLE: dict[str, str] = {
         shingle=_SHINGLE_SQL.format(km1=2), sigs=_MINHASH_SIGS_CTE,
         cands=_LSH_CAND_CTES),
     "chunk_overlap": ORACLE_CHUNK_OVERLAP,
+    "funnel": ORACLE_FUNNEL,
 }
 
 

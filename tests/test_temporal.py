@@ -182,3 +182,46 @@ def test_asof_matched_ts_collision_rejected(spark, sides):
     with pytest.raises(ValueError, match="matched_ts_col"):
         temporal.asof_join(left.withColumnRenamed("tag", "matched_ts"),
                            right, "k", "ts", "rts")
+
+
+def test_conversion_funnel_ordering_and_horizon(spark):
+    """Steps must complete strictly in order (an early purchase before
+    the click does not count), the horizon anchors at step 1, and depth
+    reports the longest completed prefix."""
+    import datetime
+
+    import pytest
+
+    from zacks_estimates_financial_statements_spark.operators import temporal
+
+    D = datetime.datetime
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", D(2024, 1, 1, 10)), (1, "click", D(2024, 1, 1, 11)),
+        (1, "purchase", D(2024, 1, 1, 12)),
+        # user 2: purchase BEFORE click -> depth 2 only
+        (2, "view", D(2024, 1, 1, 10)), (2, "purchase", D(2024, 1, 1, 10, 30)),
+        (2, "click", D(2024, 1, 1, 11)),
+        # user 3: click outside the horizon -> depth 1
+        (3, "view", D(2024, 1, 1, 10)), (3, "click", D(2024, 1, 9, 10)),
+        # user 4: never viewed -> absent
+        (4, "click", D(2024, 1, 1, 10)),
+        # user 5: earliest chain wins (second view later is ignored)
+        (5, "view", D(2024, 1, 1, 9)), (5, "view", D(2024, 1, 2, 9)),
+        (5, "click", D(2024, 1, 1, 10)),
+    ]
+    ev = spark.createDataFrame(rows,
+                               "user_id long, event_type string, ts timestamp")
+    out = {r["user_id"]: r for r in temporal.conversion_funnel(
+        ev, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"],
+        horizon_seconds=7 * 86400).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["depth"] == 3
+    assert out[2]["depth"] == 2 and out[2]["ts_3"] is None
+    assert out[3]["depth"] == 1 and out[3]["ts_2"] is None
+    assert out[5]["depth"] == 2
+    assert out[5]["ts_1"] == D(2024, 1, 1, 9)   # earliest anchor
+
+    with pytest.raises(ValueError):
+        temporal.conversion_funnel(ev, "user_id", "event_type", "ts", [])

@@ -197,3 +197,56 @@ def hierarchical_rollup(df: DataFrame, ts_col: str,
         out = out.unionByName(level.withColumn("granularity", F.lit(g)))
     return out.select("granularity", *key_cols, "bucket",
                       "n_events", "sum_value")
+
+
+def conversion_funnel(events: DataFrame, user_col: str, type_col: str,
+                      ts_col: str, steps: list[str],
+                      horizon_seconds: int | None = None) -> DataFrame:
+    """Ordered conversion funnel (the classic events-analytics query):
+    per user, the earliest chain completing ``steps`` strictly in
+    order — step *i*'s timestamp is the minimum event of that type
+    AFTER the user's step *i-1* timestamp (and, with
+    ``horizon_seconds``, within that horizon of step 1 — the
+    attribution-window variant).
+
+    Plan shape: one map-side-combined min-aggregate per step, each over
+    the events of ONE type (the type filter prunes the scan), chained
+    by per-user equi-joins of user-cardinality relations — no window
+    over the raw event stream, no per-user event sorting, so the fact
+    table is read once per step and shuffled only as per-user minima.
+    The greedy earliest-chain semantics is the standard funnel
+    definition (earliest step-1 anchor, then earliest qualifying
+    successor each round).
+
+    Output: ``(user, ts_1..ts_k, depth)`` — one row per user who
+    completed at least step 1; ``depth`` = longest completed prefix.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(t).alias("ts_1")))
+    out = cur
+    for i, step in enumerate(steps[1:], 2):
+        prev_ts = F.col(f"ts_{i - 1}")
+        nxt = (events.filter(F.col(type_col) == step)
+               .select(u.alias(user_col), t.alias("__t"))
+               .join(out.select(user_col, f"ts_{i - 1}",
+                                *(["ts_1"] if i > 2 else [])),
+                     user_col)
+               .filter(F.col("__t") > prev_ts))
+        if horizon_seconds is not None:
+            nxt = nxt.filter(
+                F.col("__t") <= F.col("ts_1")
+                + F.expr(f"INTERVAL {horizon_seconds} SECONDS"))
+        nxt = nxt.groupBy(user_col).agg(F.min("__t").alias(f"ts_{i}"))
+        out = out.join(nxt, user_col, "left")
+    # depth: first non-null from the deep end (ts_i non-null implies
+    # every earlier ts non-null by construction)
+    depth = None
+    for i in range(len(steps), 1, -1):
+        c = F.when(F.col(f"ts_{i}").isNotNull(), F.lit(i))
+        depth = c if depth is None else depth.when(
+            F.col(f"ts_{i}").isNotNull(), F.lit(i))
+    depth = F.lit(1) if depth is None else depth.otherwise(F.lit(1))
+    return out.withColumn("depth", depth.cast("int"))
