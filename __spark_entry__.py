@@ -1811,6 +1811,37 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_retention(spark, sf):
+    """Weekly cohort retention matrix (operators/temporal.py
+    ``retention_cohorts``): users bucketed by first-activity week,
+    counted distinct in every week they return. Two map-side-combined
+    aggregations; the event stream shuffles once for first-seen and
+    once as distinct user-weeks."""
+    ev = _t(spark, sf, "events")
+    out = temporal.retention_cohorts(ev, "user_id", "ts", "week")
+    return out.select(F.unix_micros("cohort").alias("cohort_us"),
+                      "offset", "retained", "cohort_size", "rate")
+
+
+ORACLE_RETENTION = """
+WITH acts AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS b
+  FROM events),
+first AS (SELECT u, min(b) AS cohort FROM acts GROUP BY u),
+sizes AS (
+  SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort),
+m AS (
+  SELECT f.cohort,
+    CAST((epoch(a.b) - epoch(f.cohort)) / 604800 AS BIGINT) AS "offset",
+    count(DISTINCT a.u) AS retained
+  FROM acts a JOIN first f ON a.u = f.u GROUP BY 1, 2)
+SELECT epoch_us(m.cohort) AS cohort_us, m."offset",
+  m.retained::BIGINT AS retained, s.cohort_size::BIGINT AS cohort_size,
+  round(m.retained / s.cohort_size, 6) AS rate
+FROM m JOIN sizes s ON m.cohort = s.cohort
+"""
+
+
 def q_chunk_overlap(spark, sf):
     """Overlapping passage windows (curation.chunk_tokens with
     stride < chunk_size): the RAG extraction layout where a fact
@@ -3516,6 +3547,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_cc": q_incremental_cc,
     "chunk_overlap": q_chunk_overlap,
     "funnel": q_funnel,
+    "retention": q_retention,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3610,6 +3642,7 @@ _ORACLE: dict[str, str] = {
         cands=_LSH_CAND_CTES),
     "chunk_overlap": ORACLE_CHUNK_OVERLAP,
     "funnel": ORACLE_FUNNEL,
+    "retention": ORACLE_RETENTION,
 }
 
 

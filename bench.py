@@ -80,6 +80,13 @@ HEADLINE = [
     "hybrid_search",        # BM25 + cosine RRF fusion
     "audio_near_dup",       # spectral-hash audio clip detection
     "video_near_dup",       # perceptual video clip detection
+    "funnel",               # ordered conversion funnel (3 steps)
+    "chunk_overlap",        # stride-overlapping RAG passage windows
+    "retention",            # weekly cohort retention matrix
+    # incremental_cc is deliberately NOT a headline entry for the same
+    # reason as dedup_clusters: it embeds two CC runs whose fixed
+    # checkpoint/convergence jobs dominate at small sf; its scale
+    # evidence is the growth study's label-maintenance column.
     # dedup_clusters is deliberately NOT a headline entry: it embeds
     # minhash_near_dup_pairs (already measured above) and its connected-
     # components increment is fixed job overhead (~3-4 s of checkpoint +

@@ -225,3 +225,37 @@ def test_conversion_funnel_ordering_and_horizon(spark):
 
     with pytest.raises(ValueError):
         temporal.conversion_funnel(ev, "user_id", "event_type", "ts", [])
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """Two weekly cohorts with known return patterns; offsets anchor at
+    each cohort's own week and rates divide by cohort size."""
+    import datetime
+
+    import pytest
+
+    from zacks_estimates_financial_statements_spark.operators import temporal
+
+    D = datetime.datetime
+    # week of Mon 2024-01-01 and Mon 2024-01-08 (UTC, Monday weeks)
+    rows = [
+        (1, D(2024, 1, 2)), (1, D(2024, 1, 9)), (1, D(2024, 1, 16)),
+        (2, D(2024, 1, 3)), (2, D(2024, 1, 17)),         # skips week 1
+        (3, D(2024, 1, 10)),                             # cohort 2, only w0
+        (1, D(2024, 1, 2, 5)),                           # same-week dup
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = {(str(r["cohort"]), r["offset"]): (r["retained"], r["cohort_size"],
+                                             r["rate"])
+           for r in temporal.retention_cohorts(ev, "user_id", "ts",
+                                               "week").collect()}
+    w1, w2 = "2024-01-01 00:00:00", "2024-01-08 00:00:00"
+    assert got[(w1, 0)] == (2, 2, 0.5 * 2)      # both cohort users
+    assert got[(w1, 1)] == (1, 2, 0.5)          # only user 1 returned
+    assert got[(w1, 2)] == (2, 2, 1.0)          # both back in week 3
+    assert got[(w2, 0)] == (1, 1, 1.0)          # user 3's own cohort
+    assert (w2, 1) not in got
+
+    with pytest.raises(ValueError):
+        temporal.retention_cohorts(ev, "user_id", "ts", "month")

@@ -250,3 +250,47 @@ def conversion_funnel(events: DataFrame, user_col: str, type_col: str,
             F.col(f"ts_{i}").isNotNull(), F.lit(i))
     depth = F.lit(1) if depth is None else depth.otherwise(F.lit(1))
     return out.withColumn("depth", depth.cast("int"))
+
+
+def retention_cohorts(events: DataFrame, user_col: str, ts_col: str,
+                      granularity: str = "week") -> DataFrame:
+    """Cohort retention matrix — the other classic events-analytics
+    query: users grouped by their FIRST-ACTIVITY bucket (the cohort),
+    counted in every subsequent bucket they return in.
+
+    Two map-side-combined aggregations: first-seen per user (one
+    shuffle on the user), then distinct (cohort, offset, user) counts —
+    the user relation joins back onto the bucketed activity with the
+    cohort as a per-user scalar, so the event stream shuffles once for
+    first-seen and once (reduced to distinct user-buckets) for the
+    matrix. ``retained / cohort_size`` is exact decimal-free integer
+    data; rate rounding happens on both engines identically.
+
+    Output: ``(cohort, offset, retained, cohort_size, rate)`` — offset
+    in buckets since the cohort bucket, offset 0 = the cohort itself.
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    bucket = F.date_trunc(granularity, t)
+    acts = (events.select(u.alias("__u"), bucket.alias("__b"))
+            .distinct())
+    first = acts.groupBy("__u").agg(F.min("__b").alias("__cohort"))
+    sizes = first.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    unit = {"day": 86400, "week": 7 * 86400}.get(granularity)
+    if unit is None:
+        raise ValueError("granularity must be 'day' or 'week' "
+                         "(calendar months are not fixed-width; bucket "
+                         "arithmetic would be ambiguous)")
+    joined = (acts.join(first, "__u")
+              .select("__cohort",
+                      ((F.unix_timestamp("__b")
+                        - F.unix_timestamp("__cohort"))
+                       / F.lit(unit)).cast("long").alias("offset"),
+                      "__u"))
+    matrix = (joined.groupBy("__cohort", "offset")
+              .agg(F.countDistinct("__u").alias("retained")))
+    return (matrix.join(sizes, "__cohort")
+            .select(F.col("__cohort").alias("cohort"), "offset",
+                    "retained", "cohort_size",
+                    F.round(F.col("retained") / F.col("cohort_size"), 6)
+                    .alias("rate")))
