@@ -255,3 +255,55 @@ def test_wordpiece_pieces_partition_every_word(spark, texts):
         assert tokenize.UNK not in r.tokens
         assert "".join(r.tokens) == "".join(words)
         assert r.n_tokens == len(r.tokens)
+
+
+_EVENT_SETS = st.lists(
+    st.tuples(st.integers(1, 5),                       # user
+              st.sampled_from(["a", "b", "c", "x"]),   # type
+              st.integers(0, 50)),                     # minute offset
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_EVENT_SETS)
+def test_funnel_matches_bruteforce(spark, rows):
+    """conversion_funnel over random event sets equals a per-user
+    greedy reference: earliest anchor, then earliest qualifying
+    successor, horizon anchored at step 1."""
+    import datetime
+
+    from zacks_estimates_financial_statements_spark.operators import temporal
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [(u, t, base + datetime.timedelta(minutes=m))
+            for u, t, m in rows]
+    steps, horizon = ["a", "b", "c"], 20 * 60  # 20-minute horizon
+
+    def ref():
+        out = {}
+        users = {u for u, _, _ in data}
+        for u in users:
+            evs = sorted((ts, t) for uu, t, ts in data if uu == u)
+            t1 = min((ts for ts, t in evs if t == steps[0]), default=None)
+            if t1 is None:
+                continue
+            chain = [t1]
+            for step in steps[1:]:
+                prev = chain[-1]
+                if prev is None:
+                    chain.append(None)
+                    continue
+                cand = [ts for ts, t in evs
+                        if t == step and ts > prev
+                        and (ts - t1).total_seconds() <= horizon]
+                chain.append(min(cand) if cand else None)
+            out[u] = tuple(chain)
+        return out
+
+    ev = spark.createDataFrame(
+        data, "user_id long, event_type string, ts timestamp")
+    got = {r["user_id"]: (r["ts_1"], r["ts_2"], r["ts_3"])
+           for r in temporal.conversion_funnel(
+               ev, "user_id", "event_type", "ts", steps,
+               horizon_seconds=horizon).collect()}
+    assert got == ref()
