@@ -3332,6 +3332,40 @@ FROM dims
 """
 
 
+def q_correlation(spark, sf):
+    """Pairwise Pearson panel over lineitem's numeric columns
+    (operators/profiling.py ``correlation_matrix``): all moments in ONE
+    map-side-combined aggregation over one scan, decimal-routed so the
+    two engines agree exactly."""
+    li = _t(spark, sf, "lineitem")
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    return profiling.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def _corr_branch(a: str, b: str) -> str:
+    return f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+  (SELECT count(*) FROM lineitem)::BIGINT AS n,
+  round((count(*)::DOUBLE * sum(round({a} * {b}, 6)::DECIMAL(38,6))::DOUBLE
+         - sum({a}::DECIMAL(38,6))::DOUBLE * sum({b}::DECIMAL(38,6))::DOUBLE)
+    / nullif(sqrt(count(*)::DOUBLE
+                  * sum(round({a} * {a}, 6)::DECIMAL(38,6))::DOUBLE
+                  - sum({a}::DECIMAL(38,6))::DOUBLE
+                    * sum({a}::DECIMAL(38,6))::DOUBLE)
+          * sqrt(count(*)::DOUBLE
+                 * sum(round({b} * {b}, 6)::DECIMAL(38,6))::DOUBLE
+                 - sum({b}::DECIMAL(38,6))::DOUBLE
+                   * sum({b}::DECIMAL(38,6))::DOUBLE), 0.0), 6) AS r
+FROM lineitem"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+ORACLE_CORRELATION = " UNION ALL ".join(
+    _corr_branch(a, b) for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:])
+
+
 def q_profile_table(spark, sf):
     """Single-pass per-column table profile (operators/profiling.py):
     null/distinct/min/max/length panel over the events table as ONE
@@ -3548,6 +3582,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_overlap": q_chunk_overlap,
     "funnel": q_funnel,
     "retention": q_retention,
+    "correlation": q_correlation,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3643,6 +3678,7 @@ _ORACLE: dict[str, str] = {
     "chunk_overlap": ORACLE_CHUNK_OVERLAP,
     "funnel": ORACLE_FUNNEL,
     "retention": ORACLE_RETENTION,
+    "correlation": ORACLE_CORRELATION,
 }
 
 

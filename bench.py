@@ -83,6 +83,7 @@ HEADLINE = [
     "funnel",               # ordered conversion funnel (3 steps)
     "chunk_overlap",        # stride-overlapping RAG passage windows
     "retention",            # weekly cohort retention matrix
+    "correlation",          # single-pass pairwise Pearson panel
     # incremental_cc is deliberately NOT a headline entry for the same
     # reason as dedup_clusters: it embeds two CC runs whose fixed
     # checkpoint/convergence jobs dominate at small sf; its scale

@@ -79,3 +79,35 @@ def test_robust_outliers_flags_planted_anomaly(spark):
     assert all(out[i]["is_outlier"] is False for i in range(20))
     assert out[100]["is_outlier"] is False and out[100]["mad"] == 0.0
     assert out[0]["med"] == 10.2  # median of the tight cluster, not dragged
+
+
+def test_correlation_matrix_known_values(spark):
+    """Exact correlations on constructed columns: r=1 for a linear
+    transform, r=-1 for a negated one, r≈0 for orthogonal patterns;
+    single-Exchange plan; degenerate zero-variance column yields NULL."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators import profiling
+
+    df = spark.range(64).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 3).cast("double").alias("y"),
+        (-F.col("id")).cast("double").alias("z"),
+        F.when(F.col("id") % 2 == 0, 1.0).otherwise(-1.0).alias("alt"),
+        F.lit(5.0).alias("const"))
+    out = {(r["col_a"], r["col_b"]): r["r"] for r in
+           profiling.correlation_matrix(
+               df, ["x", "y", "z", "alt", "const"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert abs(out[("x", "alt")]) < 0.05
+    assert out[("x", "const")] is None          # zero variance -> NULL
+    assert all(r is None or -1.0 <= r <= 1.0 for r in out.values())
+
+    plan = (profiling.correlation_matrix(df, ["x", "y"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+
+    with pytest.raises(ValueError):
+        profiling.correlation_matrix(df, ["x"])

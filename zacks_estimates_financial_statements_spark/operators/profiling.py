@@ -176,3 +176,53 @@ def robust_outliers(df: DataFrame, ts_col: str, group_cols: list[str],
         F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
         (F.abs(F.col(value_col) - F.col("med"))
          > F.lit(k) * F.lit(MAD_SIGMA) * F.col("mad")).alias("is_outlier"))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns in ONE
+    single-pass aggregation — the feature-screening panel (redundant
+    features, leakage suspects) computed without |cols| separate jobs
+    or any `VectorAssembler` detour: all Σx, Σx², Σxy moments fold into
+    one map-side-combined agg over one scan, and the |cols|² output is
+    driver-scale.
+
+    Cross-engine exactness: per-row products round to 6 and sum in
+    ``decimal(38,6)`` (exact, order-independent), and the Pearson
+    formula then evaluates in double from those exact moments, rounded
+    to 6 — the same recipe as every decimal-routed aggregate here.
+    NULL rows are the caller's problem (filter first): moment sums
+    treat NULL as absent which would skew pairwise counts.
+
+    Output: one row per ordered pair ``col_a < col_b`` —
+    ``(col_a, col_b, n, r)``.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    dec = "decimal(38,6)"
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        x = F.col(c)
+        aggs.append(F.sum(x.cast(dec)).alias(f"{c}__s"))
+        aggs.append(F.sum(F.round(x * x, 6).cast(dec)).alias(f"{c}__ss"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.round(F.col(a) * F.col(b), 6).cast(dec))
+                    .alias(f"{a}__{b}__sp"))
+    row = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+
+    def _r(a: str, b: str) -> F.Column:
+        sx = F.col(f"{a}__s").cast("double")
+        sy = F.col(f"{b}__s").cast("double")
+        sxx = F.col(f"{a}__ss").cast("double")
+        syy = F.col(f"{b}__ss").cast("double")
+        sxy = F.col(f"{a}__{b}__sp").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        return F.round(num / F.nullif(den, F.lit(0.0)), 6)
+
+    panels = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col("__n").alias("n"), _r(a, b).alias("r"))
+        for a, b in pairs])
+    return row.select(F.explode(panels).alias("p")).select("p.*")
