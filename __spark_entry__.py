@@ -2890,6 +2890,41 @@ def q_audio_near_dup(spark, sf):
                       "n_a", "n_b", "overlap")
 
 
+def q_media_curate(spark, sf):
+    """End-to-end MEDIA curation composite — the multimodal analog of
+    q_curate_pipeline: synthesized image corpus (planted exact-dup
+    pairs via shared content keys, plus undecodable payloads) flows
+    through decode-gated perceptual hashing (corrupt rows quarantine
+    with NULL hashes), banded-hamming near-dup pairing, and
+    connected-components keeper resolution. Rows-only driver check
+    (decoder-backed, like the other media tiers); every stage is
+    individually oracle- or fixture-proven."""
+    ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+           .select("doc_id"))
+    keyed = ids.select(F.col("doc_id").alias("media_id"),
+                       (F.col("doc_id") % 25).alias("content_key"))
+    media = multimodal.synthesize_image_corpus(keyed)
+    corrupt = spark.createDataFrame(
+        [(900, "image", bytearray(b"not an image"), "image/x-ppm",
+          None, None, None),
+         (901, "image", bytearray(b""), "image/x-ppm",
+          None, None, None)],
+        multimodal.MEDIA_SCHEMA)
+    media = media.unionByName(corrupt)
+    hashes = multimodal.perceptual_hashes(media).localCheckpoint()
+    good = hashes.filter(F.col("dhash").isNotNull()).select("media_id")
+    pairs = dedup.hamming_near_dup_pairs(
+        hashes.filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash"), "media_id", "dhash",
+        max_hamming=4)
+    resolved = graph.resolve_duplicate_clusters(good, pairs, "media_id")
+    return (hashes.select(
+        "media_id", F.col("dhash").isNotNull().alias("decoded"))
+        .join(resolved.select("media_id", "component", "keep"),
+              "media_id", "left")
+        .select("media_id", "decoded", "component", "keep"))
+
+
 def q_media_metadata(spark, sf):
     """Driver-checkable correctness row for the multimodal codec path:
     synthesize deterministic PPM/BMP/PNG/WAV payloads from documents
@@ -3583,6 +3618,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "retention": q_retention,
     "correlation": q_correlation,
+    "media_curate": q_media_curate,
 }
 
 _ORACLE: dict[str, str] = {
