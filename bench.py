@@ -84,6 +84,9 @@ HEADLINE = [
     "chunk_overlap",        # stride-overlapping RAG passage windows
     "retention",            # weekly cohort retention matrix
     "correlation",          # single-pass pairwise Pearson panel
+    # media_curate is excluded like dedup_clusters (it embeds the CC
+    # fixed overhead already excluded there, plus the benched phash
+    # stage).
     # incremental_cc is deliberately NOT a headline entry for the same
     # reason as dedup_clusters: it embeds two CC runs whose fixed
     # checkpoint/convergence jobs dominate at small sf; its scale
