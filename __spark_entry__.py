@@ -3367,6 +3367,69 @@ FROM dims
 """
 
 
+def q_standardize(spark, sf):
+    """Z-score feature scaling (operators/profiling.py ``standardize``):
+    one stats agg over one scan, the 1-row relation broadcast back —
+    the fact table never shuffles. Population sigma from decimal-exact
+    moments, per-row result rounded 6."""
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    li = _t(spark, sf, "lineitem")
+    out = profiling.standardize(
+        li.select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice"),
+        ["l_quantity", "l_extendedprice"])
+    return out.select("l_orderkey", "l_linenumber",
+                      "l_quantity__scaled", "l_extendedprice__scaled")
+
+
+def _std_sql(c: str) -> str:
+    n = "(SELECT count(*) FROM lineitem)::DOUBLE"
+    s = f"(SELECT sum({c}::DECIMAL(38,6)) FROM lineitem)::DOUBLE"
+    ss = (f"(SELECT sum(round({c} * {c}, 6)::DECIMAL(38,6)) "
+          f"FROM lineitem)::DOUBLE")
+    mu = f"({s} / {n})"
+    sigma = f"sqrt(({ss} / {n}) - {mu} * {mu})"
+    return (f"round(({c}::DOUBLE - {mu}) / nullif({sigma}, 0.0), 6) "
+            f"AS {c}__scaled")
+
+
+ORACLE_STANDARDIZE = f"""
+SELECT l_orderkey, l_linenumber,
+  {_std_sql("l_quantity")},
+  {_std_sql("l_extendedprice")}
+FROM lineitem
+"""
+
+
+def q_histogram(spark, sf):
+    """Per-event-type equi-width value histogram (operators/profiling.py
+    ``value_histogram``): one width_bucket projection + one map-side-
+    combined count; the distribution-drift companion to the min/max
+    panel."""
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    ev = _t(spark, sf, "events")
+    return profiling.value_histogram(ev, "value", 0.0, 500.0, 10,
+                                     group_cols=["event_type"])
+
+
+ORACLE_HISTOGRAM = """
+WITH b AS (
+  SELECT event_type,
+    (CASE WHEN value < 0.0 THEN 0
+          WHEN value >= 500.0 THEN 11
+          ELSE floor((value::DOUBLE - 0.0) * 10.0
+                     / (500.0 - 0.0)) + 1 END)::INT AS bucket
+  FROM events)
+SELECT event_type, bucket,
+  CASE WHEN bucket BETWEEN 1 AND 10
+       THEN round((bucket - 1) * 50.0::DOUBLE, 6) END AS bin_lo,
+  CASE WHEN bucket BETWEEN 1 AND 10
+       THEN round(bucket * 50.0::DOUBLE, 6) END AS bin_hi,
+  count(*) AS n
+FROM b GROUP BY event_type, bucket
+"""
+
+
 def q_correlation(spark, sf):
     """Pairwise Pearson panel over lineitem's numeric columns
     (operators/profiling.py ``correlation_matrix``): all moments in ONE
@@ -3619,6 +3682,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention": q_retention,
     "correlation": q_correlation,
     "media_curate": q_media_curate,
+    "standardize": q_standardize,
+    "histogram": q_histogram,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3715,6 +3780,8 @@ _ORACLE: dict[str, str] = {
     "funnel": ORACLE_FUNNEL,
     "retention": ORACLE_RETENTION,
     "correlation": ORACLE_CORRELATION,
+    "standardize": ORACLE_STANDARDIZE,
+    "histogram": ORACLE_HISTOGRAM,
 }
 
 

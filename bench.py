@@ -84,6 +84,8 @@ HEADLINE = [
     "chunk_overlap",        # stride-overlapping RAG passage windows
     "retention",            # weekly cohort retention matrix
     "correlation",          # single-pass pairwise Pearson panel
+    "standardize",          # broadcast-stats z-score scaling
+    "histogram",            # grouped equi-width value histogram
     # media_curate is excluded like dedup_clusters (it embeds the CC
     # fixed overhead already excluded there, plus the benched phash
     # stage).

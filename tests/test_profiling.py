@@ -111,3 +111,39 @@ def test_correlation_matrix_known_values(spark):
 
     with pytest.raises(ValueError):
         profiling.correlation_matrix(df, ["x"])
+
+
+def test_standardize_and_histogram(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 10.0, 5.0), (3, 20.0, 5.0)],
+        "id long, x double, c double")
+    z = {r["id"]: r for r in profiling.standardize(
+        df, ["x", "c"]).collect()}
+    # mean 10, population sigma sqrt(200/3); symmetric scores
+    assert z[1]["x__scaled"] == -z[3]["x__scaled"] != 0
+    assert z[2]["x__scaled"] == 0.0
+    assert z[1]["c__scaled"] is None            # zero variance
+    mm = {r["id"]: r["x__scaled"] for r in profiling.standardize(
+        df, ["x"], method="minmax").collect()}
+    assert (mm[1], mm[2], mm[3]) == (0.0, 0.5, 1.0)
+    with pytest.raises(ValueError):
+        profiling.standardize(df, ["x"], method="robust")
+
+    h = spark.createDataFrame(
+        [("a", -5.0), ("a", 5.0), ("a", 15.0), ("a", 15.0),
+         ("b", 105.0)], "g string, v double")
+    got = {(r["g"], r["bucket"]): r for r in profiling.value_histogram(
+        h, "v", 0.0, 100.0, 10, group_cols=["g"]).collect()}
+    assert got[("a", 0)]["n"] == 1              # underflow
+    assert got[("a", 0)]["bin_lo"] is None
+    assert got[("a", 1)]["n"] == 1
+    assert got[("a", 2)]["n"] == 2
+    assert (got[("a", 2)]["bin_lo"], got[("a", 2)]["bin_hi"]) == (10.0, 20.0)
+    assert got[("b", 11)]["n"] == 1             # overflow
+    with pytest.raises(ValueError):
+        profiling.value_histogram(h, "v", 5.0, 5.0, 10)

@@ -226,3 +226,86 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                  F.col("__n").alias("n"), _r(a, b).alias("r"))
         for a, b in pairs])
     return row.select(F.explode(panels).alias("p")).select("p.*")
+
+
+def standardize(df: DataFrame, cols: list[str],
+                method: str = "zscore") -> DataFrame:
+    """Feature scaling for ML preprocessing: ``zscore`` ((x−μ)/σ) or
+    ``minmax`` ((x−min)/(max−min)) per column, appended as
+    ``<col>__scaled``. ONE stats aggregation over one scan; the 1-row
+    stats relation attaches as a literal-free broadcast (crossJoin of a
+    single aggregated row — the standard scalar-attach shape), so the
+    fact table is never shuffled. Zero-variance/constant columns scale
+    to NULL, not a division error. Means/σ are decimal-routed and the
+    per-row result rounds to 6 — deterministic cross-engine.
+
+    σ is the POPULATION standard deviation (``/n``): scaling is a
+    transform, not an inference; both engines compute it from the same
+    exact decimal moments.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"method must be zscore|minmax, got {method!r}")
+    dec = "decimal(38,6)"
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        x = F.col(c)
+        if method == "zscore":
+            aggs += [F.sum(x.cast(dec)).alias(f"{c}__s"),
+                     F.sum(F.round(x * x, 6).cast(dec)).alias(f"{c}__ss")]
+        else:
+            aggs += [F.min(x).alias(f"{c}__mn"),
+                     F.max(x).alias(f"{c}__mx")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "zscore":
+            n = F.col("__n").cast("double")
+            mu = F.col(f"{c}__s").cast("double") / n
+            var = (F.col(f"{c}__ss").cast("double") / n) - mu * mu
+            sigma = F.sqrt(var)
+            scaled = F.round((x - mu) / F.nullif(sigma, F.lit(0.0)), 6)
+        else:
+            mn = F.col(f"{c}__mn").cast("double")
+            mx = F.col(f"{c}__mx").cast("double")
+            scaled = F.round((x - mn) / F.nullif(mx - mn, F.lit(0.0)), 6)
+        out = out.withColumn(f"{c}__scaled", scaled)
+    drop = ["__n"] + [f"{c}__{suf}" for c in cols
+                      for suf in ("s", "ss", "mn", "mx")]
+    return out.drop(*[d for d in drop if d in out.columns])
+
+
+def value_histogram(df: DataFrame, value_col: str, lo: float, hi: float,
+                    n_bins: int = 10,
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Equi-width histogram of ``value_col`` (optionally per group):
+    one bucket projection + one map-side-combined count — the
+    profiling companion for distribution drift that ``profile_table``'s
+    min/max cannot see. Out-of-range values land in underflow (0) /
+    overflow (``n_bins+1``) buckets — SQL ``width_bucket`` semantics,
+    but computed with an EXPLICIT floor formula rather than the
+    builtin: DuckDB has no ``width_bucket``, and the oracle contract
+    needs byte-identical arithmetic on both sides, not two engines'
+    private edge-case choices. Output: group cols + ``bucket, bin_lo,
+    bin_hi, n``.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    groups = group_cols or []
+    v = F.col(value_col).cast("double")
+    scaled = F.floor((v - F.lit(float(lo))) * F.lit(float(n_bins))
+                     / (F.lit(float(hi)) - F.lit(float(lo))))
+    b = (F.when(v < lo, F.lit(0))
+         .when(v >= hi, F.lit(n_bins + 1))
+         .otherwise(scaled + 1)).cast("int")
+    width = (hi - lo) / n_bins
+    out = (df.select(*groups, b.alias("bucket"))
+           .groupBy(*groups, "bucket")
+           .agg(F.count(F.lit(1)).alias("n")))
+    bin_lo = F.when((F.col("bucket") >= 1) & (F.col("bucket") <= n_bins),
+                    F.round(F.lit(lo) + (F.col("bucket") - 1)
+                            * F.lit(width), 6))
+    bin_hi = F.when((F.col("bucket") >= 1) & (F.col("bucket") <= n_bins),
+                    F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6))
+    return out.select(*groups, "bucket", bin_lo.alias("bin_lo"),
+                      bin_hi.alias("bin_hi"), "n")
