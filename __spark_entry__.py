@@ -930,6 +930,54 @@ WHERE shared / na.n >= 0.3 OR shared / nb.n >= 0.3
 """
 
 
+def q_tfidf_pairs(spark, sf):
+    """Sparse TF-IDF cosine related-document pairs (operators/dedup.py
+    ``tfidf_cosine_pairs``): lexical vector-space similarity without
+    embeddings; per-token cohabitant groups emit anchor-first pair
+    partials, stopword-class tokens (df > 50) excluded from the join
+    but kept in the norms."""
+    docs = _t(spark, sf, "documents")
+    return dedup.tfidf_cosine_pairs(docs, "doc_id", "text",
+                                    min_cosine=0.2, max_token_df=50)
+
+
+ORACLE_TFIDF_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, tok AS token, count(*) AS tf FROM (
+    SELECT doc_id,
+      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '')) AS tok
+    FROM documents) GROUP BY doc_id, tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfreq AS (
+  SELECT token, count(*) AS dfreq,
+    round(ln(((SELECT n FROM nn) + 1.0) / (count(*) + 1.0)) + 1.0, 6)
+      AS idf
+  FROM toks GROUP BY token),
+weighted AS (
+  SELECT t.doc_id, t.token, d.dfreq, round(t.tf * d.idf, 6) AS w
+  FROM toks t JOIN dfreq d USING (token)),
+norms AS (
+  SELECT doc_id, sum(round(w * w, 6)::DECIMAL(38,6)) AS n2
+  FROM weighted GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    sum(round(a.w * b.w, 6)::DECIMAL(38,6)) AS dot
+  FROM weighted a
+  JOIN weighted b ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE a.dfreq <= 50 AND b.dfreq <= 50
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+  round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
+    AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
+      >= 0.2
+"""
+
+
 ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -3684,6 +3732,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_curate": q_media_curate,
     "standardize": q_standardize,
     "histogram": q_histogram,
+    "tfidf_pairs": q_tfidf_pairs,
 }
 
 _ORACLE: dict[str, str] = {
@@ -3782,6 +3831,7 @@ _ORACLE: dict[str, str] = {
     "correlation": ORACLE_CORRELATION,
     "standardize": ORACLE_STANDARDIZE,
     "histogram": ORACLE_HISTOGRAM,
+    "tfidf_pairs": ORACLE_TFIDF_PAIRS,
 }
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "correlation",          # single-pass pairwise Pearson panel
     "standardize",          # broadcast-stats z-score scaling
     "histogram",            # grouped equi-width value histogram
+    "tfidf_pairs",          # sparse TF-IDF cosine related-doc pairs
     # media_curate is excluded like dedup_clusters (it embeds the CC
     # fixed overhead already excluded there, plus the benched phash
     # stage).

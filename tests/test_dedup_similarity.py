@@ -570,3 +570,42 @@ def test_containment_pairs_catch_quote_inclusion(spark):
     jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
                                     shingle_k=3, min_jaccard=0.9)
     assert jac.count() == 0
+
+
+def test_tfidf_cosine_pairs_ranking_and_df_cap(spark):
+    """Docs sharing informative tokens score high; docs sharing only a
+    stopword-class token are excluded from the join by the df cap; the
+    sparse cosine equals a dense numpy reference."""
+    import math
+
+    from zacks_estimates_financial_statements_spark.operators import dedup
+
+    common = " the " * 1  # appears in every doc -> high df
+    docs = spark.createDataFrame(
+        [(1, "quantum flux capacitor" + common),
+         (2, "quantum flux capacitor" + common),       # near-identical
+         (3, "quantum gardening" + common),            # partial overlap
+         (4, "completely different words" + common)],  # only 'the' shared
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           dedup.tfidf_cosine_pairs(docs, "doc_id", "text",
+                                    min_cosine=0.0,
+                                    max_token_df=3).collect()}
+    # identical docs: dot counts only informative tokens while norms
+    # keep the df-capped 'the' — the documented lower-bound trade, so
+    # the score is high but < 1
+    assert 0.8 < got[(1, 2)] < 1.0
+    assert 0.1 < got[(1, 3)] < got[(1, 2)]
+    assert (1, 4) not in got                   # only the df-capped token
+    # dense reference for the (1,3) pair: same idf family, df cap only
+    # in the dot (norms keep all tokens)
+    n = 4.0
+    def idf(dfreq): return round(math.log((n + 1) / (dfreq + 1)) + 1, 6)
+    # doc1 tokens: quantum(3) flux(2) capacitor(2) the(4)
+    w1 = {"quantum": idf(3), "flux": idf(2), "capacitor": idf(2),
+          "the": idf(4)}
+    w3 = {"quantum": idf(3), "gardening": idf(1), "the": idf(4)}
+    dot = round(round(w1["quantum"] * w3["quantum"], 6), 6)
+    n1 = math.sqrt(sum(round(v * v, 6) for v in w1.values()))
+    n3 = math.sqrt(sum(round(v * v, 6) for v in w3.values()))
+    assert got[(1, 3)] == round(dot / (n1 * n3), 6)

@@ -739,3 +739,82 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
                     .alias("n_paras"),
                     F.coalesce("n_kept", F.lit(0)).cast("bigint")
                     .alias("n_kept")))
+
+
+def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
+                       min_cosine: float = 0.5,
+                       max_token_df: int | None = 1000) -> DataFrame:
+    """Sparse TF-IDF cosine document pairs — "related documents"
+    WITHOUT embeddings: docs become L2-normalized tf·idf bags and pairs
+    score by sparse dot product, computed only for documents sharing at
+    least one token (Salton's vector space model; the lexical sibling
+    of ``embedding_near_dup``).
+
+    Same scale shape as the shared-shingle verify stages: per-token
+    cohabitant groups emit anchor-first i<j pair partials (one lineage,
+    no self-join re-evaluation), so work is Σ_token df(token)² — which
+    is why ``max_token_df`` matters: stopwords with corpus-wide df
+    would alone be quadratic, and excluding them from the JOIN (their
+    weight stays in the norms) only LOWERS reported cosines — the
+    standard df-pruning trade, exact for pairs whose overlap is in
+    informative tokens. IDF uses the smooth ``ln((N+1)/(df+1)) + 1``
+    (same family as ``curation.token_frequencies``); all products are
+    round-6 → decimal-summed, so an ANSI twin matches exactly.
+
+    Returns ``(id_a, id_b, cosine)`` ≥ ``min_cosine``.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+                     lambda x: x != "")
+    toks = (df.select(F.col(id_col), F.explode(words).alias("token"))
+            .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    n_docs = (df.agg(F.count("*").cast("double").alias("__n"))
+              .withColumn("__k", F.lit(1)))
+    dfreq = (toks.groupBy("token").agg(F.count("*").alias("dfreq"))
+             .withColumn("__k", F.lit(1))
+             .join(F.broadcast(n_docs), "__k")
+             .withColumn("idf", F.round(
+                 F.log((F.col("__n") + 1.0) / (F.col("dfreq") + 1.0))
+                 + 1.0, 6))
+             .select("token", "dfreq", "idf"))
+    dec = "decimal(38,6)"
+    weighted = (toks.join(dfreq, "token")
+                .withColumn("w", F.round(F.col("tf") * F.col("idf"), 6)))
+    # per-doc squared norm via window: one lineage, like the shingle
+    # verify stages (a separate sizes aggregate would re-derive toks)
+    wnorm = Window.partitionBy(id_col)
+    weighted = weighted.withColumn(
+        "n2", F.sum(F.round(F.col("w") * F.col("w"), 6).cast(dec))
+        .over(wnorm))
+    joinable = weighted if max_token_df is None else \
+        weighted.filter(F.col("dfreq") <= max_token_df)
+    grouped = (joinable.groupBy("token")
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col(id_col).alias("id"), F.col("w").alias("w"),
+                   F.col("n2").alias("n2")))).alias("m"))
+               .filter(F.size("m") >= 2))
+    anchored = (grouped.select(
+        F.col("m"),
+        F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i")))
+    pair_structs = F.transform(
+        F.slice(F.col("m"), F.col("i") + 1, F.size("m") - F.col("i")),
+        lambda mj: F.struct(
+            F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+            mj["id"].alias("id_b"),
+            F.round(F.element_at(F.col("m"), F.col("i"))["w"] * mj["w"],
+                    6).cast(dec).alias("p"),
+            F.element_at(F.col("m"), F.col("i"))["n2"].alias("n2_a"),
+            mj["n2"].alias("n2_b")))
+    dots = (anchored.select(F.explode(pair_structs).alias("p"))
+            .select("p.*")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("p").alias("dot"),
+                 F.max("n2_a").alias("n2_a"),
+                 F.max("n2_b").alias("n2_b")))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2_a").cast("double"))
+           * F.sqrt(F.col("n2_b").cast("double"))), 6)
+    return (dots.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", "cosine"))
