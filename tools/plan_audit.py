@@ -59,6 +59,13 @@ FANOUT_BNLJ_OK = {
     "hybrid_search": "inherits bm25_search's 1-row corpus-stats scalar "
                      "attach inside its lexical retriever; the fusion "
                      "joins are bounded candidate-list equi-joins",
+    "standardize": "1-row stats-aggregate broadcast crossJoin (the "
+                   "scalar-attach shape: means/sigmas onto every row "
+                   "without shuffling the fact table)",
+    "tfidf_pairs": "1-row corpus-count aggregate broadcast for the IDF "
+                   "N (folded-constant-key shape, same as "
+                   "token_frequencies); pair generation is the grouped "
+                   "equi-key explode, never a nested loop",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the
