@@ -937,8 +937,11 @@ def q_tfidf_pairs(spark, sf):
     partials, stopword-class tokens (df > 50) excluded from the join
     but kept in the norms."""
     docs = _t(spark, sf, "documents")
+    # df cap scales with the corpus (10% of docs): an absolute cap
+    # empties the join at larger sf as common-token df grows with N
+    cap = max(docs.count() // 10, 1)
     return dedup.tfidf_cosine_pairs(docs, "doc_id", "text",
-                                    min_cosine=0.2, max_token_df=50)
+                                    min_cosine=0.2, max_token_df=cap)
 
 
 ORACLE_TFIDF_PAIRS = """
@@ -965,7 +968,8 @@ dots AS (
     sum(round(a.w * b.w, 6)::DECIMAL(38,6)) AS dot
   FROM weighted a
   JOIN weighted b ON a.token = b.token AND a.doc_id < b.doc_id
-  WHERE a.dfreq <= 50 AND b.dfreq <= 50
+  WHERE a.dfreq <= (SELECT greatest(count(*) // 10, 1) FROM documents)
+    AND b.dfreq <= (SELECT greatest(count(*) // 10, 1) FROM documents)
   GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b,
   round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
