@@ -89,3 +89,51 @@ def test_zorder_single_value_range(spark):
     got = [r["s"] for r in df.select(
         layout.scale_to_bits(F.col("v"), 5, 5, 8).alias("s")).collect()]
     assert got == [0, 0]
+
+
+def test_round5_operators_repartition_invariant(spark):
+    """Determinism under physical layout: the round-5 operators must
+    return identical results when the input is repartitioned — the
+    property that makes 100 TB re-runs reproducible."""
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+    from zacks_estimates_financial_statements_spark.operators import (
+        curation,
+        graph,
+        profiling,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma {'delta ' * (i % 4)}", 10.0 + i)
+         for i in range(120)],
+        "doc_id long, text string, w double")
+    variants = [docs, docs.repartition(17), docs.repartition(1)]
+
+    def collected(df):
+        return sorted(map(tuple, df.collect()))
+
+    base_ws = collected(curation.weighted_sample(variants[0], "doc_id",
+                                                 "w", 13))
+    base_ce = collected(curation.char_entropy(variants[0], "doc_id",
+                                              "text"))
+    base_bpe = TK.bpe_train(variants[0], "text", n_merges=4)
+    base_corr = collected(profiling.correlation_matrix(
+        variants[0].select("doc_id", "w",
+                           (F.col("w") * 2).alias("w2")), ["w", "w2"]))
+    for v in variants[1:]:
+        assert collected(curation.weighted_sample(v, "doc_id", "w",
+                                                  13)) == base_ws
+        assert collected(curation.char_entropy(v, "doc_id",
+                                               "text")) == base_ce
+        assert TK.bpe_train(v, "text", n_merges=4) == base_bpe
+        assert collected(profiling.correlation_matrix(
+            v.select("doc_id", "w", (F.col("w") * 2).alias("w2")),
+            ["w", "w2"])) == base_corr
+
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7 + 3) % 23) for i in range(60) if i % 23 != (i * 7 + 3) % 23],
+        "src long, dst long")
+    base_pr = sorted(map(tuple, graph.pagerank(edges, n_iter=3).collect()))
+    assert sorted(map(tuple, graph.pagerank(
+        edges.repartition(13), n_iter=3).collect())) == base_pr
