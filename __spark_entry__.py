@@ -1884,7 +1884,8 @@ sizes AS (
   SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort),
 m AS (
   SELECT f.cohort,
-    CAST((epoch(a.b) - epoch(f.cohort)) / 604800 AS BIGINT) AS "offset",
+    CAST(date_diff('day', f.cohort::DATE, a.b::DATE) // 7 AS BIGINT)
+      AS "offset",
     count(DISTINCT a.u) AS retained
   FROM acts a JOIN first f ON a.u = f.u GROUP BY 1, 2)
 SELECT epoch_us(m.cohort) AS cohort_us, m."offset",
@@ -3440,7 +3441,7 @@ def _std_sql(c: str) -> str:
     ss = (f"(SELECT sum(round({c} * {c}, 6)::DECIMAL(38,6)) "
           f"FROM lineitem)::DOUBLE")
     mu = f"({s} / {n})"
-    sigma = f"sqrt(({ss} / {n}) - {mu} * {mu})"
+    sigma = f"sqrt(greatest(({ss} / {n}) - {mu} * {mu}, 0.0))"
     return (f"round(({c}::DOUBLE - {mu}) / nullif({sigma}, 0.0), 6) "
             f"AS {c}__scaled")
 

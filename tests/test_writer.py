@@ -424,6 +424,8 @@ def test_version_tags_snapshot_reads(spark, tmp_path):
         store.read_tag("missing")
     with pytest.raises(ValueError):
         store.tag("bad name!")
+    with pytest.raises(ValueError):
+        store.tag("run.tmp-1")   # temp-file marker: would never list
     # vacuum past the tag: dangling is reported, read refuses
     store.keep_versions = 1
     store.overwrite(spark.range(2).select(F.col("id")))
@@ -458,3 +460,60 @@ def test_purge_rows_across_stores(spark, tmp_path):
     # idempotent: a replayed purge is a no-op
     again = purge_rows([a, b], condemned, on=["user_id"])
     assert again == {"ev_a": 0, "ev_b": 0}
+
+
+def test_snapshot_pin_survives_flip_and_gc(spark, tmp_path):
+    """A reader that pinned version N keeps reading N across a
+    concurrent writer's pointer flip + vacuum (keep_versions=1); once
+    the pin is released, the next GC reclaims the old version."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    store = TableStore(spark, str(tmp_path), "pinned", partition_by=None,
+                       keep_versions=1)
+    store.overwrite(spark.range(5).select(F.col("id")))
+    with store.snapshot() as snap:
+        v0 = snap.version
+        assert snap.read().count() == 5
+        # concurrent writer flips twice; GC runs after each flip but
+        # must retain the pinned version
+        store.overwrite(spark.range(9).select(F.col("id")))
+        store.overwrite(spark.range(3).select(F.col("id")))
+        assert os.path.isdir(os.path.join(store.path, v0))
+        assert snap.read().count() == 5          # still the snapshot
+        assert store.read().count() == 3         # live moved on
+    # pin released: the next writer GC reclaims v0
+    store.overwrite(spark.range(7).select(F.col("id")))
+    assert not os.path.isdir(os.path.join(store.path, v0))
+    with pytest.raises(ValueError):
+        store.snapshot(version=v0).__enter__()
+
+
+def test_snapshot_stale_pin_is_reaped(spark, tmp_path):
+    """A pin left by a provably-dead reader (same host, pid gone) does
+    not hold retention hostage: GC reaps it and vacuums the version."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators.writer import (
+        _HOSTNAME,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path), "stalepin", partition_by=None,
+                       keep_versions=1)
+    store.overwrite(spark.range(5).select(F.col("id")))
+    v0 = store.current_version()
+    # forge a pin from a dead pid on this host
+    pin = os.path.join(store.path, f"_PIN_{v0}.deadbeef")
+    with open(pin, "w") as f:
+        f.write(f"pid=999999999 host={_HOSTNAME} "
+                f"at=2020-01-01T00:00:00+00:00")
+    store.overwrite(spark.range(9).select(F.col("id")))
+    assert not os.path.exists(pin)
+    assert not os.path.isdir(os.path.join(store.path, v0))

@@ -68,8 +68,6 @@ def best_match(pairs: DataFrame, left_id: str, right_id: str) -> DataFrame:
     """Fold fuzzy-join pairs to the single best match per left record:
     smallest distance, ties to the smallest right id (``min(struct)`` —
     deterministic). One map-side-combined aggregation."""
-    others = [c for c in pairs.columns
-              if c not in (left_id, right_id, "dist")]
     return (pairs.groupBy(left_id)
             .agg(F.min(F.struct("dist", right_id)).alias("m"),
                  F.count(F.lit(1)).alias("n_candidates"))

@@ -263,7 +263,10 @@ def standardize(df: DataFrame, cols: list[str],
             n = F.col("__n").cast("double")
             mu = F.col(f"{c}__s").cast("double") / n
             var = (F.col(f"{c}__ss").cast("double") / n) - mu * mu
-            sigma = F.sqrt(var)
+            # E[x²]−μ² from independently-rounded decimal moments can go
+            # microscopically negative on constant columns (>6 decimal
+            # digits) → sqrt = NaN instead of the promised NULL path.
+            sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
             scaled = F.round((x - mu) / F.nullif(sigma, F.lit(0.0)), 6)
         else:
             mn = F.col(f"{c}__mn").cast("double")

@@ -276,16 +276,19 @@ def retention_cohorts(events: DataFrame, user_col: str, ts_col: str,
     first = acts.groupBy("__u").agg(F.min("__b").alias("__cohort"))
     sizes = first.groupBy("__cohort").agg(
         F.count(F.lit(1)).alias("cohort_size"))
-    unit = {"day": 86400, "week": 7 * 86400}.get(granularity)
-    if unit is None:
+    unit_days = {"day": 1, "week": 7}.get(granularity)
+    if unit_days is None:
         raise ValueError("granularity must be 'day' or 'week' "
                          "(calendar months are not fixed-width; bucket "
                          "arithmetic would be ambiguous)")
+    # Calendar-wise offset (datediff // unit_days), NOT a unix-seconds
+    # delta: in a DST session timezone a week bucket can span
+    # 604800±3600 s and a truncating epoch division lands in k−1.
     joined = (acts.join(first, "__u")
               .select("__cohort",
-                      ((F.unix_timestamp("__b")
-                        - F.unix_timestamp("__cohort"))
-                       / F.lit(unit)).cast("long").alias("offset"),
+                      (F.datediff(F.col("__b"), F.col("__cohort"))
+                       .cast("long") / F.lit(unit_days))
+                      .cast("long").alias("offset"),
                       "__u"))
     matrix = (joined.groupBy("__cohort", "offset")
               .agg(F.countDistinct("__u").alias("retained")))

@@ -63,6 +63,7 @@ from zacks_estimates_financial_statements_spark.schemas import (
 
 _POINTER = "_CURRENT"
 _LOCK = "_LOCK"
+_PIN_PREFIX = "_PIN_"
 
 _HOSTNAME = socket.gethostname()
 
@@ -82,6 +83,18 @@ class ConcurrentWriteError(RuntimeError):
     single-writer by design (the reference got real transactions from
     Postgres; its loaders are sequential per table) — this error makes
     the assumption *detected* instead of silently corrupting."""
+
+
+class _Snapshot:
+    """Handle yielded by ``TableStore.snapshot()``: reads resolve to the
+    pinned version, immune to concurrent pointer flips + GC."""
+
+    def __init__(self, store: "TableStore", version: str) -> None:
+        self.store = store
+        self.version = version
+
+    def read(self) -> DataFrame:
+        return self.store.read(version=self.version)
 
 #: hive-style partition layout per table (SURVEY §1.4): the snapshot
 #: tables are date-driven in every loader and dump loop, so partitioning
@@ -230,13 +243,62 @@ class TableStore:
     def _gc(self, keep: str) -> None:
         """Drop superseded version dirs beyond the retention window
         (reference W7 ``vacuum`` analog; ``keep_versions`` > 1 leaves a
-        short readable history)."""
+        short readable history). Versions held by a live reader pin
+        (``snapshot()``) are never dropped; stale pins — dead pid on
+        this host, or lease-expired — are reaped here, so a crashed
+        reader cannot hold retention hostage."""
         retained = set(self.versions()[-max(self.keep_versions, 1):])
         retained.add(keep)
+        for entry in os.listdir(self.path):
+            if not entry.startswith(_PIN_PREFIX):
+                continue
+            pin = os.path.join(self.path, entry)
+            if self._lock_is_stale(pin):
+                with contextlib.suppress(OSError):
+                    os.unlink(pin)
+            else:
+                retained.add(entry[len(_PIN_PREFIX):].split(".", 1)[0])
         for entry in self.versions():
             if entry not in retained:
                 shutil.rmtree(os.path.join(self.path, entry),
                               ignore_errors=True)
+
+    @contextlib.contextmanager
+    def snapshot(self, version: str | None = None):
+        """Pin a version for the duration of a long multi-action read
+        job. ``read()`` resolves ``_CURRENT`` at call time, so a job
+        that triggers several Spark actions can otherwise span a
+        concurrent writer's pointer flip *and* the GC of the version it
+        started on — the classic torn-read at scale. The pin is a lease
+        file (same pid/host/at format as the write lock); ``_gc``
+        retains pinned versions and reaps provably-dead pins.
+
+        Yields a reader handle with ``.version`` and ``.read()``::
+
+            with store.snapshot() as snap:
+                df = snap.read()          # stable across writer flips
+        """
+        version = version or self.current_version()
+        if version is None or not os.path.isdir(
+                os.path.join(self.path, version)):
+            raise ValueError(f"cannot pin: version {version!r} of table "
+                             f"{self.name} is not retained")
+        pin = os.path.join(
+            self.path, f"{_PIN_PREFIX}{version}.{uuid.uuid4().hex[:8]}")
+        now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        with open(pin, "w") as f:
+            f.write(f"pid={os.getpid()} host={_HOSTNAME} at={now}")
+        if not os.path.isdir(os.path.join(self.path, version)):
+            # lost the race with a GC that scanned before our pin landed
+            with contextlib.suppress(OSError):
+                os.unlink(pin)
+            raise ValueError(f"version {version} of table {self.name} "
+                             "was vacuumed while pinning; retry")
+        try:
+            yield _Snapshot(self, version)
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(pin)
 
     def tag(self, name: str, version: str | None = None) -> None:
         """Name a retained version (``None`` = the live one) — the
@@ -250,7 +312,9 @@ class TableStore:
                 os.path.join(self.path, version)):
             raise ValueError(f"cannot tag: version {version!r} of table "
                              f"{self.name} is not retained")
-        if not _TAG_RE.fullmatch(name):
+        if not _TAG_RE.fullmatch(name) or ".tmp-" in name:
+            # ".tmp-" is the temp-file marker tags()/read_tag() skip; a
+            # tag named e.g. "run.tmp-1" would write but never list.
             raise ValueError(f"invalid tag name {name!r}")
         tmp = os.path.join(self.path, f"_TAG_{name}.tmp-{uuid.uuid4().hex[:6]}")
         with open(tmp, "w") as f:
