@@ -61,3 +61,35 @@ def test_dedup_scale_paths_never_cartesian(entry, spark, sf_dir):
                  "simhash"):
         plan = _plan(entry, spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_plan_audit_flags_planted_unbounded_window(spark):
+    """The audit's GLOBAL-WINDOW detector: an unpartitioned Window with
+    no Limit below it is flagged; the same window after .limit() or a
+    partitioned window passes."""
+    import sys
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from plan_audit import audit
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    planted = df.withColumn("rn", F.row_number().over(W.orderBy("id")))
+    a = audit(plan(planted), "planted")
+    assert a["gw"] == 1 and "GLOBAL-WINDOW" in a["flags"]
+
+    bounded = (df.limit(10)
+               .withColumn("rn", F.row_number().over(W.orderBy("id"))))
+    assert audit(plan(bounded), "bounded")["gw"] == 0
+
+    parted = df.withColumn(
+        "rn", F.row_number().over(W.partitionBy("g").orderBy("id")))
+    assert audit(plan(parted), "parted")["gw"] == 0

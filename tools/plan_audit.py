@@ -86,7 +86,60 @@ LAMBDA_FILTER_OK = {
     "curate_pipeline": "embeds clean_corpus-style quality gates",
 }
 
+#: queries whose GLOBAL (unpartitioned) window is provably bounded but
+#: the limit is not a plan-visible child of the Window node (e.g. the
+#: window runs over an aggregate whose cardinality is bounded by
+#: construction). Post-`.limit(top_n)` windows need no whitelist entry —
+#: the detector sees the GlobalLimit below the Window.
+GLOBAL_WINDOW_OK: dict[str, str] = {}
+
 _LAMBDA_FILTER_RE = re.compile(r"Filter [^\n]+")
+
+
+def _indent(line: str) -> int:
+    """Tree depth of a plan line = offset of the payload past the
+    '+- ' / ':- ' / ':  ' rail characters."""
+    i = 0
+    while i < len(line) and line[i] in " :+-*()0123456789":
+        i += 1
+    return i
+
+
+def _unbounded_global_windows(plan: str) -> int:
+    """Count Window nodes that are (a) UNPARTITIONED — the node string
+    is ``Window [funcs], [order]``, one ``], [`` separator, vs the
+    partitioned ``Window [funcs], [part], [order]`` — and (b) not fed
+    by a Limit below them in the plan. An unpartitioned window funnels
+    the whole relation through ONE task: at 100 TB that is the
+    single-partition scale-killer, acceptable only after a limit or
+    over a bounded aggregate (whitelist)."""
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow(?:GroupLimit)? \[", line)
+        if not m or "WindowGroupLimit" in line:
+            continue
+        if line.count("], [") != 1:
+            continue  # partitioned+ordered (2 separators) or odd shape
+        # two-group windows are EITHER [funcs],[order] (global — the
+        # funnel) OR [funcs],[partition] (partition-only aggregate
+        # window — fine). Order specs always print sort direction.
+        last_group = line.rsplit("], [", 1)[1]
+        if not re.search(r"\b(ASC|DESC)\b", last_group):
+            continue  # partition spec, not an order spec
+        depth = _indent(line)
+        bounded = False
+        for below in lines[i + 1:]:
+            d = _indent(below)
+            if d <= depth and below.strip():
+                break  # left the subtree
+            if re.search(r"\b(GlobalLimit|CollectLimit|"
+                         r"TakeOrderedAndProject|Limit \d)", below):
+                bounded = True
+                break
+        if not bounded:
+            n += 1
+    return n
 
 
 def _inlined_lambda_filters(plan: str) -> int:
@@ -110,6 +163,9 @@ def audit(plan: str, name: str) -> dict:
     lam = _inlined_lambda_filters(plan)
     if lam and name not in LAMBDA_FILTER_OK:
         flags.append("LAMBDA-FILTER")
+    gw = _unbounded_global_windows(plan)
+    if gw and name not in GLOBAL_WINDOW_OK:
+        flags.append("GLOBAL-WINDOW")
     pushed = re.findall(r"PushedFilters: \[([^\]]+)\]", plan)
     pushed = [p for p in pushed if p.strip()]
     return {
@@ -122,6 +178,7 @@ def audit(plan: str, name: str) -> dict:
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed": len(pushed),
         "lam": lam,
+        "gw": gw,
         "flags": ",".join(flags) or "-",
     }
 
@@ -154,7 +211,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             a = {"bhj": "-", "smj": "-", "bnlj": "-", "exchanges": "-",
                  "reused": "-", "codegen": "-", "pushed": "-", "lam": "-",
-                 "flags": f"ERR:{str(exc)[:40]}"}
+                 "gw": "-", "flags": f"ERR:{str(exc)[:40]}"}
         if a["flags"] != "-":
             bad += 1
         rows.append((name, a))
@@ -173,14 +230,18 @@ def main() -> int:
             " nested-loop joins, or non-whitelisted inlined-lambda"
             " filters (`lam` counts Filter nodes re-evaluating a"
             " lambda-built array — the InferFiltersFromGenerate /"
-            " pushed-predicate recompute class; see PERFORMANCE.md).\n\n"
+            " pushed-predicate recompute class; see PERFORMANCE.md), or"
+            " unbounded global windows (`gw` counts unpartitioned Window"
+            " nodes with no Limit below them — the single-partition"
+            " funnel; post-limit windows pass automatically).\n\n"
             "| query | BHJ | SMJ | BNLJ | shuffles | reused | codegen | "
-            "pushed scans | lam | flags |\n"
-            "|---|---|---|---|---|---|---|---|---|---|\n")
+            "pushed scans | lam | gw | flags |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n")
         for name, a in rows:
             f.write(f"| {name} | {a['bhj']} | {a['smj']} | {a['bnlj']} | "
                     f"{a['exchanges']} | {a['reused']} | {a['codegen']} | "
-                    f"{a['pushed']} | {a['lam']} | {a['flags']} |\n")
+                    f"{a['pushed']} | {a['lam']} | {a['gw']} | "
+                    f"{a['flags']} |\n")
         f.write(f"\nQueries with red flags: **{bad}**.\n\n"
                 "## Whitelisted nested-loop fan-outs\n\n")
         for q, why in sorted(FANOUT_BNLJ_OK.items()):
@@ -189,6 +250,11 @@ def main() -> int:
                 " (one measured extra pass, semantic predicates)\n\n")
         for q, why in sorted(LAMBDA_FILTER_OK.items()):
             f.write(f"- `{q}` — {why}\n")
+        if GLOBAL_WINDOW_OK:
+            f.write("\n## Whitelisted global windows (bounded by"
+                    " construction, no plan-visible limit)\n\n")
+            for q, why in sorted(GLOBAL_WINDOW_OK.items()):
+                f.write(f"- `{q}` — {why}\n")
     spark.stop()
     print(f"wrote {out_md}; {bad} flagged")
     return 1 if bad else 0
