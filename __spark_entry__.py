@@ -2889,58 +2889,200 @@ FROM ev ASOF LEFT JOIN purch p
 
 def q_media_phash_pairs(spark, sf):
     """Perceptual-hash image dedup (operators/multimodal.py): a
-    deterministic synthesized PPM corpus where ids sharing
-    ``doc_id % 40`` are planted exact-duplicate images; REAL decode →
-    dHash → pigeonhole-banded hamming pairing. Registered WITHOUT an
-    oracle_sql twin (the rows-only driver check): predicting a dHash in
-    SQL would mean replaying the decoder + NN resize closed-form, which
-    is exactly the non-SQL work the operator exists for — determinism
-    is still pinned by the planted-pair unit tests and the synthesized
-    corpus' md5-chain content."""
+    hash-attestable PPM corpus (``synthesize_hashable_images`` — 8×9
+    grayscale, per-pixel md5 bytes, so the dHash grid's NN-resize is
+    the identity and every hash bit is the closed-form pixel
+    comparison); ids sharing ``doc_id % 40`` are planted
+    exact-duplicate images. The pipeline is REAL end to end — PPM
+    decode → luma → resize → dHash → pigeonhole-banded hamming
+    pairing — and the DuckDB twin predicts every 64-bit hash and every
+    surviving pair, so a single wrong decoded byte or banding defect
+    flips the value hash."""
     ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 60)
            .select("doc_id"))
     keyed = ids.select(F.col("doc_id").alias("media_id"),
                        (F.col("doc_id") % 40).alias("content_key"))
-    media = multimodal.synthesize_image_corpus(keyed)
+    media = multimodal.synthesize_hashable_images(keyed)
     return multimodal.media_near_dup_pairs(media, max_hamming=4)
+
+
+#: closed-form dHash of the synthesize_hashable_images corpus, keyed by
+#: content key: pixel (r,c) = first md5 byte of 'key:r:c'; bit (r,c) =
+#: pix(r,c) < pix(r,c+1), row-major from the MSB; two's-complement cast
+_SQL_IMAGE_HASHES = """
+px AS (
+  SELECT k.key, r.r, c.c,
+    ('0x' || substr(md5(k.key || ':' || r.r || ':' || c.c), 1, 2))::INT
+      AS v
+  FROM (SELECT DISTINCT key FROM ids) k,
+       generate_series(0, 7) r(r), generate_series(0, 8) c(c)),
+hraw AS (
+  SELECT a.key,
+    sum(CASE WHEN a.v < b.v
+             THEN (1::HUGEINT << (63 - (a.r * 8 + a.c)))
+             ELSE 0::HUGEINT END) AS h
+  FROM px a JOIN px b ON a.key = b.key AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 8
+  GROUP BY a.key),
+hashes AS (
+  SELECT key,
+    (CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64)
+          ELSE h END)::BIGINT AS dhash
+  FROM hraw)
+"""
+
+ORACLE_MEDIA_PHASH_PAIRS = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 40 AS key
+  FROM documents WHERE doc_id < 60),
+{_SQL_IMAGE_HASHES},
+sk AS (SELECT i.media_id, h.dhash FROM ids i JOIN hashes h USING (key))
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+FROM sk a JOIN sk b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+"""
 
 
 def q_video_near_dup(spark, sf):
     """Cross-video perceptual near-dup detection
-    (operators/multimodal.py): a synthesized structured MJPEG corpus
-    where ids sharing ``doc_id % 15`` are planted near-duplicate
-    videos; REAL demux → per-frame JPEG decode → dHash → the shared
-    pigeonhole hamming banding → per-video containment overlap.
-    Registered WITHOUT an oracle_sql twin (rows-only driver check) for
-    the same reason as ``media_phash_pairs``: an SQL twin would replay
-    the JPEG decoder closed-form. Determinism is pinned by the
-    planted-clip unit test and the deterministic gradient corpus."""
+    (operators/multimodal.py): a hash-attestable MJPEG-in-MP4 corpus
+    (``synthesize_hashable_videos`` — block-flat even-valued frames
+    that baseline JPEG round-trips exactly, NN-resize sampling one
+    pixel per block) where ids sharing ``doc_id % 15`` are planted
+    duplicate clips; REAL demux → per-frame JPEG decode → dHash →
+    pigeonhole hamming banding → per-video containment overlap. The
+    DuckDB twin predicts every per-frame hash, the frame-pair join,
+    and the containment aggregation closed-form — a mis-parsed sample
+    table, wrong frame for a tick, or decoder defect flips the value
+    hash."""
     ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 30)
            .select("doc_id"))
     keyed = ids.select(F.col("doc_id").alias("media_id"),
                        (F.col("doc_id") % 15).alias("content_key"))
-    media = multimodal.synthesize_video_corpus(keyed)
+    media = multimodal.synthesize_hashable_videos(keyed)
     return multimodal.video_near_dup_pairs(media, every_ms=500,
                                            max_hamming=4)
 
 
+#: shared tail of the video/audio oracles: frame-level hamming pairing
+#: (exact recall — the Spark side's pigeonhole banding is lossless
+#: within the budget) + per-media containment overlap, mirroring
+#: multimodal.sequence_near_dup_pairs
+def _sql_sequence_pairs(max_hamming: int, a: str = "media_a",
+                        b: str = "media_b") -> str:
+    return f"""
+counts AS (SELECT media_id, count(*) AS n FROM frames GROUP BY media_id),
+fpairs AS (
+  SELECT x.media_id AS {a}, y.media_id AS {b},
+    x.media_id * 1000000 + x.f AS fa, y.media_id * 1000000 + y.f AS fb
+  FROM frames x JOIN frames y
+    ON x.media_id * 1000000 + x.f < y.media_id * 1000000 + y.f
+   AND x.media_id <> y.media_id
+   AND bit_count(xor(x.h, y.h)) <= {max_hamming}),
+agg AS (
+  SELECT {a}, {b}, count(DISTINCT fa) AS matched_a,
+         count(DISTINCT fb) AS matched_b
+  FROM fpairs GROUP BY {a}, {b}),
+ov AS (
+  SELECT g.{a}, g.{b}, g.matched_a, g.matched_b,
+    ca.n AS n_a, cb.n AS n_b,
+    round(greatest(g.matched_a / ca.n, g.matched_b / cb.n), 6) AS overlap
+  FROM agg g
+  JOIN counts ca ON ca.media_id = g.{a}
+  JOIN counts cb ON cb.media_id = g.{b})
+SELECT * FROM ov WHERE overlap >= 0.5
+"""
+
+
+ORACLE_VIDEO_NEAR_DUP = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 15 AS key
+  FROM documents WHERE doc_id < 30),
+-- per-(key, frame) block values: (md5 byte % 128) * 2, with the frame
+-- count 2 + key % 3 at 2 fps so every_ms=500 samples each frame once
+kframes AS (
+  SELECT k.key, f.f FROM (SELECT DISTINCT key FROM ids) k,
+       generate_series(0, 4) f(f)
+  WHERE f.f < 2 + k.key % 3),
+px AS (
+  SELECT kf.key, kf.f, r.r, c.c,
+    (('0x' || substr(md5(kf.key || ':' || kf.f || ':' || r.r || ':'
+                         || c.c), 1, 2))::INT % 128) * 2 AS v
+  FROM kframes kf, generate_series(0, 7) r(r), generate_series(0, 8) c(c)),
+hraw AS (
+  SELECT a.key, a.f,
+    sum(CASE WHEN a.v < b.v
+             THEN (1::HUGEINT << (63 - (a.r * 8 + a.c)))
+             ELSE 0::HUGEINT END) AS h
+  FROM px a JOIN px b ON a.key = b.key AND a.f = b.f AND a.r = b.r
+                     AND b.c = a.c + 1
+  WHERE a.c < 8
+  GROUP BY a.key, a.f),
+frames AS (
+  SELECT i.media_id, hr.f,
+    (CASE WHEN hr.h >= (1::HUGEINT << 63) THEN hr.h - (1::HUGEINT << 64)
+          ELSE hr.h END)::BIGINT AS h
+  FROM ids i JOIN hraw hr USING (key)),
+{_sql_sequence_pairs(4, "video_a", "video_b")}
+"""
+
+
 def q_audio_near_dup(spark, sf):
     """Cross-audio perceptual near-dup detection
-    (operators/multimodal.py): synthesized seeded-noise WAV corpus
-    where ids sharing ``doc_id % 15`` are planted clips at DIFFERENT
-    volumes; REAL PCM decode → spectral-shape frame hashes →
-    the shared pigeonhole hamming banding → containment overlap.
-    Rows-only driver check (decoder-backed), like the image/video
-    tiers; volume invariance is what makes the planted pairs land."""
+    (operators/multimodal.py): a hash-attestable WAV corpus
+    (``synthesize_hashable_audio`` — 65 rank-amplitude tones per
+    window at exact FFT bins, so band-energy order is a closed-form
+    md5-byte permutation) where ids sharing ``doc_id % 15`` are
+    planted clips at DIFFERENT volumes; REAL PCM decode →
+    Haitsma-Kalker spectral sign bits → pigeonhole hamming banding →
+    containment overlap. The DuckDB twin predicts every frame
+    fingerprint from the rank permutation (volume invariance is what
+    makes the different-volume plants land), so a decode or FFT-band
+    defect flips the value hash."""
     ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 30)
            .select("doc_id"))
     keyed = ids.select(F.col("doc_id").alias("media_id"),
                        (F.col("doc_id") % 15).alias("content_key"))
-    media = multimodal.synthesize_audio_corpus(keyed)
+    media = multimodal.synthesize_hashable_audio(keyed)
     out = multimodal.audio_near_dup_pairs(media, frame_ms=100,
                                           max_hamming=4)
     return out.select("media_a", "media_b", "matched_a", "matched_b",
                       "n_a", "n_b", "overlap")
+
+
+ORACLE_AUDIO_NEAR_DUP = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 15 AS key
+  FROM documents WHERE doc_id < 30),
+-- per-(key, window, band) md5 byte; rank = position in the (byte,
+-- band)-ordered permutation; Haitsma-Kalker sign bit b is exactly
+-- rank[b+1] > rank[b] (tone amplitudes are 2 + rank at exact FFT bins)
+bands AS (
+  SELECT k.key, t.t, b.b,
+    ('0x' || substr(md5(k.key || ':' || t.t || ':' || b.b), 1, 2))::INT
+      AS byte
+  FROM (SELECT DISTINCT key FROM ids) k,
+       generate_series(0, 3) t(t), generate_series(0, 64) b(b)),
+ranked AS (
+  SELECT key, t, b,
+    row_number() OVER (PARTITION BY key, t ORDER BY byte, b) - 1 AS rnk
+  FROM bands),
+hraw AS (
+  SELECT a.key, a.t,
+    sum(CASE WHEN b.rnk > a.rnk
+             THEN (1::HUGEINT << (63 - a.b)) ELSE 0::HUGEINT END) AS h
+  FROM ranked a JOIN ranked b
+    ON a.key = b.key AND a.t = b.t AND b.b = a.b + 1
+  WHERE a.b < 64
+  GROUP BY a.key, a.t),
+frames AS (
+  SELECT i.media_id, hr.t AS f,
+    (CASE WHEN hr.h >= (1::HUGEINT << 63) THEN hr.h - (1::HUGEINT << 64)
+          ELSE hr.h END)::BIGINT AS h
+  FROM ids i JOIN hraw hr USING (key)),
+{_sql_sequence_pairs(4, "media_a", "media_b")}
+"""
 
 
 def q_media_curate(spark, sf):
@@ -2949,14 +3091,17 @@ def q_media_curate(spark, sf):
     pairs via shared content keys, plus undecodable payloads) flows
     through decode-gated perceptual hashing (corrupt rows quarantine
     with NULL hashes), banded-hamming near-dup pairing, and
-    connected-components keeper resolution. Rows-only driver check
-    (decoder-backed, like the other media tiers); every stage is
-    individually oracle- or fixture-proven."""
+    connected-components keeper resolution. Hash-attestable via the
+    closed-form image corpus (``synthesize_hashable_images``): the
+    DuckDB twin predicts the hashes, replays the pairing, and labels
+    components with a recursive transitive closure — so the decode
+    gate, the banding, AND the large-star/small-star convergence are
+    all value-checked."""
     ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 40)
            .select("doc_id"))
     keyed = ids.select(F.col("doc_id").alias("media_id"),
                        (F.col("doc_id") % 25).alias("content_key"))
-    media = multimodal.synthesize_image_corpus(keyed)
+    media = multimodal.synthesize_hashable_images(keyed)
     corrupt = spark.createDataFrame(
         [(900, "image", bytearray(b"not an image"), "image/x-ppm",
           None, None, None),
@@ -2976,6 +3121,36 @@ def q_media_curate(spark, sf):
         .join(resolved.select("media_id", "component", "keep"),
               "media_id", "left")
         .select("media_id", "decoded", "component", "keep"))
+
+
+ORACLE_MEDIA_CURATE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 25 AS key
+  FROM documents WHERE doc_id < 40),
+{_SQL_IMAGE_HASHES},
+sk AS (SELECT i.media_id, h.dhash FROM ids i JOIN hashes h USING (key)),
+-- symmetric edge set of the banding's exact-recall pair join
+edges AS (
+  SELECT a.media_id AS src, b.media_id AS dst
+  FROM sk a JOIN sk b ON a.media_id <> b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+-- transitive closure: component = min reachable id (= the
+-- large-star/small-star fixpoint label on an undirected graph)
+comp AS (
+  WITH RECURSIVE reach(id, lab) AS (
+    SELECT media_id, media_id FROM sk
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+  SELECT id AS media_id, min(lab) AS component FROM reach GROUP BY id),
+corrupt AS (SELECT * FROM (VALUES (900), (901)) v(media_id))
+SELECT s.media_id, true AS decoded, c.component,
+  (s.media_id = c.component) AS keep
+FROM sk s JOIN comp c USING (media_id)
+UNION ALL
+SELECT media_id, false AS decoded, NULL::BIGINT AS component,
+  NULL::BOOLEAN AS keep
+FROM corrupt
+"""
 
 
 def q_media_metadata(spark, sf):
@@ -3806,6 +3981,10 @@ _ORACLE: dict[str, str] = {
     "cross_modal_pairs": ORACLE_CROSS_MODAL_PAIRS,
     "media_metadata": ORACLE_MEDIA_METADATA,
     "video_frames": ORACLE_VIDEO_FRAMES,
+    "media_phash_pairs": ORACLE_MEDIA_PHASH_PAIRS,
+    "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
+    "audio_near_dup": ORACLE_AUDIO_NEAR_DUP,
+    "media_curate": ORACLE_MEDIA_CURATE,
     "asof_join": ORACLE_ASOF_JOIN,
     "repeated_spans": ORACLE_REPEATED_SPANS,
     "time_rollup": ORACLE_TIME_ROLLUP,

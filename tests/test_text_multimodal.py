@@ -624,3 +624,74 @@ def test_audio_near_dup_pairs_volume_invariant_clips(spark):
     assert (1, 2) in got
     assert got[(1, 2)]["overlap"] >= 5 / 6    # clip containment
     assert all(3 not in k for k in got)
+
+
+def test_hashable_corpora_closed_form_hashes(spark):
+    """The hash-attestable synthesizers: the REAL decode→hash chain
+    must land exactly on the closed-form prediction the SQL oracles
+    compute (image dHash = pixel comparisons; video frame dHash =
+    block comparisons through a JPEG round-trip; audio fingerprint =
+    the rank-permutation sign bits), and planted same-key ids must
+    collapse to hamming-0 duplicates."""
+    import hashlib
+
+    from zacks_estimates_financial_statements_spark.operators import multimodal as M
+
+    def md5b(*parts):
+        return int(hashlib.md5(
+            ":".join(str(p) for p in parts).encode()).hexdigest()[:2], 16)
+
+    def signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    ids = spark.createDataFrame(
+        [(i, i % 3) for i in range(6)], "media_id long, content_key long")
+
+    # images: dhash == closed form, same-key ids identical
+    got = {r["media_id"]: r["dhash"] for r in
+           M.perceptual_hashes(M.synthesize_hashable_images(ids)).collect()}
+    for mid in range(6):
+        key = mid % 3
+        pred = 0
+        for r in range(8):
+            for c in range(8):
+                pred = (pred << 1) | int(
+                    md5b(key, r, c) < md5b(key, r, c + 1))
+        assert got[mid] == signed(pred), f"image {mid}"
+
+    # video: per-frame dhash == block-value closed form
+    vf = M.video_fingerprints(
+        M.synthesize_hashable_videos(ids), every_ms=500).collect()
+    assert all(r["decode_error"] is None for r in vf)
+    for r in vf:
+        key = r["media_id"] % 3
+        pred = 0
+        for rr in range(8):
+            for cc in range(8):
+                pred = (pred << 1) | int(
+                    (md5b(key, r["frame_idx"], rr, cc) % 128) * 2
+                    < (md5b(key, r["frame_idx"], rr, cc + 1) % 128) * 2)
+        assert r["dhash"] == signed(pred), \
+            f"video {r['media_id']} frame {r['frame_idx']}"
+    # frame count follows 2 + key % 3
+    from collections import Counter
+    nf = Counter(r["media_id"] for r in vf)
+    assert all(nf[m] == 2 + (m % 3) % 3 for m in range(6))
+
+    # audio: fingerprints == rank-permutation sign bits, across volumes
+    af = M.audio_fingerprints(
+        M.synthesize_hashable_audio(ids), frame_ms=100).collect()
+    assert all(r["decode_error"] is None for r in af)
+    assert len(af) == 6 * 4
+    for r in af:
+        key, t = r["media_id"] % 3, r["frame_idx"]
+        bs = [md5b(key, t, b) for b in range(65)]
+        order = sorted(range(65), key=lambda b: (bs[b], b))
+        rank = [0] * 65
+        for i, b in enumerate(order):
+            rank[b] = i
+        pred = 0
+        for b in range(64):
+            pred = (pred << 1) | int(rank[b + 1] > rank[b])
+        assert r["fp"] == signed(pred), \
+            f"audio {r['media_id']} window {t}"

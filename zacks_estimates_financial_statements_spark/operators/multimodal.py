@@ -918,3 +918,190 @@ def synthesize_audio_corpus(ids: DataFrame, id_col: str = "media_id",
 
     return (ids.select(F.col(id_col), F.col(content_key_col))
             .mapInPandas(fn, MEDIA_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# Hash-attestable corpora: synthesized media whose PERCEPTUAL HASHES are
+# closed-form functions of the content key, so the decoder-backed dedup
+# queries get full SQL oracle twins (value-hash attestation) instead of
+# rows-only checks. The decode paths stay 100% real — PPM/JPEG/WAV bytes
+# go through functions/codecs.py exactly like crawl media would; what
+# changes is that the CONTENT is constructed so the decode→hash chain
+# has a provable result:
+#
+# - images: 8×9 grayscale pixels (dHash's own grid, so nearest-neighbor
+#   resize is the identity) with per-pixel md5-derived bytes → dHash bit
+#   (r,c) is exactly  pix(r,c) < pix(r,c+1);
+# - video frames: 64×72 images built from flat 8×8 blocks of EVEN
+#   values — baseline JPEG round-trips block-flat even values exactly
+#   (DC-only blocks, quant 16 divides 8·(v−128) for even v), and the
+#   9×8 NN-resize lands on one pixel per block → per-frame dHash is the
+#   block-value comparison;
+# - audio: each 100 ms window is a sum of 65 tones, one per analysis
+#   band (tones at exact integer FFT bins → zero leakage), with
+#   amplitudes 2+rank where rank is the md5-byte ordering of the bands
+#   → band-energy order IS the rank order, so every Haitsma-Kalker sign
+#   bit is  rank[b+1] > rank[b]  (ties impossible by construction, and
+#   the ≥5-amplitude-unit energy gaps dwarf int16 quantization noise).
+# ---------------------------------------------------------------------------
+
+
+def _md5_byte(*parts) -> int:
+    import hashlib
+
+    return int(hashlib.md5(
+        ":".join(str(p) for p in parts).encode()).hexdigest()[:2], 16)
+
+
+def synthesize_hashable_images(ids: DataFrame, id_col: str = "media_id",
+                               content_key_col: str = "content_key"
+                               ) -> DataFrame:
+    """8×9 grayscale PPM corpus whose 64-bit dHash is closed-form:
+    pixel (r,c) = first md5 byte of ``key:r:c``, image size equals the
+    dHash grid so ``resize_nn`` is the identity and grayscale luma is
+    strictly monotone in the byte → hash bit (r,c) = pix(r,c) <
+    pix(r,c+1), row-major from the MSB. Ids sharing a content key are
+    exact duplicates (hamming 0); distinct keys give independent
+    64-bit hashes. SQL twin: the same md5 bytes via
+    ``('0x'||substr(md5(key||':'||r||':'||c),1,2))::INT``."""
+    import pandas as pd  # noqa: F401 — engine requirement for mapInPandas
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(ids.sparkSession)
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, key in zip(pdf[id_col], pdf[content_key_col]):
+                key = int(key)
+                content = bytearray()
+                for r in range(8):
+                    for c in range(9):
+                        v = _md5_byte(key, r, c)
+                        content += bytes([v, v, v])
+                rows.append({"media_id": int(mid), "kind": "image",
+                             "payload": b"P6\n9 8\n255\n" + bytes(content),
+                             "mime": "image/x-ppm", "width": 9,
+                             "height": 8, "duration_ms": None})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return (ids.select(F.col(id_col), F.col(content_key_col))
+            .mapInPandas(fn, MEDIA_SCHEMA))
+
+
+def synthesize_hashable_videos(ids: DataFrame, id_col: str = "media_id",
+                               content_key_col: str = "content_key"
+                               ) -> DataFrame:
+    """MJPEG-in-MP4 corpus whose per-frame dHashes are closed-form:
+    each frame is 64×72, built from flat 8×8 blocks of even grayscale
+    values ``(md5_byte(key:f:r:c) % 128) * 2``. Baseline JPEG
+    round-trips block-flat even values exactly (each block is DC-only;
+    the Annex-K DC quant 16 divides 8·(v−128) when v is even, and DC
+    differential coding is lossless), and ``resize_nn`` from (64,72) to
+    the (8,9) dHash grid samples pixel (8r, 8c) — one per block — so
+    frame f's dHash bit (r,c) = block(f,r,c) < block(f,r,c+1). Videos
+    have ``2 + key % 3`` frames at 2 fps; ids sharing a key are exact
+    duplicate clips."""
+    import pandas as pd  # noqa: F401 — engine requirement for mapInPandas
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(ids.sparkSession)
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        def frame(key: int, f: int) -> "np.ndarray":
+            img = np.zeros((64, 72, 3), np.uint8)
+            for r in range(8):
+                for c in range(9):
+                    img[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8, :] = \
+                        (_md5_byte(key, f, r, c) % 128) * 2
+            return img
+
+        for pdf in batches:
+            rows = []
+            for mid, key in zip(pdf[id_col], pdf[content_key_col]):
+                key = int(key)
+                frames = [frame(key, f) for f in range(2 + key % 3)]
+                rows.append({"media_id": int(mid), "kind": "video",
+                             "payload": codecs.encode_mjpeg_mp4(
+                                 frames, fps=2),
+                             "mime": "video/mp4", "width": 72,
+                             "height": 64, "duration_ms": None})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return (ids.select(F.col(id_col), F.col(content_key_col))
+            .mapInPandas(fn, MEDIA_SCHEMA))
+
+
+#: first rfft bin of each of the 65 analysis bands for an 800-sample
+#: window: np.array_split puts the 400 % 65 = 10 remainder bins in the
+#: first 10 bands (size 7), the rest are size 6
+def _band_start_bin(b: int) -> int:
+    return (7 * b if b < 10 else 70 + 6 * (b - 10)) + 1
+
+
+def synthesize_hashable_audio(ids: DataFrame, id_col: str = "media_id",
+                              content_key_col: str = "content_key",
+                              n_windows: int = 4) -> DataFrame:
+    """PCM-WAV corpus whose Haitsma-Kalker frame hashes are closed-form:
+    window t carries 65 tones — one at the FIRST rfft bin of each
+    analysis band (integer cycles → zero spectral leakage) — with
+    amplitude ``2 + rank`` where rank is the position of the band's
+    md5 byte ``md5_byte(key:t:b)`` in the (byte, band)-ordered
+    permutation of all 65 bands. Band-energy order therefore equals
+    rank order with ≥5-unit energy gaps (≫ int16 quantization noise,
+    measured), so sign bit b of the fingerprint is exactly
+    ``rank[b+1] > rank[b]``. Ids sharing a key render at different
+    volumes (``0.4 + 0.1·(id % 5)``) — the volume invariance the
+    detector banks on — and are planted duplicate clips."""
+    import pandas as pd  # noqa: F401 — engine requirement for mapInPandas
+
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    ensure_package_on_executors(ids.sparkSession)
+    rate, win = 8000, 800
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.functions import codecs
+
+        n = np.arange(win)
+        basis = np.stack([np.cos(2 * np.pi * _band_start_bin(b) * n / win)
+                          for b in range(65)])
+
+        for pdf in batches:
+            rows = []
+            for mid, key in zip(pdf[id_col], pdf[content_key_col]):
+                mid, key = int(mid), int(key)
+                segs = []
+                for t in range(n_windows):
+                    bs = [_md5_byte(key, t, b) for b in range(65)]
+                    order = sorted(range(65), key=lambda b: (bs[b], b))
+                    amp = np.empty(65)
+                    for i, b in enumerate(order):
+                        amp[b] = 2 + i
+                    segs.append(amp @ basis)
+                x = np.concatenate(segs)
+                x = x / np.abs(x).max() * (0.4 + 0.1 * (mid % 5))
+                rows.append({"media_id": mid, "kind": "audio",
+                             "payload": codecs.encode_wav(x, rate),
+                             "mime": "audio/wav", "width": None,
+                             "height": None,
+                             "duration_ms": 1000 * n_windows // 10})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return (ids.select(F.col(id_col), F.col(content_key_col))
+            .mapInPandas(fn, MEDIA_SCHEMA))
