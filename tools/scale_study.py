@@ -49,7 +49,12 @@ def main() -> int:
     spark = get_spark(
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         extra_conf={"spark.ui.enabled": "false",
-                    "spark.ui.showConsoleProgress": "false"})
+                    "spark.ui.showConsoleProgress": "false",
+                    # headroom for the synthesized-sf1 decade; the
+                    # session factory deliberately keeps the bench
+                    # default at 1g (see session.py measurement note)
+                    "spark.driver.memory":
+                        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")})
 
     qs = mod.queries()
     names = args.queries or [q for q in bench.HEADLINE if q in qs]

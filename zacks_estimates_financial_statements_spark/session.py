@@ -36,6 +36,14 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
 }
 
+# Measured on this harness (A/B, full bench.py at sf0.1): a 16g driver
+# heap is ~40% SLOWER than the 1g default (99.6 s vs 68.4 s) — the
+# bigger G1 young gen wrecks cache locality in the single local JVM —
+# so the factory does NOT raise spark.driver.memory. The one workload
+# that needs headroom is the synthesized-sf1 scale study
+# (containment_pairs OOMs at 1g there); tools/scale_study.py passes an
+# explicit spark.driver.memory for that run only.
+
 
 def get_spark(app_name: str = "zacks-estimates-financial-statements-spark",
               master: str | None = None,
