@@ -2780,6 +2780,38 @@ FROM d
 """
 
 
+def q_domain_quota_skewsafe(spark, sf):
+    """The two-phase skew-safe quota path (``exact_ranks=False``):
+    salted per-bucket top-N then a bounded candidate re-rank — same
+    kept set and exact kept ranks as the window form (proof in the
+    operator docstring), NULL tail ranks. The oracle twin states the
+    equivalence: row_number capped at N, NULL beyond."""
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(F.lit("https://www."), F.col("source"),
+                   F.lit(".Example.COM/p/"), F.col("doc_id"))
+    d = docs.select("doc_id", "n_chars", web.url_host(raw).alias("host"))
+    out = curation.domain_quota(d, "host", "doc_id", 10,
+                                priority_col="n_chars",
+                                exact_ranks=False)
+    return out.select("doc_id", "host", "host_rank", "keep")
+
+
+ORACLE_DOMAIN_QUOTA_SKEWSAFE = """
+WITH d AS (
+  SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
+  FROM documents),
+r AS (
+  SELECT doc_id, host,
+    (row_number() OVER (PARTITION BY host
+       ORDER BY n_chars DESC, doc_id ASC))::INT AS rn
+  FROM d)
+SELECT doc_id, host,
+  CASE WHEN rn <= 10 THEN rn END AS host_rank,
+  rn <= 10 AS keep
+FROM r
+"""
+
+
 def q_time_rollup(spark, sf):
     """Hypertable-style multi-granularity rollup: events bucketed to
     minute/hour/day per event_type via CHAINED re-aggregation (one
@@ -3913,6 +3945,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "standardize": q_standardize,
     "histogram": q_histogram,
     "tfidf_pairs": q_tfidf_pairs,
+    "domain_quota_skewsafe": q_domain_quota_skewsafe,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4016,6 +4049,7 @@ _ORACLE: dict[str, str] = {
     "standardize": ORACLE_STANDARDIZE,
     "histogram": ORACLE_HISTOGRAM,
     "tfidf_pairs": ORACLE_TFIDF_PAIRS,
+    "domain_quota_skewsafe": ORACLE_DOMAIN_QUOTA_SKEWSAFE,
 }
 
 
