@@ -100,6 +100,20 @@ HEADLINE = [
     # convergence-signature jobs) at any small sf — see PERFORMANCE.md.
 ]
 
+#: tracked but excluded from the headline total: composites whose
+#: runtime is dominated by fixed per-iteration overhead at bench sf
+#: (CC checkpoints, already-benched embedded stages) — excluding them
+#: keeps the headline comparable across rounds, but their medians are
+#: still recorded (same warmup/median protocol) so a regression in the
+#: tail is visible in the per-round JSON instead of invisible.
+TRACKED_NON_HEADLINE = [
+    "dedup_clusters",         # minhash pairs + CC keeper resolution
+    "incremental_cc",         # contracted-graph label maintenance
+    "ann_ivf_topk",           # IVF build+probe (build dominates at sf)
+    "media_curate",           # decode-gated hash + pairs + CC, one plan
+    "domain_quota_skewsafe",  # two-phase salted top-N quota path
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,9 +146,10 @@ def main() -> None:
             pass
 
     n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    tracked = HEADLINE + [q for q in TRACKED_NON_HEADLINE if q in qs]
+    samples: dict[str, list[float]] = {name: [] for name in tracked}
     for it in range(n_iters):
-        for name in HEADLINE:
+        for name in tracked:
             fn = qs[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -146,14 +161,16 @@ def main() -> None:
 
     timings = {name: round(statistics.median(s), 3)
                for name, s in samples.items()}
-    total = sum(timings.values())
+    total = sum(timings[name] for name in HEADLINE)
 
     spark.stop()
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {name: timings[name] for name in HEADLINE},
+        "non_headline": {name: timings[name]
+                         for name in tracked if name not in HEADLINE},
         "sf": sf,
         "n": n_iters,
     }))
