@@ -128,7 +128,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("pipeline",
                     choices=["estimates", "statements", "earnings-calendar",
                              "dividend-calendar", "dump-dat", "dump-dolt",
-                             "publish", "compact"])
+                             "publish", "compact", "archive"])
     ap.add_argument("--raw", help="raw zone root")
     ap.add_argument("--tables", help="table store root")
     ap.add_argument("--date", help="folder date yyyy-MM-dd")
@@ -158,6 +158,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"pipeline": "publish",
                           "result": {"commands": len(cmds),
                                      "csv_files": len(csvs)}}))
+        return 0
+
+    if args.pipeline == "archive":
+        # the reference's post-load `7zr a <raw>/<dataset>/<date>.7z`
+        # (estimate-extract-transform-load.sh:9) — pure file op, no
+        # Spark session; --table names the dataset
+        from zacks_estimates_financial_statements_spark.sources import raw_zone as RZ
+        if not (args.raw and args.table and args.date):
+            ap.error("archive needs --raw, --table (dataset) and --date")
+        manifest = RZ.archive_day(args.raw, args.table, args.date)
+        print(json.dumps({"pipeline": "archive", "result": manifest}))
         return 0
 
     if not args.tables:
