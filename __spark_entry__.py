@@ -3448,6 +3448,81 @@ seg{k} AS MATERIALIZED (
     return ",\n".join(parts) + "\n" + sel
 
 
+def q_bpe_encode(spark, sf):
+    """The inference half of the BPE pair (functions/tokenize.py
+    ``bpe_encode``): train 6 merges on the corpus, then encode every
+    document with them — all native Catalyst (the merges apply as
+    chained string replaces over the DISTINCT-WORD relation; word
+    occurrences rejoin their piece arrays and re-assemble per doc in
+    word order). The oracle re-learns the merges with the same
+    chained-CTE procedure as ``bpe_train`` and replays the identical
+    replace chain, so a single wrong merge, piece split, or
+    out-of-order reassembly flips the value hash."""
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+    docs = _t(spark, sf, "documents")
+    merges = TK.bpe_train(docs, "text", n_merges=6)
+    return TK.bpe_encode(docs, "doc_id", "text", merges)
+
+
+def _oracle_bpe_encode(n_merges: int = 6) -> str:
+    # reuse the full training chain, then swap the trainer's SELECT for
+    # the encode tail (the chain ends at seg{n}: word -> final seg)
+    chain = _oracle_bpe_train(n_merges)
+    chain = chain[:chain.index("\nSELECT 1 AS merge_rank")]
+    return chain + f""",
+enc AS (
+  SELECT w, list_filter(string_split(seg, '  '), z -> z <> '') AS p
+  FROM seg{n_merges}),
+wls AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS wl
+  FROM documents),
+-- this DuckDB cannot correlate generate_series bounds: over-generate a
+-- fixed position range (max words/doc in testdata is 100) and filter
+docw AS (
+  SELECT doc_id, g.i AS wp, wl[g.i] AS w
+  FROM wls, generate_series(1, 256) g(i)
+  WHERE g.i <= len(wl)),
+agg AS (
+  SELECT d.doc_id, flatten(list(e.p ORDER BY d.wp)) AS pieces
+  FROM docw d JOIN enc e USING (w) GROUP BY d.doc_id)
+SELECT w.doc_id, coalesce(a.pieces, []::VARCHAR[]) AS pieces,
+  coalesce(len(a.pieces), 0)::INT AS n_pieces
+FROM wls w LEFT JOIN agg a USING (doc_id)"""
+
+
+def q_bloom_semi_join(spark, sf):
+    """Explicit bloom semi-join reduction (operators/skew.py
+    ``bloom_semi_join``): lineitem probes a 2^20-bit / 3-hash bitmap of
+    the urgent-orders key set BEFORE the join's exchange (the bitmap
+    attaches as the whitelisted 1-row broadcast crossJoin), then the
+    exact join eliminates bloom false positives — byte-equal to the
+    plain join, which is exactly what the oracle states. The manual,
+    deterministic form of the runtime bloom filter this container's
+    Spark cannot enable (session.py note)."""
+    from zacks_estimates_financial_statements_spark.operators import skew as SK
+    li = _t(spark, sf, "lineitem")
+    od = (_t(spark, sf, "orders")
+          .filter(F.col("o_orderpriority") == "1-URGENT")
+          .select("o_orderkey", "o_totalprice"))
+    large = li.select(F.col("l_orderkey").alias("o_orderkey"),
+                      "l_quantity", "l_linenumber")
+    out = SK.bloom_semi_join(large, od, "o_orderkey", "inner")
+    return out.select(
+        "o_orderkey", "l_linenumber",
+        decimal_text(F.col("l_quantity")).alias("qty_text"),
+        decimal_text(F.col("o_totalprice")).alias("total_text"))
+
+
+ORACLE_BLOOM_SEMI_JOIN = f"""
+SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+  {_dt_sql('l.l_quantity')} AS qty_text,
+  {_dt_sql('o.o_totalprice')} AS total_text
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
 def q_pagerank(spark, sf):
     """Distributed fixed-iteration PageRank (operators/graph.py): the
     crawl-quality prior over a deterministic link graph derived from
@@ -3946,6 +4021,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram": q_histogram,
     "tfidf_pairs": q_tfidf_pairs,
     "domain_quota_skewsafe": q_domain_quota_skewsafe,
+    "bpe_encode": q_bpe_encode,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4050,6 +4127,8 @@ _ORACLE: dict[str, str] = {
     "histogram": ORACLE_HISTOGRAM,
     "tfidf_pairs": ORACLE_TFIDF_PAIRS,
     "domain_quota_skewsafe": ORACLE_DOMAIN_QUOTA_SKEWSAFE,
+    "bpe_encode": _oracle_bpe_encode(6),
+    "bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
 }
 
 

@@ -768,3 +768,35 @@ def test_chunk_tokens_stride_overlap(spark):
     with pytest.raises(ValueError):
         curation.chunk_tokens(df, "doc_id", "text", chunk_size=4,
                               stride=0)
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """bpe_encode: trained merges apply greedily left-to-right per
+    word, documents reassemble in word order, empty docs get []."""
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low"), (3, ""),
+         (4, "banana")],
+        "doc_id long, text string")
+    merges = TK.bpe_train(df, "text", n_merges=3)
+    out = {r["doc_id"]: (list(r["pieces"]), r["n_pieces"])
+           for r in TK.bpe_encode(df, "doc_id", "text", merges).collect()}
+
+    # reference implementation: same two-space-separator replace chain
+    def ref(word):
+        seg = "  " + "".join(c + "  " for c in word)
+        for x, y in merges:
+            seg = seg.replace(f" {x}  {y} ", f" {x}{y} ")
+        return [p for p in seg.split("  ") if p]
+
+    import re
+    for doc_id, text in [(1, "low lower lowest"), (2, "low low"),
+                         (3, ""), (4, "banana")]:
+        words = [w for w in re.split(r"[^a-z0-9_]+", text.lower()) if w]
+        want = [p for w in words for p in ref(w)]
+        assert out[doc_id] == (want, len(want)), (doc_id, out[doc_id], want)
+    # merges actually learned something on this corpus
+    assert len(merges) == 3
+    # 'low' appears 4x -> its pieces should have merged below 3 chars
+    assert len(ref("low")) < 3

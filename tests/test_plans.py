@@ -93,3 +93,25 @@ def test_plan_audit_flags_planted_unbounded_window(spark):
     parted = df.withColumn(
         "rn", F.row_number().over(W.partitionBy("g").orderBy("id")))
     assert audit(plan(parted), "parted")["gw"] == 0
+
+
+def test_bloom_semi_join_filters_before_exchange(entry, spark, sf_dir):
+    """The bloom probe must be a pre-shuffle filter: the bitmap attaches
+    via a 1-row broadcast (BNLJ scalar-attach), the probe-side Filter
+    sits BELOW the join's Exchange, and no CartesianProduct appears."""
+    plan = _plan(entry, spark, sf_dir, "bloom_semi_join")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row attach
+    lines = plan.splitlines()
+    # the bitmap probe is folded INTO the BNLJ condition (element_at on
+    # the broadcast map) — no separate stage, no pre-probe shuffle
+    bidx = [i for i, ln in enumerate(lines)
+            if "BroadcastNestedLoopJoin" in ln and "element_at" in ln]
+    assert bidx, "bloom probe condition missing from the BNLJ"
+    # the large scan sits directly under the BNLJ with NO exchange in
+    # between: the probe filters the fact table before any shuffle
+    sidx = [i for i, ln in enumerate(lines)
+            if "FileScan" in ln and "l_quantity" in ln]
+    assert sidx, "large-side scan not found"
+    between = lines[bidx[0] + 1:sidx[0]]
+    assert not any("Exchange" in ln for ln in between), between

@@ -35,3 +35,35 @@ def test_salted_join_matches_plain_join(spark):
     pl = large.join(dim_small, ["k"], "left")
     sl = skew.salted_join(large, dim_small, ["k"], "left", buckets=8)
     assert pl.count() == sl.count()
+
+
+def test_bloom_semi_join_exact_and_sound(spark):
+    """bloom_semi_join must be byte-equal to the plain join (no false
+    negatives; false positives die in the exact join), reject unsound
+    outer flavors, and keep working when the filter side is empty."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    large = spark.range(5000).select(
+        (F.col("id") % 700).alias("k"), F.col("id").alias("v"))
+    small = spark.range(120).select(
+        (F.col("id") * 5).alias("k"), F.concat(F.lit("s"), F.col("id"))
+        .alias("name"))
+    plain = large.join(small, ["k"], "inner")
+    bl = skew.bloom_semi_join(large, small, "k", "inner")
+    assert sorted(map(tuple, bl.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    # left_semi flavor
+    ps = large.join(small, ["k"], "left_semi")
+    bs = skew.bloom_semi_join(large, small, "k", "left_semi")
+    assert sorted(map(tuple, bs.collect())) == \
+        sorted(map(tuple, ps.collect()))
+    # tiny bitmap -> many false positives -> STILL exact
+    noisy = skew.bloom_semi_join(large, small, "k", "inner", n_bits=64,
+                                 n_hashes=2)
+    assert noisy.count() == plain.count()
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        skew.bloom_semi_join(large, small, "k", "left")
+    # empty filter side: empty result, no crash
+    assert skew.bloom_semi_join(
+        large, small.filter("k < 0"), "k", "inner").count() == 0

@@ -66,6 +66,10 @@ FANOUT_BNLJ_OK = {
                    "N (folded-constant-key shape, same as "
                    "token_frequencies); pair generation is the grouped "
                    "equi-key explode, never a nested loop",
+    "bloom_semi_join": "1-row bloom-bitmap broadcast crossJoin (the "
+                       "scalar-attach shape: the probe side filters "
+                       "against a 2^20-bit map without shuffling; the "
+                       "real join after it is an equi-join)",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the

@@ -204,3 +204,51 @@ def _words(text: F.Column) -> F.Column:
     """The shared word split (lowercase, ``[^a-z0-9_]+``, no empties) —
     must stay identical to ``curation._word_array``."""
     return F.array_remove(F.split(F.lower(text), r"[^a-z0-9_]+"), "")
+
+
+def bpe_encode(df: DataFrame, id_col: str, text_col: str,
+               merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned BPE merge list (``bpe_train``'s artifact) to a
+    corpus — the inference half of the tokenizer pair.
+
+    Entirely native Catalyst, zero Python in the hot path: encoding
+    happens on the DISTINCT-WORD relation (vocabulary-sized, the same
+    relation the trainer iterates), where each merge is one plain
+    string ``replace`` over the two-space-padded segmentation (the
+    representation ``bpe_train`` documents: ``" x  y " -> " xy "``
+    consumes one boundary space per side, so chained occurrences merge
+    left-to-right under global replace — identical in ANSI SQL). Word
+    occurrences then rejoin their piece arrays and re-assemble per
+    document in word order.
+
+    Cost: one corpus word explode + distinct (vocabulary shuffle), k
+    merge projections over the vocab relation, one occurrence join
+    (AQE broadcasts the encoded vocab when it fits), one per-doc
+    reassembly. Returns ``(id, pieces array<string>, n_pieces)`` —
+    docs with no words get an empty array.
+    """
+    w = df.select(F.col(id_col),
+                  F.posexplode(_words(F.col(text_col)))
+                  .alias("__wp", "__w"))
+    seg = (w.select(F.col("__w").alias("w")).distinct()
+           .withColumn("seg",
+                       F.concat(F.lit("  "),
+                                F.regexp_replace(F.col("w"),
+                                                 r"(.)", "$1  "))))
+    for x, y in merges:
+        seg = seg.withColumn(
+            "seg", F.replace(F.col("seg"),
+                             F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")))
+    pieces = seg.select(
+        "w", F.array_remove(F.split("seg", "  "), "").alias("__pieces"))
+    joined = w.join(pieces, w["__w"] == pieces["w"]).drop("w")
+    agg = (joined.groupBy(id_col)
+           .agg(F.flatten(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct("__wp", "__pieces"))),
+               lambda s: s["__pieces"])).alias("pieces")))
+    return (df.select(id_col).join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("pieces", F.array().cast("array<string>"))
+                    .alias("pieces"))
+            .withColumn("n_pieces", F.size("pieces")))

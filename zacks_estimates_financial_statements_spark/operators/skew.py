@@ -48,3 +48,67 @@ def salted_join(large: DataFrame, small: DataFrame, on: list[str],
     ).withColumn(_SALT, F.col(_SALT).cast("int"))
     out = salted_large.join(replicated_small, on=[*on, _SALT], how=how)
     return out.drop(_SALT)
+
+
+def bloom_semi_join(large: DataFrame, small: DataFrame,
+                    on: list[str] | str, how: str = "inner",
+                    n_bits: int = 1 << 20,
+                    n_hashes: int = 3) -> DataFrame:
+    """Exact ``large.join(small, on, how)`` with an explicit BLOOM
+    semi-join reduction on the large side — the 100 TB lever for joins
+    whose small side is too big to broadcast exactly but whose KEY SET
+    compresses into a bitmap.
+
+    Spark's own runtime bloom filter exists but is conf-gated (and
+    hangs this container's local mode — see session.py's note on
+    ``spark.sql.optimizer.runtime.bloomFilter``); this operator is the
+    deterministic, always-available form. The filter side builds
+    ``n_hashes`` bit positions per distinct key (seeded ``xxhash64``),
+    ORs them into a ``n_bits/64``-word bitmap relation, and folds that
+    into ONE map row. The probe side attaches it via the whitelisted
+    1-row broadcast crossJoin (the scalar-attach shape — the big side
+    never shuffles for the filter) and keeps only rows whose every bit
+    is set, BEFORE the real join's exchange. False positives survive to
+    the exact join and are eliminated there; false negatives cannot
+    occur (every key set its own bits), so the result is byte-equal to
+    the plain join.
+
+    Only ``inner`` and ``left_semi`` are allowed: for outer joins a
+    pre-filter on the probe side would drop rows the join must keep.
+    Default sizing: 2^20 bits / 3 hashes ≈ 1.7% false-positive rate at
+    ~100k keys, a 128 KiB broadcast.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom pre-filter is sound only for inner/left_semi, "
+            f"got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    kcols = [F.col(k) for k in keys]
+
+    def positions(prefix_cols):
+        return [F.pmod(F.xxhash64(F.lit(i), *prefix_cols),
+                       F.lit(n_bits)) for i in range(n_hashes)]
+
+    pos = (small.select(*keys).distinct()
+           .select(F.explode(F.array(*positions(kcols))).alias("p")))
+    words = (pos.select((F.col("p") / 64).cast("long").alias("w"),
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"),
+                            F.pmod(F.col("p"), F.lit(64)).cast("int"))
+                        .alias("b"))
+             .groupBy("w").agg(F.expr("bit_or(b)").alias("bits")))
+    bloom = words.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "bits"))).alias("__bloom"))
+
+    probed = large.crossJoin(F.broadcast(bloom))
+    cond = None
+    for p in positions(kcols):
+        w = (p / 64).cast("long")
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"),
+                              F.pmod(p, F.lit(64)).cast("int"))
+        hit = (F.coalesce(F.element_at(F.col("__bloom"), w),
+                          F.lit(0).cast("long"))
+               .bitwiseAND(bit) != 0)
+        cond = hit if cond is None else (cond & hit)
+    probed = probed.filter(cond).drop("__bloom")
+    return probed.join(small, keys, how)
