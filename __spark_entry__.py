@@ -3491,6 +3491,73 @@ SELECT w.doc_id, coalesce(a.pieces, []::VARCHAR[]) AS pieces,
 FROM wls w LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_pq_adc_topk(spark, sf):
+    """Product-quantization ADC top-k (operators/similarity.py): 64-dim
+    embeddings compress to 4 one-byte codes (4 subspaces × 16 codes,
+    deterministic seed codebooks — kmeans_iters=0 so the oracle can
+    re-derive them); queries score candidates through per-query M×ks
+    lookup tables, never through the floats. The DuckDB twin replays
+    codebook slicing, argmin encoding, table build, and the
+    decimal-summed ADC ranking."""
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return similarity.topk_pq_adc(emb, queries, k=3, dims=64,
+                                  n_subspaces=4, n_codes=16)
+
+
+_SQ_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+              p -> (p[1]::DOUBLE - p[2]::DOUBLE)
+                 * (p[1]::DOUBLE - p[2]::DOUBLE)), (x, y) -> x + y)
+"""
+
+ORACLE_PQ_ADC_TOPK = f"""
+WITH seeds AS (
+  SELECT vec_id, embedding,
+    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code_id
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+book AS (
+  SELECT m.m::INT AS subspace, s.code_id,
+    s.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS code_vec
+  FROM seeds s, generate_series(0, 3) m(m)),
+sliced AS (
+  SELECT e.vec_id, m.m::INT AS subspace,
+    e.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS v
+  FROM embeddings e, generate_series(0, 3) m(m)),
+enc AS (
+  SELECT vec_id, subspace, code_id FROM (
+    SELECT s.vec_id, s.subspace, b.code_id,
+      row_number() OVER (PARTITION BY s.vec_id, s.subspace
+        ORDER BY round({_SQ_SQL.format(a='s.v', b='b.code_vec')}, 6) ASC,
+                 b.code_id ASC) AS rn
+    FROM sliced s JOIN book b USING (subspace))
+  WHERE rn = 1),
+qparts AS (
+  SELECT q.vec_id AS query_id, m.m::INT AS subspace,
+    q.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS qv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT 5) q,
+       generate_series(0, 3) m(m)),
+tbl AS (
+  SELECT qp.query_id, qp.subspace, b.code_id,
+    round({_SQ_SQL.format(a='qp.qv', b='b.code_vec')}, 6)::DECIMAL(38,6)
+      AS d
+  FROM qparts qp JOIN book b USING (subspace)),
+scored AS (
+  SELECT t.query_id, e.vec_id, round(sum(t.d)::DOUBLE, 6) AS adc_dist
+  FROM enc e JOIN tbl t USING (subspace, code_id)
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, adc_dist, rank FROM (
+  SELECT query_id, vec_id, adc_dist,
+    (row_number() OVER (PARTITION BY query_id
+        ORDER BY adc_dist ASC, vec_id ASC))::INT AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 def q_bloom_semi_join(spark, sf):
     """Explicit bloom semi-join reduction (operators/skew.py
     ``bloom_semi_join``): lineitem probes a 2^20-bit / 3-hash bitmap of
@@ -4023,6 +4090,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quota_skewsafe": q_domain_quota_skewsafe,
     "bpe_encode": q_bpe_encode,
     "bloom_semi_join": q_bloom_semi_join,
+    "pq_adc_topk": q_pq_adc_topk,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4129,6 +4197,7 @@ _ORACLE: dict[str, str] = {
     "domain_quota_skewsafe": ORACLE_DOMAIN_QUOTA_SKEWSAFE,
     "bpe_encode": _oracle_bpe_encode(6),
     "bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
+    "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
 }
 
 

@@ -609,3 +609,75 @@ def test_tfidf_cosine_pairs_ranking_and_df_cap(spark):
     n1 = math.sqrt(sum(round(v * v, 6) for v in w1.values()))
     n3 = math.sqrt(sum(round(v * v, 6) for v in w3.values()))
     assert got[(1, 3)] == round(dot / (n1 * n3), 6)
+
+
+def test_pq_adc_codes_compress_and_self_match(emb):
+    """PQ: every vector gets exactly M codes in [0, ks); seed vectors
+    reconstruct themselves (ADC self-distance 0 → rank-1 self-match);
+    codebook is the bounded M×ks relation."""
+    book = similarity.pq_codebook(emb, dims=64, n_subspaces=4,
+                                  n_codes=16)
+    assert book.count() == 4 * 16
+    codes = similarity.pq_encode(emb, book, dims=64, n_subspaces=4)
+    rows = codes.collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    q = _queries(emb, 5)
+    out = similarity.topk_pq_adc(emb, q, k=3, dims=64, n_subspaces=4,
+                                 n_codes=16)
+    top1 = {r["query_id"]: (r["vec_id"], r["adc_dist"])
+            for r in out.collect() if r["rank"] == 1}
+    # queries 0..4 are seed vectors: their own codes reproduce exactly
+    assert all(top1[i] == (i, 0.0) for i in range(5))
+
+
+def test_pq_adc_full_rerank_equals_bruteforce(emb):
+    """With rerank = |corpus| the refine stage rescores everything
+    exactly, so the result must equal the exact L2 top-k — the
+    exactness anchor for the ADC+refine path."""
+    from pyspark.sql import Window
+
+    from zacks_estimates_financial_statements_spark.functions import vectors as V
+
+    n = emb.count()
+    q = _queries(emb, 4)
+    out = similarity.topk_pq_adc(emb, q, k=5, dims=64, n_subspaces=4,
+                                 n_codes=16, rerank=n)
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"),
+                                               F.col("vec_id"))
+    exact = (emb.crossJoin(F.broadcast(q))
+             .select("query_id", "vec_id",
+                     F.round(V.sq_l2(F.col("embedding"),
+                                     F.col("query_vec")), 6).alias("d"))
+             .withColumn("r", F.row_number().over(w)).filter("r <= 5"))
+    a = [(r["query_id"], r["vec_id"], r["rank"]) for r in out.collect()]
+    b = [(r["query_id"], r["vec_id"], r["r"]) for r in exact.collect()]
+    assert sorted(a) == sorted(b)
+
+
+def test_pq_rerank_improves_recall(emb):
+    """The refine stage must recover recall over raw ADC on the same
+    codebooks (the documented IVFADC+R property)."""
+    from pyspark.sql import Window
+
+    from zacks_estimates_financial_statements_spark.functions import vectors as V
+
+    q = _queries(emb, 8)
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"),
+                                               F.col("vec_id"))
+    exact = (emb.crossJoin(F.broadcast(q))
+             .select("query_id", "vec_id",
+                     V.sq_l2(F.col("embedding"),
+                             F.col("query_vec")).alias("d"))
+             .withColumn("r", F.row_number().over(w)).filter("r <= 5"))
+    truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    raw = similarity.topk_pq_adc(emb, q, k=5, dims=64, n_subspaces=4,
+                                 n_codes=16)
+    ref = similarity.topk_pq_adc(emb, q, k=5, dims=64, n_subspaces=4,
+                                 n_codes=16, rerank=60)
+    r_raw = len({(r["query_id"], r["vec_id"])
+                 for r in raw.collect()} & truth) / len(truth)
+    r_ref = len({(r["query_id"], r["vec_id"])
+                 for r in ref.collect()} & truth) / len(truth)
+    assert r_ref >= r_raw
+    assert r_ref >= 0.5, (r_raw, r_ref)

@@ -35,6 +35,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(dot(a, b) / denom)
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance (no sqrt — the quantity PQ codebooks and
+    ADC tables compare; monotone with euclidean, cheaper, and exactly
+    reproducible in the DuckDB fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def euclidean(a: Column, b: Column) -> Column:
     """Euclidean (L2) distance."""
     return F.sqrt(

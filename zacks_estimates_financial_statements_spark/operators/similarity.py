@@ -350,3 +350,172 @@ def ivf_load(spark, path: str, id_col: str = "vec_id",
     centroids = spark.createDataFrame(cent.collect(), schema=cent.schema)
     return IvfIndex(assigned=assigned, centroids=centroids,
                     id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, TPAMI 2011): the memory-
+# compression ANN tier next to IVF. A d-dim float vector becomes M
+# one-byte codes (here M sub-quantizers of ks centroids each): 64 floats
+# = 256 B shrink to M bytes, which is what lets a 100 TB embedding
+# corpus hold its index in executor memory. Queries score candidates
+# with an ADC (asymmetric distance computation) lookup table — M × ks
+# precomputed sub-distances per query — instead of touching the floats.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(corpus: DataFrame, dims: int, n_subspaces: int = 4,
+                n_codes: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                kmeans_iters: int = 0) -> DataFrame:
+    """Train the PQ codebooks: ``(subspace, code_id, code_vec)``.
+
+    Seeds are the sub-vectors of the ``n_codes`` smallest-id corpus
+    vectors (deterministic — the same convention as ``ivf_assign``, and
+    what makes the zero-iteration form oracle-checkable);
+    ``kmeans_iters`` Lloyd rounds refine each subspace independently
+    (assign by squared-L2, recompute sub-centroid means; empty codes
+    keep their previous centroid). The relation is bounded by
+    ``n_subspaces × n_codes`` rows and is localized to a literal
+    relation, so downstream encode/probe joins broadcast it without
+    replaying corpus lineage."""
+    if dims % n_subspaces:
+        raise ValueError(f"dims={dims} not divisible by {n_subspaces}")
+    sub = dims // n_subspaces
+    w = Window.orderBy(F.col(id_col))
+    seeds = (corpus.orderBy(F.col(id_col)).limit(n_codes)
+             .withColumn("code_id",
+                         (F.row_number().over(w) - 1).cast("int")))
+    parts = F.array(*[
+        F.struct(F.lit(m).cast("int").alias("subspace"),
+                 F.slice(F.col(vec_col), m * sub + 1, sub)
+                 .alias("code_vec"))
+        for m in range(n_subspaces)])
+    book = (seeds.select("code_id", F.explode(parts).alias("p"))
+            .select(F.col("p.subspace").alias("subspace"), "code_id",
+                    F.col("p.code_vec").alias("code_vec")))
+    for _ in range(kmeans_iters):
+        sliced = corpus.select(
+            F.col(id_col), F.explode(F.array(*[
+                F.struct(F.lit(m).cast("int").alias("subspace"),
+                         F.slice(F.col(vec_col), m * sub + 1, sub)
+                         .alias("v"))
+                for m in range(n_subspaces)])).alias("p")
+        ).select(id_col, "p.subspace", "p.v")
+        d = F.round(V.sq_l2(F.col("v"), F.col("code_vec")), 6)
+        assign = (sliced.join(F.broadcast(book), "subspace")
+                  .groupBy(id_col, "subspace")
+                  .agg(F.min(F.struct(d.alias("d"),
+                                      F.col("code_id").alias("c"),
+                                      F.col("v").alias("v"))).alias("m"))
+                  .select("subspace", F.col("m.c").alias("code_id"),
+                          F.col("m.v").alias("v")))
+        means = (assign.select("subspace", "code_id",
+                               F.posexplode("v").alias("pos", "x"))
+                 .groupBy("subspace", "code_id", "pos")
+                 .agg(F.avg("x").alias("mx")))
+        refreshed = (means.groupBy("subspace", "code_id")
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct("pos", "mx"))).alias("s"))
+                     .select("subspace", "code_id",
+                             F.transform(F.col("s"),
+                                         lambda t: t["mx"].cast("float"))
+                             .alias("__new")))
+        book = (book.join(refreshed, ["subspace", "code_id"], "left")
+                .select("subspace", "code_id",
+                        F.coalesce("__new", "code_vec")
+                        .alias("code_vec")))
+    return corpus.sparkSession.createDataFrame(
+        book.collect(), schema="subspace int, code_id int, "
+                               "code_vec array<float>")
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame, dims: int,
+              n_subspaces: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector as ``codes array<int>`` (its nearest code per
+    subspace, squared-L2, ties to the smaller code id — argmin over a
+    broadcast codebook; the corpus never shuffles for the scoring, one
+    (id, subspace)-keyed min-aggregation builds the code arrays)."""
+    sub = dims // n_subspaces
+    sliced = corpus.select(
+        F.col(id_col), F.explode(F.array(*[
+            F.struct(F.lit(m).cast("int").alias("subspace"),
+                     F.slice(F.col(vec_col), m * sub + 1, sub).alias("v"))
+            for m in range(n_subspaces)])).alias("p")
+    ).select(id_col, "p.subspace", "p.v")
+    d = F.round(V.sq_l2(F.col("v"), F.col("code_vec")), 6)
+    best = (sliced.join(F.broadcast(codebook), "subspace")
+            .groupBy(id_col, "subspace")
+            .agg(F.min(F.struct(d.alias("d"),
+                                F.col("code_id").alias("c"))).alias("m")))
+    return (best.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("subspace", F.col("m.c").alias("c")))),
+                lambda s: s["c"]).alias("codes")))
+
+
+def topk_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                dims: int = 64, n_subspaces: int = 4, n_codes: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "query_vec",
+                kmeans_iters: int = 0,
+                codebook: DataFrame | None = None,
+                rerank: int | None = None) -> DataFrame:
+    """Approximate top-k by PQ/ADC: corpus vectors are scored through
+    their codes against per-query lookup tables, never through their
+    floats. Table build is queries × codebook (Q·M·ks rows, broadcast);
+    the probe explodes codes to (vec, subspace) rows, equi-joins the
+    broadcast tables, and ONE (query, vec) sum-aggregation (sub-
+    distances decimal-summed — exactly reproducible) feeds the per-query
+    top-k window. Output: (query_id, vec_id, adc_dist, rank) — smallest
+    approximate distance first, ties to the smaller vec id.
+
+    ``rerank=R`` adds the standard refine stage (IVFADC+R): the ADC
+    window keeps R candidates per query, those R rows (and ONLY those —
+    a bounded semi-join against the float corpus) rescore with exact
+    squared L2, and the output ranks by the exact distance
+    (``exact_dist`` replaces ``adc_dist``). This is what restores
+    recall on hard corpora: ADC compresses the SCAN, the floats are
+    touched for Q·R rows only."""
+    book = codebook if codebook is not None else pq_codebook(
+        corpus, dims, n_subspaces, n_codes, id_col, vec_col, kmeans_iters)
+    codes = pq_encode(corpus, book, dims, n_subspaces, id_col, vec_col)
+    sub = dims // n_subspaces
+    qparts = queries.select(
+        F.col(query_id_col), F.explode(F.array(*[
+            F.struct(F.lit(m).cast("int").alias("subspace"),
+                     F.slice(F.col(query_vec_col), m * sub + 1, sub)
+                     .alias("qv"))
+            for m in range(n_subspaces)])).alias("p")
+    ).select(query_id_col, "p.subspace", "p.qv")
+    tables = (qparts.join(F.broadcast(book), "subspace")
+              .select(query_id_col, "subspace", "code_id",
+                      F.round(V.sq_l2(F.col("qv"), F.col("code_vec")), 6)
+                      .cast("decimal(38,6)").alias("__d")))
+    probe = (codes.select(id_col,
+                          F.posexplode("codes").alias("__m", "__c"))
+             .withColumn("subspace", F.col("__m").cast("int"))
+             .withColumn("code_id", F.col("__c")))
+    scored = (probe.join(F.broadcast(tables), ["subspace", "code_id"])
+              .groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("__d").cast("double"), 6)
+                   .alias("adc_dist")))
+    if rerank is None:
+        return _rank_topk(scored, query_id_col, k,
+                          [F.asc("adc_dist"), F.col(id_col)])
+    cand = (_rank_topk(scored, query_id_col, max(rerank, k),
+                       [F.asc("adc_dist"), F.col(id_col)])
+            .select(query_id_col, id_col))
+    refined = (cand
+               .join(corpus.select(id_col, vec_col), id_col)
+               .join(F.broadcast(queries.select(query_id_col,
+                                                query_vec_col)),
+                     query_id_col)
+               .select(query_id_col, id_col,
+                       F.round(V.sq_l2(F.col(vec_col),
+                                       F.col(query_vec_col)), 6)
+                       .alias("exact_dist")))
+    return _rank_topk(refined, query_id_col, k,
+                      [F.asc("exact_dist"), F.col(id_col)])
