@@ -7,6 +7,14 @@ per-query number is the MEDIAN, so a stray GC pause or page-cache miss
 in one pass can't masquerade as a regression (the shared-harness noise
 band was measured at ±20% with single-shot timings).
 
+Queries are forced through the NOOP SINK (``write.format("noop")``),
+never ``.count()``: Catalyst prunes columns a count does not need, so
+counting a projection-style query measures a skeleton of the real
+work (measured round 6: ``simhash`` 0.7 s counted vs 13.5 s fully
+evaluated — the count plan dropped the entire vote computation). The
+noop sink demands every output column and discards rows JVM-side,
+which is the standard way to benchmark Spark plans honestly.
+
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1, "n": 3}
@@ -153,11 +161,11 @@ def main() -> None:
             fn = qs[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
-            rows = df.count()
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             samples[name].append(dt)
-            print(f"# pass {it + 1}/{n_iters} {name}: {rows} rows "
-                  f"in {dt:.2f}s", file=sys.stderr)
+            print(f"# pass {it + 1}/{n_iters} {name}: {dt:.2f}s",
+                  file=sys.stderr)
 
     timings = {name: round(statistics.median(s), 3)
                for name, s in samples.items()}

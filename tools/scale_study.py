@@ -64,11 +64,14 @@ def main() -> int:
     for name in names:
         med = {}
         for sf in (args.small, args.big):
-            qs[name](spark, sf).count()  # warm (plan + page cache)
+            def force():
+                qs[name](spark, sf).write.format("noop") \
+                    .mode("overwrite").save()  # full eval, no count-pruning
+            force()  # warm (plan + page cache)
             ts = []
             for _ in range(args.n):
                 t0 = time.time()
-                qs[name](spark, sf).count()
+                force()
                 ts.append(time.time() - t0)
             med[sf] = statistics.median(ts)
         ratio = med[args.big] / med[args.small]

@@ -128,17 +128,20 @@ def main() -> int:
         "weight", (F.col("bucket") % 1000 - 500) / F.lit(500.0)
     ).localCheckpoint(eager=True)
 
+    def force(d):
+        d.write.format("noop").mode("overwrite").save()
+
     ops = {
-        "paragraph_dedup": lambda: dedup.paragraph_dedup(
-            df, "doc_id", "text").count(),
-        "domain_quota_skewsafe": lambda: curation.domain_quota(
+        "paragraph_dedup": lambda: force(dedup.paragraph_dedup(
+            df, "doc_id", "text")),
+        "domain_quota_skewsafe": lambda: force(curation.domain_quota(
             df, "host", "doc_id", 10, priority_col="n_chars",
-            exact_ranks=False).count(),
-        "tfidf_pairs": lambda: dedup.tfidf_cosine_pairs(
+            exact_ranks=False)),
+        "tfidf_pairs": lambda: force(dedup.tfidf_cosine_pairs(
             df, "doc_id", "text", min_cosine=0.3,
-            max_token_df=max(args.rows // 10, 1)).count(),
-        "classifier_score": lambda: curation.classifier_quality_score(
-            df, "doc_id", "text", weights, dim=dim).count(),
+            max_token_df=max(args.rows // 10, 1))),
+        "classifier_score": lambda: force(curation.classifier_quality_score(
+            df, "doc_id", "text", weights, dim=dim)),
     }
 
     report, violations = {}, []
