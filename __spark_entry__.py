@@ -893,6 +893,59 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_leakage_safe_split(spark, sf):
+    """Cluster-keyed train/val/test assignment
+    (curation.leakage_safe_split): simhash near-dup pairs collapse to
+    connected components and the COMPONENT label is the split hash key,
+    so two near-duplicate documents can never straddle the eval
+    boundary — the failure mode `split_leakage` audits for, prevented
+    structurally. The oracle recomputes the pairs closed-form
+    (ORACLE_SIMHASH_PAIRS's procedure), labels components with a
+    recursive transitive closure, and replays the keyed-md5 split."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text",
+                                         max_hamming=3)
+    out = curation.leakage_safe_split(docs.select("doc_id"), "doc_id",
+                                      pairs, _SPLIT_WEIGHTS)
+    return out.select("doc_id", "bucket", "split")
+
+
+def _oracle_leakage_safe_split() -> str:
+    pair_body = ORACLE_SIMHASH_PAIRS.strip()
+    assert pair_body.startswith("WITH ")
+    th = curation.split_thresholds(_SPLIT_WEIGHTS)
+    branches = "\n    ".join(f"WHEN bucket < {t} THEN '{name}'"
+                             for name, t in th[:-1])
+    return f"""
+{pair_body[:pair_body.index('SELECT DISTINCT')].rstrip()},
+pr AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pr
+  UNION ALL SELECT id_b, id_a FROM pr),
+comp AS (
+  WITH RECURSIVE reach(id, lab) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
+  SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS g
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+b AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('split|' || g::VARCHAR), 1, 15))::BIGINT
+      % 1000000 AS bucket
+  FROM keyed)
+SELECT doc_id, bucket,
+  CASE {branches} ELSE '{th[-1][0]}' END AS split
+FROM b
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf):
     docs = _t(spark, sf, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
@@ -4091,6 +4144,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "bloom_semi_join": q_bloom_semi_join,
     "pq_adc_topk": q_pq_adc_topk,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4198,6 +4252,7 @@ _ORACLE: dict[str, str] = {
     "bpe_encode": _oracle_bpe_encode(6),
     "bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
+    "leakage_safe_split": _oracle_leakage_safe_split(),
 }
 
 

@@ -800,3 +800,28 @@ def test_bpe_encode_applies_learned_merges(spark):
     assert len(merges) == 3
     # 'low' appears 4x -> its pieces should have merged below 3 chars
     assert len(ref("low")) < 3
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Every member of a near-dup component must land in the SAME
+    split, and singletons follow plain hash_split semantics."""
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    docs = spark.createDataFrame([(i,) for i in range(200)],
+                                 "doc_id long")
+    # components: {0,1,2} chained, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long")
+    out = curation.leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 200
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[10] == rows[11]
+    # singleton assignment == hash_split keyed on own id
+    solo = {r["doc_id"]: r["split"] for r in curation.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    for i in range(20, 40):
+        assert rows[i] == solo[i]
+    # all three splits materialize over 200 ids
+    assert set(rows.values()) == {"train", "val", "test"}

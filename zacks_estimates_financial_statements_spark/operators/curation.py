@@ -1022,3 +1022,32 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str,
             })
 
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
+                       weights: Mapping[str, float],
+                       src: str = "id_a", dst: str = "id_b",
+                       seed: str = "split") -> DataFrame:
+    """Split assignment that structurally CANNOT leak near-duplicates
+    across train/val/test: the near-dup pair relation collapses to
+    connected components (``graph.connected_components``), the
+    component label becomes the hash key, and every member inherits its
+    component's split. ``hash_split`` keyed on the document id keeps
+    eval honest only for exact ids; this keyed-on-cluster form is what
+    `split_leakage` audits FOR — two paraphrases of one page can never
+    straddle the boundary if the pair generator caught them.
+
+    Cost on top of ``hash_split``: the CC iterations run on the EDGE
+    set only (bounded by near-dup pairs, tiny next to the corpus) and
+    one left join attaches labels — singletons skip the join output and
+    key on their own id. Output: df columns + ``bucket``, ``split``.
+    """
+    from zacks_estimates_financial_statements_spark.operators import graph
+
+    labels = (graph.connected_components(pairs, src=src, dst=dst)
+              .withColumnRenamed("node", id_col))
+    keyed = (df.join(labels, id_col, "left")
+             .withColumn("__g", F.coalesce(F.col("component"),
+                                           F.col(id_col)))
+             .drop("component"))
+    return hash_split(keyed, "__g", weights, seed).drop("__g")
