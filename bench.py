@@ -95,6 +95,11 @@ HEADLINE = [
     "standardize",          # broadcast-stats z-score scaling
     "histogram",            # grouped equi-width value histogram
     "tfidf_pairs",          # sparse TF-IDF cosine related-doc pairs
+    "simhash_pairs",        # pigeonhole-banded simhash near-dup pairs
+    "bpe_encode",           # BPE inference: chained replaces + rejoin
+    "bloom_semi_join",      # explicit bloom bitmap semi-join reduction
+    "pq_adc_topk",          # product-quantization ADC ranking
+    "leakage_safe_split",   # CC-keyed split (simhash pairs + labels)
     # media_curate is excluded like dedup_clusters (it embeds the CC
     # fixed overhead already excluded there, plus the benched phash
     # stage).

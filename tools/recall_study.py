@@ -174,6 +174,55 @@ def main() -> None:
                .filter(F.col("__ca") == F.col("__cb")).count())
         sem[label] = round(got / n_sem_truth, 4) if n_sem_truth else None
 
+    # --- PQ/ADC recall vs exact squared-L2 top-k --------------------------
+    # PQ ranks by approximate L2, so its ground truth is the exact L2
+    # ranking (cosine order coincides only on unit-norm corpora). Raw
+    # ADC + the IVFADC+R refine points document the dial PERFORMANCE.md
+    # tabulates; the refine stage touches only Q·R float rows.
+    from pyspark.sql import Window
+
+    from zacks_estimates_financial_statements_spark.functions import vectors as V
+
+    def pq_recall(corpus, qset) -> dict:
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("d"), F.col("vec_id"))
+        exact_l2 = (corpus.crossJoin(F.broadcast(qset))
+                    .select("query_id", "vec_id",
+                            V.sq_l2(F.col("embedding"),
+                                    F.col("query_vec")).alias("d"))
+                    .withColumn("r", F.row_number().over(w))
+                    .filter(F.col("r") <= topk)
+                    .select("query_id", "vec_id").persist())
+        n = exact_l2.count()
+
+        def r(approx) -> float:
+            hits = exact_l2.join(approx.select("query_id", "vec_id"),
+                                 ["query_id", "vec_id"],
+                                 "left_semi").count()
+            return round(hits / n, 4)
+
+        out = {
+            "pq_m8_iters1": r(similarity.topk_pq_adc(
+                corpus, qset, k=topk, dims=64, n_subspaces=8,
+                n_codes=16, kmeans_iters=1)),
+            "pq_m8_iters1_rerank100": r(similarity.topk_pq_adc(
+                corpus, qset, k=topk, dims=64, n_subspaces=8,
+                n_codes=16, kmeans_iters=1, rerank=100)),
+            "pq_m8_iters1_rerank200": r(similarity.topk_pq_adc(
+                corpus, qset, k=topk, dims=64, n_subspaces=8,
+                n_codes=16, kmeans_iters=1, rerank=200)),
+        }
+        exact_l2.unpersist()
+        return out
+
+    pq_random = pq_recall(emb, queries)
+    planted_f = planted.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    pq_planted = pq_recall(
+        planted_f,
+        pq.select("query_id",
+                  F.col("query_vec").cast("array<float>").alias("query_vec")))
+
     print(json.dumps({
         "sf_dir": sf_dir, "tau": tau, "k": K, "bands": BANDS,
         "n_docs": docs.count(),
@@ -184,6 +233,8 @@ def main() -> None:
         "precision_at_tau": round(good / n_cand, 4) if n_cand else None,
         "ann_recall_at_10": ann,
         "ann_recall_at_10_planted": ann_planted,
+        "pq_recall_at_10_vs_l2": pq_random,
+        "pq_recall_at_10_vs_l2_planted": pq_planted,
         "ann_queries": n_queries,
         "semantic_dedup_pair_recall": {
             "tau": tau_sem, "truth_pairs": n_sem_truth, **sem},
