@@ -1097,6 +1097,57 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (similarity.mine_hard_negatives): per
+    anchor, the most-similar corpus vectors that are NOT its known
+    positives (self counts as one) — the offline contrastive-training
+    feed. Anchors = 5 lowest ids; positives planted as
+    (a, a + 250 + a % 3). Exact candidate tier (the oracle-checkable
+    default); lsh/ivf swap in for the 100 TB path with the same
+    contract."""
+    emb = _t(spark, sf, "embeddings")
+    anchors = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("embedding").alias("anchor_vec")))
+    positives = anchors.select(
+        "anchor_id",
+        (F.col("anchor_id") + 250 + F.col("anchor_id") % 3)
+        .alias("vec_id"))
+    out = similarity.mine_hard_negatives(emb, anchors, positives,
+                                         n_negatives=5, candidate_k=20)
+    return out.select("anchor_id", "vec_id",
+                      F.round(F.col("cosine"), 6).alias("cosine"),
+                      "neg_rank")
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS avec FROM embeddings
+  ORDER BY vec_id LIMIT 5),
+pos AS (
+  SELECT anchor_id, anchor_id + 250 + anchor_id % 3 AS vec_id FROM a
+  UNION ALL SELECT anchor_id, anchor_id FROM a),
+scored AS (
+  SELECT a.anchor_id, e.vec_id,
+    {_COS_SQL.format(a='e.embedding', b='a.avec')} AS cos
+  FROM embeddings e CROSS JOIN a),
+cand AS (
+  SELECT anchor_id, vec_id, cos,
+    row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY cos DESC, vec_id) AS rank
+  FROM scored),
+neg AS (
+  SELECT c.anchor_id, c.vec_id, c.cos
+  FROM cand c LEFT JOIN pos p USING (anchor_id, vec_id)
+  WHERE c.rank <= 20 AND p.vec_id IS NULL)
+SELECT anchor_id, vec_id, round(cos, 6) AS cosine,
+  (row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cos DESC, vec_id))::INT AS neg_rank
+FROM neg
+QUALIFY neg_rank <= 5
+"""
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding near-dup via the sign-bit-bucketed scale path
     (bucket_bits>0 → equi-join on the SRP sketch, never all-pairs; the
@@ -4145,6 +4196,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semi_join": q_bloom_semi_join,
     "pq_adc_topk": q_pq_adc_topk,
     "leakage_safe_split": q_leakage_safe_split,
+    "hard_negatives": q_hard_negatives,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4253,6 +4305,7 @@ _ORACLE: dict[str, str] = {
     "bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "leakage_safe_split": _oracle_leakage_safe_split(),
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
 }
 
 

@@ -99,7 +99,9 @@ HEADLINE = [
     "bpe_encode",           # BPE inference: chained replaces + rejoin
     "bloom_semi_join",      # explicit bloom bitmap semi-join reduction
     "pq_adc_topk",          # product-quantization ADC ranking
-    "leakage_safe_split",   # CC-keyed split (simhash pairs + labels)
+    # leakage_safe_split joins the non-headline tail below: it embeds a
+    # connected-components run whose fixed checkpoint/convergence jobs
+    # dominate at bench sf — same exclusion rationale as dedup_clusters.
     # media_curate is excluded like dedup_clusters (it embeds the CC
     # fixed overhead already excluded there, plus the benched phash
     # stage).
@@ -125,6 +127,7 @@ TRACKED_NON_HEADLINE = [
     "ann_ivf_topk",           # IVF build+probe (build dominates at sf)
     "media_curate",           # decode-gated hash + pairs + CC, one plan
     "domain_quota_skewsafe",  # two-phase salted top-N quota path
+    "leakage_safe_split",     # CC-keyed split (CC fixed cost at sf)
 ]
 
 

@@ -681,3 +681,35 @@ def test_pq_rerank_improves_recall(emb):
                  for r in ref.collect()} & truth) / len(truth)
     assert r_ref >= r_raw
     assert r_ref >= 0.5, (r_raw, r_ref)
+
+
+def test_mine_hard_negatives_excludes_positives_and_self(emb):
+    """Hard negatives: positives and the anchor itself never appear;
+    ranks are contiguous from 1; approximate tiers keep the contract."""
+    anchors = _queries(emb, 3).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("query_vec").alias("anchor_vec"))
+    positives = anchors.select(
+        "anchor_id", (F.col("anchor_id") + 7).alias("vec_id"))
+    out = similarity.mine_hard_negatives(
+        emb, anchors, positives, n_negatives=4, candidate_k=30)
+    rows = out.collect()
+    banned = {(r["anchor_id"], r["anchor_id"]) for r in rows} | \
+        {(p["anchor_id"], p["vec_id"]) for p in positives.collect()}
+    got = {(r["anchor_id"], r["vec_id"]) for r in rows}
+    assert not (got & banned)
+    from collections import defaultdict
+    ranks = defaultdict(list)
+    for r in rows:
+        ranks[r["anchor_id"]].append(r["neg_rank"])
+    assert all(sorted(v) == list(range(1, 5)) for v in ranks.values())
+    # lsh tier: same exclusion contract (recall may differ)
+    lsh = similarity.mine_hard_negatives(
+        emb, anchors, positives, n_negatives=4, candidate_k=30,
+        method="lsh")
+    got_lsh = {(r["anchor_id"], r["vec_id"]) for r in lsh.collect()}
+    assert not (got_lsh & banned)
+    import pytest
+    with pytest.raises(ValueError, match="brute|lsh|ivf"):
+        similarity.mine_hard_negatives(emb, anchors, positives,
+                                       method="nope")

@@ -519,3 +519,54 @@ def topk_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 10,
                        .alias("exact_dist")))
     return _rank_topk(refined, query_id_col, k,
                       [F.asc("exact_dist"), F.col(id_col)])
+
+
+def mine_hard_negatives(corpus: DataFrame, anchors: DataFrame,
+                        positives: DataFrame, n_negatives: int = 5,
+                        candidate_k: int = 50,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        anchor_id_col: str = "anchor_id",
+                        anchor_vec_col: str = "anchor_vec",
+                        method: str = "brute") -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the
+    in-batch-negatives upgrade DPR/SBERT pipelines run offline): for
+    each anchor, the top similar corpus items that are NOT its known
+    positives — the negatives that actually move a contrastive loss.
+
+    ``positives`` is ``(anchor_id, vec_id)``. Candidates come from the
+    existing ANN tiers (``method``: ``brute`` — exact, the
+    oracle-checkable default — or ``lsh``/``ivf`` for the 100 TB path,
+    same knobs as ``topk_*``); the positive set drops out via one
+    LEFT ANTI join (the anchor's own id counts as a positive), and a
+    per-anchor window keeps the ``n_negatives`` hardest. Candidate
+    generation is the only corpus-scale stage — everything after runs
+    on ≤ anchors × candidate_k rows.
+
+    Output: ``(anchor_id, vec_id, cosine, neg_rank)``.
+    """
+    q = anchors.select(F.col(anchor_id_col).alias("query_id"),
+                       F.col(anchor_vec_col).alias("query_vec"))
+    if method == "brute":
+        cand = topk_bruteforce(corpus, q, k=candidate_k, id_col=id_col,
+                               vec_col=vec_col)
+    elif method == "lsh":
+        cand = topk_lsh(corpus, q, k=candidate_k, id_col=id_col,
+                        vec_col=vec_col)
+    elif method == "ivf":
+        cand = topk_ivf(corpus, q, k=candidate_k, id_col=id_col,
+                        vec_col=vec_col)
+    else:
+        raise ValueError(f"method must be brute|lsh|ivf, got {method!r}")
+    pos = (positives.select(F.col(anchor_id_col).alias("query_id"),
+                            F.col(id_col))
+           .unionByName(anchors.select(
+               F.col(anchor_id_col).alias("query_id"),
+               F.col(anchor_id_col).alias(id_col))))
+    neg = cand.join(pos, ["query_id", id_col], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.col(id_col))
+    return (neg.withColumn("neg_rank", F.row_number().over(w))
+            .filter(F.col("neg_rank") <= n_negatives)
+            .select(F.col("query_id").alias(anchor_id_col), id_col,
+                    "cosine", "neg_rank"))
