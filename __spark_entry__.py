@@ -4092,6 +4092,69 @@ FROM pairs WHERE rn = 1
 """
 
 
+def q_gopher_gate(spark, sf):
+    """Full Gopher quality-rule battery (Rae et al. 2021 §A1.1) as one
+    zero-shuffle annotating projection (operators/curation.py
+    ``gopher_gate``): word-count / mean-word-length bounds, symbol and
+    bullet/ellipsis ratios, alpha-word fraction, distinct-stopword
+    probe — one boolean per rule plus the conjunction ``keep``.
+    min_stopwords=1 because the synthetic corpus carries at most one
+    probe stopword per doc (still discriminative: 382 vs 118)."""
+    docs = _t(spark, sf, "documents")
+    return curation.gopher_gate(docs, "doc_id", "text", min_stopwords=1)
+
+
+ORACLE_GOPHER_GATE = r"""
+WITH m AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS w,
+    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_dots,
+    len(regexp_extract_all(text, '(?m)^[ 	]*[-*•]')) AS n_bul,
+    len(regexp_extract_all(text, '\.\.\.[ 	]*(' || chr(10) || '|$)'))
+      AS n_edots
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    CASE WHEN len(w) > 0 THEN
+      round(length(array_to_string(w, ''))::DOUBLE / len(w), 6)
+    END AS mean_word_len,
+    CASE WHEN len(w) > 0 THEN
+      round((n_hash + n_dots)::DOUBLE / len(w), 6)
+    END AS symbol_ratio,
+    round(n_bul::DOUBLE / n_lines, 6) AS bullet_line_frac,
+    round(n_edots::DOUBLE / n_lines, 6) AS ellipsis_line_frac,
+    CASE WHEN len(w) > 0 THEN
+      round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+            / len(w), 6)
+    END AS alpha_word_frac,
+    len(list_intersect(w, ['the','be','to','of','and','that','have',
+                           'with'])) AS n_stopwords
+  FROM m),
+f AS (
+  SELECT *,
+    coalesce(n_words BETWEEN 50 AND 100000, false) AS ok_words,
+    coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false) AS ok_word_len,
+    coalesce(symbol_ratio <= 0.1, false) AS ok_symbols,
+    coalesce(bullet_line_frac <= 0.9, false) AS ok_bullets,
+    coalesce(ellipsis_line_frac <= 0.3, false) AS ok_ellipsis,
+    coalesce(alpha_word_frac >= 0.8, false) AS ok_alpha,
+    coalesce(n_stopwords >= 1, false) AS ok_stopwords
+  FROM s)
+SELECT doc_id, n_words::INT AS n_words, mean_word_len, symbol_ratio,
+  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+  n_stopwords::INT AS n_stopwords,
+  ok_words, ok_word_len, ok_symbols, ok_bullets, ok_ellipsis, ok_alpha,
+  ok_stopwords,
+  (ok_words AND ok_word_len AND ok_symbols AND ok_bullets AND
+   ok_ellipsis AND ok_alpha AND ok_stopwords) AS keep
+FROM f
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -4197,6 +4260,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_adc_topk": q_pq_adc_topk,
     "leakage_safe_split": q_leakage_safe_split,
     "hard_negatives": q_hard_negatives,
+    "gopher_gate": q_gopher_gate,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4306,6 +4370,7 @@ _ORACLE: dict[str, str] = {
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "leakage_safe_split": _oracle_leakage_safe_split(),
     "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "gopher_gate": ORACLE_GOPHER_GATE,
 }
 
 

@@ -825,3 +825,71 @@ def test_leakage_safe_split_groups_never_straddle(spark):
         assert rows[i] == solo[i]
     # all three splits materialize over 200 ids
     assert set(rows.values()) == {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------- gopher gate
+
+GOOD_DOC = ("the quick brown fox jumps over the lazy dog and then "
+            "rests beside the river with a friend of hers that day "
+            "while birds sing songs about warm light and soft wind "
+            "carrying leaves across fields where children play games "
+            "until the evening comes and everyone walks home to eat") * 1
+
+
+def _gate(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = curation.gopher_gate(df, "doc_id", "text", **kw)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_gate_good_document_keeps(spark):
+    got = _gate(spark, [(1, GOOD_DOC)])
+    row = got[1]
+    assert row["keep"] and all(
+        row[c] for c in row if c.startswith("ok_")), row
+
+
+def test_gopher_gate_word_count_bounds(spark):
+    got = _gate(spark, [(1, "too short to pass"), (2, GOOD_DOC)],
+                min_words=20)
+    assert not got[1]["ok_words"] and not got[1]["keep"]
+    assert got[2]["ok_words"]
+
+
+def test_gopher_gate_bullet_and_ellipsis_lines(spark):
+    bullets = "\n".join(f"- item {i} of the list" for i in range(10))
+    dots = "\n".join(f"the line number {i} trails off..."
+                     for i in range(10))
+    got = _gate(spark, [(1, bullets), (2, dots), (3, GOOD_DOC)])
+    assert got[1]["bullet_line_frac"] == 1.0 and not got[1]["ok_bullets"]
+    assert got[2]["ellipsis_line_frac"] == 1.0 \
+        and not got[2]["ok_ellipsis"]
+    # ellipsis at end-of-text (no trailing newline) counts too
+    got_tail = _gate(spark, [(1, "it simply trails off...")])
+    assert got_tail[1]["ellipsis_line_frac"] == 1.0
+    assert got[3]["ok_bullets"] and got[3]["ok_ellipsis"]
+
+
+def test_gopher_gate_symbol_ratio_and_alpha_fraction(spark):
+    hashy = " ".join("#tag" for _ in range(60))
+    numeric = " ".join(str(i) for i in range(60))
+    got = _gate(spark, [(1, hashy), (2, numeric), (3, GOOD_DOC)])
+    assert got[1]["symbol_ratio"] >= 1.0 and not got[1]["ok_symbols"]
+    assert got[2]["alpha_word_frac"] == 0.0 and not got[2]["ok_alpha"]
+    assert got[3]["ok_symbols"] and got[3]["ok_alpha"]
+
+
+def test_gopher_gate_stopword_probe_distinct(spark):
+    # 'the' repeated 60x = ONE distinct probe stopword
+    one = " ".join("the" for _ in range(60))
+    got = _gate(spark, [(1, one), (2, GOOD_DOC)])
+    assert got[1]["n_stopwords"] == 1 and not got[1]["ok_stopwords"]
+    assert got[2]["n_stopwords"] >= 2 and got[2]["ok_stopwords"]
+
+
+def test_gopher_gate_null_text_fails_closed(spark):
+    got = _gate(spark, [(1, None), (2, GOOD_DOC)])
+    assert got[1]["keep"] is False and got[1]["n_words"] is None
+    assert all(got[1][c] is False for c in got[1]
+               if c.startswith("ok_"))
+    assert got[2]["keep"] is True

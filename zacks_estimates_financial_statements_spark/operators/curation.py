@@ -1051,3 +1051,108 @@ def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
                                            F.col(id_col)))
              .drop("component"))
     return hash_split(keyed, "__g", weights, seed).drop("__g")
+
+
+#: Gopher §A1.1 stopword probe set: a document passing the gate must
+#: contain at least ``min_stopwords`` DISTINCT members.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_gate(df: DataFrame, id_col: str, text_col: str,
+                min_words: int = 50, max_words: int = 100_000,
+                min_word_len: float = 3.0, max_word_len: float = 10.0,
+                max_symbol_ratio: float = 0.1,
+                max_bullet_frac: float = 0.9,
+                max_ellipsis_frac: float = 0.3,
+                min_alpha_frac: float = 0.8,
+                min_stopwords: int = 2) -> DataFrame:
+    """The full Gopher quality-rule battery (Rae et al., arXiv:2112.11446
+    §A1.1) as one zero-shuffle projection: per-document measurements,
+    one boolean per rule, and the conjunction ``keep``.
+
+    Rules (defaults are the paper's):
+
+    - word count in ``[min_words, max_words]``         → ``ok_words``
+    - mean word length in ``[min_word_len, max_word_len]``
+                                                       → ``ok_word_len``
+    - (# ``#`` + # ``...``) / words <= ``max_symbol_ratio``
+                                                       → ``ok_symbols``
+    - fraction of lines starting with a bullet (``-``/``*``/``•``)
+      <= ``max_bullet_frac``                           → ``ok_bullets``
+    - fraction of lines ending with ``...`` <= ``max_ellipsis_frac``
+                                                       → ``ok_ellipsis``
+    - fraction of words containing a letter >= ``min_alpha_frac``
+                                                       → ``ok_alpha``
+    - >= ``min_stopwords`` DISTINCT probe stopwords present
+                                                       → ``ok_stopwords``
+
+    Rows are never dropped — the gate ANNOTATES (filterable downstream),
+    so quality dashboards can count per-rule rejection rates from the
+    same pass. NULL text fails every rule with NULL measurements.
+
+    Scale: every rule is a flat per-row expression (regexp_count /
+    length-delta occurrence counts, one materialized token array shared
+    by all word rules per the lambda-CSE rule) — no shuffle, no UDF, no
+    per-line explode; line rules ride multiline-anchored ``regexp_count``
+    over the raw string instead of splitting. Fractions round to 6
+    digits (cross-engine double contract).
+    """
+    words = _word_array(text_col)
+    base = df.withColumn("__w", words)
+    n_words = F.size("__w")
+    n_lines = (F.length(text_col)
+               - F.length(F.regexp_replace(F.col(text_col), "\n", ""))
+               + F.lit(1))
+    # occurrence counts as length deltas (flat codegen, no HOF)
+    n_hash = (F.length(text_col)
+              - F.length(F.regexp_replace(F.col(text_col), "#", "")))
+    n_ellipsis = (F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"\.\.\.", ""))) / 3
+    n_bullet_lines = F.regexp_count(
+        F.col(text_col), F.lit(r"(?m)^[ \t]*[-*•]"))
+    n_ellipsis_lines = F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.[ \t]*(\n|$)"))
+    n_alpha_words = F.size(F.filter("__w", lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(F.array_intersect(
+        "__w", F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    measured = base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(n_words > 0,
+               F.round(F.length(F.concat_ws("", "__w")) / n_words, 6))
+        .alias("mean_word_len"),
+        F.when(n_words > 0,
+               F.round((n_hash + n_ellipsis) / n_words, 6))
+        .alias("symbol_ratio"),
+        F.round(n_bullet_lines / n_lines, 6).alias("bullet_line_frac"),
+        F.round(n_ellipsis_lines / n_lines, 6)
+        .alias("ellipsis_line_frac"),
+        F.when(n_words > 0, F.round(n_alpha_words / n_words, 6))
+        .alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"))
+
+    def ok(cond):
+        return F.coalesce(cond, F.lit(False))
+
+    flags = measured.select(
+        "*",
+        ok(F.col("n_words").between(min_words, max_words))
+        .alias("ok_words"),
+        ok(F.col("mean_word_len").between(min_word_len, max_word_len))
+        .alias("ok_word_len"),
+        ok(F.col("symbol_ratio") <= max_symbol_ratio)
+        .alias("ok_symbols"),
+        ok(F.col("bullet_line_frac") <= max_bullet_frac)
+        .alias("ok_bullets"),
+        ok(F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        .alias("ok_ellipsis"),
+        ok(F.col("alpha_word_frac") >= min_alpha_frac)
+        .alias("ok_alpha"),
+        ok(F.col("n_stopwords") >= min_stopwords)
+        .alias("ok_stopwords"))
+    rule_cols = [c for c in flags.columns if c.startswith("ok_")]
+    out = F.col(rule_cols[0])
+    for c in rule_cols[1:]:
+        out = out & F.col(c)
+    return flags.withColumn("keep", out)
