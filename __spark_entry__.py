@@ -4155,6 +4155,102 @@ FROM f
 """
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/curation.py
+    ``dsir_select``, arXiv:2302.03169): select the 100 raw-corpus docs
+    whose hashed unigram+bigram profile best matches the English
+    sub-corpus, via smoothed bucket-model log ratios + deterministic
+    Gumbel-top-k. Token-linear featurization, bucket-bounded models,
+    TakeOrdered selection."""
+    docs = _t(spark, sf, "documents")
+    return curation.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text",
+        n=100, buckets=4096)
+
+
+# The SQL twin replays the whole chain: hashed gram buckets, the two
+# smoothed bucket models, per-doc decimal-summed log weights, the
+# keyed-md5 Gumbel keys, and the same (key DESC, doc_id) top-100 cut.
+ORACLE_DSIR_SELECT = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t,
+    lang
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)),
+bucketed AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('dsir|' || g), 1, 15))::BIGINT % 4096 AS bucket
+  FROM grams),
+feats AS (
+  SELECT doc_id, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2),
+raw_tot AS (
+  SELECT bucket, sum(c)::BIGINT AS cr FROM feats GROUP BY 1),
+tgt_tot AS (
+  SELECT bucket, count(*)::BIGINT AS ct FROM bucketed
+  WHERE lang = 'en' GROUP BY 1),
+consts AS (
+  SELECT (SELECT sum(cr) FROM raw_tot) AS CR,
+         (SELECT sum(ct) FROM tgt_tot) AS CT),
+model AS (
+  SELECT r.bucket,
+    round(ln((coalesce(t.ct, 0) + 1.0) / (consts.CT + 1.0 * 4096)), 6)
+    - round(ln((r.cr + 1.0) / (consts.CR + 1.0 * 4096)), 6) AS lr
+  FROM raw_tot r LEFT JOIN tgt_tot t USING (bucket), consts),
+weighted AS (
+  SELECT f.doc_id,
+    sum(f.c)::BIGINT AS n_grams,
+    sum(round(f.c * m.lr, 6)::DECIMAL(38,6)) AS lw
+  FROM feats f JOIN model m USING (bucket) GROUP BY 1),
+scored AS (
+  SELECT doc_id, n_grams,
+    round(lw::DOUBLE, 6) AS log_weight,
+    round(-ln(-ln(
+      ((('0x' || substr(md5('gumbel|dsir|' || doc_id::VARCHAR), 1, 15))
+        ::BIGINT % 1000000)::DOUBLE + 0.5) / 1000000)), 6) AS gumbel
+  FROM weighted)
+SELECT doc_id, n_grams, log_weight, gumbel,
+  round(log_weight + gumbel, 6) AS key
+FROM scored
+ORDER BY key DESC, doc_id
+LIMIT 100
+"""
+
+
+def q_perplexity_buckets(spark, sf):
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (operators/curation.py ``perplexity_buckets``, Wenzek et al. LREC
+    2020): self-trained bigram-LM ppl, per-language tertile cuts
+    (exact percentile = quantile_cont), 6-digit boundary compares."""
+    docs = _t(spark, sf, "documents")
+    return curation.perplexity_buckets(docs, "doc_id", "text", "lang")
+
+
+# Composes the lm_perplexity twin: same ppl relation, then per-language
+# quantile_cont tertiles and the identical boundary-rounded CASE.
+ORACLE_PERPLEXITY_BUCKETS = f"""
+WITH ppl_rel AS ({ORACLE_LM_PERPLEXITY}),
+j AS (
+  SELECT p.doc_id, d.lang, p.n_bigrams, p.ppl
+  FROM ppl_rel p JOIN documents d USING (doc_id)),
+cutrel AS (
+  SELECT lang,
+    round(quantile_cont(ppl, 1.0/3), 6) AS head_cut,
+    round(quantile_cont(ppl, 2.0/3), 6) AS middle_cut
+  FROM j GROUP BY lang)
+SELECT j.doc_id, j.lang, j.n_bigrams, j.ppl, c.head_cut, c.middle_cut,
+  CASE WHEN j.ppl <= c.head_cut THEN 'head'
+       WHEN j.ppl <= c.middle_cut THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM j JOIN cutrel c USING (lang)
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -4261,6 +4357,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "hard_negatives": q_hard_negatives,
     "gopher_gate": q_gopher_gate,
+    "dsir_select": q_dsir_select,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4371,6 +4469,8 @@ _ORACLE: dict[str, str] = {
     "leakage_safe_split": _oracle_leakage_safe_split(),
     "hard_negatives": ORACLE_HARD_NEGATIVES,
     "gopher_gate": ORACLE_GOPHER_GATE,
+    "dsir_select": ORACLE_DSIR_SELECT,
+    "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
 }
 
 

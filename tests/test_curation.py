@@ -893,3 +893,115 @@ def test_gopher_gate_null_text_fails_closed(spark):
     assert all(got[1][c] is False for c in got[1]
                if c.startswith("ok_"))
     assert got[2]["keep"] is True
+
+
+# ----------------------------------------------------------------------- dsir
+
+def _dsir_corpus(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = "one two three four five six seven eight " * 4
+    rows = [(i, a if i % 2 == 0 else b) for i in range(40)]
+    raw = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = spark.createDataFrame(
+        [(100 + i, a) for i in range(10)], "doc_id bigint, text string")
+    return raw, target
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    raw, target = _dsir_corpus(spark)
+    out = curation.dsir_select(raw, target, "doc_id", "text",
+                               buckets=512)
+    got = {r["doc_id"]: r["log_weight"] for r in out.collect()}
+    assert len(got) == 40
+    a_w = [w for d, w in got.items() if d % 2 == 0]
+    b_w = [w for d, w in got.items() if d % 2 == 1]
+    # every alpha-vocabulary doc outweighs every numeric-vocabulary doc
+    assert min(a_w) > max(b_w)
+
+
+def test_dsir_topk_deterministic_and_without_replacement(spark):
+    raw, target = _dsir_corpus(spark)
+    sel = curation.dsir_select(raw, target, "doc_id", "text",
+                               n=10, buckets=512)
+    ids1 = sorted(r["doc_id"] for r in sel.collect())
+    assert len(ids1) == len(set(ids1)) == 10
+    again = curation.dsir_select(raw.repartition(7), target, "doc_id",
+                                 "text", n=10, buckets=512)
+    assert sorted(r["doc_id"] for r in again.collect()) == ids1
+    # target-like docs dominate the selection
+    assert sum(1 for d in ids1 if d % 2 == 0) >= 8
+
+
+def test_dsir_featureless_docs_drop_out(spark):
+    raw, target = _dsir_corpus(spark)
+    raw = raw.union(spark.createDataFrame(
+        [(900, None), (901, ""), (902, "!!! ???")],
+        "doc_id bigint, text string"))
+    out = curation.dsir_select(raw, target, "doc_id", "text",
+                               buckets=512)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == set(range(40))
+
+
+def test_dsir_validates_buckets(spark):
+    raw, target = _dsir_corpus(spark)
+    with pytest.raises(ValueError):
+        curation.dsir_select(raw, target, "doc_id", "text", buckets=1)
+
+
+# -------------------------------------------------------- perplexity buckets
+
+def test_perplexity_buckets_tertiles_and_dropout(spark):
+    # 9 scoreable docs in one language: 3 highly-predictable (repeated
+    # bigram chains), 3 mixed, 3 near-unique-bigram word soups -> the
+    # tertile cut puts exactly 3 in each bucket; a 1-token doc drops.
+    predictable = "spark table spark table spark table spark table"
+    mixed = "spark table join filter spark group table window agg"
+    rows = []
+    for i in range(3):
+        rows.append((i, predictable + f" tail{i}", "en"))
+    for i in range(3, 6):
+        rows.append((i, mixed + f" tail{i} extra{i}", "en"))
+    for i in range(6, 9):
+        rows.append((i, f"zig{i} zag{i} zip{i} zap{i} zoo{i} "
+                        f"qux{i} quux{i}", "en"))
+    rows.append((99, "lonely", "en"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "lang string")
+    out = curation.perplexity_buckets(df, "doc_id", "text", "lang")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 99 not in got and len(got) == 9
+    buckets = {d: got[d]["bucket"] for d in got}
+    assert all(buckets[d] == "head" for d in (0, 1, 2)), buckets
+    assert all(buckets[d] == "tail" for d in (6, 7, 8)), buckets
+    assert all(buckets[d] == "middle" for d in (3, 4, 5)), buckets
+    # head ppl strictly below tail ppl, cuts attached consistently
+    assert max(got[d]["ppl"] for d in (0, 1, 2)) <= \
+        got[0]["head_cut"] < got[6]["ppl"]
+
+
+def test_perplexity_buckets_cuts_are_per_stratum(spark):
+    # the same text distribution in two languages gets independent cuts
+    rows = []
+    for lang in ("aa", "bb"):
+        for i in range(6):
+            base = 1000 if lang == "aa" else 2000
+            txt = ("spark table " * (6 - i)) + f"unique{lang}{i} " \
+                + f"rare{lang}{i} odd{lang}{i}"
+            rows.append((base + i, txt, lang))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "lang string")
+    out = curation.perplexity_buckets(df, "doc_id", "text", "lang")
+    per_lang = {}
+    for r in out.collect():
+        per_lang.setdefault(r["lang"], set()).add(r["bucket"])
+    assert per_lang["aa"] == {"head", "middle", "tail"}
+    assert per_lang["bb"] == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_validates_cuts(spark):
+    df = spark.createDataFrame([(1, "a b c", "en")],
+                               "doc_id bigint, text string, lang string")
+    with pytest.raises(ValueError):
+        curation.perplexity_buckets(df, "doc_id", "text", "lang",
+                                    cuts=(0.7, 0.3))

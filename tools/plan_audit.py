@@ -37,6 +37,11 @@ FANOUT_BNLJ_OK = {
     "simhash": "64-row bit-index range broadcast",
     "simhash_pairs": "64-row bit-index range broadcast",
     "topk_cosine": "declared exact baseline: broadcast query set x corpus",
+    "hard_negatives": "inherits topk_cosine's declared exact-baseline "
+                      "candidate generator (the registered query uses "
+                      "method='brute' so the oracle can replay it; the "
+                      "100 TB path is method='lsh'/'ivf', whose plans "
+                      "are the bucketed ann_* shapes)",
     "ann_ivf_topk": "n_centroids-row centroid table broadcast (coarse "
                     "quantizer scoring)",
     "token_frequencies": "1-row corpus-count aggregate broadcast "
@@ -70,6 +75,14 @@ FANOUT_BNLJ_OK = {
                        "scalar-attach shape: the probe side filters "
                        "against a 2^20-bit map without shuffling; the "
                        "real join after it is an equi-join)",
+    "perplexity_buckets": "embeds lm_perplexity's 1-row vocabulary-"
+                          "size scalar attach (same folded-constant-"
+                          "key shape); the tertile cuts join is a "
+                          "|strata|-row broadcast equi-join",
+    "dsir_select": "two 1-row corpus-total aggregates broadcast onto "
+                   "the <=buckets-row bucket model (scalar-attach "
+                   "shape, same as standardize); doc scoring itself "
+                   "is a broadcast equi-join on bucket",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the
@@ -88,6 +101,9 @@ LAMBDA_FILTER_OK = {
     "lm_perplexity": "caller-written size(tokens) >= 2 guard pushed "
                      "into the scan filter — one extra split pass",
     "curate_pipeline": "embeds clean_corpus-style quality gates",
+    "perplexity_buckets": "embeds lm_perplexity's caller-written "
+                          "size(tokens) >= 2 guard pushed into the "
+                          "scan filter",
 }
 
 #: queries whose GLOBAL (unpartitioned) window is provably bounded but

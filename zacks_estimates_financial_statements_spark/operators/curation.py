@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from zacks_estimates_financial_statements_spark.operators.dedup import hash60
 
@@ -1156,3 +1157,150 @@ def gopher_gate(df: DataFrame, id_col: str, text_col: str,
     for c in rule_cols[1:]:
         out = out & F.col(c)
     return flags.withColumn("keep", out)
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
+                text_col: str, n: int | None = None,
+                buckets: int = 8192, smoothing: float = 1.0,
+                seed: str = "dsir") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023, arXiv:2302.03169): pick raw-corpus documents whose
+    hashed n-gram profile looks like the ``target`` corpus.
+
+    1. Featurize: unigram + bigram counts hashed into ``buckets``
+       cells (keyed 60-bit md5 — cross-engine deterministic, unlike
+       ``hashingTF``'s murmur).
+    2. Fit add-``smoothing`` bucket unigram models over raw and
+       target; per-bucket log ratio ``ln p_tgt(b) − ln p_raw(b)``.
+    3. Per raw doc: ``log_weight = Σ_b count_doc(b) · ratio(b)``.
+    4. Gumbel-top-k resampling WITHOUT replacement: a deterministic
+       Gumbel perturbation from the keyed-md5 uniform is added to the
+       log weight and the global top ``n`` keys win — equivalent to
+       sampling ∝ weight without replacement (Efraimidis-Spirakis in
+       Gumbel form), reproducible across engines, partitionings, runs.
+
+    ``n=None`` skips the resampling cut and returns every raw doc with
+    its ``n_grams``, ``log_weight``, ``gumbel``, ``key`` (the QA view:
+    weight histograms, domain-level DSIR audits). Documents with no
+    features (NULL/empty text) drop out — they carry no evidence.
+
+    Determinism contract: both lns round to 6 digits BEFORE
+    differencing, per-bucket contributions round to 6 and sum as
+    ``decimal(38,6)``, the final key rounds to 6 with doc-id
+    tie-break — the repo-wide cross-engine hashing recipe.
+
+    Scale: featurization is one explode + one (doc, bucket) map-side-
+    combined agg, token-linear, and the per-doc feature relation is
+    PERSISTED so the bucket-model branch and the scoring branch share
+    one tokenization pass (Catalyst will not reuse a subtree across
+    two differently-keyed aggregations). Bucket models are <=
+    ``buckets`` rows — they broadcast; corpus totals attach as 1-row
+    broadcasts. The top-n is a TakeOrdered, never a full sort. The raw
+    corpus text shuffles ONLY as (id, bucket, count) rows.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+
+    def grams(df):
+        words = _word_array(text_col)
+        t = df.select(F.col(id_col), words.alias("__t"))
+        n1 = F.size("__t") - 1
+        bi = F.when(
+            F.size("__t") >= 2,
+            F.zip_with(F.slice("__t", 1, n1), F.slice("__t", 2, n1),
+                       lambda a, b: F.concat_ws(" ", a, b))
+        ).otherwise(F.array().cast("array<string>"))
+        g = t.select(F.col(id_col),
+                     F.explode_outer(F.concat("__t", bi)).alias("__g"))
+        return g.filter(F.col("__g").isNotNull()).select(
+            F.col(id_col),
+            (hash60(F.concat(F.lit(seed), F.lit("|"), F.col("__g")))
+             % buckets).alias("bucket"))
+
+    feats = (grams(raw).groupBy(id_col, "bucket")
+             .agg(F.count("*").alias("__c"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    raw_tot = feats.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
+    tgt_tot = grams(target).groupBy("bucket").agg(
+        F.count("*").alias("__ct"))
+    consts = (raw_tot.agg(F.sum("__cr").alias("__tot_raw"))
+              .join(tgt_tot.agg(F.sum("__ct").alias("__tot_tgt"))))
+    model = (raw_tot.join(tgt_tot, "bucket", "left")
+             .join(F.broadcast(consts))
+             .select(
+                 "bucket",
+                 (F.round(F.log(
+                     (F.coalesce("__ct", F.lit(0)) + F.lit(smoothing))
+                     / (F.col("__tot_tgt") + smoothing * buckets)), 6)
+                  - F.round(F.log(
+                      (F.col("__cr") + F.lit(smoothing))
+                      / (F.col("__tot_raw") + smoothing * buckets)), 6))
+                 .alias("__lr")))
+    weighted = (feats.join(F.broadcast(model), "bucket")
+                .groupBy(id_col)
+                .agg(F.sum("__c").alias("n_grams"),
+                     F.sum(F.round(F.col("__c") * F.col("__lr"), 6)
+                           .cast("decimal(38,6)")).alias("__lw")))
+    u = ((hash60(F.concat(F.lit("gumbel|"), F.lit(seed), F.lit("|"),
+                          F.col(id_col).cast("string")))
+          % _BUCKETS).cast("double") + F.lit(0.5)) / _BUCKETS
+    scored = weighted.select(
+        F.col(id_col), "n_grams",
+        F.round(F.col("__lw").cast("double"), 6).alias("log_weight"),
+        F.round(-F.log(-F.log(u)), 6).alias("gumbel")).withColumn(
+            "key", F.round(F.col("log_weight") + F.col("gumbel"), 6))
+    if n is None:
+        return scored
+    return scored.orderBy(F.col("key").desc(), F.col(id_col)).limit(n)
+
+
+def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
+                       strata_col: str, alpha: float = 0.5,
+                       cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+                       labels: tuple[str, str, str] = ("head", "middle",
+                                                       "tail"),
+                       exact: bool = True) -> DataFrame:
+    """CCNet-style per-stratum perplexity bucketing (Wenzek et al.,
+    LREC 2020): score every document with the self-trained bigram LM
+    (``bigram_lm_perplexity``), cut each stratum (language) at the
+    ``cuts`` quantiles, and label documents ``head`` (lowest ppl ≈
+    cleanest), ``middle``, ``tail`` — the standard pre-training
+    curriculum/filter axis.
+
+    Output: ``(id, stratum, n_bigrams, ppl, head_cut, middle_cut,
+    bucket)``. Documents with < 2 tokens have no perplexity and drop
+    out (as in ``bigram_lm_perplexity``).
+
+    Determinism: ppl is the 6-digit decimal-routed score; cuts round
+    to 6 digits before the boundary compare, so both engines bucket
+    identically. ``exact=True`` uses exact percentile (≡ SQL
+    ``quantile_cont``) — fine for bounded strata counts (languages);
+    ``exact=False`` switches to the GK sketch for high-cardinality
+    strata (engine-local tolerance, no SQL twin).
+
+    Scale: the LM scoring is the token-linear plan documented on
+    ``bigram_lm_perplexity``; everything after is doc-cardinality —
+    one equi-join to attach the stratum, one |strata|-row cuts
+    aggregate broadcast back. No new corpus-scale shuffle.
+    """
+    q1, q2 = cuts
+    if not 0.0 <= q1 < q2 <= 1.0:
+        raise ValueError(f"cuts must satisfy 0 <= q1 < q2 <= 1: {cuts}")
+    ppl = bigram_lm_perplexity(df, id_col, text_col, alpha=alpha)
+    scored = ppl.join(df.select(F.col(id_col), F.col(strata_col)),
+                      id_col)
+    agg1 = F.percentile("ppl", q1) if exact else \
+        F.percentile_approx("ppl", q1)
+    agg2 = F.percentile("ppl", q2) if exact else \
+        F.percentile_approx("ppl", q2)
+    th = (scored.groupBy(strata_col)
+          .agg(F.round(agg1, 6).alias("head_cut"),
+               F.round(agg2, 6).alias("middle_cut")))
+    lo, mid, hi = labels
+    return (scored.join(F.broadcast(th), strata_col)
+            .select(id_col, strata_col, "n_bigrams", "ppl",
+                    "head_cut", "middle_cut",
+                    F.when(F.col("ppl") <= F.col("head_cut"), F.lit(lo))
+                    .when(F.col("ppl") <= F.col("middle_cut"),
+                          F.lit(mid))
+                    .otherwise(F.lit(hi)).alias("bucket")))
