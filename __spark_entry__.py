@@ -4251,6 +4251,62 @@ FROM j JOIN cutrel c USING (lang)
 """
 
 
+def q_train_classifier(spark, sf):
+    """Distributed full-batch logistic-regression training for the
+    quality classifier (operators/curation.py
+    ``train_quality_classifier``): hashed mean-pooled BoW features,
+    3 GD steps on y = (lang == 'en'), decimal-routed gradients —
+    the training half of ``classifier_score``'s inference tier."""
+    docs = _t(spark, sf, "documents")
+    labeled = docs.withColumn(
+        "y", F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(0.0))
+    return curation.train_quality_classifier(
+        labeled, "doc_id", "text", "y", dim=4096, n_iter=3, lr=0.5)
+
+
+def _oracle_train_classifier(n_iter: int) -> str:
+    """Chained-CTE GD replay: each iteration's margins / residuals /
+    gradients / weights as AS MATERIALIZED stages (the bpe_train
+    lesson — DuckDB inlines plain CTEs at every reference)."""
+    ctes = ["""toks AS MATERIALIZED (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)""", """labels AS MATERIALIZED (
+  SELECT doc_id, y FROM toks WHERE len(t) > 0)""", """feats AS MATERIALIZED (
+  SELECT doc_id, bucket, round(count(*)::DOUBLE / any_value(n), 6) AS x
+  FROM (
+    SELECT doc_id, len(t) AS n,
+      ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
+    FROM toks)
+  GROUP BY doc_id, bucket)""", """consts AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n_docs FROM labels)""", """w0 AS MATERIALIZED (
+  SELECT DISTINCT bucket, 0.0::DOUBLE AS weight FROM feats)"""]
+    prev = "w0"
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""m{i} AS MATERIALIZED (
+  SELECT f.doc_id,
+    sum(round(f.x * w.weight, 6)::DECIMAL(38,6)) AS m
+  FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.doc_id)""")
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT l.doc_id,
+    round(1.0 / (1.0 + exp(-(m.m::DOUBLE))), 6) - l.y AS r
+  FROM m{i} m JOIN labels l USING (doc_id))""")
+        ctes.append(f"""g{i} AS MATERIALIZED (
+  SELECT f.bucket,
+    round(sum(round(f.x * r.r, 6)::DECIMAL(38,6))::DOUBLE
+          / (SELECT n_docs FROM consts), 6) AS g
+  FROM feats f JOIN r{i} r USING (doc_id) GROUP BY f.bucket)""")
+        ctes.append(f"""w{i} AS MATERIALIZED (
+  SELECT w.bucket, round(w.weight - 0.5 * coalesce(g.g, 0.0), 6)
+    AS weight
+  FROM {prev} w LEFT JOIN g{i} g USING (bucket))""")
+        prev = f"w{i}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT bucket, weight FROM {prev}")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -4359,6 +4415,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_gate": q_gopher_gate,
     "dsir_select": q_dsir_select,
     "perplexity_buckets": q_perplexity_buckets,
+    "train_classifier": q_train_classifier,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4471,6 +4528,7 @@ _ORACLE: dict[str, str] = {
     "gopher_gate": ORACLE_GOPHER_GATE,
     "dsir_select": ORACLE_DSIR_SELECT,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
+    "train_classifier": _oracle_train_classifier(3),
 }
 
 

@@ -99,6 +99,9 @@ HEADLINE = [
     "bpe_encode",           # BPE inference: chained replaces + rejoin
     "bloom_semi_join",      # explicit bloom bitmap semi-join reduction
     "pq_adc_topk",          # product-quantization ADC ranking
+    "hard_negatives",       # ANN-candidate mining minus known positives
+    "gopher_gate",          # full Gopher rule battery, zero-shuffle
+    "dsir_select",          # DSIR bucket models + Gumbel-top-k
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.
@@ -128,6 +131,8 @@ TRACKED_NON_HEADLINE = [
     "media_curate",           # decode-gated hash + pairs + CC, one plan
     "domain_quota_skewsafe",  # two-phase salted top-N quota path
     "leakage_safe_split",     # CC-keyed split (CC fixed cost at sf)
+    "perplexity_buckets",     # embeds the already-benched lm_perplexity
+    "train_classifier",       # iterative GD: per-round checkpoint fixed cost
 ]
 
 

@@ -1005,3 +1005,50 @@ def test_perplexity_buckets_validates_cuts(spark):
     with pytest.raises(ValueError):
         curation.perplexity_buckets(df, "doc_id", "text", "lang",
                                     cuts=(0.7, 0.3))
+
+
+# --------------------------------------------------------- classifier training
+
+def test_train_classifier_separates_classes_via_inference(spark):
+    pos = "clean well written prose flows nicely here "
+    neg = "spam junk garbage noise filler blob "
+    rows = [(i, (pos if i % 2 == 0 else neg) * 3,
+             1.0 if i % 2 == 0 else 0.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "y double")
+    w = curation.train_quality_classifier(df, "doc_id", "text", "y",
+                                          dim=1024, n_iter=5, lr=1.0)
+    scored = curation.classifier_quality_score(
+        df, "doc_id", "text", w, dim=1024)
+    got = {r["doc_id"]: r["score"] for r in scored.collect()}
+    pos_s = [got[d] for d in got if d % 2 == 0]
+    neg_s = [got[d] for d in got if d % 2 == 1]
+    assert min(pos_s) > 0.5 > max(neg_s), (min(pos_s), max(neg_s))
+
+
+def test_train_classifier_deterministic_under_repartition(spark):
+    rows = [(i, f"alpha beta common{i % 3} word soup", float(i % 2))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "y double")
+    a = {r["bucket"]: r["weight"]
+         for r in curation.train_quality_classifier(
+             df, "doc_id", "text", "y", dim=512, n_iter=3).collect()}
+    b = {r["bucket"]: r["weight"]
+         for r in curation.train_quality_classifier(
+             df.repartition(11), "doc_id", "text", "y",
+             dim=512, n_iter=3).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_train_classifier_empty_docs_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "real words here", 1.0), (2, None, 0.0), (3, "", 0.0),
+         (4, "more real words", 0.0)],
+        "doc_id bigint, text string, y double")
+    w = curation.train_quality_classifier(df, "doc_id", "text", "y",
+                                          dim=256, n_iter=1)
+    assert w.count() > 0  # tokenless docs excluded, training still runs
+    with pytest.raises(ValueError):
+        curation.train_quality_classifier(df, "doc_id", "text", "y",
+                                          n_iter=0)

@@ -1304,3 +1304,100 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
                     .when(F.col("ppl") <= F.col("middle_cut"),
                           F.lit(mid))
                     .otherwise(F.lit(hi)).alias("bucket")))
+
+
+def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
+                             label_col: str, dim: int = 1 << 20,
+                             n_iter: int = 3, lr: float = 0.5,
+                             reliable: bool = False) -> DataFrame:
+    """Distributed full-batch logistic-regression training for the
+    quality classifier — the TRAINING half of
+    ``classifier_quality_score`` (CCNet/fastText tier): hashed
+    bag-of-words mean-pooled features, ``n_iter`` gradient-descent
+    steps on the logistic loss, one model row per feature bucket.
+
+    The feature map matches scoring exactly — ``x_db = count_d(b) /
+    n_tokens_d`` is the same mean pooling ``classifier_quality_score``
+    applies at inference (``sigmoid(Σ_b x_db·w_b)``), so the returned
+    ``(bucket, weight)`` relation plugs straight into it with
+    ``bias=0``.
+
+    Per iteration (textbook batch GD): ``p_d = σ(Σ x_db w_b)``,
+    ``grad_b = Σ_d x_db (p_d − y_d) / N``, ``w_b ← w_b − lr·grad_b``.
+    Labels are 0/1 (``label_col`` is cast to double). Documents with
+    no tokens carry no evidence and drop out of N.
+
+    Cross-engine determinism (the pagerank/bpe_train recipe): features
+    and sigmoids round to 6 digits, every per-row product rounds to 6
+    and sums as ``decimal(38,6)`` (re-association-proof), weights
+    round to 6 each step — an ANSI chained-CTE twin reproduces every
+    iterate bit-for-bit.
+
+    Scale: the (doc, bucket, x) feature relation is built ONCE,
+    hash-partitioned on the document id and PERSISTED — the margin
+    aggregation and the residual join then run shuffle-free every
+    iteration (the persisted partitioning satisfies both), the model
+    relation (≤ distinct buckets) broadcasts into the feature join,
+    and the only per-iteration shuffle is the map-side-combined
+    ``groupBy(bucket)`` gradient, bounded by distinct (doc, bucket)
+    pairs. Per-round ``localCheckpoint`` truncates the weight
+    lineage (``reliable=True`` for HDFS checkpoints on a real
+    cluster). Driver state per run is ONE bounded scalar (N).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+
+    def mat(d: DataFrame) -> DataFrame:
+        return d.checkpoint(eager=True) if reliable else \
+            d.localCheckpoint(eager=True)
+
+    base = (df.select(F.col(id_col),
+                      _word_array(text_col).alias("__t"),
+                      F.col(label_col).cast("double").alias("__y"))
+            .filter(F.size("__t") > 0))
+    labels = (base.select(id_col, "__y")
+              .repartition(F.col(id_col))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    feats = (base.select(F.col(id_col), F.size("__t").alias("__n"),
+                         F.explode("__t").alias("__tok"))
+             .select(F.col(id_col), "__n",
+                     (hash60(F.col("__tok")) % F.lit(dim))
+                     .alias("bucket"))
+             .groupBy(id_col, "bucket", "__n")
+             .agg(F.count("*").alias("__c"))
+             .select(F.col(id_col), "bucket",
+                     F.round(F.col("__c") / F.col("__n"), 6).alias("__x"))
+             .repartition(F.col(id_col))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    n_docs = labels.count()
+    if n_docs == 0:
+        return feats.select("bucket",
+                            F.lit(0.0).alias("weight")).distinct()
+    w = mat(feats.select("bucket").distinct()
+            .withColumn("weight", F.lit(0.0)))
+    dec = "decimal(38,6)"
+    for _ in range(n_iter):
+        margins = (feats.join(F.broadcast(w), "bucket")
+                   .groupBy(id_col)
+                   .agg(F.sum(F.round(F.col("__x") * F.col("weight"), 6)
+                              .cast(dec)).alias("__m")))
+        resid = (margins.join(labels, id_col)
+                 .select(F.col(id_col),
+                         (F.round(F.lit(1.0)
+                                  / (F.lit(1.0)
+                                     + F.exp(-F.col("__m").cast("double"))),
+                                  6) - F.col("__y")).alias("__r")))
+        grads = (feats.join(resid, id_col)
+                 .groupBy("bucket")
+                 .agg(F.round(
+                     F.sum(F.round(F.col("__x") * F.col("__r"), 6)
+                           .cast(dec)).cast("double") / n_docs,
+                     6).alias("__g")))
+        w = mat(w.join(grads, "bucket", "left")
+                .select("bucket",
+                        F.round(F.col("weight")
+                                - lr * F.coalesce("__g", F.lit(0.0)), 6)
+                        .alias("weight")))
+    return w
