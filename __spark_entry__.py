@@ -4307,6 +4307,44 @@ def _oracle_train_classifier(n_iter: int) -> str:
             + f"\nSELECT bucket, weight FROM {prev}")
 
 
+def q_temperature_mixture(spark, sf):
+    """Temperature-scaled (tau=2) language mixture shares
+    (operators/curation.py ``temperature_mixture``, the mT5/XLM-R
+    low-resource up-sampling formula): q proportional to p^(1/tau),
+    tau>1 flattens toward uniform, plus the repeat/sample knobs to
+    realize it."""
+    docs = _t(spark, sf, "documents")
+    return curation.temperature_mixture(docs, "lang", "text", tau=2.0)
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+WITH per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+    sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                        x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang),
+t AS (
+  SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM per),
+wrel AS (
+  SELECT *, round(pow(n_tokens::DOUBLE / total, 1.0 / 2.0), 6) AS w
+  FROM t),
+srel AS (
+  SELECT *, sum(w::DECIMAL(38,6)) OVER () AS sw FROM wrel),
+q AS (
+  SELECT *, round(w / (sw::DOUBLE), 6) AS temp_share FROM srel),
+b AS (
+  SELECT *, round(temp_share / (n_tokens::DOUBLE / total), 6)
+    AS repeat_factor
+  FROM q),
+m AS (SELECT *, max(repeat_factor) OVER () AS bmax FROM b)
+SELECT lang, n_docs, n_tokens,
+  round(n_tokens::DOUBLE / total, 6) AS current_share,
+  temp_share, repeat_factor,
+  round(repeat_factor / bmax, 6) AS sample_rate
+FROM m
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -4416,6 +4454,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "perplexity_buckets": q_perplexity_buckets,
     "train_classifier": q_train_classifier,
+    "temperature_mixture": q_temperature_mixture,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4529,6 +4568,7 @@ _ORACLE: dict[str, str] = {
     "dsir_select": ORACLE_DSIR_SELECT,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "train_classifier": _oracle_train_classifier(3),
+    "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
 }
 
 

@@ -102,6 +102,7 @@ HEADLINE = [
     "hard_negatives",       # ANN-candidate mining minus known positives
     "gopher_gate",          # full Gopher rule battery, zero-shuffle
     "dsir_select",          # DSIR bucket models + Gumbel-top-k
+    "temperature_mixture",  # tau-scaled mixture shares (one agg)
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -1052,3 +1052,40 @@ def test_train_classifier_empty_docs_and_validation(spark):
     with pytest.raises(ValueError):
         curation.train_quality_classifier(df, "doc_id", "text", "y",
                                           n_iter=0)
+
+
+# ------------------------------------------------------- temperature mixture
+
+def _tm_corpus(spark):
+    rows = [(i, "w " * 20, "big") for i in range(90)]
+    rows += [(1000 + i, "w " * 20, "small") for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                       "lang string")
+
+
+def test_temperature_mixture_tau1_is_natural(spark):
+    out = curation.temperature_mixture(_tm_corpus(spark), "lang",
+                                       "text", tau=1.0)
+    for r in out.collect():
+        assert abs(r["temp_share"] - r["current_share"]) < 2e-6
+        assert abs(r["repeat_factor"] - 1.0) < 1e-5
+
+
+def test_temperature_mixture_flattens_and_boosts_rare(spark):
+    out = {r["lang"]: r for r in curation.temperature_mixture(
+        _tm_corpus(spark), "lang", "text", tau=2.0).collect()}
+    small, big = out["small"], out["big"]
+    # rare stratum gains share, dominant loses; boost > 1 only for rare
+    assert small["temp_share"] > small["current_share"]
+    assert big["temp_share"] < big["current_share"]
+    assert small["repeat_factor"] > 1.0 > big["repeat_factor"]
+    # sample_rate normalized: max is exactly 1
+    assert max(r["sample_rate"] for r in out.values()) == 1.0
+    # shares still sum to ~1
+    assert abs(sum(r["temp_share"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_temperature_mixture_validates_tau(spark):
+    with pytest.raises(ValueError):
+        curation.temperature_mixture(_tm_corpus(spark), "lang", "text",
+                                     tau=0.0)

@@ -1401,3 +1401,57 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
                                 - lr * F.coalesce("__g", F.lit(0.0)), 6)
                         .alias("weight")))
     return w
+
+
+def temperature_mixture(df: DataFrame, strata_col: str, text_col: str,
+                        tau: float = 2.0,
+                        token_count: Column | None = None) -> DataFrame:
+    """Temperature-scaled mixture shares — the multilingual sampling
+    formula (mT5 / XLM-R): resampling weights ``q_s ∝ p_s^(1/τ)``
+    flatten the stratum distribution for τ > 1 (τ→∞ → uniform, τ=1 →
+    natural, τ<1 sharpens), boosting low-resource strata without a
+    hand-written target mixture — XLM-R's ``α = 0.3`` exponent
+    (arXiv:1911.02116 §3.1) is ``τ = 1/α ≈ 3.33`` here. The
+    ``mixture_plan`` sibling for when the target is a temperature,
+    not explicit shares.
+
+    Per stratum: ``n_docs``, ``n_tokens``, ``current_share`` (natural
+    token share), ``temp_share`` (the temperature-scaled target),
+    ``repeat_factor`` (temp/current — per-epoch repetition a weighted
+    loader applies) and ``sample_rate`` (repeat_factor scaled to max 1
+    — feed to ``stratified_sample`` for the no-repetition plan).
+
+    One corpus aggregation; everything after runs on |strata| rows
+    (constant-key windows over that tiny frame). The double share sum
+    routes through ``decimal(38,6)`` (order-independent); pow/ratios
+    round to 6 at each step — the cross-engine contract.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    from pyspark.sql import Window
+
+    nt = (token_count if token_count is not None
+          else F.size(_word_array(text_col)))
+    per = (df.groupBy(strata_col)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(nt.cast("bigint")).alias("n_tokens")))
+    everything = Window.partitionBy(F.lit(0))
+    share = F.col("n_tokens") / F.col("__total")
+    raw = (per
+           .withColumn("__total", F.sum("n_tokens").over(everything))
+           .withColumn("__w", F.round(F.pow(share, F.lit(1.0 / tau)), 6))
+           .withColumn("__sw", F.sum(F.col("__w").cast("decimal(38,6)"))
+                       .over(everything))
+           .withColumn("temp_share",
+                       F.round(F.col("__w")
+                               / F.col("__sw").cast("double"), 6))
+           .withColumn("repeat_factor",
+                       F.round(F.col("temp_share") / share, 6))
+           .withColumn("__bmax",
+                       F.max("repeat_factor").over(everything)))
+    return raw.select(
+        strata_col, "n_docs", "n_tokens",
+        F.round(share, 6).alias("current_share"),
+        "temp_share", "repeat_factor",
+        F.round(F.col("repeat_factor") / F.col("__bmax"), 6)
+        .alias("sample_rate"))
