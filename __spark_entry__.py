@@ -4345,6 +4345,32 @@ FROM m
 """
 
 
+def q_random_projection(spark, sf):
+    """JL random projection 64 -> 16 dims (operators/similarity.py
+    ``random_projection``): deterministic Achlioptas sign matrix
+    compiled to flat +/-element_at codegen chains, zero shuffles."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.random_projection(emb, "vec_id", "embedding",
+                                        in_dim=64, out_dim=16)
+
+
+def _oracle_random_projection(in_dim: int, out_dim: int) -> str:
+    """SQL twin generated from the SAME sign matrix (rp_signs) the
+    operator compiles in, with every element cast to DOUBLE before the
+    left-to-right fold (DuckDB would otherwise sum in float32)."""
+    signs = similarity.rp_signs(in_dim, out_dim)
+    inv_root = 1.0 / (out_dim ** 0.5)
+    outs = []
+    for j in range(out_dim):
+        terms = "".join(
+            ("+" if signs[i][j] > 0 else "-")
+            + f"embedding[{i + 1}]::DOUBLE"
+            for i in range(in_dim))
+        outs.append(f"round(({terms}) * {inv_root!r}, 6) AS rp_{j}")
+    cols = ",\n  ".join(outs)
+    return f"SELECT vec_id,\n  {cols}\nFROM embeddings"
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -4455,6 +4481,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "train_classifier": q_train_classifier,
     "temperature_mixture": q_temperature_mixture,
+    "random_projection": q_random_projection,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4569,6 +4596,7 @@ _ORACLE: dict[str, str] = {
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "train_classifier": _oracle_train_classifier(3),
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
+    "random_projection": _oracle_random_projection(64, 16),
 }
 
 

@@ -713,3 +713,61 @@ def test_mine_hard_negatives_excludes_positives_and_self(emb):
     with pytest.raises(ValueError, match="brute|lsh|ivf"):
         similarity.mine_hard_negatives(emb, anchors, positives,
                                        method="nope")
+
+
+# ------------------------------------------------------- random projection
+
+def test_random_projection_preserves_pairwise_distances(spark):
+    import math
+    import random as _r
+    rng = _r.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, "
+                                     "embedding array<float>")
+    out = similarity.random_projection(df, "vec_id", "embedding",
+                                       in_dim=64, out_dim=16)
+    proj = {r["vec_id"]: [r[f"rp_{j}"] for j in range(16)]
+            for r in out.collect()}
+    orig = {i: v for i, v in rows}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    ids = list(orig)
+    for a in ids[:10]:
+        for b in ids[10:20]:
+            # float32 storage quantizes the originals; compare against
+            # the same quantization the operator read
+            import struct
+            qa = [struct.unpack("f", struct.pack("f", x))[0]
+                  for x in orig[a]]
+            qb = [struct.unpack("f", struct.pack("f", x))[0]
+                  for x in orig[b]]
+            ratios.append(d2(proj[a], proj[b]) / d2(qa, qb))
+    mean = sum(ratios) / len(ratios)
+    # unbiased in expectation; loose 3-sigma-ish band for k=16
+    assert 0.75 < mean < 1.25, mean
+    # per-pair ratio is chi2_16/16: the deterministic worst pair in
+    # this fixture lands at 2.65 — band sized for the distribution's
+    # tail, the unbiasedness claim lives in the mean assertion above
+    assert all(0.2 < r < 3.5 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_random_projection_deterministic_and_validates(spark):
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id bigint, "
+                                     "embedding array<float>")
+    a = similarity.random_projection(df, "vec_id", "embedding",
+                                     in_dim=8, out_dim=4).collect()
+    b = similarity.random_projection(df.repartition(3), "vec_id",
+                                     "embedding", in_dim=8,
+                                     out_dim=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # sign matrix is a pure function of the seed
+    assert similarity.rp_signs(8, 4) == similarity.rp_signs(8, 4)
+    assert similarity.rp_signs(8, 4) != similarity.rp_signs(8, 4, "x")
+    with pytest.raises(ValueError):
+        similarity.random_projection(df, "vec_id", "embedding",
+                                     in_dim=8, out_dim=9)
