@@ -4371,6 +4371,50 @@ def _oracle_random_projection(in_dim: int, out_dim: int) -> str:
     return f"SELECT vec_id,\n  {cols}\nFROM embeddings"
 
 
+def q_link_extract(spark, sf):
+    """Outbound-link extraction (operators/extraction.py
+    ``extract_links``): per-doc synthesized pages carry a messy
+    double-quoted link (upper-case scheme/host/www, default port,
+    tracking param, unsorted query, fragment), a mailto, an upper-case
+    single-quoted link (port 80, trailing slash) and a relative href.
+    The oracle derives the surviving (pos, raw, canonical) rows
+    INDEPENDENTLY from the synthesis arithmetic — extraction, the
+    http(s) gate, position semantics and canonicalization must all
+    implement the spec to match."""
+    from zacks_estimates_financial_statements_spark.operators import extraction
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a class="m" href="HTTPS://WWW.'),
+        F.col("source"), F.lit(".Example.COM:443/Art/"),
+        F.expr("doc_id DIV 10").cast("string"),
+        F.lit('?utm_campaign=z&z=2&a=1#top">first</a>'),
+        F.lit('<a href="mailto:x@y.z">mail</a>'),
+        F.lit("<A HREF='http://h"), (d % 7).cast("string"),
+        F.lit(".test.org:80/p/"), (d % 13).cast("string"),
+        F.lit("/'>second</A><a href='/rel/path'>rel</a></body></html>"))
+    return extraction.extract_links(
+        docs.select("doc_id", html.alias("page")), "doc_id", "page")
+
+
+ORACLE_LINK_EXTRACT = """
+SELECT doc_id, CAST(1 AS INT) AS link_pos,
+  'HTTPS://WWW.' || source || '.Example.COM:443/Art/' || (doc_id // 10)
+    || '?utm_campaign=z&z=2&a=1#top' AS url,
+  'https://' || source || '.example.com/Art/' || (doc_id // 10)
+    || '?a=1&z=2' AS canonical_url
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(3 AS INT) AS link_pos,
+  'http://h' || (doc_id % 7) || '.test.org:80/p/' || (doc_id % 13)
+    || '/' AS url,
+  'http://h' || (doc_id % 7) || '.test.org/p/' || (doc_id % 13)
+    AS canonical_url
+FROM documents
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -4482,6 +4526,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_classifier": q_train_classifier,
     "temperature_mixture": q_temperature_mixture,
     "random_projection": q_random_projection,
+    "link_extract": q_link_extract,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4597,6 +4642,7 @@ _ORACLE: dict[str, str] = {
     "train_classifier": _oracle_train_classifier(3),
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
     "random_projection": _oracle_random_projection(64, 16),
+    "link_extract": ORACLE_LINK_EXTRACT,
 }
 
 

@@ -104,6 +104,7 @@ HEADLINE = [
     "dsir_select",          # DSIR bucket models + Gumbel-top-k
     "temperature_mixture",  # tau-scaled mixture shares (one agg)
     "random_projection",    # JL sign-matrix 64->16 projection
+    "link_extract",         # href extraction + canonicalization
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -57,3 +57,38 @@ def test_extract_main_text_drops_chrome_keeps_content(spark):
     # empty and NULL documents succeed with zero blocks
     assert out[2].main_text == "" and out[2].n_blocks == 0
     assert out[3].main_text == "" and out[3].extract_error is None
+
+
+# ------------------------------------------------------------- link extraction
+
+def test_extract_links_quotes_positions_and_scheme_gate(spark):
+    from zacks_estimates_financial_statements_spark.operators import extraction
+    page = ('<a href="https://a.com/1">x</a>'
+            '<a href="mailto:u@v.w">m</a>'
+            "<A title='t' HREF='HTTP://b.org/2/'>y</A>"
+            '<a href="/relative">r</a>'
+            '<a href="javascript:void(0)">j</a>')
+    df = spark.createDataFrame([(1, page), (2, "<p>no links</p>"),
+                                (3, None)],
+                               "doc_id bigint, page string")
+    out = extraction.extract_links(df, "doc_id", "page")
+    rows = sorted((r["doc_id"], r["link_pos"], r["url"],
+                   r["canonical_url"]) for r in out.collect())
+    # doc 1: dq matches are [https://a.com/1, mailto(drop), /relative?
+    # no - /relative IS dq pos 3 but dropped by the scheme gate,
+    # javascript dq pos 4 dropped]; sq match HTTP://b.org/2/ is pos 5
+    assert rows == [
+        (1, 1, "https://a.com/1", "https://a.com/1"),
+        (1, 5, "HTTP://b.org/2/", "http://b.org/2"),
+    ]
+
+
+def test_extract_links_no_canonical_column_when_disabled(spark):
+    from zacks_estimates_financial_statements_spark.operators import extraction
+    df = spark.createDataFrame(
+        [(1, '<a href="https://x.io/p?utm_source=t&b=1">z</a>')],
+        "doc_id bigint, page string")
+    out = extraction.extract_links(df, "doc_id", "page",
+                                   canonicalize=False)
+    assert out.columns == ["doc_id", "link_pos", "url"]
+    assert out.collect()[0]["url"] == "https://x.io/p?utm_source=t&b=1"

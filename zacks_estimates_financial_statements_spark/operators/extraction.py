@@ -136,3 +136,46 @@ def extract_main_text(df: DataFrame, id_col: str, html_col: str,
                                 "extract_error": errs})
 
     return df.select(id_col, html_col).mapInPandas(extract_batches, schema)
+
+
+def extract_links(df: DataFrame, id_col: str, html_col: str,
+                  canonicalize: bool = True) -> DataFrame:
+    """Outbound-link extraction from HTML — the crawl-frontier /
+    link-graph feeder (the edge source for ``graph.pagerank``'s
+    quality prior and for ``curation.domain_quota``'s host accounting).
+
+    Hrefs are pulled with two RE2∩Java-safe passes (double-quoted then
+    single-quoted attribute values — alternation with per-quote groups
+    would need a second capture group, which ``regexp_extract_all``
+    cannot select per-match), concatenated in that order, and
+    positions assigned by ``posexplode`` — so ``link_pos`` is 1-based
+    over "all double-quoted matches in document order, then all
+    single-quoted". Only absolute http(s) URLs survive (mailto:,
+    javascript:, relative paths drop); with ``canonicalize`` each
+    survivor also gets ``functions.web.canonical_url``'s normal form,
+    ready for host grouping and URL-level dedup.
+
+    One zero-shuffle projection + explode — token-linear in page
+    bytes, no DOM construction, no UDF.
+
+    Output: ``(id, link_pos, url, canonical_url?)``.
+    """
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    dq = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'''(?i)<a\s[^>]*href\s*=\s*"([^"]+)"'''),
+        F.lit(1))
+    sq = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?i)<a\s[^>]*href\s*=\s*'([^']+)'"),
+        F.lit(1))
+    exploded = (df.select(F.col(id_col),
+                          F.posexplode_outer(F.concat(dq, sq))
+                          .alias("__p", "url"))
+                .filter(F.col("url").rlike("(?i)^https?://"))
+                .select(F.col(id_col),
+                        (F.col("__p") + 1).alias("link_pos"),
+                        "url"))
+    if not canonicalize:
+        return exploded
+    return exploded.withColumn("canonical_url",
+                               web.canonical_url(F.col("url")))
