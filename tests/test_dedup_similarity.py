@@ -771,3 +771,19 @@ def test_random_projection_deterministic_and_validates(spark):
     with pytest.raises(ValueError):
         similarity.random_projection(df, "vec_id", "embedding",
                                      in_dim=8, out_dim=9)
+
+
+def test_random_projection_short_vector_nulls_not_throws(spark):
+    """ANSI contract: a vector shorter than in_dim (or NULL) yields
+    NULL rp_* for THAT row — one malformed row must not fail the job
+    (try_element_at, not element_at)."""
+    rows = [(0, [float(j) for j in range(8)]),
+            (1, [1.0, 2.0]),          # short
+            (2, None)]                # null vector
+    df = spark.createDataFrame(rows, "vec_id bigint, "
+                                     "embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.random_projection(
+        df, "vec_id", "embedding", in_dim=8, out_dim=4).collect()}
+    assert all(out[0][f"rp_{j}"] is not None for j in range(4))
+    assert all(out[1][f"rp_{j}"] is None for j in range(4))
+    assert all(out[2][f"rp_{j}"] is None for j in range(4))

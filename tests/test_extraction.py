@@ -83,6 +83,23 @@ def test_extract_links_quotes_positions_and_scheme_gate(spark):
     ]
 
 
+def test_extract_links_attribute_name_boundary(spark):
+    """Attribute names merely ENDING in 'href' (data-href, xhref) must
+    NOT emit links; a real href after such an attribute still must."""
+    from zacks_estimates_financial_statements_spark.operators import extraction
+    page = ('<a data-href="https://fake.com/1">f</a>'
+            '<a xhref="https://fake.com/2">f</a>'
+            '<a data-href="https://fake.com/3" href="https://real.com/a">'
+            "r</a>"
+            "<a class='m' href='https://real.com/b'>r</a>"
+            '<a href="https://real.com/c">r</a>')
+    df = spark.createDataFrame([(1, page)], "doc_id bigint, page string")
+    out = extraction.extract_links(df, "doc_id", "page",
+                                   canonicalize=False)
+    assert sorted(r["url"] for r in out.collect()) == [
+        "https://real.com/a", "https://real.com/b", "https://real.com/c"]
+
+
 def test_extract_links_no_canonical_column_when_disabled(spark):
     from zacks_estimates_financial_statements_spark.operators import extraction
     df = spark.createDataFrame(

@@ -162,11 +162,19 @@ def extract_links(df: DataFrame, id_col: str, html_col: str,
     """
     from zacks_estimates_financial_statements_spark.functions import web
 
+    # (?:[^>]*[\s'"])? — the attribute NAME needs a boundary before it,
+    # or `data-href=`/`xhref=` (names merely ENDING in href) would emit
+    # false-positive edges into the link graph. A real href is either
+    # the first attribute (immediately after `<a\s`) or preceded by
+    # whitespace / a closing quote of the previous attribute value.
     dq = F.regexp_extract_all(
-        F.col(html_col), F.lit(r'''(?i)<a\s[^>]*href\s*=\s*"([^"]+)"'''),
+        F.col(html_col),
+        F.lit(r'(?i)<a\s(?:[^>]*[\s' + "'" + r'"])?href\s*=\s*"([^"]+)"'),
         F.lit(1))
     sq = F.regexp_extract_all(
-        F.col(html_col), F.lit(r"(?i)<a\s[^>]*href\s*=\s*'([^']+)'"),
+        F.col(html_col),
+        F.lit(r'(?i)<a\s(?:[^>]*[\s' + "'" + r'"])?href\s*=\s*' +
+              r"'([^']+)'"),
         F.lit(1))
     exploded = (df.select(F.col(id_col),
                           F.posexplode_outer(F.concat(dq, sq))
