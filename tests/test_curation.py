@@ -1054,6 +1054,42 @@ def test_train_classifier_empty_docs_and_validation(spark):
                                           n_iter=0)
 
 
+def test_train_classifier_releases_training_caches(spark):
+    """labels+feats (persist) must be unpersisted on return; only the
+    weight localCheckpoints may add storage entries (initial + final
+    = 2 for n_iter=1). Pre-fix the two leaked persists made the
+    delta 4."""
+    rows = [(i, f"alpha beta common{i % 3}", float(i % 2))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "y double")
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    w = curation.train_quality_classifier(df, "doc_id", "text", "y",
+                                          dim=128, n_iter=1)
+    assert w.count() > 0
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 2, (before, after)
+
+
+def test_dsir_and_perplexity_release_cache_handles(spark):
+    raw, target = _dsir_corpus(spark)
+    sel = curation.dsir_select(raw, target, "doc_id", "text",
+                               n=5, buckets=512)
+    ids = sorted(r["doc_id"] for r in sel.collect())
+    sel.release_cache()
+    # post-release the plan still recomputes correctly, just un-cached
+    assert sorted(r["doc_id"] for r in sel.collect()) == ids
+
+    docs = spark.createDataFrame(
+        [(i, "spark table join filter group " * (1 + i % 3), "en")
+         for i in range(9)],
+        "doc_id bigint, text string, lang string")
+    pb = curation.perplexity_buckets(docs, "doc_id", "text", "lang")
+    n = pb.count()
+    pb.release_cache()
+    assert pb.count() == n
+
+
 # ------------------------------------------------------- temperature mixture
 
 def _tm_corpus(spark):

@@ -1202,16 +1202,30 @@ def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
         raise ValueError(f"buckets must be >= 2, got {buckets}")
 
     def grams(df):
+        # Bigrams via arrays_zip + explode + flat concat_ws (the
+        # bigram_lm_perplexity shape) — a zip_with lambda here would
+        # run INTERPRETED in the per-corpus-row hot path (the repo's
+        # HOF tax). Zipping the full array against its 1-shifted
+        # slice pads the last entry with w2 = NULL, so ONE tokenize
+        # pass + ONE generator emits both the unigram (w1) and, when
+        # w2 is present, the bigram — no union of two branches that
+        # Catalyst would re-tokenize separately. greatest(n1, 0)
+        # guards the ANSI negative-length slice on empty arrays.
         words = _word_array(text_col)
         t = df.select(F.col(id_col), words.alias("__t"))
-        n1 = F.size("__t") - 1
-        bi = F.when(
-            F.size("__t") >= 2,
-            F.zip_with(F.slice("__t", 1, n1), F.slice("__t", 2, n1),
-                       lambda a, b: F.concat_ws(" ", a, b))
-        ).otherwise(F.array().cast("array<string>"))
-        g = t.select(F.col(id_col),
-                     F.explode_outer(F.concat("__t", bi)).alias("__g"))
+        n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+        z = t.select(
+            F.col(id_col),
+            F.explode_outer(F.arrays_zip(
+                F.col("__t").alias("w1"),
+                F.slice("__t", 2, n1).alias("w2"))).alias("__z"))
+        g = z.select(
+            F.col(id_col),
+            F.explode_outer(F.array(
+                F.col("__z.w1"),
+                F.when(F.col("__z.w2").isNotNull(),
+                       F.concat_ws(" ", "__z.w1", "__z.w2"))))
+            .alias("__g"))
         return g.filter(F.col("__g").isNotNull()).select(
             F.col(id_col),
             (hash60(F.concat(F.lit(seed), F.lit("|"), F.col("__g")))
@@ -1249,9 +1263,14 @@ def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
         F.round(F.col("__lw").cast("double"), 6).alias("log_weight"),
         F.round(-F.log(-F.log(u)), 6).alias("gumbel")).withColumn(
             "key", F.round(F.col("log_weight") + F.col("gumbel"), 6))
-    if n is None:
-        return scored
-    return scored.orderBy(F.col("key").desc(), F.col(id_col)).limit(n)
+    out = scored if n is None else \
+        scored.orderBy(F.col("key").desc(), F.col(id_col)).limit(n)
+    # The lazy result still reads the persisted ``feats``: its blocks
+    # live until the caller is done with the selection. Call
+    # ``out.release_cache()`` then (the ANN index's unpersist
+    # contract) — recomputation stays correct, just un-cached.
+    out.release_cache = feats.unpersist
+    return out
 
 
 def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
@@ -1281,14 +1300,22 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
     Scale: the LM scoring is the token-linear plan documented on
     ``bigram_lm_perplexity``; everything after is doc-cardinality —
     one equi-join to attach the stratum, one |strata|-row cuts
-    aggregate broadcast back. No new corpus-scale shuffle.
+    aggregate broadcast back. The joined ppl relation is PERSISTED
+    (MEMORY_AND_DISK) before the cuts aggregate: Catalyst does not
+    reuse a subtree consumed by two differently-shaped sinks, so
+    without it the whole LM-scoring plan — the most expensive stage —
+    executes twice (once for the cuts, once for the labeling join).
+    The returned labels read the same cache; call
+    ``out.release_cache()`` when done with the bucketing (the ANN
+    index's unpersist contract).
     """
     q1, q2 = cuts
     if not 0.0 <= q1 < q2 <= 1.0:
         raise ValueError(f"cuts must satisfy 0 <= q1 < q2 <= 1: {cuts}")
     ppl = bigram_lm_perplexity(df, id_col, text_col, alpha=alpha)
-    scored = ppl.join(df.select(F.col(id_col), F.col(strata_col)),
-                      id_col)
+    scored = (ppl.join(df.select(F.col(id_col), F.col(strata_col)),
+                       id_col)
+              .persist(StorageLevel.MEMORY_AND_DISK))
     agg1 = F.percentile("ppl", q1) if exact else \
         F.percentile_approx("ppl", q1)
     agg2 = F.percentile("ppl", q2) if exact else \
@@ -1297,13 +1324,15 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
           .agg(F.round(agg1, 6).alias("head_cut"),
                F.round(agg2, 6).alias("middle_cut")))
     lo, mid, hi = labels
-    return (scored.join(F.broadcast(th), strata_col)
-            .select(id_col, strata_col, "n_bigrams", "ppl",
-                    "head_cut", "middle_cut",
-                    F.when(F.col("ppl") <= F.col("head_cut"), F.lit(lo))
-                    .when(F.col("ppl") <= F.col("middle_cut"),
-                          F.lit(mid))
-                    .otherwise(F.lit(hi)).alias("bucket")))
+    out = (scored.join(F.broadcast(th), strata_col)
+           .select(id_col, strata_col, "n_bigrams", "ppl",
+                   "head_cut", "middle_cut",
+                   F.when(F.col("ppl") <= F.col("head_cut"), F.lit(lo))
+                   .when(F.col("ppl") <= F.col("middle_cut"),
+                         F.lit(mid))
+                   .otherwise(F.lit(hi)).alias("bucket")))
+    out.release_cache = scored.unpersist
+    return out
 
 
 def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
@@ -1373,8 +1402,11 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
              .persist(StorageLevel.MEMORY_AND_DISK))
     n_docs = labels.count()
     if n_docs == 0:
-        return feats.select("bucket",
-                            F.lit(0.0).alias("weight")).distinct()
+        # Eager empty result so BOTH caches release here too.
+        labels.unpersist()
+        feats.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "bucket bigint, weight double")
     w = mat(feats.select("bucket").distinct()
             .withColumn("weight", F.lit(0.0)))
     dec = "decimal(38,6)"
@@ -1400,6 +1432,11 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
                         F.round(F.col("weight")
                                 - lr * F.coalesce("__g", F.lit(0.0)), 6)
                         .alias("weight")))
+    # The final eager localCheckpoint means the returned weights no
+    # longer reference the training caches — release them NOW rather
+    # than leaking executor storage for the rest of the session.
+    labels.unpersist()
+    feats.unpersist()
     return w
 
 
