@@ -4646,6 +4646,40 @@ _ORACLE: dict[str, str] = {
 }
 
 
+def fast_variants() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Production-path (``exact=False``) twins of the decimal-exact
+    profiling queries — bench-only, NOT in ``queries()``: double-moment
+    accumulators re-associate across partitions, so their 6th digit is
+    not cross-engine deterministic and an oracle hash would flake by
+    construction. The exact mode is the correctness contract; these
+    exist so the ~4x-cheaper path a production deployment would run is
+    ALSO regression-tracked (bench non_headline rows ``*_fast``)."""
+    from zacks_estimates_financial_statements_spark.operators import profiling
+
+    def corr_fast(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return profiling.correlation_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            exact=False)
+
+    def std_fast(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        out = profiling.standardize(
+            li.select("l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice"),
+            ["l_quantity", "l_extendedprice"], exact=False)
+        return out.select("l_orderkey", "l_linenumber",
+                          "l_quantity__scaled", "l_extendedprice__scaled")
+
+    def profile_fast(spark, sf):
+        from zacks_estimates_financial_statements_spark.operators import profiling as p
+        return p.profile_table(_t(spark, sf, "events"), exact=False)
+
+    return {"correlation_fast": corr_fast,
+            "standardize_fast": std_fast,
+            "profile_table_fast": profile_fast}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_star_join(spark, "/root/testdata/sf0.001")

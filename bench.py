@@ -136,6 +136,13 @@ TRACKED_NON_HEADLINE = [
     "leakage_safe_split",     # CC-keyed split (CC fixed cost at sf)
     "perplexity_buckets",     # embeds the already-benched lm_perplexity
     "train_classifier",       # iterative GD: per-round checkpoint fixed cost
+    # exact=False production twins of the decimal-exact profiling
+    # queries (from fast_variants(); no oracle by construction —
+    # double moments re-associate): regression-tracks the ~4x-cheaper
+    # path deployments would actually run.
+    "correlation_fast",
+    "standardize_fast",
+    "profile_table_fast",
 ]
 
 
@@ -161,6 +168,7 @@ def main() -> None:
                                   "spark.sql.shuffle.partitions": cpus})
 
     qs = mod.queries()
+    qs.update(mod.fast_variants())
     # untimed warmup: JVM/codegen/parquet-footer initialization should not
     # be attributed to the first measured query
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
@@ -188,6 +196,29 @@ def main() -> None:
     total = sum(timings[name] for name in HEADLINE)
 
     spark.stop()
+
+    # Per-query delta vs the committed noop-sink baseline
+    # (BENCH_BASELINE.json: N>=5 idle-window medians — the first
+    # honest-timing reference; the r1-r5 count-era series is invalid
+    # for projection queries). Ratios > ~1.5x flag to stderr; the
+    # ratio dict rides the JSON line so the driver records it too.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    vs_baseline = {}
+    if os.path.exists(base_path):
+        base = json.load(open(base_path)).get("queries", {})
+        for name, t in timings.items():
+            b = base.get(name)
+            if b:
+                vs_baseline[name] = round(t / b, 2)
+        for name, r in sorted(vs_baseline.items(), key=lambda kv: -kv[1]):
+            if r > 1.5:
+                print(f"# REGRESSION? {name}: {timings[name]:.2f}s = "
+                      f"{r:.2f}x baseline", file=sys.stderr)
+    else:
+        print("# no BENCH_BASELINE.json — per-query deltas unavailable "
+              "(tools/bench_baseline.py regenerates it)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
@@ -195,6 +226,7 @@ def main() -> None:
         "queries": {name: timings[name] for name in HEADLINE},
         "non_headline": {name: timings[name]
                          for name in tracked if name not in HEADLINE},
+        "vs_baseline": vs_baseline,
         "sf": sf,
         "n": n_iters,
     }))

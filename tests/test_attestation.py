@@ -1,0 +1,53 @@
+"""The attestation artifact must never lag the query registry.
+
+Round-6 lesson: CORRECTNESS_local_r06.json was emitted by hand before
+the last operator landed, so the committed attestation silently missed
+one registry entry. ``tools/oracle_check.py`` now refreshes
+``CORRECTNESS_local.json`` on every FULL run as a side effect of the
+check itself; this test pins the contract: the artifact exists, its
+key set equals ``queries()``'s key set exactly, and every recorded row
+is green (a committed artifact with red rows is a lie in the repo).
+"""
+
+import importlib.util
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry_keys():
+    spec = importlib.util.spec_from_file_location(
+        "entry_attest", os.path.join(ROOT, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return set(mod.queries()), set(mod.oracle_sql())
+
+
+def test_attestation_artifact_matches_registry():
+    path = os.path.join(ROOT, "CORRECTNESS_local.json")
+    assert os.path.exists(path), (
+        "CORRECTNESS_local.json missing — run a FULL "
+        "`python tools/oracle_check.py /root/testdata/sf0.01` "
+        "(the tool writes it automatically) and commit it")
+    results = json.load(open(path))
+    qkeys, okeys = _registry_keys()
+    assert set(results) == qkeys, (
+        "attestation lags the registry: "
+        f"missing={sorted(qkeys - set(results))} "
+        f"extra={sorted(set(results) - qkeys)}")
+    red = {n: r for n, r in results.items()
+           if r.get("err") or r.get("rows_match") is False
+           or r.get("schema_match") is False
+           or r.get("hash_match") is False}
+    assert not red, f"committed attestation has red rows: {sorted(red)}"
+    # every oracle-sql twin must have produced a hash verdict (the
+    # rows-only mode is reserved for queries with no SQL twin)
+    weak = {n for n, r in results.items()
+            if n in okeys and r.get("hash_match") is not True}
+    assert not weak, f"oracle-backed queries without hash verdict: {weak}"
+
+
+def test_oracle_sql_keys_subset_of_queries():
+    qkeys, okeys = _registry_keys()
+    assert okeys <= qkeys, f"oracle-only keys: {sorted(okeys - qkeys)}"

@@ -46,7 +46,21 @@ def main() -> int:
     ap.add_argument("--max-ratio", type=float, default=None,
                     help="optional absolute ratio bound (default: "
                          "regression-vs-baseline only)")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="allow running WITHOUT a committed SHUFFLE.md "
+                         "baseline (first run / deliberate reset)")
     args = ap.parse_args()
+
+    # A silently-missing baseline turns the regression gate into a
+    # no-op (it happened: SHUFFLE.md was deleted in an unrelated
+    # commit and the >1.5x check ran dead for a round). Fail LOUDLY
+    # before Spark even starts unless the caller owns the reset.
+    if not os.path.exists(args.out_md) and not args.bootstrap:
+        print(f"ERROR: baseline {args.out_md} is missing — the "
+              "regression gate would be a no-op. Restore the committed "
+              "SHUFFLE.md or pass --bootstrap to regenerate it.",
+              file=sys.stderr)
+        return 2
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(

@@ -10,8 +10,16 @@ Fixture (the worst realistic crawl shape):
 Operators swept: ``paragraph_dedup`` (groupBy-min winners must collapse
 the boilerplate fingerprint map-side), ``domain_quota`` with
 ``exact_ranks=False`` (the two-phase salted top-N), ``tfidf_pairs``
-(the df cap must drop the universal token pre-join), and
-``classifier_score`` (per-row projection + broadcast model join).
+(the df cap must drop the universal token pre-join),
+``classifier_score`` (per-row projection + broadcast model join),
+``lm_perplexity`` (the universal token heads ~every bigram — its
+head-count model must collapse map-side, never in a w1-partitioned
+window), ``bm25_search`` (a stop-term query term matches EVERY doc —
+the (doc, term) counts must map-side-combine), ``pagerank`` (one hub
+node receives 50% of all edges — contribution aggregation must
+combine before the shuffle), and ``bpe_encode`` (the top word covers
+half the corpus — encode works on the distinct-word relation, so the
+hot word is ONE row there and fan-out happens only at rejoin).
 
 For every stage the sweep reads ``/stages/{id}/{attempt}/taskSummary``
 and the gate fails when a qualifying stage (>= 4 tasks, max task
@@ -131,6 +139,20 @@ def main() -> int:
     def force(d):
         d.write.format("noop").mode("overwrite").save()
 
+    from zacks_estimates_financial_statements_spark.functions import tokenize
+    from zacks_estimates_financial_statements_spark.operators import graph, retrieval
+
+    # hub-skewed edge set: every doc links the ONE hub node, plus a
+    # long-tail edge to a hashed neighbor — the hub's in-degree is
+    # |V|, the worst realistic link-graph shape
+    edges = (df.select(
+        F.col("doc_id").alias("src"),
+        F.lit(0).cast("bigint").alias("dst"))
+        .unionByName(df.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + 7) % 997 + 1).alias("dst")))
+        .localCheckpoint(eager=True))
+
     ops = {
         "paragraph_dedup": lambda: force(dedup.paragraph_dedup(
             df, "doc_id", "text")),
@@ -142,6 +164,22 @@ def main() -> int:
             max_token_df=max(args.rows // 10, 1))),
         "classifier_score": lambda: force(curation.classifier_quality_score(
             df, "doc_id", "text", weights, dim=dim)),
+        # "the" heads ~every bigram: head-count model via groupBy
+        # (map-side combined), not a w1 window
+        "lm_perplexity": lambda: force(curation.bigram_lm_perplexity(
+            df, "doc_id", "text")),
+        # stop-term "the" matches EVERY document; "cookies" matches 90%
+        "bm25_search": lambda: force(retrieval.bm25_score(
+            df, "doc_id", "text", ["the", "cookies", "w1x7"])),
+        # hub node 0 receives an edge from every doc
+        "pagerank": lambda: force(graph.pagerank(edges, n_iter=3)),
+        # the boilerplate words cover ~90% of corpus occurrences;
+        # encode iterates the DISTINCT-word relation so each hot word
+        # is one row until the occurrence rejoin
+        "bpe_encode": lambda: force(tokenize.bpe_encode(
+            df, "doc_id", "text",
+            [("c", "o"), ("co", "o"), ("coo", "k"), ("t", "h"),
+             ("th", "e"), ("s", "i")])),
     }
 
     report, violations = {}, []
