@@ -1576,6 +1576,52 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_kn_perplexity(spark, sf):
+    """Interpolated Kneser-Ney bigram-LM perplexity
+    (operators/curation.py ``kn_perplexity``): absolute discounting
+    (d=0.75) + continuation-unigram backoff — the KenLM-tier upgrade
+    of lm_perplexity's add-alpha smoothing. Same skew-safe plan; the
+    three KN count models derive from the distinct-bigram relation."""
+    docs = _t(spark, sf, "documents")
+    return curation.kn_perplexity(docs, "doc_id", "text")
+
+
+# Replays the KN chain on the lm twin's bigram relation: bigram-type
+# models for N1+(w1 .), N1+(. w2) and the type total, absolute
+# discount + interpolation with the EXACT double association the
+# operator documents, identical rounding recipe.
+ORACLE_KN_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+el AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM el, unnest(range(1, len(t))) AS u(i)),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+prefix AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+r1 AS (SELECT w1, count(*) AS n1r FROM model GROUP BY 1),
+r2 AS (SELECT w2, count(*) AS n1l FROM model GROUP BY 1),
+nb AS (SELECT count(*)::DOUBLE AS nb FROM model),
+scored AS (
+  SELECT b.doc_id,
+    round(-ln(greatest(m.c12 - 0.75::DOUBLE, 0.0::DOUBLE) / p.c1
+              + 0.75::DOUBLE * r1.n1r / p.c1 * (r2.n1l / nb.nb)),
+          6)::DECIMAL(38,6) AS nll
+  FROM bi b
+  JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  JOIN prefix p ON b.w1 = p.w1
+  JOIN r1 ON b.w1 = r1.w1
+  JOIN r2 ON b.w2 = r2.w2
+  CROSS JOIN nb)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+  round(exp(sum(nll)::DOUBLE / count(*)), 6) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_corpus_report(spark, sf):
     """Per-source corpus health report: volumes, decimal-exact mean
     quality, short-doc share. One map-side-combined aggregation."""
@@ -4415,6 +4461,144 @@ FROM documents
 """
 
 
+def q_semantic_decontaminate(spark, sf):
+    """Embedding-tier decontamination (operators/curation.py
+    ``semantic_contamination``): benchmark = the 20 lowest vec_ids,
+    corpus = every embedding; per corpus vector the max cosine to any
+    non-self benchmark item (ties -> smallest bench id), flagged at
+    0.35 (the empirical p95 of this corpus — non-vacuous on synthetic
+    embeddings). Broadcast-bench cross scoring + ONE map-side max_by."""
+    emb = _t(spark, sf, "embeddings")
+    bench = emb.orderBy("vec_id").limit(20)
+    return curation.semantic_contamination(
+        emb, bench, "vec_id", "embedding", threshold=0.35)
+
+
+ORACLE_SEMANTIC_DECONTAMINATE = f"""
+WITH b AS (
+  SELECT vec_id AS bid, embedding AS bvec FROM embeddings
+  ORDER BY vec_id LIMIT 20),
+scored AS (
+  SELECT e.vec_id, b.bid,
+    round({_COS_SQL.format(a='e.embedding', b='b.bvec')}, 6) AS cos
+  FROM embeddings e CROSS JOIN b
+  WHERE e.vec_id <> b.bid),
+best AS (
+  SELECT vec_id, cos AS max_cosine, bid AS nearest_bench_id
+  FROM (SELECT vec_id, cos, bid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, bid) AS rn
+        FROM scored WHERE cos IS NOT NULL)
+  WHERE rn = 1)
+SELECT e.vec_id, best.max_cosine, best.nearest_bench_id,
+  coalesce(best.max_cosine >= 0.35, FALSE) AS contaminated
+FROM embeddings e LEFT JOIN best USING (vec_id)
+"""
+
+
+def q_retrieval_metrics(spark, sf):
+    """IR evaluation panel (operators/retrieval.py
+    ``retrieval_metrics``): nDCG@10 / recall@10 / precision@10 / MRR
+    per query over a deterministic synthetic run — queries are
+    ``doc_id % 5`` strata, the "retrieved" list is each stratum's 10
+    lowest doc_ids, qrels grade every third document
+    1 + (doc_id DIV 3) % 3. Bounded-relation joins/windows only."""
+    docs = _t(spark, sf, "documents")
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy("doc_id")
+    results = (docs.select((F.col("doc_id") % 5).alias("query_id"),
+                           "doc_id")
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= 10))
+    qrels = (docs.filter(F.col("doc_id") % 3 == 0)
+             .select((F.col("doc_id") % 5).alias("query_id"), "doc_id",
+                     (1 + (F.col("doc_id") / 3).cast("bigint") % 3)
+                     .alias("grade")))
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+    return retrieval.retrieval_metrics(results, qrels, k=10)
+
+
+ORACLE_RETRIEVAL_METRICS = """
+WITH results AS (
+  SELECT doc_id % 5 AS query_id, doc_id,
+    row_number() OVER (PARTITION BY doc_id % 5 ORDER BY doc_id) AS rank
+  FROM documents QUALIFY rank <= 10),
+qrels AS (
+  SELECT doc_id % 5 AS query_id, doc_id,
+    1 + (doc_id // 3) % 3 AS grade
+  FROM documents WHERE doc_id % 3 = 0),
+graded AS (
+  SELECT r.query_id, r.rank, coalesce(q.grade, 0) AS g
+  FROM results r LEFT JOIN qrels q USING (query_id, doc_id)),
+per_q AS (
+  SELECT query_id,
+    sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+    sum(round((pow(2.0, g) - 1.0) / log2(rank + 1.0), 6)
+        ::DECIMAL(38,6)) AS dcg,
+    min(CASE WHEN g > 0 THEN rank END) AS first_rel
+  FROM graded GROUP BY 1),
+ideal AS (
+  SELECT query_id,
+    sum(round((pow(2.0, grade) - 1.0) / log2(ir + 1.0), 6)
+        ::DECIMAL(38,6)) AS idcg
+  FROM (SELECT query_id, grade,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY grade DESC, doc_id) AS ir
+        FROM qrels WHERE grade > 0)
+  WHERE ir <= 10 GROUP BY 1),
+nrel AS (
+  SELECT query_id, count(*)::BIGINT AS n_relevant
+  FROM qrels WHERE grade > 0 GROUP BY 1)
+SELECT p.query_id,
+  coalesce(n.n_relevant, 0)::BIGINT AS n_relevant,
+  p.hits_at_k,
+  round(p.hits_at_k / n.n_relevant, 6) AS recall_at_k,
+  round(p.hits_at_k / 10.0, 6) AS precision_at_k,
+  round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+  round((p.dcg / i.idcg)::DOUBLE, 6) AS ndcg_at_k
+FROM per_q p LEFT JOIN ideal i USING (query_id)
+LEFT JOIN nrel n USING (query_id)
+"""
+
+
+def q_distribution_drift(spark, sf):
+    """PSI / KL corpus-drift monitor (operators/profiling.py
+    ``distribution_drift``): even-doc_id half as the reference
+    snapshot, odd half as current, per-language smoothed share deltas.
+    Two map-side-combined counts + bucket-cardinality join."""
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    docs = _t(spark, sf, "documents")
+    return profiling.distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1), "lang")
+
+
+ORACLE_DISTRIBUTION_DRIFT = """
+WITH r AS (
+  SELECT lang AS bucket, count(*)::BIGINT AS n_ref FROM documents
+  WHERE doc_id % 2 = 0 GROUP BY 1),
+c AS (
+  SELECT lang AS bucket, count(*)::BIGINT AS n_cur FROM documents
+  WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT coalesce(r.bucket, c.bucket) AS bucket,
+    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+tot AS (
+  SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, count(*) AS b FROM j),
+pq AS (
+  SELECT bucket, n_ref, n_cur,
+    round((n_ref + 0.5) / (tot.tr + 0.5 * tot.b), 6) AS p_ref,
+    round((n_cur + 0.5) / (tot.tc + 0.5 * tot.b), 6) AS p_cur
+  FROM j, tot)
+SELECT bucket, n_ref, n_cur, p_ref, p_cur,
+  round((p_cur - p_ref) * (round(ln(p_cur), 6) - round(ln(p_ref), 6)),
+        6) AS psi,
+  round(p_cur * (round(ln(p_cur), 6) - round(ln(p_ref), 6)), 6) AS kl
+FROM pq
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -4527,6 +4711,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "random_projection": q_random_projection,
     "link_extract": q_link_extract,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "retrieval_metrics": q_retrieval_metrics,
+    "distribution_drift": q_distribution_drift,
+    "kn_perplexity": q_kn_perplexity,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4643,6 +4831,10 @@ _ORACLE: dict[str, str] = {
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
     "random_projection": _oracle_random_projection(64, 16),
     "link_extract": ORACLE_LINK_EXTRACT,
+    "semantic_decontaminate": ORACLE_SEMANTIC_DECONTAMINATE,
+    "retrieval_metrics": ORACLE_RETRIEVAL_METRICS,
+    "distribution_drift": ORACLE_DISTRIBUTION_DRIFT,
+    "kn_perplexity": ORACLE_KN_PERPLEXITY,
 }
 
 

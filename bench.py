@@ -105,6 +105,10 @@ HEADLINE = [
     "temperature_mixture",  # tau-scaled mixture shares (one agg)
     "random_projection",    # JL sign-matrix 64->16 projection
     "link_extract",         # href extraction + canonicalization
+    "semantic_decontaminate",  # embedding-tier eval-set contamination
+    "retrieval_metrics",    # nDCG/recall/MRR panel on bounded relations
+    "distribution_drift",   # PSI/KL per-stratum drift monitor
+    "kn_perplexity",        # interpolated Kneser-Ney LM tier
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -1125,3 +1125,162 @@ def test_temperature_mixture_validates_tau(spark):
     with pytest.raises(ValueError):
         curation.temperature_mixture(_tm_corpus(spark), "lang", "text",
                                      tau=0.0)
+
+
+# ------------------------------------------------------- retrieval metrics
+
+def test_retrieval_metrics_ndcg_recall_mrr(spark):
+    import math
+
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+
+    results = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2),
+         ("q3", "z", 1)],
+        "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", "b", 2), ("q1", "c", 1), ("q1", "d", 3),
+         ("q2", "y", 1)],
+        "query_id string, doc_id string, grade int")
+    got = {r["query_id"]: r for r in retrieval.retrieval_metrics(
+        results, qrels, k=3).collect()}
+
+    def gain(g, r):
+        return round((2 ** g - 1) / math.log2(r + 1), 6)
+
+    q1 = got["q1"]
+    assert (q1["n_relevant"], q1["hits_at_k"]) == (3, 2)
+    assert q1["recall_at_k"] == round(2 / 3, 6)
+    assert q1["precision_at_k"] == round(2 / 3, 6)
+    assert q1["mrr"] == 0.5  # first relevant at rank 2
+    dcg = gain(2, 2) + gain(1, 3)
+    idcg = gain(3, 1) + gain(2, 2) + gain(1, 3)  # ideal: d, b, c
+    assert q1["ndcg_at_k"] == round(dcg / idcg, 6)
+    q2 = got["q2"]
+    assert (q2["hits_at_k"], q2["mrr"]) == (1, 0.5)
+    assert q2["ndcg_at_k"] == round(gain(1, 2) / gain(1, 1), 6)
+    # q3 has no judged-relevant docs: recall/ndcg NULL, mrr 0
+    q3 = got["q3"]
+    assert q3["n_relevant"] == 0 and q3["hits_at_k"] == 0
+    assert q3["recall_at_k"] is None and q3["ndcg_at_k"] is None
+    assert q3["mrr"] == 0.0
+    with pytest.raises(ValueError):
+        retrieval.retrieval_metrics(results, qrels, k=0)
+
+
+def test_retrieval_metrics_rank_filter_respects_k(spark):
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+    results = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+        "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame([("q", "c", 1)],
+                                  "query_id string, doc_id string, "
+                                  "grade int")
+    got = retrieval.retrieval_metrics(results, qrels, k=2).collect()[0]
+    # the only relevant doc sits at rank 3 > k: zero hits, mrr 0
+    assert got["hits_at_k"] == 0 and got["mrr"] == 0.0
+    assert got["recall_at_k"] == 0.0
+
+
+# --------------------------------------------------- semantic contamination
+
+def test_semantic_contamination_flags_near_duplicates(spark):
+    from zacks_estimates_financial_statements_spark.operators import curation as cur
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    corpus = spark.createDataFrame(
+        [(1, vec(1, 0, 0, 0)), (2, vec(0, 1, 0, 0)),
+         (3, vec(0, 0, 1, 0)), (4, vec(0.9, 0.1, 0, 0))],
+        "vec_id bigint, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(100, vec(1, 0.01, 0, 0)), (101, vec(0, 0, 0, 1))],
+        "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: r for r in cur.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.95).collect()}
+    assert len(got) == 4  # every corpus row annotated
+    assert got[1]["contaminated"] and got[1]["nearest_bench_id"] == 100
+    assert got[4]["contaminated"]  # paraphrase-like neighbor
+    assert not got[2]["contaminated"] and not got[3]["contaminated"]
+    assert got[2]["max_cosine"] is not None  # compared, just far
+
+
+def test_semantic_contamination_self_pairs_and_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators import curation as cur
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>")
+    # benchmark drawn FROM the corpus: id 1 must not flag itself
+    got = {r["vec_id"]: r for r in cur.semantic_contamination(
+        corpus, corpus.filter("vec_id = 1"), "vec_id", "embedding",
+        threshold=0.99).collect()}
+    assert not got[1]["contaminated"]
+    assert got[1]["max_cosine"] is None  # only the self pair existed
+    # candidates path == brute when candidates are the full cross
+    bench = spark.createDataFrame([(9, [1.0, 0.1])],
+                                  "vec_id bigint, embedding array<float>")
+    cands = corpus.select("vec_id").crossJoin(
+        bench.select(F.col("vec_id").alias("bench_id")))
+    brute = sorted(map(tuple, cur.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", 0.9).collect()))
+    viac = sorted(map(tuple, cur.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", 0.9,
+        candidates=cands).collect()))
+    assert brute == viac
+
+
+# ---------------------------------------------------------- Kneser-Ney LM
+
+def test_kn_perplexity_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c"), (3, "x")],
+                               "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in curation.kn_perplexity(
+        df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}  # 1-token doc drops out
+    # corpus model: C12 {ab:2, ba:1, ac:1}; C(a.)=3, C(b.)=1;
+    # N1+(a.)=2, N1+(b.)=1; N1+(.b)=1, N1+(.a)=1, N1+(.c)=1; nb=3
+    d = 0.75
+
+    def P(c12, c1, n1r, n1l):
+        return max(c12 - d, 0.0) / c1 + d * n1r / c1 * (n1l / 3.0)
+
+    def nll(p):
+        return round(-math.log(p), 6)
+
+    s1 = nll(P(2, 3, 2, 1)) * 2 + nll(P(1, 1, 1, 1))  # ab, ab, ba
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["ppl"] == round(math.exp(s1 / 3), 6)
+    s2 = nll(P(1, 3, 2, 1))                            # ac
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["ppl"] == round(math.exp(s2), 6)
+    with pytest.raises(ValueError):
+        curation.kn_perplexity(df, "doc_id", "text", discount=1.0)
+
+
+def test_kn_perplexity_ranks_repetition_below_soup(spark):
+    # the quality-signal property: repeated predictable chains score
+    # lower ppl than near-unique-bigram word soup
+    rows = [(1, "spark table spark table spark table spark table"),
+            (2, "qq ww ee rr tt yy uu ii oo pp")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["ppl"] for r in curation.kn_perplexity(
+        df, "doc_id", "text").collect()}
+    assert got[1] < got[2]
+
+
+def test_kn_perplexity_deterministic_under_repartition(spark):
+    rows = [(i, f"alpha beta w{i % 5} gamma alpha beta")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, curation.kn_perplexity(
+        df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, curation.kn_perplexity(
+        df.repartition(7), "doc_id", "text").collect()))
+    assert a == b

@@ -147,3 +147,34 @@ def test_standardize_and_histogram(spark):
     assert got[("b", 11)]["n"] == 1             # overflow
     with pytest.raises(ValueError):
         profiling.value_histogram(h, "v", 5.0, 5.0, 10)
+
+
+# ------------------------------------------------------ distribution drift
+
+def test_distribution_drift_psi_kl_math_and_union_buckets(spark):
+    import math
+
+    from zacks_estimates_financial_statements_spark.operators import profiling
+
+    ref = spark.createDataFrame([("a",)] * 60 + [("b",)] * 40,
+                                "lang string")
+    cur = spark.createDataFrame([("a",)] * 40 + [("b",)] * 55
+                                + [("c",)] * 5, "lang string")
+    got = {r["bucket"]: r for r in profiling.distribution_drift(
+        ref, cur, "lang").collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert (got["c"]["n_ref"], got["c"]["n_cur"]) == (0, 5)
+    # replicate the operator's documented smoothing/rounding exactly
+    B, a = 3, 0.5
+    for b, (nr, nc) in {"a": (60, 40), "b": (40, 55),
+                        "c": (0, 5)}.items():
+        p = round((nr + a) / (100 + a * B), 6)
+        q = round((nc + a) / (100 + a * B), 6)
+        lr = round(math.log(q), 6) - round(math.log(p), 6)
+        assert got[b]["p_ref"] == p and got[b]["p_cur"] == q
+        assert got[b]["psi"] == round((q - p) * lr, 6)
+        assert got[b]["kl"] == round(q * lr, 6)
+        assert got[b]["psi"] >= 0.0  # psi contributions are nonneg
+    # identical distributions -> zero drift everywhere
+    same = profiling.distribution_drift(ref, ref, "lang").collect()
+    assert all(r["psi"] == 0.0 and r["kl"] == 0.0 for r in same)

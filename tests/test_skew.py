@@ -67,3 +67,46 @@ def test_bloom_semi_join_exact_and_sound(spark):
     # empty filter side: empty result, no crash
     assert skew.bloom_semi_join(
         large, small.filter("k < 0"), "k", "inner").count() == 0
+
+
+def test_bloom_semi_join_design_point_plan_smj(spark):
+    """Pin the plan at the operator's DESIGN POINT — the filter side
+    too big to broadcast: the final join must be a SortMergeJoin (not
+    BHJ), the bloom probe must still be the 1-row-broadcast BNLJ
+    filter sitting BELOW the probe side's Exchange (rows drop before
+    they shuffle), and no CartesianProduct. Mirrors what
+    tools/bloom_study.py measures at 10M x 100k."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        large = spark.range(20000).select(
+            (F.col("id") % 5000).alias("k"), F.col("id").alias("v"))
+        small = spark.range(500).select(
+            (F.col("id") * 10).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"))
+        bl = skew.bloom_semi_join(large, small, "k", "inner")
+        plan = bl._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan, plan[:800]
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        lines = plan.splitlines()
+        bidx = [i for i, ln in enumerate(lines)
+                if "BroadcastNestedLoopJoin" in ln and "element_at" in ln]
+        assert bidx, "bloom probe condition missing from the BNLJ"
+        # the probe-side SMJ Exchange sits ABOVE the BNLJ filter: an
+        # Exchange appears before (above) the BNLJ in the tree, and
+        # between BNLJ and the range source there is none
+        pre = lines[:bidx[0]]
+        assert any("Exchange hashpartitioning(k" in ln for ln in pre), \
+            "probe Exchange not found above the bloom filter"
+        post = lines[bidx[0] + 1:]
+        src = [i for i, ln in enumerate(post) if "Range (" in ln]
+        assert src and not any("Exchange" in ln
+                               for ln in post[:src[0]]), \
+            "an Exchange crept between the bloom filter and the scan"
+        # and the result is still exact at this config
+        assert bl.count() == large.join(small, ["k"], "inner").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -83,6 +83,17 @@ FANOUT_BNLJ_OK = {
                    "the <=buckets-row bucket model (scalar-attach "
                    "shape, same as standardize); doc scoring itself "
                    "is a broadcast equi-join on bucket",
+    "semantic_decontaminate": "|benchmark|-row broadcast scoring cross "
+                              "(eval sets are bounded by construction "
+                              "— the same brute-tier shape as "
+                              "topk_cosine; candidates= swaps in an "
+                              "ANN equi-join when they are not)",
+    "distribution_drift": "1-row totals aggregate broadcast onto the "
+                          "bucket-cardinality join (scalar-attach "
+                          "shape, same as standardize)",
+    "kn_perplexity": "1-row distinct-bigram-type total broadcast "
+                     "(folded-constant-key scalar attach — the same "
+                     "shape as lm_perplexity's vocabulary size)",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the
@@ -100,6 +111,9 @@ LAMBDA_FILTER_OK = {
                       "into the scan filter — one extra split pass",
     "lm_perplexity": "caller-written size(tokens) >= 2 guard pushed "
                      "into the scan filter — one extra split pass",
+    "kn_perplexity": "the same caller-written size(tokens) >= 2 guard "
+                     "as lm_perplexity, pushed into the scan filter "
+                     "of each model branch",
     "curate_pipeline": "embeds clean_corpus-style quality gates",
     "perplexity_buckets": "embeds lm_perplexity's caller-written "
                           "size(tokens) >= 2 guard pushed into the "

@@ -252,3 +252,181 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
                     F.coalesce("pieces", F.array().cast("array<string>"))
                     .alias("pieces"))
             .withColumn("n_pieces", F.size("pieces")))
+
+
+def unigram_seed_vocab(df: DataFrame, text_col: str,
+                       vocab_size: int = 200,
+                       max_piece_len: int = 4) -> DataFrame:
+    """Seed vocabulary for a unigram-LM (SentencePiece-style)
+    tokenizer (Kudo, ACL 2018 §3): every single character plus the
+    ``vocab_size`` most frequent multi-character substrings (length <=
+    ``max_piece_len``) of the corpus words, each with its negative
+    log-probability cost ``-ln(freq / total)`` over the selected
+    vocabulary. Characters are always kept — the encoder's closure
+    guarantee — so ``vocab_size`` budgets the MULTI-char pieces.
+
+    This is the candidate-generation step of unigram training; the
+    costs already make a usable Viterbi tokenizer
+    (``unigram_encode``), and an EM refinement loop can re-estimate
+    them against the same encoder.
+
+    Determinism: the multi-piece cut ranks (freq DESC, piece ASC) via
+    a global ``orderBy().limit()`` (TakeOrdered — a per-partition heap
+    merge, no single-partition window); costs round to 6.
+
+    Scale shape: substring generation runs on the DISTINCT-WORD
+    relation (vocabulary-sized — the corpus itself contributes one
+    map-side-combined word count), so the explode fan-out is
+    |distinct words| × len × ``max_piece_len``, not corpus-scale; the
+    total is a 1-row broadcast scalar attach.
+
+    Output: ``(piece, freq, cost)``.
+    """
+    if vocab_size < 0 or max_piece_len < 2:
+        raise ValueError(
+            f"need vocab_size >= 0 and max_piece_len >= 2, got "
+            f"{vocab_size}/{max_piece_len}")
+    w = (df.select(F.explode_outer(_words(F.col(text_col)))
+                   .alias("__w"))
+         .filter(F.col("__w").isNotNull()))
+    words = w.groupBy("__w").agg(F.count("*").alias("__wf"))
+    n = F.length("__w")
+    subs = (words
+            .select("__w", "__wf",
+                    F.explode_outer(F.sequence(F.lit(1), n)).alias("__i"))
+            .select("__w", "__wf", "__i",
+                    F.explode_outer(F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(max_piece_len),
+                                F.length("__w") - F.col("__i") + 1)))
+                    .alias("__l"))
+            .select(F.substr(F.col("__w"), F.col("__i"), F.col("__l"))
+                    .alias("piece"), "__wf"))
+    freqs = subs.groupBy("piece").agg(F.sum("__wf").alias("freq"))
+    chars = freqs.filter(F.length("piece") == 1)
+    multi = (freqs.filter(F.length("piece") >= 2)
+             .orderBy(F.col("freq").desc(), F.col("piece"))
+             .limit(vocab_size))
+    sel = chars.unionByName(multi)
+    tot = sel.agg(F.sum("freq").cast("double").alias("__tot"))
+    return (sel.join(F.broadcast(tot))
+            .select("piece", "freq",
+                    F.round(-F.log(F.col("freq") / F.col("__tot")), 6)
+                    .alias("cost")))
+
+
+def unigram_encode(df: DataFrame, id_col: str, text_col: str,
+                   vocab: DataFrame, unk_cost: float = 20.0) -> DataFrame:
+    """Viterbi (min total cost) subword segmentation under a unigram
+    LM vocabulary — SentencePiece's inference rule (Kudo, ACL 2018:
+    the most probable segmentation under piece unigram probs), the
+    third tokenizer tier next to ``wordpiece_encode`` (greedy maximal
+    munch) and ``bpe_encode`` (learned merge replay).
+
+    ``vocab`` is a ``(piece, cost)`` relation (``unigram_seed_vocab``
+    or an EM-refined model). Characters missing from the vocabulary
+    encode at ``unk_cost`` — segmentation always succeeds.
+
+    The DP runs ENTIRELY in Catalyst on the DISTINCT-WORD relation
+    (vocabulary-sized, the bpe_encode discipline — higher-order
+    functions are fine on bounded relations, never in per-corpus-row
+    hot paths): per word, matching-piece candidates come from ONE
+    broadcast equi-join on the substring (codegen), are packed into a
+    sorted per-word array, and the Viterbi forward pass + backtrack
+    are two array folds over word positions. Ties break to the
+    earliest candidate in (end, start) order — i.e. the LONGEST piece
+    reaching a position — via strict-< comparison, identically in the
+    SQL twin. Candidate path costs round to 6 at every accumulation.
+
+    Word occurrences then rejoin their piece arrays and re-assemble
+    per document in word order (the bpe_encode tail). Returns
+    ``(id, pieces array<string>, n_pieces)``; docs with no words get
+    an empty array.
+    """
+    w = df.select(F.col(id_col),
+                  F.posexplode(_words(F.col(text_col)))
+                  .alias("__wp", "__w"))
+    dw = (w.select(F.col("__w").alias("w")).distinct()
+          .withColumn("n", F.length("w")))
+    max_l = vocab.agg(F.max(F.length("piece"))).collect()[0][0] or 1
+    vsel = vocab.select(F.col("piece"), F.col("cost"))
+    multi = (dw.select("w", "n",
+                       F.explode_outer(F.sequence(F.lit(1), F.col("n")))
+                       .alias("__i"))
+             .filter(F.col("n") - F.col("__i") >= 1)
+             .select("w", "__i",
+                     F.explode_outer(F.sequence(
+                         F.lit(2),
+                         F.least(F.lit(int(max_l)),
+                                 F.col("n") - F.col("__i") + 1)))
+                     .alias("__l"))
+             .select("w", (F.col("__i") - 1).alias("s"),
+                     (F.col("__i") - 1 + F.col("__l")).alias("e"),
+                     F.substr(F.col("w"), F.col("__i"), F.col("__l"))
+                     .alias("piece"))
+             .join(F.broadcast(vsel.filter(F.length("piece") >= 2)),
+                   "piece")
+             .select("w", "s", "e", "cost"))
+    singles = (dw.select("w",
+                         F.explode_outer(F.sequence(F.lit(1),
+                                                    F.col("n")))
+                         .alias("__i"))
+               .select("w", (F.col("__i") - 1).alias("s"),
+                       F.col("__i").alias("e"),
+                       F.substr(F.col("w"), F.col("__i"), F.lit(1))
+                       .alias("piece"))
+               .join(F.broadcast(vsel.filter(F.length("piece") == 1)),
+                     "piece", "left")
+               .select("w", "s", "e",
+                       F.coalesce("cost", F.lit(float(unk_cost)))
+                       .alias("cost")))
+    cand = multi.unionByName(singles)
+    carr = cand.groupBy("w").agg(
+        F.sort_array(F.collect_list(
+            F.struct(F.col("e"), F.col("s"), F.col("cost"))))
+        .alias("__cand"))
+    base = dw.join(carr, "w")
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.col("n")),
+        F.array(F.struct(F.lit(0.0).alias("c"), F.lit(-1).alias("b"))),
+        lambda acc, j: F.concat(acc, F.array(
+            F.aggregate(
+                F.filter(F.col("__cand"), lambda cd: cd["e"] == j),
+                F.struct(F.lit(1e18).alias("c"), F.lit(-1).alias("b")),
+                lambda best, cd: F.when(
+                    F.round(F.element_at(acc, cd["s"] + 1)["c"]
+                            + cd["cost"], 6) < best["c"],
+                    F.struct(
+                        F.round(F.element_at(acc, cd["s"] + 1)["c"]
+                                + cd["cost"], 6).alias("c"),
+                        cd["s"].alias("b"))).otherwise(best)))))
+    # materialize dp BEFORE the backtrack references it: Catalyst does
+    # not CSE through lambdas (the repo-wide 25x lesson)
+    dped = base.withColumn("__dp", dp)
+    bt = F.aggregate(
+        F.sequence(F.lit(1), F.col("n")),
+        F.struct(F.col("n").alias("p"),
+                 F.array().cast("array<string>").alias("ps")),
+        lambda st, _x: F.when(st["p"] <= 0, st).otherwise(
+            F.struct(
+                F.element_at(F.col("__dp"), st["p"] + 1)["b"].alias("p"),
+                F.concat(
+                    F.array(F.substr(
+                        F.col("w"),
+                        F.element_at(F.col("__dp"), st["p"] + 1)["b"]
+                        + 1,
+                        st["p"] - F.element_at(F.col("__dp"),
+                                               st["p"] + 1)["b"])),
+                    st["ps"]).alias("ps"))))
+    pieces = dped.select("w", bt["ps"].alias("__pieces"))
+    joined = w.join(pieces, w["__w"] == pieces["w"]).drop("w")
+    agg = (joined.groupBy(id_col)
+           .agg(F.flatten(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct("__wp", "__pieces"))),
+               lambda s: s["__pieces"])).alias("pieces")))
+    return (df.select(id_col).join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("pieces", F.array().cast("array<string>"))
+                    .alias("pieces"))
+            .withColumn("n_pieces", F.size("pieces")))

@@ -286,6 +286,65 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
             .withColumn("contaminated", F.col("overlap_grams") > 0))
 
 
+def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
+                           id_col: str, vec_col: str,
+                           threshold: float = 0.9,
+                           candidates: DataFrame | None = None
+                           ) -> DataFrame:
+    """Embedding-tier benchmark decontamination — the semantic sibling
+    of ``benchmark_contamination``: n-gram overlap misses paraphrased
+    or translated eval leakage, so modern pipelines (e.g. the
+    phi/Llama decontamination write-ups) ALSO flag training documents
+    whose embedding sits within ``threshold`` cosine of any benchmark
+    item.
+
+    Returns one row per corpus document: ``max_cosine`` (similarity to
+    the nearest benchmark item, rounded 6), ``nearest_bench_id`` (ties
+    break to the smallest benchmark id — deterministic), and
+    ``contaminated`` (max_cosine >= threshold). Documents never
+    compared (empty benchmark, or absent from ``candidates``) keep
+    their row with NULL cosine and ``contaminated = false`` —
+    annotate, don't drop (the gopher_gate convention).
+
+    Scale shape: eval benchmarks are tiny next to a training corpus,
+    so the default pairing is the broadcast nested-loop cross —
+    |corpus| × |bench| cosine evaluations in the codegen stage, then
+    ONE map-side-combined ``max_by`` per corpus id (shuffle = |corpus|
+    narrow rows). When the benchmark outgrows broadcast, pass
+    ``candidates`` — ``(id_col, bench_id)`` pairs from any ANN tier
+    (``topk_lsh`` / ``topk_ivf`` / ``pq_adc_topk``), the
+    ``mine_hard_negatives`` pattern — and only candidate pairs are
+    scored. Self-pairs (same id in both frames) are excluded so a
+    benchmark drawn from the corpus does not flag itself.
+    """
+    bench = benchmark.select(
+        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec"))
+    if candidates is None:
+        pairs = corpus.select(F.col(id_col), F.col(vec_col)) \
+            .crossJoin(F.broadcast(bench))
+    else:
+        pairs = (candidates.select(F.col(id_col),
+                                   F.col("bench_id").alias("__bid"))
+                 .join(corpus.select(F.col(id_col), F.col(vec_col)),
+                       id_col)
+                 .join(bench, "__bid"))
+    from zacks_estimates_financial_statements_spark.functions import vectors as V
+    scored = (pairs.filter(F.col(id_col) != F.col("__bid"))
+              .select(F.col(id_col), F.col("__bid"),
+                      F.round(V.cosine(F.col(vec_col), F.col("__bvec")),
+                              6).alias("__cos"))
+              .filter(F.col("__cos").isNotNull()))
+    best = (scored.groupBy(id_col)
+            .agg(F.max("__cos").alias("max_cosine"),
+                 F.max_by("__bid", F.struct(F.col("__cos"),
+                                            (-F.col("__bid")).alias("n")))
+                 .alias("nearest_bench_id")))
+    return (corpus.select(id_col).join(best, id_col, "left")
+            .select(id_col, "max_cosine", "nearest_bench_id",
+                    F.coalesce(F.col("max_cosine") >= threshold,
+                               F.lit(False)).alias("contaminated")))
+
+
 #: PII patterns restricted to constructs with identical semantics in
 #: Java regex (Spark) and RE2 (DuckDB): character classes, bounded
 #: repetition and word boundaries only — no alternation or backtracking
@@ -897,6 +956,83 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
     scored = (annot.join(head_model.withColumnRenamed("__tok", "w1"), "w1")
               .withColumn("__k", F.lit(1))
               .join(F.broadcast(vocab), "__k")
+              .select(F.col(id_col), nll.alias("__nll")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.exp(F.sum("__nll").cast("double")
+                               / F.count("*")), 6).alias("ppl")))
+
+
+def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
+                  discount: float = 0.75) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser–Ney bigram
+    LM trained on the corpus itself — the smoothing KenLM actually
+    ships (Kneser & Ney, ICASSP 1995; Chen & Goodman, CSL 1999 for
+    the interpolated form), upgrading ``bigram_lm_perplexity``'s
+    add-α tier: absolute discounting plus a CONTINUATION unigram
+    backoff, so frequent-but-context-bound tokens ("Francisco")
+    stop inflating unseen-context probabilities.
+
+        P(w2|w1) = max(C(w1 w2) − d, 0) / C(w1 ·)
+                 + d · N1+(w1 ·) / C(w1 ·) · N1+(· w2) / N1+(· ·)
+
+    with ``d = discount``, ``N1+(w1 ·)`` = distinct continuations of
+    w1, ``N1+(· w2)`` = distinct left-contexts of w2, ``N1+(· ·)`` =
+    distinct bigram types. ``ppl = exp(mean −ln P)`` over a document's
+    bigrams; documents with < 2 tokens drop out.
+
+    Determinism: the P expression evaluates in double with the EXACT
+    association written above (both engines), per-bigram NLLs round to
+    6 and sum as ``decimal(38,6)``, ppl rounds to 6 — the repo recipe.
+
+    Plan shape — same skew discipline as ``bigram_lm_perplexity``
+    (its docstring carries the full argument): C(w1 w2) is the
+    (w1, w2) window count on the occurrence relation; C(w1 ·) is the
+    posexplode head-count model (groupBy, map-side combined — never a
+    w1 window); the three KN count models (N1+(w1 ·), N1+(· w2), and
+    the 1-row N1+(· ·)) all derive from the DISTINCT-bigram relation,
+    which is model-sized (bigram types, not occurrences), with
+    map-side combine collapsing the hot head token to #partitions
+    rows before each shuffle. Models attach by plain joins AQE
+    broadcasts while the vocabulary fits.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = (df.select(F.col(id_col), _word_array(text_col).alias("__t"))
+            .filter(F.size("__t") >= 2))
+    n1 = F.size("__t") - 1
+    bi = (toks.select(
+        F.col(id_col),
+        F.explode_outer(F.arrays_zip(
+            F.slice("__t", 1, n1).alias("w1"),
+            F.slice("__t", 2, n1).alias("w2"))).alias("__b"))
+        .select(F.col(id_col), F.col("__b.w1").alias("w1"),
+                F.col("__b.w2").alias("w2")))
+    tokrel = toks.select((F.size("__t") - 1).alias("__h"),
+                         F.posexplode_outer("__t").alias("__p", "__tok"))
+    head_model = (tokrel.groupBy("__tok")
+                  .agg(F.sum(F.when(F.col("__p") < F.col("__h"), 1)
+                             .otherwise(0)).alias("__c1")))
+    dp = bi.select("w1", "w2").distinct()
+    r1 = dp.groupBy("w1").agg(F.count("*").alias("__n1r"))
+    r2 = dp.groupBy("w2").agg(F.count("*").alias("__n1l"))
+    nb = (dp.agg(F.count("*").cast("double").alias("__nb"))
+          .withColumn("__k", F.lit(1)))
+    annot = bi.withColumn(
+        "__c12", F.count("*").over(Window.partitionBy("w1", "w2")))
+    d = F.lit(float(discount))
+    p = (F.greatest(F.col("__c12") - d, F.lit(0.0)) / F.col("__c1")
+         + d * F.col("__n1r") / F.col("__c1")
+         * (F.col("__n1l") / F.col("__nb")))
+    nll = F.round(-F.log(p), 6).cast("decimal(38,6)")
+    scored = (annot
+              .join(head_model.withColumnRenamed("__tok", "w1"), "w1")
+              .join(r1, "w1")
+              .join(r2, "w2")
+              .withColumn("__k", F.lit(1))
+              .join(F.broadcast(nb), "__k")
               .select(F.col(id_col), nll.alias("__nll")))
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),

@@ -134,6 +134,61 @@ def profile_drift(baseline: DataFrame, current: DataFrame,
          ).alias("distinct_drift"))
 
 
+def distribution_drift(reference: DataFrame, current: DataFrame,
+                       key, alpha: float = 0.5) -> DataFrame:
+    """Per-bucket distribution drift between two corpus snapshots —
+    PSI (population stability index, the model-monitoring standard)
+    and KL divergence contributions over a categorical key (language,
+    source domain, quality bucket, tokenizer id, or a ``histogram``
+    bucket for numerics).
+
+    ``key`` is a column name or Column evaluated on BOTH frames. Per
+    bucket b with add-``alpha`` smoothing over the UNION of observed
+    buckets (so a bucket present on one side only cannot divide by
+    zero, and the totals still sum to 1):
+
+        p_b = (n_ref_b + α) / (N_ref + α·B)
+        q_b = (n_cur_b + α) / (N_cur + α·B)
+        psi_b = (q_b − p_b) · ln(q_b / p_b)      [always >= 0]
+        kl_b  = q_b · ln(q_b / p_b)
+
+    Output: ``(bucket, n_ref, n_cur, p_ref, p_cur, psi, kl)`` — one
+    row per observed bucket (the QA view: WHICH strata moved); sum
+    ``psi`` for the headline index (rule of thumb: < 0.1 stable,
+    > 0.25 investigate). All ratios/logs round to 6 (the cross-engine
+    recipe); ln ratios difference as two 6-rounded lns like
+    ``dsir_select``'s bucket models.
+
+    Scale shape: ONE map-side-combined count per side (shuffle = one
+    combiner row per bucket per task), a bucket-cardinality full-outer
+    join, totals as 1-row broadcasts. Corpus rows never shuffle.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    r = (reference.select(kc.alias("bucket"))
+         .groupBy("bucket").agg(F.count("*").alias("n_ref")))
+    c = (current.select(kc.alias("bucket"))
+         .groupBy("bucket").agg(F.count("*").alias("n_cur")))
+    j = (r.join(c, "bucket", "full_outer")
+         .select("bucket",
+                 F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                 F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = j.agg(F.sum("n_ref").alias("__tr"),
+                F.sum("n_cur").alias("__tc"),
+                F.count("*").alias("__b"))
+    p = F.round((F.col("n_ref") + alpha)
+                / (F.col("__tr") + alpha * F.col("__b")), 6)
+    q = F.round((F.col("n_cur") + alpha)
+                / (F.col("__tc") + alpha * F.col("__b")), 6)
+    out = (j.join(F.broadcast(tot))
+           .select("bucket", "n_ref", "n_cur",
+                   p.alias("p_ref"), q.alias("p_cur")))
+    lr = F.round(F.log("p_cur"), 6) - F.round(F.log("p_ref"), 6)
+    return out.select(
+        "bucket", "n_ref", "n_cur", "p_ref", "p_cur",
+        F.round((F.col("p_cur") - F.col("p_ref")) * lr, 6).alias("psi"),
+        F.round(F.col("p_cur") * lr, 6).alias("kl"))
+
+
 #: scale factor making MAD a consistent sigma estimator under normality
 MAD_SIGMA = 1.4826
 

@@ -144,3 +144,88 @@ def hybrid_search(docs: DataFrame, id_col: str, text_col: str,
     sem = sem.withColumn("rank", F.row_number().over(
         Window.orderBy(F.col("s").desc(), F.col(id_col).asc())))
     return rrf_fuse([lex, sem], id_col, rrf_k)
+
+
+def retrieval_metrics(results: DataFrame, qrels: DataFrame,
+                      query_col: str = "query_id",
+                      doc_col: str = "doc_id",
+                      rank_col: str = "rank",
+                      grade_col: str = "grade",
+                      k: int = 10) -> DataFrame:
+    """Ranking-quality evaluation — nDCG@k / recall@k / precision@k /
+    MRR@k per query, the standard IR panel (Järvelin & Kekäläinen,
+    TOIS 2002 for DCG) that closes the retrieval loop: bm25_search /
+    hybrid_search / ANN tiers produce ranked lists, this scores them
+    against graded judgments.
+
+    ``results``: (query, doc, rank) — rank 1-based, as produced by the
+    search operators. ``qrels``: (query, doc, grade) — graded
+    relevance, grade > 0 means relevant. Per query (the universe is
+    the queries that RAN, i.e. distinct ``results`` queries):
+
+    - ``hits_at_k``     relevant docs retrieved at rank <= k
+    - ``recall_at_k``   hits / |relevant(q)| (NULL if no relevant)
+    - ``precision_at_k`` hits / k
+    - ``mrr``           1 / first relevant rank within k, else 0
+    - ``ndcg_at_k``     DCG@k / IDCG@k with gain (2^grade − 1) /
+      log2(rank + 1); IDCG ranks the query's qrels by grade DESC (doc
+      id tiebreak); NULL when the query has no positive grades.
+
+    Determinism (the repo hashing recipe): per-rank gains round to 6
+    and sum as ``decimal(38,6)``; final ratios round to 6.
+
+    Scale shape: ``results`` is already bounded (<= k rows per query
+    after the rank filter) and qrels are human-sized; every join and
+    window here runs on those bounded relations — nothing
+    corpus-scale enters. The grade join is left + coalesce-0 so
+    unjudged retrieved docs count as non-relevant (TREC convention).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dec = "decimal(38,6)"
+    topk = (results.select(F.col(query_col), F.col(doc_col),
+                           F.col(rank_col).alias("__r"))
+            .filter(F.col("__r") <= k))
+    graded = (topk.join(qrels.select(F.col(query_col), F.col(doc_col),
+                                     F.col(grade_col).alias("__g")),
+                        [query_col, doc_col], "left")
+              .withColumn("__g", F.coalesce("__g", F.lit(0))))
+    gain = F.round((F.pow(F.lit(2.0), F.col("__g")) - 1.0)
+                   / F.log2(F.col("__r") + 1.0), 6)
+    per_q = (graded.groupBy(query_col)
+             .agg(F.sum(F.when(F.col("__g") > 0, 1).otherwise(0))
+                  .alias("hits_at_k"),
+                  F.sum(gain.cast(dec)).alias("__dcg"),
+                  F.min(F.when(F.col("__g") > 0, F.col("__r")))
+                  .alias("__first")))
+    # ideal ranking: the query's judged docs by grade desc (doc asc)
+    iw = Window.partitionBy(query_col).orderBy(
+        F.col(grade_col).desc(), F.col(doc_col).asc())
+    ideal = (qrels.filter(F.col(grade_col) > 0)
+             .withColumn("__ir", F.row_number().over(iw))
+             .filter(F.col("__ir") <= k)
+             .groupBy(query_col)
+             .agg(F.sum(F.round(
+                 (F.pow(F.lit(2.0), F.col(grade_col)) - 1.0)
+                 / F.log2(F.col("__ir") + 1.0), 6).cast(dec))
+                 .alias("__idcg")))
+    n_rel = (qrels.filter(F.col(grade_col) > 0)
+             .groupBy(query_col)
+             .agg(F.count("*").alias("n_relevant")))
+    return (per_q.join(ideal, query_col, "left")
+            .join(n_rel, query_col, "left")
+            .select(
+                query_col,
+                F.coalesce("n_relevant", F.lit(0)).cast("bigint")
+                .alias("n_relevant"),
+                F.col("hits_at_k").cast("bigint").alias("hits_at_k"),
+                F.round(F.col("hits_at_k")
+                        / F.col("n_relevant"), 6).alias("recall_at_k"),
+                F.round(F.col("hits_at_k") / F.lit(float(k)), 6)
+                .alias("precision_at_k"),
+                F.round(F.coalesce(1.0 / F.col("__first"), F.lit(0.0)),
+                        6).alias("mrr"),
+                F.round((F.col("__dcg") / F.col("__idcg"))
+                        .cast("double"), 6).alias("ndcg_at_k")))
