@@ -4599,6 +4599,139 @@ FROM pq
 """
 
 
+def q_unigram_vocab(spark, sf):
+    """Unigram-LM seed vocabulary (functions/tokenize.py
+    ``unigram_seed_vocab``, Kudo ACL 2018): all single chars + the 20
+    hottest multi-char substrings (len<=4) of the corpus words with
+    -ln(freq/total) costs. Substring explode runs on the distinct-word
+    relation; the multi cut is a TakeOrdered, the total a 1-row
+    scalar attach."""
+    docs = _t(spark, sf, "documents")
+    return tokenize.unigram_seed_vocab(docs, "text", vocab_size=20,
+                                       max_piece_len=4)
+
+
+_UNIGRAM_VOCAB_CTES = """
+wtok AS (
+  SELECT unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS w
+  FROM documents),
+uwords AS (SELECT w, count(*)::BIGINT AS wf FROM wtok GROUP BY w),
+usubs AS (
+  SELECT substr(uwords.w, i.i, l.l) AS piece, wf
+  FROM uwords,
+       unnest(range(1, len(uwords.w) + 1)) i(i),
+       unnest(range(1, least(4, len(uwords.w) - i.i + 1) + 1)) l(l)),
+ufreqs AS (
+  SELECT piece, sum(wf)::BIGINT AS freq FROM usubs GROUP BY piece),
+usel AS MATERIALIZED (
+  SELECT piece, freq FROM ufreqs WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, freq FROM (
+    SELECT piece, freq FROM ufreqs WHERE len(piece) >= 2
+    ORDER BY freq DESC, piece LIMIT 20)),
+utot AS (SELECT sum(freq)::DOUBLE AS t FROM usel),
+uvocab AS MATERIALIZED (
+  SELECT piece, freq, round(-ln(freq / utot.t), 6) AS cost
+  FROM usel, utot)"""
+
+ORACLE_UNIGRAM_VOCAB = f"""
+WITH {_UNIGRAM_VOCAB_CTES}
+SELECT piece, freq, cost FROM uvocab
+"""
+
+
+def q_unigram_encode(spark, sf):
+    """Viterbi unigram segmentation (functions/tokenize.py
+    ``unigram_encode``): min-cost subword split of every document
+    under the corpus-trained seed vocabulary — the SentencePiece
+    inference rule, third tokenizer tier next to wordpiece (greedy)
+    and BPE (merge replay). The DP runs as two array folds on the
+    distinct-word relation; the twin replays it as a 16-level chained
+    MATERIALIZED-CTE dynamic program with identical rounding and the
+    identical longest-piece tie-break."""
+    docs = _t(spark, sf, "documents")
+    vocab = tokenize.unigram_seed_vocab(docs, "text", vocab_size=20,
+                                        max_piece_len=4)
+    return tokenize.unigram_encode(docs, "doc_id", "text",
+                                   vocab.select("piece", "cost"))
+
+
+def _oracle_unigram_encode(w_max: int = 16) -> str:
+    """DP twin generator: forward Viterbi as ``w_max`` chained
+    (candidates -> min -> argmin -> union) MATERIALIZED CTE stages,
+    then ``w_max`` backtrack stages — covers words up to ``w_max``
+    chars (corpus max is 8). Tie-break = min(start) among minimal
+    rounded totals == Spark's first-candidate-in-(e, s)-order rule."""
+    parts = [f"""
+dw AS MATERIALIZED (
+  SELECT w, len(w)::INT AS n FROM (SELECT DISTINCT w FROM wtok)),
+umsub AS (
+  SELECT dw.w, i.i - 1 AS s, (i.i - 1 + l.l)::INT AS e,
+         substr(dw.w, i.i, l.l) AS piece
+  FROM dw,
+       unnest(range(1, dw.n)) i(i),
+       unnest(range(2, least(4, dw.n - i.i + 1) + 1)) l(l)),
+ussub AS (
+  SELECT dw.w, i.i - 1 AS s, i.i::INT AS e,
+         substr(dw.w, i.i, 1) AS piece
+  FROM dw, unnest(range(1, dw.n + 1)) i(i)),
+cand AS MATERIALIZED (
+  SELECT m.w, m.s::INT AS s, m.e, v.cost
+  FROM umsub m JOIN uvocab v ON v.piece = m.piece
+  WHERE len(v.piece) >= 2
+  UNION ALL
+  SELECT s1.w, s1.s::INT AS s, s1.e,
+         coalesce(v.cost, 20.0::DOUBLE) AS cost
+  FROM ussub s1 LEFT JOIN uvocab v ON v.piece = s1.piece),
+dpa0 AS MATERIALIZED (
+  SELECT w, 0::INT AS pos, 0.0::DOUBLE AS c, -1::INT AS b FROM dw)"""]
+    for j in range(1, w_max + 1):
+        parts.append(f"""
+cj{j} AS MATERIALIZED (
+  SELECT c.w, round(d.c + c.cost, 6) AS total, c.s
+  FROM cand c JOIN dpa{j - 1} d ON d.w = c.w AND d.pos = c.s
+  WHERE c.e = {j}),
+mj{j} AS (SELECT w, min(total) AS c FROM cj{j} GROUP BY w),
+dj{j} AS (
+  SELECT c.w, {j}::INT AS pos, m.c AS c, min(c.s)::INT AS b
+  FROM cj{j} c JOIN mj{j} m ON c.w = m.w AND c.total = m.c
+  GROUP BY c.w, m.c),
+dpa{j} AS MATERIALIZED (
+  SELECT * FROM dpa{j - 1} UNION ALL SELECT * FROM dj{j})""")
+    parts.append(f"""
+bt0 AS MATERIALIZED (
+  SELECT w, n::INT AS pos, []::VARCHAR[] AS ps FROM dw)""")
+    for j in range(1, w_max + 1):
+        parts.append(f"""
+bt{j} AS MATERIALIZED (
+  SELECT b.w,
+    CASE WHEN b.pos <= 0 THEN b.pos ELSE d.b END AS pos,
+    CASE WHEN b.pos <= 0 THEN b.ps
+         ELSE list_prepend(substr(b.w, d.b + 1, b.pos - d.b), b.ps)
+    END AS ps
+  FROM bt{j - 1} b
+  LEFT JOIN dpa{w_max} d ON d.w = b.w AND d.pos = b.pos)""")
+    tail = f""",
+enc AS (SELECT w, ps AS p FROM bt{w_max}),
+wls AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS wl
+  FROM documents),
+docw AS (
+  SELECT doc_id, g.i AS wp, wl[g.i] AS w
+  FROM wls, generate_series(1, 256) g(i)
+  WHERE g.i <= len(wl)),
+agg AS (
+  SELECT d.doc_id, flatten(list(e.p ORDER BY d.wp)) AS pieces
+  FROM docw d JOIN enc e USING (w) GROUP BY d.doc_id)
+SELECT w.doc_id, coalesce(a.pieces, []::VARCHAR[]) AS pieces,
+  coalesce(len(a.pieces), 0)::INT AS n_pieces
+FROM wls w LEFT JOIN agg a USING (doc_id)"""
+    return ("WITH " + _UNIGRAM_VOCAB_CTES + ","
+            + ",".join(parts) + tail)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -4715,6 +4848,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_metrics": q_retrieval_metrics,
     "distribution_drift": q_distribution_drift,
     "kn_perplexity": q_kn_perplexity,
+    "unigram_vocab": q_unigram_vocab,
+    "unigram_encode": q_unigram_encode,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4835,6 +4970,8 @@ _ORACLE: dict[str, str] = {
     "retrieval_metrics": ORACLE_RETRIEVAL_METRICS,
     "distribution_drift": ORACLE_DISTRIBUTION_DRIFT,
     "kn_perplexity": ORACLE_KN_PERPLEXITY,
+    "unigram_vocab": ORACLE_UNIGRAM_VOCAB,
+    "unigram_encode": _oracle_unigram_encode(16),
 }
 
 

@@ -109,6 +109,8 @@ HEADLINE = [
     "retrieval_metrics",    # nDCG/recall/MRR panel on bounded relations
     "distribution_drift",   # PSI/KL per-stratum drift monitor
     "kn_perplexity",        # interpolated Kneser-Ney LM tier
+    "unigram_vocab",        # SentencePiece-style seed vocabulary
+    "unigram_encode",       # Viterbi subword DP on the distinct-word relation
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -1284,3 +1284,91 @@ def test_kn_perplexity_deterministic_under_repartition(spark):
     b = sorted(map(tuple, curation.kn_perplexity(
         df.repartition(7), "doc_id", "text").collect()))
     assert a == b
+
+
+# ------------------------------------------------------ unigram tokenizer
+
+def test_unigram_seed_vocab_chars_always_kept_and_costs(spark):
+    import math
+
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    df = spark.createDataFrame([(1, "abab ab"), (2, "abab cd")],
+                               "doc_id bigint, text string")
+    v = {r["piece"]: r for r in TK.unigram_seed_vocab(
+        df, "text", vocab_size=2, max_piece_len=2).collect()}
+    # chars a,b,c,d always present; top-2 multi pieces by freq
+    assert {"a", "b", "c", "d"} <= set(v)
+    multi = [p for p in v if len(p) > 1]
+    assert len(multi) == 2 and "ab" in multi  # 'ab' is the hot piece
+    # substring occurrences: 'abab' x2 -> a:2/word... freq('ab')=
+    # 2 per 'abab' x 2 words + 1 in 'ab' = 5
+    assert v["ab"]["freq"] == 5
+    tot = sum(r["freq"] for r in v.values())
+    for r in v.values():
+        assert r["cost"] == round(-math.log(r["freq"] / tot), 6)
+    with pytest.raises(ValueError):
+        TK.unigram_seed_vocab(df, "text", max_piece_len=1)
+
+
+def test_unigram_encode_viterbi_picks_min_cost_path(spark):
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    docs = spark.createDataFrame([(1, "abab unk")],
+                                 "doc_id bigint, text string")
+    vocab = spark.createDataFrame(
+        [("ab", 0.5), ("a", 1.0), ("b", 1.2), ("u", 1.0), ("n", 1.0),
+         ("k", 1.0), ("aba", 1.6)],
+        "piece string, cost double")
+    got = TK.unigram_encode(docs, "doc_id", "text", vocab).collect()[0]
+    # 'abab': [ab, ab]=1.0 beats [aba, b]=2.8 and chars=4.4;
+    # 'unk' has no multi pieces -> chars
+    assert got["pieces"] == ["ab", "ab", "u", "n", "k"]
+    assert got["n_pieces"] == 5
+
+
+def test_unigram_encode_unk_chars_and_empty_docs(spark):
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    docs = spark.createDataFrame([(1, "xy"), (2, ""), (3, None)],
+                                 "doc_id bigint, text string")
+    vocab = spark.createDataFrame([("x", 1.0)], "piece string, cost double")
+    got = {r["doc_id"]: r for r in TK.unigram_encode(
+        docs, "doc_id", "text", vocab).collect()}
+    assert got[1]["pieces"] == ["x", "y"]  # y falls back to unk_cost
+    assert got[2]["pieces"] == [] and got[3]["pieces"] == []
+
+
+def test_unigram_encode_tie_prefers_longest_piece(spark):
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    # [ab] cost 2.0 ties [a, b] = 1.0 + 1.0: the longest-piece rule
+    # (earliest candidate in (e, s) order -> smallest s) must win
+    docs = spark.createDataFrame([(1, "ab")],
+                                 "doc_id bigint, text string")
+    vocab = spark.createDataFrame(
+        [("ab", 2.0), ("a", 1.0), ("b", 1.0)], "piece string, cost double")
+    got = TK.unigram_encode(docs, "doc_id", "text", vocab).collect()[0]
+    assert got["pieces"] == ["ab"]
+
+
+def test_unigram_roundtrip_covers_text_and_is_deterministic(spark):
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    rows = [(i, f"spark engine sparkly w{i % 7} engineering spark")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    vocab = TK.unigram_seed_vocab(docs, "text", vocab_size=20,
+                                  max_piece_len=4)
+    enc = TK.unigram_encode(docs, "doc_id", "text", vocab)
+    rows1 = {r["doc_id"]: r["pieces"] for r in enc.collect()}
+    # concatenated pieces reproduce the tokenized words exactly
+    toks = docs.select(
+        "doc_id",
+        F.concat_ws("", F.array_remove(
+            F.split(F.lower("text"), r"[^a-z0-9_]+"), "")).alias("__j"))
+    for r in toks.collect():
+        assert "".join(rows1[r["doc_id"]]) == r["__j"]
+    rows2 = {r["doc_id"]: r["pieces"] for r in TK.unigram_encode(
+        docs.repartition(7), "doc_id", "text", vocab).collect()}
+    assert rows1 == rows2

@@ -94,6 +94,14 @@ FANOUT_BNLJ_OK = {
     "kn_perplexity": "1-row distinct-bigram-type total broadcast "
                      "(folded-constant-key scalar attach — the same "
                      "shape as lm_perplexity's vocabulary size)",
+    "unigram_vocab": "1-row vocabulary-total broadcast crossJoin "
+                     "(scalar-attach shape, same as standardize) onto "
+                     "the vocab-bounded piece relation",
+    "unigram_encode": "inherits unigram_vocab's 1-row total scalar "
+                      "attach, once per candidate branch (multi + "
+                      "single-char) — both on vocab-bounded "
+                      "relations; the substring-candidate joins "
+                      "themselves are broadcast EQUI-joins on piece",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the
