@@ -55,7 +55,14 @@ def main() -> int:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0",
                     "spark.ui.showConsoleProgress": "false",
-                    "spark.sql.shuffle.partitions": "32"})
+                    "spark.sql.shuffle.partitions": "32",
+                    # Spark's STOCK threshold (the engine session
+                    # raises it to 64 MB): both sides here exceed
+                    # 10 MB, which is the 100 TB regime in miniature —
+                    # at real scale both sides exceed ANY threshold
+                    # and the plain join is a full-shuffle SMJ
+                    "spark.sql.autoBroadcastJoinThreshold":
+                        str(10 * 1024 * 1024)})
     sc = spark.sparkContext
     ui, app = sc.uiWebUrl, sc.applicationId
     scratch = tempfile.mkdtemp(prefix="bloom_study_")
@@ -66,9 +73,13 @@ def main() -> int:
          .write.mode("overwrite").parquet(f"{scratch}/large"))
         (spark.range(args.keys)
          .select((F.col("id") * stride).alias("k"),
-                 F.concat(*[F.md5(F.concat(F.lit(s), F.col("id")
+                 # ~1 KB of md5 text per key: incompressible enough to
+                 # push the parquet file past the session's raised
+                 # 64 MB autoBroadcastJoinThreshold — the plain join
+                 # must be a genuine SMJ, not a broadcast
+                 F.concat(*[F.md5(F.concat(F.lit(str(s)), F.col("id")
                                            .cast("string")))
-                            for s in "abcdefgh"]).alias("payload"))
+                            for s in range(32)]).alias("payload"))
          .write.mode("overwrite").parquet(f"{scratch}/small"))
         large = spark.read.parquet(f"{scratch}/large")
         small = spark.read.parquet(f"{scratch}/small")

@@ -65,7 +65,10 @@ def bloom_semi_join(large: DataFrame, small: DataFrame,
     deterministic, always-available form. The filter side builds
     ``n_hashes`` bit positions per distinct key (seeded ``xxhash64``),
     ORs them into a ``n_bits/64``-word bitmap relation, and folds that
-    into ONE map row. The probe side attaches it via the whitelisted
+    into ONE row holding a DENSE ``array<long>`` (O(1) ``element_at``
+    probes — a map column would linear-scan its entries per lookup,
+    measured 6x slower at 10M probes). The probe side attaches it via
+    the whitelisted
     1-row broadcast crossJoin (the scalar-attach shape — the big side
     never shuffles for the filter) and keeps only rows whose every bit
     is set, BEFORE the real join's exchange. False positives survive to
@@ -97,8 +100,20 @@ def bloom_semi_join(large: DataFrame, small: DataFrame,
                             F.pmod(F.col("p"), F.lit(64)).cast("int"))
                         .alias("b"))
              .groupBy("w").agg(F.expr("bit_or(b)").alias("bits")))
-    bloom = words.agg(F.map_from_entries(
-        F.collect_list(F.struct("w", "bits"))).alias("__bloom"))
+    # DENSE array<long> bitmap, not a map: element_at on a Spark map
+    # column is a LINEAR scan of the entries per lookup — measured
+    # 9.5 s vs 1.5 s probing 10M rows against a 16K-word map vs array
+    # (tools/bloom_study.py). The range left-join completes absent
+    # words with 0 so the array index IS the word index.
+    n_words = (n_bits + 63) // 64
+    bloom = (small.sparkSession.range(n_words)
+             .select(F.col("id").alias("w"))
+             .join(words, "w", "left")
+             .select("w", F.coalesce("bits", F.lit(0).cast("long"))
+                     .alias("bits"))
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("w", "bits"))),
+                 lambda s: s["bits"]).alias("__bloom")))
 
     probed = large.crossJoin(F.broadcast(bloom))
     cond = None
@@ -106,8 +121,7 @@ def bloom_semi_join(large: DataFrame, small: DataFrame,
         w = (p / 64).cast("long")
         bit = F.call_function("shiftleft", F.lit(1).cast("long"),
                               F.pmod(p, F.lit(64)).cast("int"))
-        hit = (F.coalesce(F.element_at(F.col("__bloom"), w),
-                          F.lit(0).cast("long"))
+        hit = (F.element_at(F.col("__bloom"), (w + 1).cast("int"))
                .bitwiseAND(bit) != 0)
         cond = hit if cond is None else (cond & hit)
     probed = probed.filter(cond).drop("__bloom")
