@@ -4657,61 +4657,75 @@ def q_unigram_encode(spark, sf):
                                    vocab.select("piece", "cost"))
 
 
-def _oracle_unigram_encode(w_max: int = 16) -> str:
-    """DP twin generator: forward Viterbi as ``w_max`` chained
-    (candidates -> min -> argmin -> union) MATERIALIZED CTE stages,
-    then ``w_max`` backtrack stages — covers words up to ``w_max``
-    chars (corpus max is 8). Tie-break = min(start) among minimal
-    rounded totals == Spark's first-candidate-in-(e, s)-order rule."""
-    parts = [f"""
+_UNIGRAM_DW_CTES = """
 dw AS MATERIALIZED (
   SELECT w, len(w)::INT AS n FROM (SELECT DISTINCT w FROM wtok)),
-umsub AS (
+umsub AS MATERIALIZED (
   SELECT dw.w, i.i - 1 AS s, (i.i - 1 + l.l)::INT AS e,
          substr(dw.w, i.i, l.l) AS piece
   FROM dw,
        unnest(range(1, dw.n)) i(i),
        unnest(range(2, least(4, dw.n - i.i + 1) + 1)) l(l)),
-ussub AS (
+ussub AS MATERIALIZED (
   SELECT dw.w, i.i - 1 AS s, i.i::INT AS e,
          substr(dw.w, i.i, 1) AS piece
-  FROM dw, unnest(range(1, dw.n + 1)) i(i)),
-cand AS MATERIALIZED (
+  FROM dw, unnest(range(1, dw.n + 1)) i(i))"""
+
+
+def _unigram_dp_ctes(sfx: str, vocab_cte: str, w_max: int,
+                     unk: float) -> str:
+    """One Viterbi pass as chained MATERIALIZED CTEs: candidates from
+    ``vocab_cte``, ``w_max`` forward (min/argmin/union) stages, then
+    ``w_max`` backtrack stages ending at ``bt{w_max}{sfx}`` — covers
+    words up to ``w_max`` chars (corpus max is 8). Tie-break =
+    min(start) among minimal rounded totals == Spark's
+    first-candidate-in-(e, s)-order rule. ``sfx`` namespaces the pass
+    so the EM trainer can chain several."""
+    parts = [f"""
+cand{sfx} AS MATERIALIZED (
   SELECT m.w, m.s::INT AS s, m.e, v.cost
-  FROM umsub m JOIN uvocab v ON v.piece = m.piece
+  FROM umsub m JOIN {vocab_cte} v ON v.piece = m.piece
   WHERE len(v.piece) >= 2
   UNION ALL
   SELECT s1.w, s1.s::INT AS s, s1.e,
-         coalesce(v.cost, 20.0::DOUBLE) AS cost
-  FROM ussub s1 LEFT JOIN uvocab v ON v.piece = s1.piece),
-dpa0 AS MATERIALIZED (
+         coalesce(v.cost, {unk!r}::DOUBLE) AS cost
+  FROM ussub s1 LEFT JOIN {vocab_cte} v ON v.piece = s1.piece),
+dpa0{sfx} AS MATERIALIZED (
   SELECT w, 0::INT AS pos, 0.0::DOUBLE AS c, -1::INT AS b FROM dw)"""]
     for j in range(1, w_max + 1):
         parts.append(f"""
-cj{j} AS MATERIALIZED (
+cj{j}{sfx} AS MATERIALIZED (
   SELECT c.w, round(d.c + c.cost, 6) AS total, c.s
-  FROM cand c JOIN dpa{j - 1} d ON d.w = c.w AND d.pos = c.s
+  FROM cand{sfx} c JOIN dpa{j - 1}{sfx} d
+    ON d.w = c.w AND d.pos = c.s
   WHERE c.e = {j}),
-mj{j} AS (SELECT w, min(total) AS c FROM cj{j} GROUP BY w),
-dj{j} AS (
+mj{j}{sfx} AS (SELECT w, min(total) AS c FROM cj{j}{sfx} GROUP BY w),
+dj{j}{sfx} AS (
   SELECT c.w, {j}::INT AS pos, m.c AS c, min(c.s)::INT AS b
-  FROM cj{j} c JOIN mj{j} m ON c.w = m.w AND c.total = m.c
+  FROM cj{j}{sfx} c JOIN mj{j}{sfx} m
+    ON c.w = m.w AND c.total = m.c
   GROUP BY c.w, m.c),
-dpa{j} AS MATERIALIZED (
-  SELECT * FROM dpa{j - 1} UNION ALL SELECT * FROM dj{j})""")
+dpa{j}{sfx} AS MATERIALIZED (
+  SELECT * FROM dpa{j - 1}{sfx} UNION ALL SELECT * FROM dj{j}{sfx})""")
     parts.append(f"""
-bt0 AS MATERIALIZED (
+bt0{sfx} AS MATERIALIZED (
   SELECT w, n::INT AS pos, []::VARCHAR[] AS ps FROM dw)""")
     for j in range(1, w_max + 1):
         parts.append(f"""
-bt{j} AS MATERIALIZED (
+bt{j}{sfx} AS MATERIALIZED (
   SELECT b.w,
     CASE WHEN b.pos <= 0 THEN b.pos ELSE d.b END AS pos,
     CASE WHEN b.pos <= 0 THEN b.ps
          ELSE list_prepend(substr(b.w, d.b + 1, b.pos - d.b), b.ps)
     END AS ps
-  FROM bt{j - 1} b
-  LEFT JOIN dpa{w_max} d ON d.w = b.w AND d.pos = b.pos)""")
+  FROM bt{j - 1}{sfx} b
+  LEFT JOIN dpa{w_max}{sfx} d ON d.w = b.w AND d.pos = b.pos)""")
+    return ",".join(parts)
+
+
+def _oracle_unigram_encode(w_max: int = 16) -> str:
+    """Encode twin: seed vocab + one Viterbi pass + per-doc
+    reassembly (see ``_unigram_dp_ctes``)."""
     tail = f""",
 enc AS (SELECT w, ps AS p FROM bt{w_max}),
 wls AS (
@@ -4728,8 +4742,88 @@ agg AS (
 SELECT w.doc_id, coalesce(a.pieces, []::VARCHAR[]) AS pieces,
   coalesce(len(a.pieces), 0)::INT AS n_pieces
 FROM wls w LEFT JOIN agg a USING (doc_id)"""
-    return ("WITH " + _UNIGRAM_VOCAB_CTES + ","
-            + ",".join(parts) + tail)
+    return ("WITH " + _UNIGRAM_VOCAB_CTES + "," + _UNIGRAM_DW_CTES + ","
+            + _unigram_dp_ctes("", "uvocab", w_max, 20.0) + tail)
+
+
+def q_unigram_train(spark, sf):
+    """Hard-EM unigram-LM training (functions/tokenize.py
+    ``unigram_train``, Kudo ACL 2018 §3.2): seed vocab, then 2 EM
+    rounds of Viterbi-segment -> re-count -> prune-unused-multi ->
+    re-cost. The twin replays BOTH Viterbi passes as namespaced
+    16-level chained-CTE programs plus the count/prune/re-cost
+    algebra — every EM iterate is bit-reproduced."""
+    docs = _t(spark, sf, "documents")
+    return tokenize.unigram_train(docs, "text", vocab_size=20,
+                                  max_piece_len=4, n_iters=2)
+
+
+def _oracle_unigram_train(w_max: int = 16, n_iters: int = 2) -> str:
+    parts = []
+    for t in range(1, n_iters + 1):
+        vcte = "uvocab" if t == 1 else f"vocab{t - 1}"
+        parts.append(_unigram_dp_ctes(f"_{t}", vcte, w_max, 1e9))
+        parts.append(f"""
+used{t} AS MATERIALIZED (
+  SELECT p.piece, sum(uw.wf)::BIGINT AS count
+  FROM (SELECT w, unnest(ps) AS piece FROM bt{w_max}_{t}) p
+  JOIN uwords uw ON uw.w = p.w
+  GROUP BY p.piece),
+sel{t} AS MATERIALIZED (
+  SELECT v.piece,
+    greatest(coalesce(u.count, 0::BIGINT), 1::BIGINT) AS count
+  FROM {vcte} v LEFT JOIN used{t} u ON u.piece = v.piece
+  WHERE len(v.piece) = 1
+  UNION ALL
+  SELECT piece, count FROM used{t} WHERE len(piece) >= 2),
+tot{t} AS (SELECT sum(count)::DOUBLE AS t FROM sel{t}),
+vocab{t} AS MATERIALIZED (
+  SELECT piece, count, round(-ln(count / tot{t}.t), 6) AS cost
+  FROM sel{t}, tot{t})""")
+    return ("WITH " + _UNIGRAM_VOCAB_CTES + "," + _UNIGRAM_DW_CTES + ","
+            + ",".join(parts)
+            + f"\nSELECT piece, count, cost FROM vocab{n_iters}")
+
+
+def q_table_extract(spark, sf):
+    """Generic HTML table extraction (operators/extraction.py
+    ``extract_tables``): per-doc synthesized pages carry a
+    thead/tbody financial-style table (trim + inline-markup cells
+    derived from doc_id arithmetic) and a bare second table; the
+    oracle derives every (table, row, col, cell) INDEPENDENTLY from
+    the synthesis arithmetic, so DOM walking, section flattening,
+    1-based positional semantics and text trimming must all implement
+    the spec to match."""
+    from zacks_estimates_financial_statements_spark.operators import extraction
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit("<html><body><table><thead><tr><th>metric</th>"
+              "<th>value</th></tr></thead><tbody><tr><td>rev</td><td>"),
+        (d * 3).cast("string"),
+        F.lit("</td></tr><tr><td> eps </td><td><b>"),
+        (d % 7).cast("string"), F.lit("</b>."), (d % 10).cast("string"),
+        F.lit("</td></tr></tbody></table><table><tr><td>a"),
+        (d % 5).cast("string"),
+        F.lit("</td><td> b </td></tr></table></body></html>"))
+    return extraction.extract_tables(
+        docs.select("doc_id", page.alias("page")), "doc_id", "page")
+
+
+ORACLE_TABLE_EXTRACT = """
+SELECT doc_id, 1::INT AS table_idx, 1::INT AS row_idx, 1::INT AS col_idx,
+       'metric' AS cell FROM documents
+UNION ALL SELECT doc_id, 1, 1, 2, 'value' FROM documents
+UNION ALL SELECT doc_id, 1, 2, 1, 'rev' FROM documents
+UNION ALL SELECT doc_id, 1, 2, 2, (doc_id * 3)::VARCHAR FROM documents
+UNION ALL SELECT doc_id, 1, 3, 1, 'eps' FROM documents
+UNION ALL SELECT doc_id, 1, 3, 2,
+  (doc_id % 7)::VARCHAR || '.' || (doc_id % 10)::VARCHAR FROM documents
+UNION ALL SELECT doc_id, 2, 1, 1, 'a' || (doc_id % 5)::VARCHAR
+  FROM documents
+UNION ALL SELECT doc_id, 2, 1, 2, 'b' FROM documents
+"""
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4850,6 +4944,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn_perplexity": q_kn_perplexity,
     "unigram_vocab": q_unigram_vocab,
     "unigram_encode": q_unigram_encode,
+    "unigram_train": q_unigram_train,
+    "table_extract": q_table_extract,
 }
 
 _ORACLE: dict[str, str] = {
@@ -4972,6 +5068,8 @@ _ORACLE: dict[str, str] = {
     "kn_perplexity": ORACLE_KN_PERPLEXITY,
     "unigram_vocab": ORACLE_UNIGRAM_VOCAB,
     "unigram_encode": _oracle_unigram_encode(16),
+    "unigram_train": _oracle_unigram_train(16, 2),
+    "table_extract": ORACLE_TABLE_EXTRACT,
 }
 
 

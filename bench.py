@@ -111,6 +111,7 @@ HEADLINE = [
     "kn_perplexity",        # interpolated Kneser-Ney LM tier
     "unigram_vocab",        # SentencePiece-style seed vocabulary
     "unigram_encode",       # Viterbi subword DP on the distinct-word relation
+    "table_extract",        # DOM table cells as a long relation
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.
@@ -149,6 +150,7 @@ TRACKED_NON_HEADLINE = [
     "correlation_fast",
     "standardize_fast",
     "profile_table_fast",
+    "unigram_train",          # EM loop: per-round checkpoint fixed cost
 ]
 
 

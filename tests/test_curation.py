@@ -1372,3 +1372,46 @@ def test_unigram_roundtrip_covers_text_and_is_deterministic(spark):
     rows2 = {r["doc_id"]: r["pieces"] for r in TK.unigram_encode(
         docs.repartition(7), "doc_id", "text", vocab).collect()}
     assert rows1 == rows2
+
+
+def test_unigram_train_em_prunes_and_reweights(spark):
+    import math
+
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    # 'abab' dominates: EM should keep 'ab' (used by Viterbi) and
+    # prune multi pieces the segmentation never uses (e.g. 'ba')
+    rows = [(i, "abab abab cd") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    v = TK.unigram_train(docs, "text", vocab_size=10, max_piece_len=2,
+                         n_iters=2)
+    got = {r["piece"]: r for r in v.collect()}
+    assert "ab" in got            # the winning piece survives
+    assert "ba" not in got        # never on a Viterbi path -> pruned
+    # chars survive with a count floor even when unused
+    for ch in "abcd":
+        assert ch in got and got[ch]["count"] >= 1
+    # 'ab' used twice per 'abab' word-occurrence x 20 = 40
+    assert got["ab"]["count"] == 40
+    tot = sum(r["count"] for r in got.values())
+    for r in got.values():
+        assert r["cost"] == round(-math.log(r["count"] / tot), 6)
+    # the trained model plugs straight into the encoder
+    enc = TK.unigram_encode(docs, "doc_id", "text",
+                            v.select("piece", "cost")).collect()[0]
+    assert enc["pieces"][:2] == ["ab", "ab"]
+    with pytest.raises(ValueError):
+        TK.unigram_train(docs, "text", n_iters=0)
+
+
+def test_unigram_train_deterministic_under_repartition(spark):
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    rows = [(i, f"spark sparkly engine w{i % 4} spark") for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, TK.unigram_train(
+        docs, "text", vocab_size=12, max_piece_len=3).collect()))
+    b = sorted(map(tuple, TK.unigram_train(
+        docs.repartition(9), "text", vocab_size=12,
+        max_piece_len=3).collect()))
+    assert a == b and len(a) > 0

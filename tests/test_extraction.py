@@ -109,3 +109,28 @@ def test_extract_links_no_canonical_column_when_disabled(spark):
                                    canonicalize=False)
     assert out.columns == ["doc_id", "link_pos", "url"]
     assert out.collect()[0]["url"] == "https://x.io/p?utm_source=t&b=1"
+
+
+# ------------------------------------------------------------ table extraction
+
+def test_extract_tables_positions_nesting_and_text(spark):
+    from zacks_estimates_financial_statements_spark.operators import extraction
+    page = ("<table><thead><tr><th> A </th><th>B</th></tr></thead>"
+            "<tbody><tr><td>1</td><td><b>2</b>x</td></tr></tbody></table>"
+            "<p>between</p>"
+            "<table><tr><td>only</td>"
+            "<td><table><tr><td>nested</td></tr></table></td></tr></table>")
+    df = spark.createDataFrame([(1, page), (2, "<p>no tables</p>"),
+                                (3, None)],
+                               "doc_id bigint, page string")
+    got = sorted((r["doc_id"], r["table_idx"], r["row_idx"],
+                  r["col_idx"], r["cell"])
+                 for r in extraction.extract_tables(
+                     df, "doc_id", "page").collect())
+    assert got == [
+        (1, 1, 1, 1, "A"), (1, 1, 1, 2, "B"),       # thead th, trimmed
+        (1, 1, 2, 1, "1"), (1, 1, 2, 2, "2x"),      # nested-inline text
+        (1, 2, 1, 1, "only"),
+        (1, 2, 1, 2, "nested"),  # outer cell text includes the inner
+        (1, 3, 1, 1, "nested"),  # the nested table is its own table 3
+    ]

@@ -102,6 +102,11 @@ FANOUT_BNLJ_OK = {
                       "single-char) — both on vocab-bounded "
                       "relations; the substring-candidate joins "
                       "themselves are broadcast EQUI-joins on piece",
+    "unigram_train": "the same 1-row total scalar attaches as "
+                     "unigram_vocab/encode (seed + per-EM-round "
+                     "re-cost), all on vocab-bounded relations; the "
+                     "loop body's joins are broadcast equi-joins on "
+                     "piece/word",
 }
 
 #: queries where a Filter re-evaluating a lambda-built array is the

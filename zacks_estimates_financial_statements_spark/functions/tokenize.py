@@ -349,6 +349,27 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
     dw = (w.select(F.col("__w").alias("w")).distinct()
           .withColumn("n", F.length("w")))
     max_l = vocab.agg(F.max(F.length("piece"))).collect()[0][0] or 1
+    pieces = _viterbi_pieces(dw, vocab, float(unk_cost), int(max_l))
+    joined = w.join(pieces, w["__w"] == pieces["w"]).drop("w")
+    agg = (joined.groupBy(id_col)
+           .agg(F.flatten(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct("__wp", "__pieces"))),
+               lambda s: s["__pieces"])).alias("pieces")))
+    return (df.select(id_col).join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("pieces", F.array().cast("array<string>"))
+                    .alias("pieces"))
+            .withColumn("n_pieces", F.size("pieces")))
+
+
+def _viterbi_pieces(dw: DataFrame, vocab: DataFrame, unk_cost: float,
+                    max_l: int) -> DataFrame:
+    """Shared Viterbi core: per distinct word (``dw``: (w, n)) the
+    min-cost segmentation under ``vocab`` (piece, cost) — candidates
+    from one broadcast substring equi-join, forward DP + backtrack as
+    two array folds (see ``unigram_encode`` for the full contract).
+    Returns ``(w, __pieces array<string>)``."""
     vsel = vocab.select(F.col("piece"), F.col("cost"))
     multi = (dw.select("w", "n",
                        F.explode_outer(F.sequence(F.lit(1), F.col("n")))
@@ -418,15 +439,75 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
                         st["p"] - F.element_at(F.col("__dp"),
                                                st["p"] + 1)["b"])),
                     st["ps"]).alias("ps"))))
-    pieces = dped.select("w", bt["ps"].alias("__pieces"))
-    joined = w.join(pieces, w["__w"] == pieces["w"]).drop("w")
-    agg = (joined.groupBy(id_col)
-           .agg(F.flatten(F.transform(
-               F.array_sort(F.collect_list(
-                   F.struct("__wp", "__pieces"))),
-               lambda s: s["__pieces"])).alias("pieces")))
-    return (df.select(id_col).join(agg, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("pieces", F.array().cast("array<string>"))
-                    .alias("pieces"))
-            .withColumn("n_pieces", F.size("pieces")))
+    return dped.select("w", bt["ps"].alias("__pieces"))
+
+
+def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 200,
+                  max_piece_len: int = 4, n_iters: int = 2,
+                  reliable: bool = False) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (hard-EM over Viterbi
+    segmentations — Kudo, ACL 2018 §3.2 with Viterbi counts in place
+    of full lattice expectations): start from the substring-frequency
+    seed (``unigram_seed_vocab``), then iterate
+
+      E-step: Viterbi-segment every DISTINCT word under the current
+              piece costs (``_viterbi_pieces`` — the same DP
+              ``unigram_encode`` serves);
+      M-step: piece counts = Σ_word corpus_freq(word) × uses-in-word;
+              multi-char pieces that won ZERO Viterbi uses are PRUNED
+              (the unigram trainer's vocabulary shrinkage); single
+              chars always survive with a count floor of 1 (the
+              encoder's closure guarantee); new cost =
+              round(−ln(count / total), 6) over the retained set.
+
+    Every relation in the LOOP is vocabulary-sized — the corpus is
+    touched only by the word-count pass and the seed's substring pass
+    (both one map-side-combined shuffle); per-iteration state
+    (``localCheckpoint``; ``reliable=True`` → HDFS ``checkpoint``) is
+    the (piece, count, cost) model, so driver state is zero rows.
+
+    Returns the final ``(piece, count, cost)`` model —
+    ``unigram_encode``'s vocabulary input. Deterministic across
+    partitionings and engines: integer counts, 6-rounded costs, and
+    the encode DP's deterministic tie-breaks make every EM iterate
+    exactly reproducible (the SQL twin replays all of it).
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+
+    def mat(d: DataFrame) -> DataFrame:
+        return d.checkpoint(eager=True) if reliable else \
+            d.localCheckpoint(eager=True)
+
+    w = (df.select(F.explode_outer(_words(F.col(text_col)))
+                   .alias("__w"))
+         .filter(F.col("__w").isNotNull()))
+    words = mat(w.groupBy("__w").agg(F.count("*").alias("__wf")))
+    dw = (words.select(F.col("__w").alias("w"), F.col("__wf"))
+          .withColumn("n", F.length("w")))
+    vocab = mat(unigram_seed_vocab(df, text_col, vocab_size,
+                                   max_piece_len)
+                .select("piece", F.col("freq").alias("count"), "cost"))
+    for _ in range(n_iters):
+        segs = _viterbi_pieces(dw.select("w", "n"), vocab,
+                               unk_cost=1e9, max_l=max_piece_len)
+        used = (dw.join(segs, "w")
+                .select("__wf", F.explode("__pieces").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("__wf").alias("count")))
+        chars = (vocab.filter(F.length("piece") == 1)
+                 .select("piece").join(used, "piece", "left")
+                 .select("piece",
+                         F.greatest(F.coalesce("count",
+                                               F.lit(0).cast("bigint")),
+                                    F.lit(1).cast("bigint"))
+                         .alias("count")))
+        multi = used.filter(F.length("piece") >= 2)
+        sel = chars.unionByName(multi)
+        tot = sel.agg(F.sum("count").cast("double").alias("__tot"))
+        vocab = mat(sel.join(F.broadcast(tot))
+                    .select("piece", "count",
+                            F.round(-F.log(F.col("count")
+                                           / F.col("__tot")), 6)
+                            .alias("cost")))
+    return vocab

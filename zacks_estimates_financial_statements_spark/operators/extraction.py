@@ -187,3 +187,82 @@ def extract_links(df: DataFrame, id_col: str, html_col: str,
         return exploded
     return exploded.withColumn("canonical_url",
                                web.canonical_url(F.col("url")))
+
+
+def extract_tables(df: DataFrame, id_col: str,
+                   html_col: str) -> DataFrame:
+    """Generic HTML table extraction — every cell of every
+    ``<table>`` as a long relation ``(id, table_idx, row_idx,
+    col_idx, cell)``: the structured-data feeder for table-QA /
+    table-to-text training corpora, generalizing the reference's
+    positional financial-statement cell lookups (parse/html.py's
+    sxpath walk, SURVEY §2.3 T1/T5-T7) to arbitrary pages.
+
+    Semantics (deterministic, engine-independent):
+    - ``table_idx``: 1-based over ALL ``<table>`` nodes in document
+      (depth-first) order — a nested table gets its OWN index;
+    - ``row_idx``: 1-based over the table's own ``<tr>`` rows in
+      document order across thead/tbody/tfoot, excluding rows of
+      nested tables;
+    - ``col_idx``: 1-based over the row's direct ``<td>``/``<th>``
+      children;
+    - ``cell``: whitespace-trimmed concatenated descendant text.
+
+    One bounded Arrow-batched ``mapInPandas`` projection over the
+    same lenient stdlib DOM the estimate/statement parsers use — no
+    shuffle, the DOM never leaves the executor; pages that fail to
+    parse contribute zero rows (the parser is lenient enough that
+    only NULL input does).
+    """
+    from zacks_estimates_financial_statements_spark import util
+
+    spark = df.sparkSession
+    util.ensure_package_on_executors(spark)
+    id_type = dict(df.dtypes)[id_col]
+    schema = (f"{id_col} {id_type}, table_idx int, row_idx int, "
+              f"col_idx int, cell string")
+
+    def extract_batches(batches):
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.parse.html import Node, parse_html
+
+        def own_rows(tbl):
+            out = []
+
+            def walk(node):
+                for c in node.children:
+                    if isinstance(c, Node):
+                        if c.tag == "table":
+                            continue  # nested table boundary
+                        if c.tag == "tr":
+                            out.append(c)
+                        else:
+                            walk(c)
+            walk(tbl)
+            return out
+
+        for pdf in batches:
+            ids, t_i, r_i, c_i, cells = [], [], [], [], []
+            for rid, page in zip(pdf[id_col], pdf[html_col]):
+                if page is None:
+                    continue
+                root = parse_html(str(page))
+                for ti, tbl in enumerate(root.descendants("table"), 1):
+                    for ri, tr in enumerate(own_rows(tbl), 1):
+                        ci = 0
+                        for cell in tr.child_elems():
+                            if cell.tag not in ("td", "th"):
+                                continue
+                            ci += 1
+                            ids.append(rid)
+                            t_i.append(ti)
+                            r_i.append(ri)
+                            c_i.append(ci)
+                            cells.append(cell.text().strip())
+            yield pd.DataFrame({id_col: ids, "table_idx": t_i,
+                                "row_idx": r_i, "col_idx": c_i,
+                                "cell": cells})
+
+    return df.select(id_col, html_col).mapInPandas(extract_batches,
+                                                   schema)
