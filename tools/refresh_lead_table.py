@@ -224,11 +224,13 @@ def main() -> int:
     # swallow the old total paragraph (up to the next blank-line-., keep rest)
     out = intro + new_rows + [
         "",
-        f"Headline total ≈ {total} s over "
-        f"{len(baseline.get('queries', {}))} tracked queries "
-        "(noop-sink medians, idle machine; non-headline composites "
-        "included in the table, excluded from the total — see "
-        "bench.py's TRACKED_NON_HEADLINE rationale).",
+        f"Headline total ≈ {total} s over the headline queries "
+        "(noop-sink medians, idle machine). The table also lists the "
+        "tracked non-headline rows — composites whose fixed CC/EM "
+        "checkpoint cost dominates at bench sf, and the exact=False "
+        "production twins — measured every round but excluded from "
+        "the headline total (bench.py's TRACKED_NON_HEADLINE "
+        "rationale).",
     ] + lines[tail_idx:]
     with open(path, "w") as f:
         f.write("\n".join(out))
