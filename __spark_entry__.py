@@ -3034,6 +3034,100 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_url_filter(spark, sf):
+    """UT1-style URL blocklist gate (functions/web.py ``url_filter``):
+    synthesized per-doc URLs against a 2-domain blocklist (suffix
+    match on dot boundaries, longest suffix reported) + one path
+    regex; the oracle derives every flag independently from the
+    synthesis arithmetic."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (d % 7).cast("string"),
+                   F.lit(".test"), (d % 3).cast("string"),
+                   F.lit(".org/p/"), d.cast("string"))
+    bd = spark.createDataFrame([("test0.org",), ("h3.test1.org",)],
+                               "domain string")
+    return web.url_filter(docs.select("doc_id", url.alias("u")),
+                          "doc_id", "u", bd,
+                          blocked_patterns=(r"/p/\d*7$",))
+
+
+ORACLE_URL_FILTER = r"""
+WITH base AS (
+  SELECT doc_id,
+    'https://h' || (doc_id % 7) || '.test' || (doc_id % 3)
+      || '.org/p/' || doc_id AS url,
+    'h' || (doc_id % 7) || '.test' || (doc_id % 3) || '.org' AS host
+  FROM documents)
+SELECT doc_id, url, host,
+  CASE WHEN (doc_id % 7) = 3 AND (doc_id % 3) = 1 THEN 'h3.test1.org'
+       WHEN (doc_id % 3) = 0 THEN 'test0.org' END AS matched_domain,
+  CASE WHEN regexp_matches(url, '/p/\d*7$') THEN '/p/\d*7$' END
+    AS matched_pattern,
+  (NOT ((doc_id % 3) = 0 OR ((doc_id % 7) = 3 AND (doc_id % 3) = 1)))
+    AND NOT regexp_matches(url, '/p/\d*7$') AS keep
+FROM base
+"""
+
+
+def q_drop_repeated_spans(spark, sf):
+    """Repeated-span REMOVAL (operators/curation.py
+    ``drop_repeated_spans``, ACL'22 ExactSubstr §4.1): cut the merged
+    4-token/3-doc repeated intervals out of every document and rejoin
+    the survivors — one posexplode, one id-equi + range-residual
+    membership join, one ordered reassembly."""
+    docs = _t(spark, sf, "documents")
+    return curation.drop_repeated_spans(docs, "doc_id", "text",
+                                        k=4, min_docs=3)
+
+
+# Reuses the repeated_spans chain, then removes interval members and
+# re-joins survivors in position order.
+ORACLE_DROP_REPEATED_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+spans AS (
+  SELECT doc_id, i AS s, i + 3 AS e, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 4),
+rep AS (
+  SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+hit AS (SELECT doc_id, s, e FROM spans WHERE g IN (SELECT g FROM rep)),
+brk AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS b
+  FROM hit),
+isl AS (
+  SELECT doc_id, s, e,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk),
+iv AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl
+  GROUP BY doc_id, island),
+pos AS (
+  SELECT doc_id, u.i AS p, t[u.i] AS w
+  FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+kept AS (
+  SELECT p.doc_id, p.p, p.w FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = p.doc_id
+                    AND p.p BETWEEN iv.s AND iv.e)),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+  (coalesce(len(t.t), 0) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_asof_join(spark, sf):
     """Distributed as-of join (operators/temporal.py): attach to every
     non-purchase event the same user's latest purchase at-or-before it.
@@ -4946,6 +5040,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_encode": q_unigram_encode,
     "unigram_train": q_unigram_train,
     "table_extract": q_table_extract,
+    "drop_repeated_spans": q_drop_repeated_spans,
+    "url_filter": q_url_filter,
 }
 
 _ORACLE: dict[str, str] = {
@@ -5070,6 +5166,8 @@ _ORACLE: dict[str, str] = {
     "unigram_encode": _oracle_unigram_encode(16),
     "unigram_train": _oracle_unigram_train(16, 2),
     "table_extract": ORACLE_TABLE_EXTRACT,
+    "drop_repeated_spans": ORACLE_DROP_REPEATED_SPANS,
+    "url_filter": ORACLE_URL_FILTER,
 }
 
 

@@ -112,6 +112,8 @@ HEADLINE = [
     "unigram_vocab",        # SentencePiece-style seed vocabulary
     "unigram_encode",       # Viterbi subword DP on the distinct-word relation
     "table_extract",        # DOM table cells as a long relation
+    "drop_repeated_spans",  # ExactSubstr removal transform
+    "url_filter",           # UT1-style domain/pattern blocklist gate
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

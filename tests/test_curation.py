@@ -1415,3 +1415,43 @@ def test_unigram_train_deterministic_under_repartition(spark):
         docs.repartition(9), "text", vocab_size=12,
         max_piece_len=3).collect()))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------ repeated-span removal
+
+def test_drop_repeated_spans_cuts_boilerplate_everywhere(spark):
+    boiler = "accept all cookies to continue"
+    rows = [(1, f"{boiler} unique one text here"),
+            (2, f"other words {boiler} more tail"),
+            (3, f"third copy {boiler} end bits"),
+            (4, "completely unique document body"),
+            (5, ""), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in curation.drop_repeated_spans(
+        df, "doc_id", "text", k=5, min_docs=3).collect()}
+    assert len(out) == 6                      # every doc gets a row
+    assert out[1]["clean_text"] == "unique one text here"
+    assert out[2]["clean_text"] == "other words more tail"
+    assert out[3]["clean_text"] == "third copy end bits"
+    for d in (1, 2, 3):
+        assert out[d]["n_removed"] == 5
+    # untouched docs round-trip their normalized text
+    assert out[4]["clean_text"] == "completely unique document body"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_kept"] == 0
+    assert out[6]["clean_text"] == "" and out[6]["n_removed"] == 0
+
+
+def test_drop_repeated_spans_merges_overlaps_and_keeps_order(spark):
+    # two overlapping repeated windows merge into one removed island;
+    # kept tokens must re-join in original order
+    shared = "a b c d e f"
+    rows = [(1, f"x1 {shared} y1 z1"), (2, f"x2 {shared} y2"),
+            (3, f"{shared} tail3")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in curation.drop_repeated_spans(
+        df, "doc_id", "text", k=4, min_docs=3).collect()}
+    assert out[1]["clean_text"] == "x1 y1 z1"
+    assert out[2]["clean_text"] == "x2 y2"
+    assert out[3]["clean_text"] == "tail3"
+    assert all(out[d]["n_removed"] == 6 for d in (1, 2, 3))

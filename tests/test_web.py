@@ -108,3 +108,41 @@ def test_canonical_url_schemeless_passthrough(spark):
         "i", web.canonical_url(web.canonical_url(F.col("u")))
         .alias("c2")).collect()}
     assert again == got
+
+
+# ----------------------------------------------------------------- url filter
+
+def test_url_filter_suffix_semantics_and_patterns(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    rows = [(1, "https://sub.evil.com/x"),       # suffix-blocked
+            (2, "https://evil.com/y"),           # exact-blocked
+            (3, "https://notevil.com/z"),        # boundary: NOT blocked
+            (4, "https://ok.org/casino/slots"),  # pattern-blocked
+            (5, "https://deep.sub.evil.com/q"),  # longest suffix wins
+            (6, "https://fine.org/page")]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    bd = spark.createDataFrame([("evil.com",), ("sub.evil.com",)],
+                               "domain string")
+    out = {r["doc_id"]: r for r in web.url_filter(
+        df, "doc_id", "url", bd,
+        blocked_patterns=(r"/casino/", r"/slots")).collect()}
+    assert len(out) == 6
+    assert out[1]["matched_domain"] == "sub.evil.com"
+    assert out[2]["matched_domain"] == "evil.com"
+    assert out[3]["matched_domain"] is None and out[3]["keep"]
+    assert out[4]["matched_pattern"] == "/casino/"  # first match wins
+    assert out[5]["matched_domain"] == "sub.evil.com"  # longest suffix
+    assert out[6]["keep"]
+    assert not any(out[d]["keep"] for d in (1, 2, 4, 5))
+
+
+def test_url_filter_domains_optional(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    df = spark.createDataFrame([(1, "https://a.org/bad"),
+                                (2, "https://a.org/good")],
+                               "doc_id bigint, url string")
+    out = {r["doc_id"]: r for r in web.url_filter(
+        df, "doc_id", "url", blocked_patterns=(r"/bad$",)).collect()}
+    assert not out[1]["keep"] and out[2]["keep"]

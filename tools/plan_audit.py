@@ -131,6 +131,9 @@ LAMBDA_FILTER_OK = {
     "perplexity_buckets": "embeds lm_perplexity's caller-written "
                           "size(tokens) >= 2 guard pushed into the "
                           "scan filter",
+    "drop_repeated_spans": "embeds repeated_spans' caller-written "
+                           "size(tokens) >= k guard pushed into the "
+                           "scan filter",
 }
 
 #: queries whose GLOBAL (unpartitioned) window is provably bounded but

@@ -157,6 +157,16 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
     "profile_table_fast": (
         "same single-pass panel with HLL distincts",
         "production path of profile_table"),
+    "drop_repeated_spans": (
+        "repeated_spans intervals → posexplode tokens → id-equi + "
+        "range-residual membership join → ordered reassembly",
+        "disjoint merged intervals → a position matches at most once, "
+        "no amplification"),
+    "url_filter": (
+        "host suffix-chain explode → BROADCAST blocklist equi-join; "
+        "pattern flags in the same projection",
+        "corpus never shuffles for the filter; only matched rows "
+        "aggregate"),
 }
 
 

@@ -121,3 +121,62 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str,
            .withColumn("keep",
                        F.col(id_col) == F.min(id_col).over(w)))
     return out
+
+
+def url_filter(df: DataFrame, id_col: str, url_col: str,
+               blocked_domains: DataFrame | None = None,
+               blocked_patterns: tuple[str, ...] = ()) -> DataFrame:
+    """URL blocklist gate — the UT1/RefinedWeb-style crawl filter:
+    flag rows whose host falls under a blocked domain (suffix match on
+    dot boundaries: ``evil.com`` blocks ``sub.evil.com`` but NOT
+    ``notevil.com``) or whose URL matches a blocked regex (adult /
+    gambling / tracker path patterns).
+
+    ``blocked_domains``: a 1-column DataFrame ``(domain)`` — list
+    files are relations, so they stay out of the driver except the
+    broadcast. ``blocked_patterns``: Java∩RE2-safe regexes, tried in
+    order; the FIRST match is reported.
+
+    Output: ``(id, url, host, matched_domain, matched_pattern, keep)``
+    — one row per input, annotate-don't-drop (the gopher_gate
+    convention); ``matched_domain`` is the LONGEST blocked suffix.
+
+    Scale shape: the host's dot-suffix chain (≤ label count) explodes
+    and equi-joins the BROADCAST blocklist in codegen — the corpus
+    never shuffles for the filter; only MATCHED rows aggregate
+    (max_by suffix length) and join back by id (AQE broadcasts the
+    matched relation while small — a pervasively-blocked corpus
+    degrades to one skew-splittable equi-join, never a regex scan per
+    blocklist entry). Pattern flags are a zero-shuffle projection.
+    """
+    base = (df.select(F.col(id_col), F.col(url_col).alias("url"))
+            .withColumn("host", url_host(F.col("url")))
+            .withColumn("__labels", F.split("host", r"\.")))
+    pat_col = F.lit(None).cast("string")
+    for p in reversed(blocked_patterns):
+        pat_col = F.when(F.col("url").rlike(p), F.lit(p)) \
+            .otherwise(pat_col)
+    if blocked_domains is None:
+        return base.select(
+            id_col, "url", "host",
+            F.lit(None).cast("string").alias("matched_domain"),
+            pat_col.alias("matched_pattern")).withColumn(
+                "keep", F.col("matched_pattern").isNull())
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size("__labels")),
+        lambda i: F.array_join(
+            F.slice(F.col("__labels"), i,
+                    F.size("__labels") - i + 1), "."))
+    cand = (base.select(F.col(id_col),
+                        F.explode_outer(suffixes).alias("__cand"))
+            .join(F.broadcast(blocked_domains.select(
+                F.col(blocked_domains.columns[0]).alias("__cand"))),
+                "__cand"))
+    hits = (cand.groupBy(id_col)
+            .agg(F.max_by("__cand", F.length("__cand"))
+                 .alias("matched_domain")))
+    return (base.join(hits, id_col, "left")
+            .select(id_col, "url", "host", "matched_domain",
+                    pat_col.alias("matched_pattern"))
+            .withColumn("keep", F.col("matched_domain").isNull()
+                        & F.col("matched_pattern").isNull()))

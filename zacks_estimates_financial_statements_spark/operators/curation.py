@@ -1628,3 +1628,59 @@ def temperature_mixture(df: DataFrame, strata_col: str, text_col: str,
         "temp_share", "repeat_factor",
         F.round(F.col("repeat_factor") / F.col("__bmax"), 6)
         .alias("sample_rate"))
+
+
+def drop_repeated_spans(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 10, min_docs: int = 2) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (Lee et al., ACL'22
+    §4.1 ExactSubstr): cut every merged cross-document repeated
+    interval (``repeated_spans``) out of every document and re-join
+    the surviving tokens — the transform that actually strips
+    boilerplate from a training corpus, not just flags it.
+
+    Output: ``(id, clean_text, n_kept, n_removed)`` for EVERY input
+    document. ``clean_text`` is the NORMALIZED token stream
+    (lowercase, punctuation-split — the corpus-dedup convention all
+    the span arithmetic runs in) minus removed intervals; documents
+    with no repeated spans round-trip their normalized text intact,
+    token-less documents yield an empty string.
+
+    Plan shape (linear in corpus tokens, no per-row HOF in the hot
+    path): one posexplode of the token arrays; removal is ONE
+    equi-join on the document id with the interval-membership range
+    residual (intervals are disjoint after the gaps-and-islands
+    merge, so a position matches at most once — no row amplification);
+    reassembly is one map-side-collected sort_array + concat_ws per
+    document. The spans relation itself rides ``repeated_spans``'s
+    argued plan.
+    """
+    spans = repeated_spans(df, id_col, text_col, k, min_docs).select(
+        F.col(id_col).alias("__sid"), "span_start", "span_end")
+    toks = df.select(F.col(id_col), _word_array(text_col).alias("__t"))
+    totals = toks.select(F.col(id_col),
+                         F.coalesce(F.size("__t"), F.lit(0))
+                         .cast("bigint").alias("__tot"))
+    pos = (toks.select(F.col(id_col),
+                       F.posexplode_outer("__t").alias("__p0", "__w"))
+           .filter(F.col("__w").isNotNull())
+           .select(F.col(id_col), (F.col("__p0") + 1).alias("__p"),
+                   "__w"))
+    kept = (pos.join(spans,
+                     (F.col(id_col) == F.col("__sid"))
+                     & (F.col("__p") >= F.col("span_start"))
+                     & (F.col("__p") <= F.col("span_end")), "left")
+            .filter(F.col("__sid").isNull())
+            .select(id_col, "__p", "__w"))
+    agg = (kept.groupBy(id_col)
+           .agg(F.concat_ws(" ", F.transform(
+               F.array_sort(F.collect_list(F.struct("__p", "__w"))),
+               lambda s: s["__w"])).alias("clean_text"),
+               F.count("*").alias("n_kept")))
+    return (totals.join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                    .alias("n_kept"),
+                    (F.col("__tot")
+                     - F.coalesce("n_kept", F.lit(0).cast("bigint")))
+                    .alias("n_removed")))
