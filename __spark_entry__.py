@@ -3128,6 +3128,88 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_c4_clean(spark, sf):
+    """C4-style line cleaning (operators/curation.py ``c4_clean``,
+    Raffel et al. JMLR'20 §2.2): synthesized multi-line text — a good
+    sentence, a too-short line, a doc-numbered sentence, a javascript
+    phrase line, plus arithmetic-conditional "lorem ipsum" /
+    badword-token lines — so every rule fires on a known subset; the
+    oracle derives every flag and the cleaned text independently from
+    the synthesis arithmetic."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    text2 = F.concat(
+        F.lit("This is a perfectly good sentence with many words."),
+        nl, F.lit("too short"),
+        nl, F.lit("Doc number "), d.cast("string"),
+        F.lit(" has a trailing period."),
+        nl, F.lit("Please enable javascript to continue viewing."),
+        F.when(d % 7 == 0,
+               F.concat(nl, F.lit("lorem ipsum dolor sit amet.")))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0,
+               F.concat(nl, F.lit("Badword1 appears right here okay.")))
+        .otherwise(F.lit("")))
+    return curation.c4_clean(
+        docs.select("doc_id", text2.alias("t")), "doc_id", "t",
+        badwords=("badword1",), min_kept_lines=2)
+
+
+ORACLE_C4_CLEAN = """
+SELECT doc_id,
+  'This is a perfectly good sentence with many words.' || chr(10)
+    || 'Doc number ' || doc_id || ' has a trailing period.'
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN chr(10) || 'Badword1 appears right here okay.'
+            ELSE '' END AS clean_text,
+  (4 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_lines,
+  (2 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT
+    AS n_kept_lines,
+  (doc_id % 11 = 0) AS has_badword,
+  (doc_id % 7 = 0) AS has_doc_drop,
+  (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS keep
+FROM documents
+"""
+
+
+def q_politeness_schedule(spark, sf):
+    """Batch politeness scheduler (functions/web.py
+    ``politeness_schedule``): events as fetch requests against 50
+    rate-limit keys at the reference's 1-fetch/10 s contract
+    (estimate-extract.rkt:89-98). The sequential
+    ``sched = max(arrival, prev + 10 s)`` recurrence runs as its
+    closed-form running-max window — one shuffle on the key."""
+    ev = _t(spark, sf, "events")
+    req = ev.select((F.col("user_id") % 50).alias("host"),
+                    "event_id", "ts")
+    return web.politeness_schedule(req, "host", "event_id", "ts",
+                                   interval_sec=10)
+
+
+ORACLE_POLITENESS_SCHEDULE = """
+WITH base AS (
+  SELECT user_id % 50 AS host, event_id, epoch_us(ts) AS arrival_us,
+    (row_number() OVER (PARTITION BY user_id % 50
+                        ORDER BY epoch_us(ts), event_id)
+     - 1)::BIGINT AS position
+  FROM events)
+SELECT host, event_id, arrival_us,
+  (position * 10000000 + max(arrival_us - position * 10000000) OVER
+     (PARTITION BY host ORDER BY arrival_us, event_id
+      ROWS UNBOUNDED PRECEDING))::BIGINT AS sched_us,
+  (position * 10000000 + max(arrival_us - position * 10000000) OVER
+     (PARTITION BY host ORDER BY arrival_us, event_id
+      ROWS UNBOUNDED PRECEDING) - arrival_us)::BIGINT AS wait_us,
+  position
+FROM base
+"""
+
+
 def q_asof_join(spark, sf):
     """Distributed as-of join (operators/temporal.py): attach to every
     non-purchase event the same user's latest purchase at-or-before it.
@@ -5042,6 +5124,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_extract": q_table_extract,
     "drop_repeated_spans": q_drop_repeated_spans,
     "url_filter": q_url_filter,
+    "c4_clean": q_c4_clean,
+    "politeness_schedule": q_politeness_schedule,
 }
 
 _ORACLE: dict[str, str] = {
@@ -5168,6 +5252,8 @@ _ORACLE: dict[str, str] = {
     "table_extract": ORACLE_TABLE_EXTRACT,
     "drop_repeated_spans": ORACLE_DROP_REPEATED_SPANS,
     "url_filter": ORACLE_URL_FILTER,
+    "c4_clean": ORACLE_C4_CLEAN,
+    "politeness_schedule": ORACLE_POLITENESS_SCHEDULE,
 }
 
 

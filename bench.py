@@ -114,6 +114,8 @@ HEADLINE = [
     "table_extract",        # DOM table cells as a long relation
     "drop_repeated_spans",  # ExactSubstr removal transform
     "url_filter",           # UT1-style domain/pattern blocklist gate
+    "c4_clean",             # C4 line-level cleaning rules
+    "politeness_schedule",  # closed-form rate-limit fetch planner
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -1455,3 +1455,60 @@ def test_drop_repeated_spans_merges_overlaps_and_keeps_order(spark):
     assert out[2]["clean_text"] == "x2 y2"
     assert out[3]["clean_text"] == "tail3"
     assert all(out[d]["n_removed"] == 6 for d in (1, 2, 3))
+
+
+# ------------------------------------------------------------------ c4 clean
+
+def test_c4_clean_line_rules(spark):
+    rows = [
+        (1, "A good long sentence right here.\nshort one\n"
+            "Ends with a question mark maybe?\nNo terminal punctuation here"),
+        (2, "Please enable javascript to view this page.\n"
+            "This clean line survives the filter fine."),
+        (3, ""), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in curation.c4_clean(
+        df, "doc_id", "text").collect()}
+    assert len(out) == 4
+    assert out[1]["clean_text"] == ("A good long sentence right here.\n"
+                                    "Ends with a question mark maybe?")
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept_lines"] == 2
+    assert out[1]["keep"]
+    # javascript phrase drops the line, not the doc
+    assert out[2]["clean_text"] == "This clean line survives the filter fine."
+    assert out[2]["keep"]
+    assert out[3]["n_kept_lines"] == 0 and not out[3]["keep"]
+    assert out[4]["n_lines"] == 0 and out[4]["clean_text"] == "" \
+        and not out[4]["keep"]
+
+
+def test_c4_clean_doc_flags_and_badword_token_boundary(spark):
+    rows = [
+        (1, "Nice sentence one stands alone here.\n"
+            "Some lorem ipsum filler text follows."),
+        (2, "A code snippet appears below this text. {"),
+        (3, "The word badness is not the blocked token."),
+        (4, "Here the blocked badword shows up plainly."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in curation.c4_clean(
+        df, "doc_id", "text", badwords=("badword",)).collect()}
+    assert out[1]["has_doc_drop"] and not out[1]["keep"]
+    # flagged docs still carry their cleaned text (annotate, don't drop)
+    assert out[1]["n_kept_lines"] == 2
+    assert out[2]["has_doc_drop"] and not out[2]["keep"]
+    assert not out[3]["has_badword"] and out[3]["keep"]   # substring no-hit
+    assert out[4]["has_badword"] and not out[4]["keep"]
+
+
+def test_c4_clean_min_words_and_min_kept_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "One two three.\nOne two.\nTiny.")],
+        "doc_id bigint, text string")
+    out = curation.c4_clean(df, "doc_id", "text", min_line_words=3,
+                            min_kept_lines=2).collect()[0]
+    assert out["clean_text"] == "One two three." and not out["keep"]
+    out2 = curation.c4_clean(df, "doc_id", "text", min_line_words=2,
+                             min_kept_lines=2).collect()[0]
+    assert out2["clean_text"] == "One two three.\nOne two." and out2["keep"]

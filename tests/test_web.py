@@ -146,3 +146,43 @@ def test_url_filter_domains_optional(spark):
     out = {r["doc_id"]: r for r in web.url_filter(
         df, "doc_id", "url", blocked_patterns=(r"/bad$",)).collect()}
     assert not out[1]["keep"] and out[2]["keep"]
+
+
+# -------------------------------------------------------- politeness schedule
+
+def test_politeness_schedule_recurrence(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    # arrivals (seconds): 0, 1, 2, 30 on one host -> scheduled 0, 10,
+    # 20, 30; a second host is independent.
+    rows = [("a", 1, "2024-01-01 00:00:00"), ("a", 2, "2024-01-01 00:00:01"),
+            ("a", 3, "2024-01-01 00:00:02"), ("a", 4, "2024-01-01 00:00:30"),
+            ("b", 5, "2024-01-01 00:00:01")]
+    df = spark.createDataFrame(rows, "host string, id bigint, ts string")
+    out = {r["id"]: r for r in web.politeness_schedule(
+        df, "host", "id", "ts", interval_sec=10).collect()}
+    base = out[1]["arrival_us"]
+    assert [out[i]["sched_us"] - base for i in (1, 2, 3, 4)] == \
+        [0, 10_000_000, 20_000_000, 30_000_000]
+    assert out[2]["wait_us"] == 9_000_000
+    assert out[4]["wait_us"] == 0            # gap big enough: no delay
+    assert out[5]["wait_us"] == 0            # other key independent
+    assert [out[i]["position"] for i in (1, 2, 3, 4)] == [0, 1, 2, 3]
+
+
+def test_politeness_schedule_matches_sequential_replay(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+    import random
+
+    rng = random.Random(7)
+    rows = [("h", i, f"2024-01-01 00:00:{rng.randrange(60):02d}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "host string, id bigint, ts string")
+    got = sorted(web.politeness_schedule(df, "host", "id", "ts", 3.0)
+                 .collect(), key=lambda r: r["position"])
+    sched = None
+    for r in got:   # replay the sequential recurrence
+        exp = r["arrival_us"] if sched is None else \
+            max(r["arrival_us"], sched + 3_000_000)
+        assert r["sched_us"] == exp
+        sched = exp

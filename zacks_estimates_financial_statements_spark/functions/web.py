@@ -180,3 +180,55 @@ def url_filter(df: DataFrame, id_col: str, url_col: str,
                     pat_col.alias("matched_pattern"))
             .withColumn("keep", F.col("matched_domain").isNull()
                         & F.col("matched_pattern").isNull()))
+
+
+def politeness_schedule(df: DataFrame, key_col: str, id_col: str,
+                        ts_col: str,
+                        interval_sec: float = 10.0) -> DataFrame:
+    """Per-key politeness scheduling — the batch planner for the
+    reference's rate-limited fetch loops (estimate pages: 1 symbol /
+    10 s, `/root/reference/estimate-extract.rkt:89-98`; statements:
+    `delay-interval 12`, `financial-statement-extract.rkt:118-131`):
+    given fetch *requests* ``(key, id, arrival ts)``, assign each the
+    earliest dispatch time such that two fetches against the same key
+    (host / rate-limit domain) are >= ``interval_sec`` apart, in
+    arrival order.
+
+    The recurrence ``sched_i = max(arr_i, sched_{i-1} + I)`` is
+    sequential, but unrolls to the CLOSED FORM
+    ``sched_i = i*I + max_{j<=i}(arr_j - j*I)`` — so the whole
+    schedule is ONE running-max window per key (a single shuffle on
+    the rate-limit key, no iteration, no UDF), and adding a new day of
+    requests recomputes in one pass at any scale.
+
+    Output: ``(key, id, arrival_us, sched_us, wait_us, position)``
+    with times as epoch-microsecond BIGINTs (the repo's cross-engine
+    timestamp convention) and ``position`` the 0-based fetch index
+    within the key. ``wait_us`` is the rate-limit delay imposed on the
+    request; its per-key mean is the politeness cost of the crawl.
+    """
+    from pyspark.sql import Window
+
+    if interval_sec <= 0:
+        raise ValueError(f"interval_sec must be > 0: {interval_sec}")
+    iv = int(round(interval_sec * 1_000_000))
+    w = Window.partitionBy(key_col).orderBy("arrival_us", id_col)
+    base = df.select(
+        F.col(key_col), F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        .alias("arrival_us"))
+    pos = (F.row_number().over(w) - 1).cast("bigint")
+    sched = (base
+             .withColumn("position", pos)
+             .withColumn("__slack",
+                         F.col("arrival_us") - F.col("position") * iv)
+             .withColumn(
+                 "sched_us",
+                 F.col("position") * iv
+                 + F.max("__slack").over(
+                     w.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))))
+    return sched.select(
+        key_col, id_col, "arrival_us", "sched_us",
+        (F.col("sched_us") - F.col("arrival_us")).alias("wait_us"),
+        "position")

@@ -1684,3 +1684,89 @@ def drop_repeated_spans(df: DataFrame, id_col: str, text_col: str,
                     (F.col("__tot")
                      - F.coalesce("n_kept", F.lit(0).cast("bigint")))
                     .alias("n_removed")))
+
+
+def c4_clean(df: DataFrame, id_col: str, text_col: str, *,
+             min_line_words: int = 3,
+             terminal_punct: tuple[str, ...] = (".", "!", "?", "\""),
+             drop_line_phrases: tuple[str, ...] = ("javascript",),
+             badwords: tuple[str, ...] = (),
+             doc_drop_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+             min_kept_lines: int = 1) -> DataFrame:
+    """C4-style line-level corpus cleaning (Raffel et al., JMLR 2020
+    §2.2 — the rules behind the C4/"colossal clean crawl" corpus): keep
+    only lines that end in terminal punctuation, have at least
+    ``min_line_words`` words, and mention none of
+    ``drop_line_phrases``; flag (never silently drop) documents that
+    contain a blocked word token, a ``doc_drop_substrings`` marker
+    ("lorem ipsum" placeholder text, a ``{`` hinting at source code),
+    or fewer than ``min_kept_lines`` surviving lines.
+
+    Output, one row per input document (annotate-don't-drop, the house
+    convention): ``(id, clean_text, n_lines, n_kept_lines,
+    has_badword, has_doc_drop, keep)``. ``clean_text`` re-joins the
+    surviving ORIGINAL lines with ``\\n`` in input order — line
+    filtering is C4's transform, so the cleaned text is the payload,
+    and the doc-level flags say whether to use it at all.
+
+    Cross-engine parity: line word counts are
+    ``regexp_count(lower(line), '[a-z0-9_]+')`` (one flat codegen'd
+    regex — NOT a per-line higher-order filter, per the repo HOF
+    rule), phrase/marker checks are case-insensitive ``contains``,
+    badwords match whole TOKENS (``arrays_overlap`` against the
+    ``word_tokens`` array — "class" never triggers "ass").
+
+    Plan shape: one line posexplode (no shuffle), per-line flags in
+    whole-stage codegen, ONE groupBy(id) reassembly shuffle carrying
+    only kept lines, one id-equi join back to the zero-shuffle
+    doc-level flag projection. Linear in corpus bytes; no UDF, no
+    driver collect.
+    """
+    if min_line_words < 1:
+        raise ValueError(f"min_line_words must be >= 1: {min_line_words}")
+    if not terminal_punct:
+        raise ValueError("terminal_punct must name at least one char")
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("__txt"))
+    lo = F.lower(F.col("__txt"))
+    has_bad = F.lit(False)
+    if badwords:
+        has_bad = F.arrays_overlap(
+            _word_array("__txt"),
+            F.array(*[F.lit(b.lower()) for b in badwords]))
+    has_drop = F.lit(False)
+    for s in doc_drop_substrings:
+        has_drop = has_drop | F.contains(lo, F.lit(s.lower()))
+    docs = base.select(
+        F.col(id_col),
+        F.coalesce(F.size(F.split("__txt", "\n")), F.lit(0))
+        .cast("bigint").alias("n_lines"),
+        F.coalesce(has_bad, F.lit(False)).alias("has_badword"),
+        F.coalesce(has_drop, F.lit(False)).alias("has_doc_drop"))
+
+    lines = (base.select(F.col(id_col),
+                         F.posexplode(F.split("__txt", "\n"))
+                         .alias("__p", "__l"))
+             .withColumn("__t", F.trim("__l")))
+    ends_ok = F.right(F.col("__t"), F.lit(1)).isin(*terminal_punct)
+    words_ok = (F.regexp_count(F.lower("__t"), F.lit("[a-z0-9_]+"))
+                >= min_line_words)
+    phrase_ok = F.lit(True)
+    for p in drop_line_phrases:
+        phrase_ok = phrase_ok & ~F.contains(F.lower("__t"),
+                                            F.lit(p.lower()))
+    kept = (lines.filter(ends_ok & words_ok & phrase_ok)
+            .groupBy(id_col)
+            .agg(F.concat_ws("\n", F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__l"))),
+                lambda s: s["__l"])).alias("clean_text"),
+                F.count("*").alias("n_kept_lines")))
+    n_kept = F.coalesce("n_kept_lines", F.lit(0).cast("bigint"))
+    return (docs.join(kept, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text"),
+                    "n_lines", n_kept.alias("n_kept_lines"),
+                    "has_badword", "has_doc_drop",
+                    (~F.col("has_badword") & ~F.col("has_doc_drop")
+                     & (n_kept >= min_kept_lines)).alias("keep")))
