@@ -3210,6 +3210,76 @@ FROM base
 """
 
 
+def q_pmi_collocations(spark, sf):
+    """PMI collocation mining (operators/curation.py
+    ``pmi_collocations``, Church & Hanks CL'90): adjacent-bigram PMI
+    over the documents corpus, hapax tail pruned at 5 before the
+    vocabulary joins."""
+    docs = _t(spark, sf, "documents")
+    return curation.pmi_collocations(docs, "doc_id", "text",
+                                     min_count=5)
+
+
+ORACLE_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+uni AS (
+  SELECT u.w AS w, count(*)::BIGINT AS c
+  FROM toks, unnest(t) AS u(w) GROUP BY u.w),
+tot AS (
+  SELECT sum(coalesce(len(t), 0))::DOUBLE AS T,
+         sum(greatest(len(t) - 1, 0))::DOUBLE AS B
+  FROM toks),
+bi AS (
+  SELECT t[r.i] AS w1, t[r.i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2),
+bc AS (
+  SELECT w1, w2, count(*)::BIGINT AS pair_count
+  FROM bi GROUP BY w1, w2 HAVING count(*) >= 5)
+SELECT bc.w1, bc.w2, bc.pair_count, u1.c AS w1_count, u2.c AS w2_count,
+  round(ln((bc.pair_count::DOUBLE / tot.B)
+           / ((u1.c::DOUBLE / tot.T) * (u2.c::DOUBLE / tot.T))), 6)
+    AS pmi
+FROM bc, tot
+JOIN uni u1 ON bc.w1 = u1.w
+JOIN uni u2 ON bc.w2 = u2.w
+"""
+
+
+def q_phrase_search(spark, sf):
+    """Positional exact-phrase search (operators/retrieval.py
+    ``phrase_search``): every occurrence of the repeated-term phrase
+    "table table" — one broadcast (term, offset) join votes candidate
+    starts, a start wins with all votes; only phrase-term hits reach
+    the shuffle."""
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+
+    docs = _t(spark, sf, "documents")
+    return retrieval.phrase_search(docs, "doc_id", "text",
+                                   ["table", "table"])
+
+
+ORACLE_PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, r.i AS p, t[r.i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+slots(term, off) AS (VALUES ('table', 0), ('table', 1))
+SELECT doc_id, (p - off)::BIGINT AS match_pos
+FROM pos JOIN slots ON pos.tok = slots.term
+GROUP BY doc_id, p - off
+HAVING count(*) = 2 AND p - off >= 1
+"""
+
+
 def q_asof_join(spark, sf):
     """Distributed as-of join (operators/temporal.py): attach to every
     non-purchase event the same user's latest purchase at-or-before it.
@@ -5126,6 +5196,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_filter": q_url_filter,
     "c4_clean": q_c4_clean,
     "politeness_schedule": q_politeness_schedule,
+    "pmi_collocations": q_pmi_collocations,
+    "phrase_search": q_phrase_search,
 }
 
 _ORACLE: dict[str, str] = {
@@ -5254,6 +5326,8 @@ _ORACLE: dict[str, str] = {
     "url_filter": ORACLE_URL_FILTER,
     "c4_clean": ORACLE_C4_CLEAN,
     "politeness_schedule": ORACLE_POLITENESS_SCHEDULE,
+    "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+    "phrase_search": ORACLE_PHRASE_SEARCH,
 }
 
 

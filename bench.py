@@ -116,6 +116,8 @@ HEADLINE = [
     "url_filter",           # UT1-style domain/pattern blocklist gate
     "c4_clean",             # C4 line-level cleaning rules
     "politeness_schedule",  # closed-form rate-limit fetch planner
+    "pmi_collocations",     # adjacent-bigram PMI collocation mining
+    "phrase_search",        # positional exact-phrase intersection
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

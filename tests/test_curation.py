@@ -1512,3 +1512,74 @@ def test_c4_clean_min_words_and_min_kept_lines(spark):
     out2 = curation.c4_clean(df, "doc_id", "text", min_line_words=2,
                              min_kept_lines=2).collect()[0]
     assert out2["clean_text"] == "One two three.\nOne two." and out2["keep"]
+
+
+# ----------------------------------------------------------- pmi collocations
+
+def test_pmi_collocations_values(spark):
+    import math
+    # corpus: "a b" x3 and "c d" x1, plus stray "a", "d"
+    rows = [(1, "a b a b"), (2, "a b c d"), (3, "a d")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["w1"], r["w2"]): r for r in curation.pmi_collocations(
+        df, "doc_id", "text", min_count=1).collect()}
+    # T=10 tokens, B=7 adjacent pairs
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 3 and ab["w1_count"] == 4 \
+        and ab["w2_count"] == 3
+    exp = round(math.log((3 / 7) / ((4 / 10) * (3 / 10))), 6)
+    assert abs(ab["pmi"] - exp) < 1e-9
+    assert ("b", "a") in out and out[("b", "a")]["pair_count"] == 1
+    # min_count prunes
+    pruned = {(r["w1"], r["w2"]) for r in curation.pmi_collocations(
+        df, "doc_id", "text", min_count=2).collect()}
+    assert pruned == {("a", "b")}
+
+
+def test_pmi_collocations_empty_and_single_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "x y"), (5, "x y")],
+        "doc_id bigint, text string")
+    out = curation.pmi_collocations(df, "doc_id", "text",
+                                    min_count=2).collect()
+    assert len(out) == 1 and out[0]["pair_count"] == 2
+    # the stray "solo" token still counts toward T (changes pmi)
+    import math
+    exp = round(math.log((2 / 2) / ((2 / 5) * (2 / 5))), 6)
+    assert abs(out[0]["pmi"] - exp) < 1e-9
+
+
+# -------------------------------------------------------------- phrase search
+
+def test_phrase_search_exact_and_repeated_terms(spark):
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+
+    rows = [(1, "the quick brown fox jumps"),
+            (2, "quick brown shoes but quick brown fox too"),
+            (3, "brown quick nothing"),
+            (4, "fox fox fox"), (5, ""), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["doc_id"], r["match_pos"])
+           for r in retrieval.phrase_search(
+               df, "doc_id", "text", ["quick", "brown", "fox"]).collect()}
+    assert got == {(1, 2), (2, 5)}
+    # repeated-term phrase: overlapping occurrences all reported
+    rep = {(r["doc_id"], r["match_pos"])
+           for r in retrieval.phrase_search(
+               df, "doc_id", "text", ["fox", "fox"]).collect()}
+    assert rep == {(4, 1), (4, 2)}
+    # single-token phrase = positional term lookup
+    single = {(r["doc_id"], r["match_pos"])
+              for r in retrieval.phrase_search(
+                  df, "doc_id", "text", ["fox"]).collect()}
+    assert single == {(1, 4), (2, 7), (4, 1), (4, 2), (4, 3)}
+
+
+def test_phrase_search_case_and_punct_normalized(spark):
+    from zacks_estimates_financial_statements_spark.operators import retrieval
+
+    df = spark.createDataFrame([(1, "New York's finest, truly.")],
+                               "doc_id bigint, text string")
+    got = retrieval.phrase_search(df, "doc_id", "text",
+                                  ["new", "york"]).collect()
+    assert [(r["doc_id"], r["match_pos"]) for r in got] == [(1, 1)]

@@ -1770,3 +1770,63 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str, *,
                     "has_badword", "has_doc_drop",
                     (~F.col("has_badword") & ~F.col("has_doc_drop")
                      & (n_kept >= min_kept_lines)).alias("keep")))
+
+
+def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
+                     min_count: int = 5) -> DataFrame:
+    """Collocation extraction via pointwise mutual information (Church
+    & Hanks, CL 1990): for every adjacent token bigram seen at least
+    ``min_count`` times, ``pmi = ln(p(w1,w2) / (p(w1)·p(w2)))`` with
+    unigram probabilities over all corpus tokens and bigram
+    probability over all adjacent pairs. High-PMI pairs are the
+    multi-word expressions ("new york", "machine learning") a
+    tokenizer-vocab or phrase-mining pass wants; low/negative PMI
+    flags tokens glued together by boilerplate.
+
+    Output: ``(w1, w2, pair_count, w1_count, w2_count, pmi)`` with
+    ``pmi`` rounded to 6 digits (the cross-engine double convention;
+    the ln argument is associated identically in the SQL twin).
+
+    Plan shape: bigrams via the flat ``arrays_zip`` of two array
+    slices (no zip_with lambda in the hot path, no token self-join);
+    unigram and bigram counts are map-side-combined aggregations
+    carrying narrow token rows; the ``min_count`` filter prunes the
+    hapax tail BEFORE the two vocabulary equi-joins, and the corpus
+    totals attach as 1-row broadcasts — everything is linear in corpus
+    tokens, and the joined relations are vocabulary-sized, not
+    corpus-sized.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    toks = df.select(F.col(id_col), _word_array(text_col).alias("__t"))
+    uni = (toks.select(F.explode_outer("__t").alias("__w"))
+           .filter(F.col("__w").isNotNull())
+           .groupBy("__w").agg(F.count("*").alias("__c")))
+    tot = (toks.agg(F.sum(F.coalesce(F.size("__t"), F.lit(0)))
+                    .cast("double").alias("__T"),
+                    F.sum(F.greatest(F.size("__t") - 1, F.lit(0)))
+                    .cast("double").alias("__B"))
+           .withColumn("__k", F.lit(1)))
+    pairs = toks.filter(F.size("__t") >= 2)
+    n1 = F.size("__t") - 1
+    bi = (pairs.select(
+        F.explode_outer(F.arrays_zip(
+            F.slice("__t", 1, n1).alias("w1"),
+            F.slice("__t", 2, n1).alias("w2"))).alias("__b"))
+        .select(F.col("__b.w1").alias("w1"),
+                F.col("__b.w2").alias("w2")))
+    bc = (bi.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+          .filter(F.col("pair_count") >= min_count)
+          .withColumn("__k", F.lit(1)))
+    u1 = uni.select(F.col("__w").alias("w1"),
+                    F.col("__c").alias("w1_count"))
+    u2 = uni.select(F.col("__w").alias("w2"),
+                    F.col("__c").alias("w2_count"))
+    return (bc.join(u1, "w1").join(u2, "w2")
+            .join(F.broadcast(tot), "__k")
+            .select("w1", "w2", "pair_count", "w1_count", "w2_count",
+                    F.round(F.log(
+                        (F.col("pair_count").cast("double") / F.col("__B"))
+                        / ((F.col("w1_count").cast("double") / F.col("__T"))
+                           * (F.col("w2_count").cast("double")
+                              / F.col("__T")))), 6).alias("pmi")))

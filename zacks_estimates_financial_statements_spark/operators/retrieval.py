@@ -229,3 +229,47 @@ def retrieval_metrics(results: DataFrame, qrels: DataFrame,
                         6).alias("mrr"),
                 F.round((F.col("__dcg") / F.col("__idcg"))
                         .cast("double"), 6).alias("ndcg_at_k")))
+
+
+def phrase_search(df: DataFrame, id_col: str, text_col: str,
+                  phrase: list[str]) -> DataFrame:
+    """Exact-phrase search over a positional token index: one output
+    row per occurrence of ``phrase`` (ordered, adjacent tokens) —
+    ``(id, match_pos)`` with ``match_pos`` the 1-based token position
+    where the phrase starts. Tokenization matches
+    ``functions.text.word_tokens``, so "New York's" matches
+    ["new", "york", "s"]-era phrasing consistently across operators.
+
+    The classic positional-postings intersection, done in ONE pass:
+    the corpus tokens posexplode once, a tiny broadcast ``(term,
+    offset)`` relation (one row per phrase slot — repeated terms get
+    one row per slot) equi-joins on the token, each hit votes for the
+    candidate start ``pos − offset``, and a start wins iff it collects
+    all ``len(phrase)`` votes. Non-phrase tokens are filtered by the
+    broadcast hash join BEFORE the only shuffle (the vote groupBy), so
+    shuffle volume is proportional to phrase-term frequency, not
+    corpus size — the same pre-shuffle pruning argument as
+    ``bm25_score``'s term filter. No self-join of the corpus, no
+    window, no UDF.
+    """
+    from zacks_estimates_financial_statements_spark.operators.curation import _word_array
+
+    terms = [t.strip().lower() for t in phrase if t.strip()]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    L = len(terms)
+    spark = df.sparkSession
+    slots = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "__tok string, __off int")
+    pos = (df.select(F.col(id_col),
+                     F.posexplode_outer(_word_array(text_col))
+                     .alias("__p0", "__tok"))
+           .filter(F.col("__tok").isNotNull()))
+    votes = (pos.join(F.broadcast(slots), "__tok")
+             .select(F.col(id_col),
+                     (F.col("__p0") + 1 - F.col("__off"))
+                     .cast("bigint").alias("match_pos")))
+    return (votes.groupBy(id_col, "match_pos")
+            .agg(F.count("*").alias("__c"))
+            .filter((F.col("__c") == L) & (F.col("match_pos") >= 1))
+            .select(id_col, "match_pos"))
