@@ -1097,6 +1097,57 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_margin_topk(spark, sf):
+    """Margin-based NN scoring (similarity.margin_topk, Artetxe &
+    Schwenk ACL'19 ratio margin): forward top-4 pairs of the 5 lowest
+    query ids re-scored by cosine over the mean of both neighborhoods
+    — the bitext-mining / hubness-normalized alignment criterion.
+    Exact candidate tiers here (oracle-checkable); ivf/lsh swap in at
+    corpus×corpus scale with the same contract."""
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return similarity.margin_topk(emb, queries, k=4)
+
+
+ORACLE_MARGIN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+  ORDER BY vec_id LIMIT 5),
+fs AS (
+  SELECT q.query_id, e.vec_id,
+    {_COS_SQL.format(a='e.embedding', b='q.query_vec')} AS cos
+  FROM embeddings e CROSS JOIN q),
+fwd AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, cos, row_number() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r
+    FROM fs) WHERE r <= 4),
+bwd AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, cos, row_number() OVER
+      (PARTITION BY vec_id ORDER BY cos DESC, query_id) AS r
+    FROM fs) WHERE r <= 4),
+afwd AS (
+  SELECT query_id,
+    round((sum(round(cos, 6)::DECIMAL(38,6)))::DOUBLE / 4, 6) AS afwd
+  FROM fwd GROUP BY query_id),
+abwd AS (
+  SELECT vec_id,
+    round((sum(round(cos, 6)::DECIMAL(38,6)))::DOUBLE / 4, 6) AS abwd
+  FROM bwd GROUP BY vec_id),
+sc AS (
+  SELECT f.query_id, f.vec_id, round(f.cos, 6) AS cosine,
+    round(round(f.cos, 6) / ((a.afwd + b.abwd) / 2.0), 6) AS margin
+  FROM fwd f JOIN afwd a USING (query_id) JOIN abwd b USING (vec_id))
+SELECT query_id, vec_id, cosine, margin,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY margin DESC, vec_id) AS rank
+FROM sc
+"""
+
+
 def q_hard_negatives(spark, sf):
     """Hard-negative mining (similarity.mine_hard_negatives): per
     anchor, the most-similar corpus vectors that are NOT its known
@@ -1760,6 +1811,43 @@ _QUALITY_STATS_SQL = r"""
 """
 ORACLE_CLEAN_CORPUS = ORACLE_CLEAN_CORPUS.format(
     text_stats=_QUALITY_STATS_SQL)
+
+
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking (operators/dedup.py ``cdc_chunks``,
+    Rabin/FastCDC idea at word granularity): boundaries where the
+    trailing 3-gram hash ≡ 0 mod 8 — edit-stable chunk alignment for
+    chunk-level dedup; one zero-shuffle projection + posexplode."""
+    docs = _t(spark, sf, "documents")
+    return dedup.cdc_chunks(docs, "doc_id", "text", w=3, avg_words=8)
+
+
+ORACLE_CDC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+pos AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+cuts AS (
+  SELECT doc_id, r.e FROM pos, unnest(range(3, n + 1)) AS r(e)
+  WHERE ('0x' || substr(md5(array_to_string(t[r.e - 2:r.e], ' ')),
+                        1, 15))::BIGINT % 8 = 0),
+bounds AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, e FROM cuts
+    UNION ALL SELECT doc_id, n AS e FROM pos)),
+spans AS (
+  SELECT doc_id,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+    e, row_number() OVER (PARTITION BY doc_id ORDER BY e) AS chunk_idx
+  FROM bounds)
+SELECT sp.doc_id, sp.chunk_idx::BIGINT AS chunk_idx,
+  sp.s::BIGINT AS start_word, (sp.e - sp.s + 1)::BIGINT AS n_words,
+  md5(array_to_string(p.t[sp.s:sp.e], ' ')) AS chunk_hash,
+  array_to_string(p.t[sp.s:sp.e], ' ') AS chunk_text
+FROM spans sp JOIN pos p USING (doc_id)
+"""
 
 
 def q_winnow_fingerprint(spark, sf):
@@ -5198,6 +5286,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_schedule": q_politeness_schedule,
     "pmi_collocations": q_pmi_collocations,
     "phrase_search": q_phrase_search,
+    "margin_topk": q_margin_topk,
+    "cdc_chunks": q_cdc_chunks,
 }
 
 _ORACLE: dict[str, str] = {
@@ -5328,6 +5418,8 @@ _ORACLE: dict[str, str] = {
     "politeness_schedule": ORACLE_POLITENESS_SCHEDULE,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "phrase_search": ORACLE_PHRASE_SEARCH,
+    "margin_topk": ORACLE_MARGIN_TOPK,
+    "cdc_chunks": ORACLE_CDC_CHUNKS,
 }
 
 

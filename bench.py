@@ -118,6 +118,8 @@ HEADLINE = [
     "politeness_schedule",  # closed-form rate-limit fetch planner
     "pmi_collocations",     # adjacent-bigram PMI collocation mining
     "phrase_search",        # positional exact-phrase intersection
+    "margin_topk",          # ratio-margin NN scoring (bitext mining)
+    "cdc_chunks",           # content-defined chunking (word-level CDC)
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -787,3 +787,97 @@ def test_random_projection_short_vector_nulls_not_throws(spark):
     assert all(out[0][f"rp_{j}"] is not None for j in range(4))
     assert all(out[1][f"rp_{j}"] is None for j in range(4))
     assert all(out[2][f"rp_{j}"] is None for j in range(4))
+
+
+# ------------------------------------------------------------- margin scoring
+
+def test_margin_topk_normalizes_hubness(spark):
+    # hub vector h is fairly close to BOTH queries; the true match t
+    # is very close to q0 only. Raw cosine ranks h near the top for
+    # q0; the margin criterion demotes it because h's neighborhood
+    # average is as high as its pair scores.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # t: aligned with q0
+        (1, [0.7, 0.7, 0.1, 0.1]),     # h: hub, close to everything
+        (2, [0.0, 1.0, 0.0, 0.0]),     # aligned with q1
+        (3, [0.0, 0.0, 1.0, 0.0]),     # background
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1, 0.0, 0.0]), (101, [0.1, 0.9, 0.0, 0.0])],
+        "query_id bigint, query_vec array<double>")
+    out = similarity.margin_topk(corpus, queries, k=2)
+    top = {r["query_id"]: r["vec_id"]
+           for r in out.filter(F.col("rank") == 1).collect()}
+    assert top == {100: 0, 101: 2}
+    rows_all = out.collect()
+    assert all(r["margin"] is not None for r in rows_all)
+    # the hub's margin against q0 is below the true match's margin
+    m = {(r["query_id"], r["vec_id"]): r["margin"] for r in rows_all}
+    assert m[(100, 0)] > m[(100, 1)]
+
+
+def test_margin_topk_accepts_precomputed_candidates(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id bigint, embedding array<double>")
+    queries = corpus.select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("query_vec"))
+    fwd = similarity.topk_bruteforce(corpus, queries, k=2)
+    bwd = similarity.topk_bruteforce(corpus, queries, k=2)
+    via_args = similarity.margin_topk(corpus, queries, k=2,
+                                      fwd=fwd, bwd=bwd)
+    default = similarity.margin_topk(corpus, queries, k=2)
+    a = sorted(map(tuple, via_args.collect()))
+    b = sorted(map(tuple, default.collect()))
+    assert a == b and len(a) == 8
+
+
+# --------------------------------------------------------------- cdc chunking
+
+def test_cdc_chunks_partition_and_edit_stability(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    edited = "INSERTED " + base
+    df = spark.createDataFrame([(1, base), (2, edited), (3, "one two"),
+                                (4, ""), (5, None)],
+                               "doc_id bigint, text string")
+    out = dedup.cdc_chunks(df, "doc_id", "text", w=3, avg_words=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # chunks PARTITION the token stream: contiguous, full coverage
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert c1[0]["start_word"] == 1
+    for a, b in zip(c1, c1[1:]):
+        assert b["start_word"] == a["start_word"] + a["n_words"]
+    assert sum(r["n_words"] for r in c1) == 22
+    assert " ".join(r["chunk_text"] for r in c1) == base
+    # content-defined: after the early insertion, the tail chunks
+    # realign — the edited doc shares at least one chunk hash with the
+    # original (fixed-offset chunking would share none)
+    h1 = {r["chunk_hash"] for r in by_doc[1]}
+    h2 = {r["chunk_hash"] for r in by_doc[2]}
+    assert h1 & h2
+    # docs shorter than w: one chunk; empty/null docs: no rows
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_words"] == 2
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_cdc_chunks_deterministic_and_expected_len(spark):
+    import random
+    words = "the quick brown fox jumps over lazy dogs and cats".split()
+    rng = random.Random(3)
+    rows = [(i, " ".join(rng.choice(words) for _ in range(200)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, dedup.cdc_chunks(df, "doc_id", "text",
+                                           avg_words=8).collect()))
+    b = sorted(map(tuple, dedup.cdc_chunks(df.repartition(7), "doc_id",
+                                           "text", avg_words=8).collect()))
+    assert a == b
+    n_chunks = len(a)
+    # 20 docs x 200 words at expected chunk len 8 -> ~500 chunks;
+    # loose band only (geometric boundaries)
+    assert 200 <= n_chunks <= 1200

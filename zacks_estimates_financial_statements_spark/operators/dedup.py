@@ -829,3 +829,73 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
     return (dots.withColumn("cosine", cos)
             .filter(F.col("cosine") >= min_cosine)
             .select("id_a", "id_b", "cosine"))
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
+               w: int = 3, avg_words: int = 16) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC idea, word
+    granularity): cut each document's token stream AFTER any word
+    whose trailing ``w``-gram hashes to ``0 mod avg_words`` — chunk
+    boundaries depend on local CONTENT, not absolute offsets, so an
+    insertion early in a document shifts only the chunk it lands in
+    and chunk-level dedup (group the ``chunk_hash``) still matches
+    every later chunk. Fixed-offset chunking (``chunk_tokens``) loses
+    all alignment after the edit; this is the dedup-stable
+    alternative.
+
+    Output: ``(id, chunk_idx, start_word, n_words, chunk_hash,
+    chunk_text)`` — 1-based word spans over the normalized token
+    stream, expected chunk length ``avg_words`` (geometric), md5
+    chunk hashes. Documents shorter than ``w`` words yield one chunk.
+
+    Simplification vs FastCDC: no min/max chunk bounds — those make
+    the boundary decision sequential (a cut suppresses nearby cuts);
+    the unbounded form keeps every boundary decision independent, so
+    the whole operator is ONE zero-shuffle projection (the
+    ``winnow_fingerprints`` argument): gram-hash cuts, spans and
+    chunk texts all build as per-document arrays, then one
+    posexplode. The only interpreted lambdas run over bounded
+    per-document arrays, and nothing is duplicated row-wise — chunk
+    texts partition the document, so the exploded relation carries
+    each corpus byte exactly once.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    if avg_words < 2:
+        raise ValueError(f"avg_words must be >= 2, got {avg_words}")
+    toks = (df.select(F.col(id_col), T.word_tokens(F.col(text_col))
+                      .alias("__t0"))
+            .select(F.col(id_col),
+                    F.filter("__t0", lambda x: x != "").alias("__t"))
+            .filter(F.size("__t") >= 1))
+    n = F.size("__t")
+    ends = F.when(n >= w, F.sequence(F.lit(w), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    cut = (toks
+           .withColumn("__cuts", F.filter(ends, lambda e: (
+               hash60(F.concat_ws(" ", F.slice("__t", e - (w - 1), w)))
+               % avg_words) == 0))
+           .withColumn("__ends", F.array_distinct(
+               F.concat("__cuts", F.array(n))))
+           .withColumn("__starts", F.transform(
+               F.concat(F.array(F.lit(0)),
+                        F.slice("__ends", 1,
+                                F.greatest(F.size("__ends") - 1,
+                                           F.lit(0)))),
+               lambda x: x + 1)))
+    chunks = cut.withColumn("__chunks", F.transform(
+        F.arrays_zip(F.col("__starts").alias("s"),
+                     F.col("__ends").alias("e")),
+        lambda p: F.struct(
+            p["s"].alias("s"), p["e"].alias("e"),
+            F.concat_ws(" ", F.slice("__t", p["s"],
+                                     p["e"] - p["s"] + 1)).alias("txt"))))
+    return (chunks.select(F.col(id_col),
+                          F.posexplode("__chunks").alias("__i", "__c"))
+            .select(F.col(id_col),
+                    (F.col("__i") + 1).cast("bigint").alias("chunk_idx"),
+                    F.col("__c.s").cast("bigint").alias("start_word"),
+                    (F.col("__c.e") - F.col("__c.s") + 1).cast("bigint")
+                    .alias("n_words"),
+                    F.md5("__c.txt").alias("chunk_hash"),
+                    F.col("__c.txt").alias("chunk_text")))

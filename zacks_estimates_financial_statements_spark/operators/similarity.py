@@ -637,3 +637,77 @@ def random_projection(df: DataFrame, id_col: str, vec_col: str,
         exprs.append(f"round(({terms}) * CAST({inv_root!r} AS DOUBLE),"
                      f" 6) AS rp_{j}")
     return pre.selectExpr(*exprs)
+
+
+def margin_topk(corpus: DataFrame, queries: DataFrame, k: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "query_vec",
+                fwd: DataFrame | None = None,
+                bwd: DataFrame | None = None) -> DataFrame:
+    """Margin-based nearest-neighbor scoring (Artetxe & Schwenk,
+    ACL 2019 ratio margin — the bitext-mining / cross-corpus alignment
+    criterion): for every forward top-``k`` pair ``(x, y)``,
+
+        ``margin = cos(x,y) / ((Σ_fwd cos/k + Σ_bwd cos/k) / 2)``
+
+    where the denominators are the mean cosine of ``x``'s forward
+    top-``k`` into the corpus and ``y``'s backward top-``k`` into the
+    query set. The margin normalizes away hubness: a pair scores high
+    only if the two are much closer to EACH OTHER than to their
+    respective neighborhoods — raw-cosine thresholds can't separate
+    true translations/alignments from hub vectors that are close to
+    everything.
+
+    Output: ``(query_id, vec_id, cosine, margin, rank)`` — ``rank``
+    is the margin-descending rank per query (ties by id); mining =
+    keep ``rank = 1 AND margin > threshold`` (threshold is corpus-
+    dependent, left to the caller).
+
+    ``fwd``/``bwd`` override the candidate tiers with precomputed
+    top-k relations in ``topk_bruteforce``'s output shape — at
+    corpus×corpus scale feed both directions from ``topk_ivf``/
+    ``topk_lsh`` (bucket equi-joins) instead of the exact default,
+    same contract as ``mine_hard_negatives``. The margin arithmetic
+    itself adds only two vocabulary-sized groupBys over the top-k
+    relations (≤ k rows per key) and two equi-joins — nothing
+    corpus-quadratic.
+
+    Determinism: per-pair cosines round to 6; neighborhood sums route
+    through ``decimal(38,6)`` then divide by ``k`` in double rounded
+    to 6; the final margin rounds to 6 — the repo cross-engine recipe.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fwd is None:
+        fwd = topk_bruteforce(corpus, queries, k=k, id_col=id_col,
+                              vec_col=vec_col, query_id_col=query_id_col,
+                              query_vec_col=query_vec_col)
+    if bwd is None:
+        bwd = topk_bruteforce(
+            queries.select(F.col(query_id_col).alias(id_col),
+                           F.col(query_vec_col).alias(vec_col)),
+            corpus.select(F.col(id_col).alias(query_id_col),
+                          F.col(vec_col).alias(query_vec_col)),
+            k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col)
+
+    def nbhd(df, key_col, out_key, out_col):
+        return (df.groupBy(F.col(key_col).alias(out_key))
+                .agg(F.round(
+                    F.sum(F.round(F.col("cosine"), 6)
+                          .cast("decimal(38,6)")).cast("double") / k,
+                    6).alias(out_col)))
+
+    afwd = nbhd(fwd, query_id_col, query_id_col, "__afwd")
+    abwd = nbhd(bwd, query_id_col, id_col, "__abwd")
+    pairs = fwd.select(query_id_col, id_col,
+                       F.round(F.col("cosine"), 6).alias("cosine"))
+    scored = (pairs.join(afwd, query_id_col).join(abwd, id_col)
+              .select(query_id_col, id_col, "cosine",
+                      F.round(F.col("cosine")
+                              / ((F.col("__afwd") + F.col("__abwd"))
+                                 / 2.0), 6).alias("margin")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("margin"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w)))
