@@ -3298,6 +3298,78 @@ FROM base
 """
 
 
+def q_registrable_domain(spark, sf):
+    """PSL registrable-domain extraction (functions/web.py
+    ``registrable_domain``): synthesized 3/4-label hosts against a
+    3-entry suffix list exercising longest-match, fallback-TLD and
+    both label depths; oracle derives everything from the synthesis
+    arithmetic."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (d % 7).cast("string"),
+                   F.when(d % 2 == 0, F.lit(".site")).otherwise(F.lit("")),
+                   F.lit(".ex"), (d % 3).cast("string"),
+                   F.lit(".org/p"))
+    sfx = spark.createDataFrame([("org",), ("ex1.org",), ("ex2.org",)],
+                                "suffix string")
+    return web.registrable_domain(docs.select("doc_id", url.alias("u")),
+                                  "doc_id", "u", sfx)
+
+
+ORACLE_REGISTRABLE_DOMAIN = """
+WITH base AS (
+  SELECT doc_id,
+    'https://h' || (doc_id % 7)
+      || CASE WHEN doc_id % 2 = 0 THEN '.site' ELSE '' END
+      || '.ex' || (doc_id % 3) || '.org/p' AS url,
+    'h' || (doc_id % 7)
+      || CASE WHEN doc_id % 2 = 0 THEN '.site' ELSE '' END
+      || '.ex' || (doc_id % 3) || '.org' AS host
+  FROM documents)
+SELECT doc_id, url, host,
+  CASE WHEN doc_id % 3 = 0 THEN 'org'
+       ELSE 'ex' || (doc_id % 3) || '.org' END AS public_suffix,
+  CASE WHEN doc_id % 3 = 0 THEN 'ex0.org'
+       WHEN doc_id % 2 = 0 THEN 'site.ex' || (doc_id % 3) || '.org'
+       ELSE 'h' || (doc_id % 7) || '.ex' || (doc_id % 3) || '.org'
+  END AS registrable
+FROM base
+"""
+
+
+def q_calibration_bins(spark, sf):
+    """Reliability-diagram binning (operators/curation.py
+    ``calibration_bins``, Guo et al. ICML'17): synthesized scores
+    ``((doc_id·37) % 101)/100`` and labels ``doc_id % 3 = 0`` — known
+    arithmetic on both sides; ONE ≤n_bins-group map-side-combined
+    aggregation."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    scored = docs.select(
+        (((d * 37) % 101).cast("double") / 100.0).alias("score"),
+        (d % 3 == 0).alias("label"))
+    return curation.calibration_bins(scored, "score", "label",
+                                     n_bins=10)
+
+
+ORACLE_CALIBRATION_BINS = """
+WITH scored AS (
+  SELECT ((doc_id * 37) % 101)::DOUBLE / 100.0 AS s,
+    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents),
+binned AS (
+  SELECT least(floor(s * 10), 9)::BIGINT AS bin,
+    round(s, 6)::DECIMAL(38,6) AS s6, y
+  FROM scored)
+SELECT bin, count(*)::BIGINT AS n,
+  round((sum(s6))::DOUBLE / count(*), 6) AS mean_score,
+  round(sum(y)::DOUBLE / count(*), 6) AS frac_pos,
+  round(round(sum(y)::DOUBLE / count(*), 6)
+        - round((sum(s6))::DOUBLE / count(*), 6), 6) AS gap
+FROM binned GROUP BY bin
+"""
+
+
 def q_pmi_collocations(spark, sf):
     """PMI collocation mining (operators/curation.py
     ``pmi_collocations``, Church & Hanks CL'90): adjacent-bigram PMI
@@ -5288,6 +5360,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "margin_topk": q_margin_topk,
     "cdc_chunks": q_cdc_chunks,
+    "calibration_bins": q_calibration_bins,
+    "registrable_domain": q_registrable_domain,
 }
 
 _ORACLE: dict[str, str] = {
@@ -5420,6 +5494,8 @@ _ORACLE: dict[str, str] = {
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "margin_topk": ORACLE_MARGIN_TOPK,
     "cdc_chunks": ORACLE_CDC_CHUNKS,
+    "calibration_bins": ORACLE_CALIBRATION_BINS,
+    "registrable_domain": ORACLE_REGISTRABLE_DOMAIN,
 }
 
 

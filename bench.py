@@ -120,6 +120,8 @@ HEADLINE = [
     "phrase_search",        # positional exact-phrase intersection
     "margin_topk",          # ratio-margin NN scoring (bitext mining)
     "cdc_chunks",           # content-defined chunking (word-level CDC)
+    "calibration_bins",     # reliability-diagram classifier audit
+    "registrable_domain",   # PSL eTLD+1 extraction
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -1583,3 +1583,25 @@ def test_phrase_search_case_and_punct_normalized(spark):
     got = retrieval.phrase_search(df, "doc_id", "text",
                                   ["new", "york"]).collect()
     assert [(r["doc_id"], r["match_pos"]) for r in got] == [(1, 1)]
+
+
+# ----------------------------------------------------------- calibration bins
+
+def test_calibration_bins_values_and_edges(spark):
+    rows = [(0.05, False), (0.05, True),     # bin 0: conf .05, acc .5
+            (0.95, True), (0.95, True),      # bin 9
+            (1.0, True),                     # score 1.0 clamps to bin 9
+            (0.55, False),                   # bin 5
+            (None, True), (0.5, None)]       # dropped
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["bin"]: r for r in curation.calibration_bins(
+        df, "score", "label", n_bins=10).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0]["n"] == 2 and out[0]["mean_score"] == 0.05 \
+        and out[0]["frac_pos"] == 0.5 and out[0]["gap"] == 0.45
+    assert out[9]["n"] == 3 and out[9]["frac_pos"] == 1.0
+    assert abs(out[9]["mean_score"] - round((0.95 * 2 + 1.0) / 3, 6)) < 1e-9
+    assert out[5]["frac_pos"] == 0.0 and out[5]["gap"] == -0.55
+    # ECE from the bins: sum(n/N * |gap|) over the 6 counted rows
+    ece = sum(r["n"] * abs(r["gap"]) for r in out.values()) / 6
+    assert 0 < ece < 1

@@ -186,3 +186,31 @@ def test_politeness_schedule_matches_sequential_replay(spark):
             max(r["arrival_us"], sched + 3_000_000)
         assert r["sched_us"] == exp
         sched = exp
+
+
+# --------------------------------------------------------- registrable domain
+
+def test_registrable_domain_psl_semantics(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    rows = [(1, "https://a.b.example.co.uk/x"),  # multi-label suffix
+            (2, "https://example.co.uk"),        # exactly suffix+1
+            (3, "https://co.uk"),                # host IS a suffix
+            (4, "https://deep.sub.example.com/p"),
+            (5, "https://example.weirdtld"),     # unlisted TLD fallback
+            (6, "https://www.example.com:443/")] # host normalization
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    sfx = spark.createDataFrame([("com",), ("uk",), ("co.uk",)],
+                                "suffix string")
+    out = {r["doc_id"]: r for r in web.registrable_domain(
+        df, "doc_id", "url", sfx).collect()}
+    assert out[1]["public_suffix"] == "co.uk"      # longest wins over "uk"
+    assert out[1]["registrable"] == "example.co.uk"
+    assert out[2]["registrable"] == "example.co.uk"
+    assert out[3]["public_suffix"] == "co.uk"
+    assert out[3]["registrable"] is None           # suffix-only host
+    assert out[4]["registrable"] == "example.com"
+    assert out[5]["public_suffix"] == "weirdtld"   # implicit-* fallback
+    assert out[5]["registrable"] == "example.weirdtld"
+    assert out[6]["host"] == "example.com"         # www./port stripped
+    assert out[6]["registrable"] == "example.com"

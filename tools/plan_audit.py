@@ -58,6 +58,13 @@ FANOUT_BNLJ_OK = {
     "bm25_search": "1-row corpus-stats aggregate broadcast (N/avgdl "
                    "scalar attach; folded-constant-key shape as "
                    "token_frequencies)",
+    "pmi_collocations": "1-row corpus-totals broadcast (T/B scalar "
+                        "attach; folded-constant-key shape as "
+                        "token_frequencies)",
+    "margin_topk": "declared exact baseline BOTH directions (broadcast "
+                   "query set x corpus, topk_cosine's shape); at "
+                   "corpus x corpus scale the fwd=/bwd= args take any "
+                   "bucketed ANN tier's output instead",
     "topic_summaries": "n_centroids-row centroid broadcast (coarse "
                        "quantizer scoring, same as ann_ivf_topk) plus "
                        "the 1-row cluster-count scalar attach",
@@ -134,6 +141,11 @@ LAMBDA_FILTER_OK = {
     "drop_repeated_spans": "embeds repeated_spans' caller-written "
                            "size(tokens) >= k guard pushed into the "
                            "scan filter",
+    "pmi_collocations": "size(tokens) >= 2 bigram guard pushed into "
+                        "the scan filter (the lm_perplexity shape) — "
+                        "one extra split pass",
+    "cdc_chunks": "size(tokens) >= 1 empty-doc guard pushed into the "
+                  "scan filter — one extra split pass",
 }
 
 #: queries whose GLOBAL (unpartitioned) window is provably bounded but

@@ -167,6 +167,45 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "pattern flags in the same projection",
         "corpus never shuffles for the filter; only matched rows "
         "aggregate"),
+    "c4_clean": (
+        "line posexplode → codegen line flags → ONE groupBy "
+        "reassembly → zero-shuffle doc-flag join",
+        "linear in corpus bytes; flat regexp_count word counts, no "
+        "per-line HOF"),
+    "politeness_schedule": (
+        "sequential max(arr, prev+I) recurrence unrolled to a "
+        "running-max window per rate-limit key",
+        "ONE shuffle on the key, no iteration; any day of requests "
+        "replans in one pass"),
+    "pmi_collocations": (
+        "arrays_zip-slice bigrams → map-side-combined counts → "
+        "min_count prune → vocab equi-joins + 1-row totals broadcast",
+        "hapax tail pruned BEFORE the joins; joined relations are "
+        "vocabulary-sized, not corpus-sized"),
+    "phrase_search": (
+        "positional postings × broadcast (term, offset) slots → "
+        "vote groupBy(start) with all-votes filter",
+        "non-phrase tokens never reach the shuffle — volume ∝ "
+        "phrase-term frequency"),
+    "margin_topk": (
+        "fwd/bwd top-k neighborhoods → decimal-routed means → "
+        "margin = cos / mean(nbhd) re-rank",
+        "margin arithmetic adds only ≤k-rows-per-key groupBys; "
+        "candidate tiers pluggable (ivf/lsh at corpus×corpus)"),
+    "cdc_chunks": (
+        "per-doc gram-hash cuts → span arrays → chunk texts, all "
+        "in-array; ONE posexplode",
+        "zero shuffles (winnow argument); chunk texts partition the "
+        "doc — no byte duplicated"),
+    "calibration_bins": (
+        "ONE map-side-combined agg over ≤ n_bins groups",
+        "shuffle carries n_bins rows per map partition, independent "
+        "of corpus size"),
+    "registrable_domain": (
+        "suffix-chain explode → BROADCAST suffix-list equi-join → "
+        "per-id min (longest match)",
+        "corpus never shuffles for the match; only matched rows "
+        "aggregate"),
 }
 
 

@@ -232,3 +232,56 @@ def politeness_schedule(df: DataFrame, key_col: str, id_col: str,
         key_col, id_col, "arrival_us", "sched_us",
         (F.col("sched_us") - F.col("arrival_us")).alias("wait_us"),
         "position")
+
+
+def registrable_domain(df: DataFrame, id_col: str, url_col: str,
+                       suffixes: DataFrame,
+                       suffix_col: str = "suffix") -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction against a public-suffix
+    list — the grouping key ``domain_quota`` / ``pagerank`` should use
+    (grouping by raw host splits one site into subdomain shards;
+    grouping by bare TLD merges unrelated sites under ``co.uk``).
+
+    Public-suffix semantics (the PSL algorithm's common case): the
+    LONGEST listed suffix that tail-matches the host's dot-separated
+    labels wins; the registrable domain is that suffix plus ONE more
+    label. An unlisted TLD falls back to the last label (PSL's
+    implicit ``*`` rule); a host that IS a public suffix has no
+    registrable domain (NULL).
+
+    Output: ``(id, url, host, public_suffix, registrable)``.
+
+    Plan shape: each host explodes into its ≤ label-count suffix
+    chain, inner-joins the BROADCAST suffix list, and a per-id min
+    picks the longest match — the corpus never shuffles for the
+    match (same argument as ``url_filter``); the only exchange is the
+    per-id min over matched rows, bounded by match count ≤ one row
+    per host label.
+    """
+    host = url_host(F.col(url_col))
+    base = df.select(F.col(id_col), F.col(url_col).alias("url"),
+                     host.alias("host"))
+    labels = F.split("host", r"\.")
+    n = F.size(labels)
+    cand = (base
+            .select(F.col(id_col),
+                    F.posexplode(F.transform(
+                        F.sequence(F.lit(1), n),
+                        lambda i: F.concat_ws(
+                            ".", F.slice(labels, i, n - i + 1))))
+                    .alias("__i0", "__cand")))
+    sfx = suffixes.select(F.lower(F.col(suffix_col)).alias("__cand"))
+    best = (cand.join(F.broadcast(sfx), "__cand")
+            .groupBy(id_col)
+            .agg((F.min("__i0") + 1).alias("__s")))
+    out = base.join(best, id_col, "left")
+    labels_o = F.split("host", r"\.")
+    n_o = F.size(labels_o)
+    s = F.coalesce(F.col("__s"), n_o)
+    return out.select(
+        F.col(id_col), "url", "host",
+        F.concat_ws(".", F.slice(labels_o, s, n_o - s + 1))
+        .alias("public_suffix"),
+        F.when(s >= 2,
+               F.concat_ws(".", F.slice(labels_o, s - 1, n_o - s + 2)))
+        .alias("registrable"))

@@ -1772,6 +1772,49 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str, *,
                      & (n_kept >= min_kept_lines)).alias("keep")))
 
 
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram binning for a probabilistic quality
+    classifier (Guo et al., ICML 2017 calibration methodology): bucket
+    predictions by confidence — ``bin = min(floor(score·n_bins),
+    n_bins−1)`` over scores in [0, 1] — and report, per bin, the count,
+    mean predicted score (confidence) and observed positive rate
+    (accuracy). ``gap = frac_pos − mean_score`` is the per-bin
+    calibration error; ``Σ n/N·|gap|`` over the output is ECE. The
+    standard audit before a classifier score (e.g.
+    ``classifier_quality_score``) is used as a *sampling weight* —
+    miscalibrated scores silently skew the mixture.
+
+    Output: ``(bin, n, mean_score, frac_pos, gap)``, one row per
+    non-empty bin. Rows with NULL score or label drop out (no
+    evidence). Determinism: per-row scores round to 6 then sum as
+    ``decimal(38,6)``; both means divide in double and round to 6
+    (the repo cross-engine recipe).
+
+    Scale: ONE map-side-combined aggregation over ≤ ``n_bins``
+    groups — shuffle volume is ``n_bins`` rows per map partition,
+    independent of corpus size.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("bigint")
+    rows = (df.filter(s.isNotNull() & y.isNotNull())
+            .select(b.alias("bin"),
+                    F.round(s, 6).cast("decimal(38,6)").alias("__s"),
+                    y.cast("int").alias("__y")))
+    return (rows.groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("__s").cast("double") / F.count("*"), 6)
+                 .alias("mean_score"),
+                 F.round(F.sum("__y").cast("double") / F.count("*"), 6)
+                 .alias("frac_pos"))
+            .select("bin", "n", "mean_score", "frac_pos",
+                    F.round(F.col("frac_pos") - F.col("mean_score"), 6)
+                    .alias("gap")))
+
+
 def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
                      min_count: int = 5) -> DataFrame:
     """Collocation extraction via pointwise mutual information (Church
