@@ -4047,6 +4047,41 @@ SELECT w.doc_id, coalesce(a.pieces, []::VARCHAR[]) AS pieces,
 FROM wls w LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility audit (functions/tokenize.py
+    ``tokenizer_fertility``, Rust et al. ACL'21 §3): per-language
+    pieces/word + chars/piece of the 6-merge BPE encoder — the
+    multilingual-vocab skew check. Rides bpe_encode's zero-Python
+    encode; ONE |strata|-row aggregation after an id-equi join."""
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+    docs = _t(spark, sf, "documents")
+    merges = TK.bpe_train(docs, "text", n_merges=6)
+    enc = TK.bpe_encode(docs, "doc_id", "text", merges)
+    return TK.tokenizer_fertility(docs, enc, "doc_id", "text", "lang")
+
+
+def _oracle_tokenizer_fertility() -> str:
+    enc = _oracle_bpe_encode(6)
+    return f"""
+WITH encres AS ({enc})
+SELECT d.lang AS stratum, count(*)::BIGINT AS n_docs,
+  sum(len(list_filter(string_split_regex(lower(d.text),
+      '[^a-z0-9_]+'), x -> x <> '')))::BIGINT AS n_words,
+  sum(e.n_pieces)::BIGINT AS n_pieces,
+  CASE WHEN sum(len(list_filter(string_split_regex(lower(d.text),
+       '[^a-z0-9_]+'), x -> x <> ''))) > 0 THEN
+    round(sum(e.n_pieces)::DOUBLE
+          / sum(len(list_filter(string_split_regex(lower(d.text),
+                '[^a-z0-9_]+'), x -> x <> ''))), 6) END AS fertility,
+  CASE WHEN sum(e.n_pieces) > 0 THEN
+    round(sum(length(regexp_replace(lower(d.text), '[^a-z0-9_]', '',
+                                    'g')))::DOUBLE
+          / sum(e.n_pieces), 6) END AS chars_per_piece
+FROM documents d JOIN encres e USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 def q_pq_adc_topk(spark, sf):
     """Product-quantization ADC top-k (operators/similarity.py): 64-dim
     embeddings compress to 4 one-byte codes (4 subspaces × 16 codes,
@@ -5362,6 +5397,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunks": q_cdc_chunks,
     "calibration_bins": q_calibration_bins,
     "registrable_domain": q_registrable_domain,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 _ORACLE: dict[str, str] = {
@@ -5496,6 +5532,7 @@ _ORACLE: dict[str, str] = {
     "cdc_chunks": ORACLE_CDC_CHUNKS,
     "calibration_bins": ORACLE_CALIBRATION_BINS,
     "registrable_domain": ORACLE_REGISTRABLE_DOMAIN,
+    "tokenizer_fertility": _oracle_tokenizer_fertility(),
 }
 
 

@@ -122,6 +122,7 @@ HEADLINE = [
     "cdc_chunks",           # content-defined chunking (word-level CDC)
     "calibration_bins",     # reliability-diagram classifier audit
     "registrable_domain",   # PSL eTLD+1 extraction
+    "tokenizer_fertility",  # pieces/word per stratum (BPE-composed)
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

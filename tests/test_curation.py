@@ -1605,3 +1605,55 @@ def test_calibration_bins_values_and_edges(spark):
     # ECE from the bins: sum(n/N * |gap|) over the 6 counted rows
     ece = sum(r["n"] * abs(r["gap"]) for r in out.values()) / 6
     assert 0 < ece < 1
+
+
+# ------------------------------------------------------- tokenizer fertility
+
+def test_tokenizer_fertility_metrics(spark):
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", "en"), (2, "aa", "en"), (3, "cc dd ee", "fr"),
+         (4, "", "fr")],
+        "doc_id bigint, text string, lang string")
+    # encoder stub: every word splits into single chars (fertility 2.0)
+    enc = spark.createDataFrame(
+        [(1, ["a", "a", "b", "b"], 4), (2, ["a", "a"], 2),
+         (3, ["c", "c", "d", "d", "e", "e"], 6), (4, [], 0)],
+        "doc_id bigint, pieces array<string>, n_pieces int")
+    out = {r["stratum"]: r for r in TK.tokenizer_fertility(
+        docs, enc, "doc_id", "text", "lang").collect()}
+    en, fr = out["en"], out["fr"]
+    assert en["n_docs"] == 2 and en["n_words"] == 3 and en["n_pieces"] == 6
+    assert en["fertility"] == 2.0 and en["chars_per_piece"] == 1.0
+    assert fr["n_docs"] == 2 and fr["n_words"] == 3
+    assert fr["fertility"] == 2.0
+
+
+def test_tokenizer_fertility_zero_word_stratum(spark):
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    docs = spark.createDataFrame([(1, "...", "xx")],
+                                 "doc_id bigint, text string, lang string")
+    enc = spark.createDataFrame([(1, [], 0)],
+                                "doc_id bigint, pieces array<string>, n_pieces int")
+    out = TK.tokenizer_fertility(docs, enc, "doc_id", "text",
+                                 "lang").collect()
+    assert len(out) == 1
+    assert out[0]["fertility"] is None and out[0]["chars_per_piece"] is None
+
+
+def test_tokenizer_fertility_with_real_bpe_encoder(spark):
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat", "en") for i in range(4)]
+        + [(9, "unseen wordforms dominate here", "de")],
+        "doc_id bigint, text string, lang string")
+    merges = TK.bpe_train(docs, "text", n_merges=4)
+    enc = TK.bpe_encode(docs, "doc_id", "text", merges)
+    out = {r["stratum"]: r for r in TK.tokenizer_fertility(
+        docs, enc, "doc_id", "text", "lang").collect()}
+    # merges were learned on the en-dominated corpus: en fertility is
+    # strictly lower than the unseen-word stratum's
+    assert out["en"]["fertility"] < out["de"]["fertility"]

@@ -206,6 +206,11 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "per-id min (longest match)",
         "corpus never shuffles for the match; only matched rows "
         "aggregate"),
+    "tokenizer_fertility": (
+        "bpe_encode's vocab-relation encode → id-equi join → ONE "
+        "|strata|-row agg",
+        "audit cost rides the encoder; the agg shuffles |strata| "
+        "rows per map partition"),
 }
 
 

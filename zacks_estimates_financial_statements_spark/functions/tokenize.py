@@ -511,3 +511,49 @@ def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 200,
                                            / F.col("__tot")), 6)
                             .alias("cost")))
     return vocab
+
+
+def tokenizer_fertility(docs: DataFrame, encoded: DataFrame,
+                        id_col: str, text_col: str,
+                        strata_col: str) -> DataFrame:
+    """Tokenizer fertility audit (the SentencePiece/multilingual-
+    tokenizer eval: Rust et al., ACL 2021 §3 "fertility" = subwords
+    per word): per stratum (language / source), how hard the tokenizer
+    fragments text — ``fertility = pieces/word`` and
+    ``chars_per_piece`` (compression). A tokenizer trained on skewed
+    data shows fertility ≫ 1 on the underrepresented strata; this is
+    the standard audit before committing a vocab to a multilingual
+    corpus.
+
+    ``encoded`` is any encoder output in the ``(id, pieces,
+    n_pieces)`` shape (``bpe_encode`` / ``wordpiece_encode`` /
+    ``unigram_encode`` all qualify — the audit is
+    tokenizer-agnostic). Output per stratum: ``(stratum, n_docs,
+    n_words, n_pieces, fertility, chars_per_piece)``; word and char
+    counts use the shared ``[a-z0-9_]`` token alphabet so the
+    denominator matches what the encoders actually segment. Strata
+    with zero words report NULL ratios.
+
+    Scale: one zero-shuffle projection per side, one id-equi join,
+    ONE map-side-combined aggregation to |strata| rows.
+    """
+    base = docs.select(
+        F.col(id_col), F.col(strata_col).alias("stratum"),
+        F.size(_words(F.col(text_col))).cast("bigint").alias("__nw"),
+        F.length(F.regexp_replace(F.lower(F.col(text_col)),
+                                  r"[^a-z0-9_]", ""))
+        .cast("bigint").alias("__nc"))
+    enc = encoded.select(F.col(id_col),
+                         F.col("n_pieces").cast("bigint").alias("__np"))
+    j = base.join(enc, id_col)
+    return (j.groupBy("stratum")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("__nw").alias("n_words"),
+                 F.sum("__np").alias("n_pieces"),
+                 F.when(F.sum("__nw") > 0,
+                        F.round(F.sum("__np").cast("double")
+                                / F.sum("__nw"), 6)).alias("fertility"),
+                 F.when(F.sum("__np") > 0,
+                        F.round(F.sum("__nc").cast("double")
+                                / F.sum("__np"), 6))
+                 .alias("chars_per_piece")))
