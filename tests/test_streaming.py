@@ -450,3 +450,51 @@ def test_profile_monitor_stream_flags_drift(spark, tmp_path):
     assert flagged["text"]["null_drift"]
     assert flagged["source"]["distinct_drift"]
     assert "doc_id" not in flagged
+
+
+# ------------------------------------------------------- politeness scheduler
+
+def test_schedule_fetches_stream_state_across_batches(spark, tmp_path):
+    import time
+
+    src = tmp_path / "fetch_src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("h", 1, D(2024, 5, 1, 10, 0, 0)), ("h", 2, D(2024, 5, 1, 10, 0, 1))],
+        "host string, id long, ts timestamp")
+    b1.coalesce(1).write.parquet(str(src / "batch1"))
+    time.sleep(1.1)   # distinct mod-times -> file order == batch order
+    # second file: arrival right after batch 1 — carried state must
+    # push its dispatch out, not restart the key's schedule
+    b2 = spark.createDataFrame(
+        [("h", 3, D(2024, 5, 1, 10, 0, 2))],
+        "host string, id long, ts timestamp")
+    b2.coalesce(1).write.parquet(str(src / "batch2"))
+    stream = (spark.readStream.schema("host string, id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    out = S.schedule_fetches(stream, "host", "id", "ts", interval_sec=10)
+    q = (out.writeStream.format("memory").queryName("fetch_sched")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in spark.sql(
+        "select * from fetch_sched").collect()}
+    base = rows[1]["arrival_us"]
+    assert rows[1]["sched_us"] == base
+    assert rows[2]["sched_us"] == base + 10_000_000
+    # batch-2 request honors batch-1 state: 20 s after the first fetch
+    assert rows[3]["sched_us"] == base + 20_000_000
+    assert [rows[i]["position"] for i in (1, 2, 3)] == [0, 1, 2]
+
+
+def test_schedule_fetches_batch_twin_parity(spark):
+    df = spark.createDataFrame(
+        [("h", 1, D(2024, 5, 1, 10, 0, 0)), ("h", 2, D(2024, 5, 1, 10, 0, 3)),
+         ("g", 3, D(2024, 5, 1, 10, 0, 1))],
+        "host string, id long, ts timestamp")
+    batch = S.schedule_fetches(df, "host", "id", "ts", interval_sec=5)
+    from zacks_estimates_financial_statements_spark.functions.web import politeness_schedule
+    twin = politeness_schedule(df, "host", "id", "ts", interval_sec=5)
+    assert sorted(map(tuple, batch.collect())) == \
+        sorted(map(tuple, twin.collect()))

@@ -528,3 +528,78 @@ def run_profile_monitor_stream(spark: SparkSession, input_glob: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def _schedule_fn(interval_us: int, key_name: str, id_name: str):
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        rows = []
+        for pdf in pdfs:
+            for i, t in zip(pdf[id_name], pdf["__arr_us"]):
+                rows.append((int(t), i))
+        rows.sort()
+        if state.exists:
+            last_sched, pos = state.get
+        else:
+            last_sched, pos = None, 0
+        out = []
+        for arr, i in rows:
+            sched = arr if last_sched is None else \
+                max(arr, last_sched + interval_us)
+            out.append({key_name: k, id_name: i, "arrival_us": arr,
+                        "sched_us": sched, "wait_us": sched - arr,
+                        "position": pos})
+            last_sched, pos = sched, pos + 1
+        state.update((last_sched, pos))
+        yield pd.DataFrame(out, columns=[key_name, id_name, "arrival_us",
+                                         "sched_us", "wait_us",
+                                         "position"])
+
+    return fn
+
+
+def schedule_fetches(df: DataFrame, key_col: str, id_col: str,
+                     ts_col: str,
+                     interval_sec: float = 10.0) -> DataFrame:
+    """Streaming politeness scheduler — the live twin of
+    ``functions.web.politeness_schedule`` (the reference's
+    ``delay-interval`` loops, estimate-extract.rkt:89-98, as a
+    continuous planner): each micro-batch's fetch requests are
+    assigned dispatch times ≥ ``interval_sec`` after the key's
+    previous one, with the last scheduled time and fetch position
+    carried in ``applyInPandasWithState`` state — so the politeness
+    contract holds ACROSS batches, which a per-batch window cannot do.
+
+    On a batch DataFrame this delegates to the closed-form window
+    plan (unified semantics, the ``dedup_events`` convention) — the
+    oracle-checked path. Streaming caveat: a request arriving after a
+    later-timestamped request was already scheduled cannot displace
+    it (you can't dispatch in the past); within a batch rows sort by
+    (arrival, id), so stream and batch agree whenever arrivals are
+    batch-monotone. State is two BIGINTs per rate-limit key, evicted
+    never (keys are hosts — bounded); no watermark needed.
+    """
+    from zacks_estimates_financial_statements_spark.functions.web import politeness_schedule
+    from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
+
+    if not df.isStreaming:
+        return politeness_schedule(df, key_col, id_col, ts_col,
+                                   interval_sec)
+    ensure_package_on_executors(df.sparkSession)
+    iv = int(round(interval_sec * 1_000_000))
+    dts = dict(df.dtypes)
+    out_schema = (f"{key_col} {dts[key_col]}, {id_col} {dts[id_col]}, "
+                  "arrival_us bigint, sched_us bigint, wait_us bigint, "
+                  "position bigint")
+    prepared = df.select(
+        F.col(key_col), F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__arr_us"))
+    return (prepared.groupBy(key_col)
+            .applyInPandasWithState(
+                _schedule_fn(iv, key_col, id_col),
+                outputStructType=out_schema,
+                stateStructType="last_sched_us bigint, position bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
