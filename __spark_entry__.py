@@ -3337,6 +3337,83 @@ FROM base
 """
 
 
+def q_readability(spark, sf):
+    """Flesch readability panel (functions/text.py
+    ``readability_scores``): sentence runs synthesized onto the word
+    soup so the [.!?]-run counter has work; zero-shuffle projection."""
+    docs = _t(spark, sf, "documents")
+    text2 = F.concat(F.col("text"),
+                     F.lit(". Second tiny sentence! A third one?"))
+    return docs.select("doc_id", *T.readability_scores(text2))
+
+
+ORACLE_READABILITY = """
+WITH base AS (
+  SELECT doc_id,
+    text || '. Second tiny sentence! A third one?' AS t
+  FROM documents),
+cnt AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(t), '[a-z0-9_]+'))::BIGINT AS n_words,
+    len(regexp_extract_all(t, '[.!?]+')) AS sents_raw,
+    len(regexp_extract_all(lower(t), '[aeiouy]+'))::BIGINT
+      AS n_syllables
+  FROM base)
+SELECT doc_id, n_words,
+  CASE WHEN n_words > 0 THEN greatest(sents_raw, 1) END::BIGINT
+    AS n_sents,
+  n_syllables,
+  CASE WHEN n_words > 0 THEN round(
+    206.835 - 1.015 * (n_words::DOUBLE / greatest(sents_raw, 1))
+    - 84.6 * (n_syllables::DOUBLE / n_words), 6) END AS flesch_ease,
+  CASE WHEN n_words > 0 THEN round(
+    0.39 * (n_words::DOUBLE / greatest(sents_raw, 1))
+    + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6) END
+    AS fk_grade
+FROM cnt
+"""
+
+
+def q_embedding_diversity(spark, sf):
+    """Moments-identity diversity audit (operators/profiling.py
+    ``embedding_diversity``): mean pairwise squared L2 per stratum
+    WITHOUT any pair join — E|x−y|² = 2·n/(n−1)·(mean|x|² − |μ|²);
+    one (stratum, dim) map-side-combined agg + a |strata|-row
+    roll-up."""
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    emb = _t(spark, sf, "embeddings")
+    base = emb.select((F.col("vec_id") % 5).cast("string").alias("g"),
+                      "embedding")
+    return profiling.embedding_diversity(base, "embedding", "g")
+
+
+ORACLE_EMBEDDING_DIVERSITY = """
+WITH base AS (
+  SELECT (vec_id % 5)::VARCHAR AS stratum, embedding FROM embeddings),
+counts AS (
+  SELECT stratum, count(*)::BIGINT AS n FROM base GROUP BY stratum),
+ex AS (
+  SELECT stratum, u.i AS d,
+    round(embedding[u.i]::DOUBLE, 6) AS x6
+  FROM base, unnest(range(1, len(embedding) + 1)) AS u(i)),
+per_dim AS (
+  SELECT stratum, d, sum(x6::DECIMAL(38,6)) AS s1,
+    sum(round(x6 * x6, 6)::DECIMAL(38,6)) AS s2
+  FROM ex GROUP BY stratum, d),
+rolled AS (
+  SELECT p.stratum, c.n,
+    round(sum(p.s2)::DOUBLE / c.n, 6) AS mean_norm_sq,
+    round(sum(round(pow(round(p.s1::DOUBLE / c.n, 6), 2),
+                    6)::DECIMAL(38,6))::DOUBLE, 6) AS centroid_norm_sq
+  FROM per_dim p JOIN counts c USING (stratum)
+  GROUP BY p.stratum, c.n)
+SELECT stratum, n, mean_norm_sq, centroid_norm_sq,
+  CASE WHEN n >= 2 THEN round(2.0 * (mean_norm_sq - centroid_norm_sq)
+                              * n / (n - 1), 6) END AS mean_pairwise_sq
+FROM rolled
+"""
+
+
 def q_calibration_bins(spark, sf):
     """Reliability-diagram binning (operators/curation.py
     ``calibration_bins``, Guo et al. ICML'17): synthesized scores
@@ -5398,6 +5475,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "registrable_domain": q_registrable_domain,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "readability": q_readability,
+    "embedding_diversity": q_embedding_diversity,
 }
 
 _ORACLE: dict[str, str] = {
@@ -5533,6 +5612,8 @@ _ORACLE: dict[str, str] = {
     "calibration_bins": ORACLE_CALIBRATION_BINS,
     "registrable_domain": ORACLE_REGISTRABLE_DOMAIN,
     "tokenizer_fertility": _oracle_tokenizer_fertility(),
+    "readability": ORACLE_READABILITY,
+    "embedding_diversity": ORACLE_EMBEDDING_DIVERSITY,
 }
 
 

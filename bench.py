@@ -123,6 +123,8 @@ HEADLINE = [
     "calibration_bins",     # reliability-diagram classifier audit
     "registrable_domain",   # PSL eTLD+1 extraction
     "tokenizer_fertility",  # pieces/word per stratum (BPE-composed)
+    "readability",          # Flesch ease + FK grade panel
+    "embedding_diversity",  # moments-identity pairwise-distance audit
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

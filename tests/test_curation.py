@@ -1657,3 +1657,30 @@ def test_tokenizer_fertility_with_real_bpe_encoder(spark):
     # merges were learned on the en-dominated corpus: en fertility is
     # strictly lower than the unseen-word stratum's
     assert out["en"]["fertility"] < out["de"]["fertility"]
+
+
+# ----------------------------------------------------------------- readability
+
+def test_readability_scores_known_text(spark):
+    from zacks_estimates_financial_statements_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran away! Did it rain?"),
+         (2, "no terminal punctuation here"),
+         (3, ""), (4, None)],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *TXT.readability_scores(F.col("text"))).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 10 and r1["n_sents"] == 3
+    # vowel-group syllables: the cat sat the dog ran did it rain = 1
+    # each, away = 2 (a, ay) -> 11 total
+    assert r1["n_syllables"] == 11
+    wps, spw = 10 / 3, 11 / 10
+    assert abs(r1["flesch_ease"]
+               - round(206.835 - 1.015 * wps - 84.6 * spw, 6)) < 1e-9
+    assert abs(r1["fk_grade"]
+               - round(0.39 * wps + 11.8 * spw - 15.59, 6)) < 1e-9
+    assert out[2]["n_sents"] == 1          # floor when words exist
+    assert out[3]["flesch_ease"] is None and out[3]["n_words"] == 0
+    assert out[4]["flesch_ease"] is None

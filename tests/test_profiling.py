@@ -178,3 +178,40 @@ def test_distribution_drift_psi_kl_math_and_union_buckets(spark):
     # identical distributions -> zero drift everywhere
     same = profiling.distribution_drift(ref, ref, "lang").collect()
     assert all(r["psi"] == 0.0 and r["kl"] == 0.0 for r in same)
+
+
+# -------------------------------------------------------- embedding diversity
+
+def test_embedding_diversity_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    rows = [("g" + str(i % 2), [round(rng.uniform(-1, 1), 3)
+                                for _ in range(4)]) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, v array<double>")
+    out = {r["stratum"]: r for r in profiling.embedding_diversity(
+        df, "v", "g").collect()}
+    for g in ("g0", "g1"):
+        vecs = [v for gg, v in rows if gg == g]
+        pairs = [sum((a - b) ** 2 for a, b in zip(x, y))
+                 for x, y in itertools.combinations(vecs, 2)]
+        brute = sum(pairs) / len(pairs)
+        assert abs(out[g]["mean_pairwise_sq"] - brute) < 1e-4, g
+        assert out[g]["n"] == len(vecs)
+
+
+def test_embedding_diversity_degenerate_strata(spark):
+    df = spark.createDataFrame(
+        [("solo", [1.0, 2.0]), ("dup", [3.0, 4.0]), ("dup", [3.0, 4.0]),
+         ("null", None)],
+        "g string, v array<double>")
+    out = {r["stratum"]: r for r in profiling.embedding_diversity(
+        df, "v", "g").collect()}
+    assert out["solo"]["mean_pairwise_sq"] is None     # n < 2
+    assert out["dup"]["mean_pairwise_sq"] == 0.0       # identical vectors
+    assert "null" not in out                           # null vec dropped
+    # ungrouped variant: one 'all' row
+    allrow = profiling.embedding_diversity(df, "v").collect()
+    assert len(allrow) == 1 and allrow[0]["stratum"] == "all" \
+        and allrow[0]["n"] == 3

@@ -211,6 +211,14 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "|strata|-row agg",
         "audit cost rides the encoder; the agg shuffles |strata| "
         "rows per map partition"),
+    "readability": (
+        "zero-shuffle regex-run-count projection (Flesch/FK panel)",
+        "no shuffle at any scale"),
+    "embedding_diversity": (
+        "moments identity: ONE (stratum,dim) map-side agg + "
+        "|strata|-row roll-up",
+        "definitionally-quadratic metric with NO pair join at any "
+        "scale"),
 }
 
 

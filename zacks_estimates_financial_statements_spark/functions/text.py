@@ -205,3 +205,34 @@ def shingles(col: Column, k: int = 3) -> Column:
     its own projection and use ``shingles_from_words`` (see its warning).
     """
     return shingles_from_words(F.split(normalize_text(col), " "), k)
+
+
+def readability_scores(text: Column) -> list[Column]:
+    """Flesch readability panel (Flesch 1948 / Kincaid et al. 1975 —
+    the readability axis corpus-quality filters bucket on, alongside
+    perplexity): returns columns ``[n_words, n_sents, n_syllables,
+    flesch_ease, fk_grade]`` to splat into a projection.
+
+    Closed-form proxies chosen for cross-engine parity (identical
+    regex counts in Java and RE2): words = ``[a-z0-9_]+`` runs,
+    sentences = ``[.!?]+`` runs floored at 1 when any word exists,
+    syllables = ``[aeiouy]+`` vowel-group runs (the standard cheap
+    syllable estimator). Ratios divide in double and round to 6;
+    documents with no words yield NULL scores. A pure zero-shuffle
+    projection at any corpus size.
+    """
+    lo = F.lower(text)
+    n_w = F.regexp_count(lo, F.lit("[a-z0-9_]+")).cast("bigint")
+    n_s = F.when(n_w > 0,
+                 F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")),
+                            F.lit(1))).cast("bigint")
+    n_y = F.regexp_count(lo, F.lit("[aeiouy]+")).cast("bigint")
+    wps = n_w.cast("double") / n_s.cast("double")
+    spw = n_y.cast("double") / n_w.cast("double")
+    ease = F.when(n_w > 0, F.round(
+        F.lit(206.835) - 1.015 * wps - 84.6 * spw, 6))
+    grade = F.when(n_w > 0, F.round(
+        0.39 * wps + 11.8 * spw - 15.59, 6))
+    return [n_w.alias("n_words"), n_s.alias("n_sents"),
+            n_y.alias("n_syllables"), ease.alias("flesch_ease"),
+            grade.alias("fk_grade")]

@@ -378,3 +378,64 @@ def value_histogram(df: DataFrame, value_col: str, lo: float, hi: float,
                     F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6))
     return out.select(*groups, "bucket", bin_lo.alias("bin_lo"),
                       bin_hi.alias("bin_hi"), "n")
+
+
+def embedding_diversity(df: DataFrame, vec_col: str,
+                        strata_col: str | None = None) -> DataFrame:
+    """Per-stratum embedding-set diversity WITHOUT materializing a
+    single pair: the mean pairwise squared L2 distance has the moment
+    identity ``E_{i≠j}|x_i−x_j|² = 2·n/(n−1)·(mean|x|² − |mean x|²)``
+    (expand the square; cross terms collapse to the centroid) — so a
+    metric that is literally quadratic in its definition computes as
+    ONE token-linear aggregation. Low diversity = a collapsed /
+    near-duplicate-heavy stratum; the standard audit next to SemDeDup
+    (Abbas et al. 2023 report exactly this collapse signal).
+
+    Output per stratum: ``(stratum, n, mean_norm_sq, centroid_norm_sq,
+    mean_pairwise_sq)`` — NULL diversity for strata with < 2 vectors.
+    NULL vectors drop out.
+
+    Determinism (cross-engine recipe): elements round to 6 →
+    per-element squares round to 6 → both sums ride
+    ``decimal(38,6)``; per-dimension centroid means divide in double,
+    round to 6, square, round to 6, and re-sum as decimal.
+
+    Plan shape: one posexplode of the vectors into ``(stratum, dim,
+    v)`` rows, ONE map-side-combined (stratum, dim) aggregation
+    (cardinality = |strata| × dims), then a |strata|-row roll-up and
+    an equi-join with the per-stratum counts. No pair join exists at
+    any scale.
+    """
+    stratum = (F.col(strata_col) if strata_col is not None
+               else F.lit("all")).alias("stratum")
+    base = (df.filter(F.col(vec_col).isNotNull())
+            .select(stratum, F.col(vec_col).cast("array<double>")
+                    .alias("__v")))
+    counts = base.groupBy("stratum").agg(F.count("*").alias("n"))
+    ex = (base.select("stratum",
+                      F.posexplode("__v").alias("__d", "__x"))
+          .select("stratum", "__d",
+                  F.round("__x", 6).alias("__x6")))
+    per_dim = (ex.groupBy("stratum", "__d")
+               .agg(F.sum(F.col("__x6").cast("decimal(38,6)"))
+                    .alias("__s1"),
+                    F.sum(F.round(F.col("__x6") * F.col("__x6"), 6)
+                          .cast("decimal(38,6)")).alias("__s2")))
+    rolled = (per_dim.join(counts, "stratum")
+              .select("stratum", "n",
+                      F.col("__s2"),
+                      F.round(F.pow(
+                          F.round(F.col("__s1").cast("double")
+                                  / F.col("n"), 6), 2), 6)
+                      .cast("decimal(38,6)").alias("__musq"))
+              .groupBy("stratum", "n")
+              .agg(F.round(F.sum("__s2").cast("double") / F.col("n"), 6)
+                   .alias("mean_norm_sq"),
+                   F.round(F.sum("__musq").cast("double"), 6)
+                   .alias("centroid_norm_sq")))
+    return rolled.select(
+        "stratum", "n", "mean_norm_sq", "centroid_norm_sq",
+        F.when(F.col("n") >= 2, F.round(
+            2.0 * (F.col("mean_norm_sq") - F.col("centroid_norm_sq"))
+            * F.col("n") / (F.col("n") - 1), 6))
+        .alias("mean_pairwise_sq"))
