@@ -3337,6 +3337,94 @@ FROM base
 """
 
 
+def q_ngram_diversity(spark, sf):
+    """Distinct-n diversity (operators/curation.py ``ngram_diversity``,
+    Li et al. NAACL'16): per-language distinct-1/2/3 ratios; gram
+    explodes + ONE two-phase (stratum, n) distinct aggregation."""
+    docs = _t(spark, sf, "documents")
+    return curation.ngram_diversity(docs, "doc_id", "text", "lang",
+                                    ns=(1, 2, 3))
+
+
+ORACLE_NGRAM_DIVERSITY = """
+WITH toks AS (
+  SELECT lang,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT lang, nn.n, array_to_string(t[r.i:r.i + nn.n - 1], ' ') AS g
+  FROM toks, (VALUES (1), (2), (3)) AS nn(n),
+       unnest(range(1, len(t) - nn.n + 2)) AS r(i)
+  WHERE len(t) >= nn.n)
+SELECT lang AS stratum, n, count(*)::BIGINT AS total_grams,
+  count(DISTINCT g)::BIGINT AS distinct_grams,
+  round(count(DISTINCT g)::DOUBLE / count(*), 6) AS ratio
+FROM g GROUP BY lang, n
+"""
+
+
+def q_novelty_score(spark, sf):
+    """Per-document novelty vs a reference corpus
+    (operators/curation.py ``novelty_score``): fraction of each doc's
+    distinct 3-grams unseen in the doc_id%3=0 reference slice; one
+    LEFT ANTI gram equi-join, no broadcast assumption."""
+    docs = _t(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    return curation.novelty_score(docs, ref, "doc_id", "text", n=3)
+
+
+ORACLE_NOVELTY_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[r.i:r.i + 2], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3),
+refg AS (
+  SELECT DISTINCT array_to_string(t[r.i:r.i + 2], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3 AND doc_id % 3 = 0),
+tot AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM dg GROUP BY doc_id),
+nov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_novel FROM dg
+  WHERE NOT EXISTS (SELECT 1 FROM refg WHERE refg.g = dg.g)
+  GROUP BY doc_id)
+SELECT t.doc_id, coalesce(d.n_grams, 0)::BIGINT AS n_grams,
+  coalesce(v.n_novel, 0)::BIGINT AS n_novel,
+  CASE WHEN coalesce(d.n_grams, 0) > 0 THEN
+    round(coalesce(v.n_novel, 0)::DOUBLE / d.n_grams, 6) END AS novelty
+FROM toks t
+LEFT JOIN tot d USING (doc_id)
+LEFT JOIN nov v USING (doc_id)
+"""
+
+
+def q_ascii_fold(spark, sf):
+    """Diacritic folding (functions/text.py ``ascii_fold``): the
+    NFKD-derived 162-pair translate table applied to accent-seeded
+    text; ß stays (fold, not transliteration). Zero-shuffle codegen
+    projection; the oracle embeds the IDENTICAL table literals."""
+    docs = _t(spark, sf, "documents")
+    text2 = F.concat(F.lit("Cr\u00e8me Br\u00fbl\u00e9e \u00c0 LA "
+                           "\u00d1A\u00d1A \u00fcberm\u00e4\u00dfig "),
+                     F.col("text"))
+    return docs.select("doc_id", T.ascii_fold(text2).alias("folded"))
+
+
+def _oracle_ascii_fold() -> str:
+    frm = T.ASCII_FOLD_FROM.replace("'", "''")
+    to = T.ASCII_FOLD_TO
+    pre = ("Cr\u00e8me Br\u00fbl\u00e9e \u00c0 LA \u00d1A\u00d1A "
+           "\u00fcberm\u00e4\u00dfig ")
+    return (f"SELECT doc_id, translate('{pre}' || text, '{frm}', "
+            f"'{to}') AS folded FROM documents")
+
+
 def q_readability(spark, sf):
     """Flesch readability panel (functions/text.py
     ``readability_scores``): sentence runs synthesized onto the word
@@ -5475,6 +5563,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "registrable_domain": q_registrable_domain,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "ascii_fold": q_ascii_fold,
+    "ngram_diversity": q_ngram_diversity,
+    "novelty_score": q_novelty_score,
     "readability": q_readability,
     "embedding_diversity": q_embedding_diversity,
 }
@@ -5612,6 +5703,9 @@ _ORACLE: dict[str, str] = {
     "calibration_bins": ORACLE_CALIBRATION_BINS,
     "registrable_domain": ORACLE_REGISTRABLE_DOMAIN,
     "tokenizer_fertility": _oracle_tokenizer_fertility(),
+    "ascii_fold": _oracle_ascii_fold(),
+    "ngram_diversity": ORACLE_NGRAM_DIVERSITY,
+    "novelty_score": ORACLE_NOVELTY_SCORE,
     "readability": ORACLE_READABILITY,
     "embedding_diversity": ORACLE_EMBEDDING_DIVERSITY,
 }

@@ -125,6 +125,9 @@ HEADLINE = [
     "tokenizer_fertility",  # pieces/word per stratum (BPE-composed)
     "readability",          # Flesch ease + FK grade panel
     "embedding_diversity",  # moments-identity pairwise-distance audit
+    "ascii_fold",           # NFKD-pair diacritic translate fold
+    "ngram_diversity",      # corpus distinct-n degeneracy metric
+    "novelty_score",        # unseen-gram fraction vs reference corpus
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -1684,3 +1684,52 @@ def test_readability_scores_known_text(spark):
     assert out[2]["n_sents"] == 1          # floor when words exist
     assert out[3]["flesch_ease"] is None and out[3]["n_words"] == 0
     assert out[4]["flesch_ease"] is None
+
+
+# ------------------------------------------------- diversity / novelty / fold
+
+def test_ngram_diversity_counts(spark):
+    rows = [(1, "a a a a", "x"), (2, "a b c d", "x"), (3, "p q", "y")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {(r["stratum"], r["n"]): r for r in curation.ngram_diversity(
+        df, "doc_id", "text", "lang").collect()}
+    # stratum x, n=1: 8 tokens, distinct {a,b,c,d} = 4
+    assert out[("x", 1)]["total_grams"] == 8
+    assert out[("x", 1)]["distinct_grams"] == 4
+    assert out[("x", 1)]["ratio"] == 0.5
+    # stratum x, n=2: "a a"x3 + "a b","b c","c d" -> 6 total, 4 distinct
+    assert out[("x", 2)]["total_grams"] == 6
+    assert out[("x", 2)]["distinct_grams"] == 4
+    # y has no trigrams: no (y, 3) row
+    assert ("y", 3) not in out and out[("y", 2)]["total_grams"] == 1
+
+
+def test_novelty_score_anti_join_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),     # shares "a b c" etc with ref partially
+         (2, "x y z w"),       # fully novel
+         (3, "a b c"),         # fully covered
+         (4, "q r")],          # too short for trigrams
+        "doc_id bigint, text string")
+    ref = spark.createDataFrame([(9, "a b c d")],
+                                "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in curation.novelty_score(
+        docs, ref, "doc_id", "text", n=3).collect()}
+    # doc 1 trigrams: "a b c","b c d" covered; "c d e" novel -> 1/3
+    assert out[1]["n_grams"] == 3 and out[1]["n_novel"] == 1
+    assert abs(out[1]["novelty"] - round(1 / 3, 6)) < 1e-9
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["novelty"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] is None
+
+
+def test_ascii_fold_table(spark):
+    from zacks_estimates_financial_statements_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(1, "Crème brûlée à São Paulo — ÑOÑO übermäßig")],
+        "doc_id bigint, text string")
+    got = df.select(TXT.ascii_fold(F.col("text")).alias("f")).collect()
+    # ß passes through (fold, not transliteration); dash untouched
+    assert got[0]["f"] == "Creme brulee a Sao Paulo — NONO übermäßig" \
+        .replace("ü", "u").replace("ä", "a")

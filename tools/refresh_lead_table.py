@@ -219,6 +219,19 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "|strata|-row roll-up",
         "definitionally-quadratic metric with NO pair join at any "
         "scale"),
+    "ascii_fold": (
+        "single translate() codegen projection (162 NFKD pairs)",
+        "no shuffle at any scale"),
+    "ngram_diversity": (
+        "union-stacked gram explodes → two-phase (stratum, n) "
+        "distinct agg",
+        "gram shuffle map-side-combines; no per-stratum gram list "
+        "materializes"),
+    "novelty_score": (
+        "deduped reference grams → ONE LEFT ANTI gram equi-join → "
+        "per-doc ratio",
+        "no broadcast assumption — AQE promotes the reference side "
+        "only when it fits"),
 }
 
 

@@ -236,3 +236,54 @@ def readability_scores(text: Column) -> list[Column]:
     return [n_w.alias("n_words"), n_s.alias("n_sents"),
             n_y.alias("n_syllables"), ease.alias("flesch_ease"),
             grade.alias("fk_grade")]
+
+
+#: Latin diacritic fold table: generated ONCE from NFKD decomposition
+#: (chars U+00C0..U+017F whose combining-stripped base is a single
+#: ASCII letter), so every pair is exact by construction. Exported so
+#: the SQL oracle twin embeds the IDENTICAL literal and cannot drift.
+ASCII_FOLD_FROM = ("\u00c0\u00c1\u00c2\u00c3\u00c4\u00c5\u00c7"
+                   "\u00c8\u00c9\u00ca\u00cb\u00cc\u00cd\u00ce"
+                   "\u00cf\u00d1\u00d2\u00d3\u00d4\u00d5\u00d6"
+                   "\u00d9\u00da\u00db\u00dc\u00dd\u00e0\u00e1"
+                   "\u00e2\u00e3\u00e4\u00e5\u00e7\u00e8\u00e9"
+                   "\u00ea\u00eb\u00ec\u00ed\u00ee\u00ef\u00f1"
+                   "\u00f2\u00f3\u00f4\u00f5\u00f6\u00f9\u00fa"
+                   "\u00fb\u00fc\u00fd\u00ff"
+                   "\u0100\u0101\u0102\u0103\u0104\u0105\u0106"
+                   "\u0107\u0108\u0109\u010a\u010b\u010c\u010d"
+                   "\u010e\u010f\u0112\u0113\u0114\u0115\u0116"
+                   "\u0117\u0118\u0119\u011a\u011b\u011c\u011d"
+                   "\u011e\u011f\u0120\u0121\u0122\u0123\u0124"
+                   "\u0125\u0128\u0129\u012a\u012b\u012c\u012d"
+                   "\u012e\u012f\u0130\u0134\u0135\u0136\u0137"
+                   "\u0139\u013a\u013b\u013c\u013d\u013e\u0143"
+                   "\u0144\u0145\u0146\u0147\u0148\u014c\u014d"
+                   "\u014e\u014f\u0150\u0151\u0154\u0155\u0156"
+                   "\u0157\u0158\u0159\u015a\u015b\u015c\u015d"
+                   "\u015e\u015f\u0160\u0161\u0162\u0163\u0164"
+                   "\u0165\u0168\u0169\u016a\u016b\u016c\u016d"
+                   "\u016e\u016f\u0170\u0171\u0172\u0173\u0174"
+                   "\u0175\u0176\u0177\u0178\u0179\u017a\u017b"
+                   "\u017c\u017d\u017e\u017f")
+ASCII_FOLD_TO = ("AAAAAACEEEEIIIINOOOOOUUUUY"
+                 "aaaaaaceeeeiiiinooooouuuuyy"
+                 "AaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiI"
+                 "JjKkLlLlLlNnNnNnOoOoOoRrRrRrSsSsSsSsTtTt"
+                 "UuUuUuUuUuUuWwYyYZzZzZzs")
+assert len(ASCII_FOLD_FROM) == len(ASCII_FOLD_TO) == 162, \
+    (len(ASCII_FOLD_FROM), len(ASCII_FOLD_TO))
+
+
+def ascii_fold(col: Column) -> Column:
+    """Fold Latin diacritics to their ASCII base (``café`` → ``cafe``,
+    ``Ñoño`` → ``Nono``) — the normalization multilingual dedup keys
+    and URL slugs need so accent variants of the same string collapse.
+    One ``translate`` call: whole-stage codegen, zero shuffle, and the
+    identical builtin exists in ANSI SQL for the oracle twin (this
+    module's cross-engine table is exported as
+    ``ASCII_FOLD_FROM``/``ASCII_FOLD_TO`` so the SQL literal cannot
+    drift from the Spark one). Characters outside the table pass
+    through unchanged (this is a fold, not a transliteration — ß/æ/œ
+    expansions change lengths and are out of scope)."""
+    return F.translate(col, ASCII_FOLD_FROM, ASCII_FOLD_TO)

@@ -1873,3 +1873,100 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
                         / ((F.col("w1_count").cast("double") / F.col("__T"))
                            * (F.col("w2_count").cast("double")
                               / F.col("__T")))), 6).alias("pmi")))
+
+
+def _gram_array_all(words: Column, n: int) -> Column:
+    """ALL token n-grams (with multiplicity) of a materialized
+    token-array column — the counting twin of ``_gram_array``.
+    ``sequence(1, 0)`` counts DOWN — short docs are guarded to empty."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (F.when(F.size(words) >= n, grams)
+            .otherwise(F.array().cast("array<string>")))
+
+
+def ngram_diversity(df: DataFrame, id_col: str, text_col: str,
+                    strata_col: str,
+                    ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Distinct-n diversity (Li et al., NAACL 2016 §5 — the standard
+    degeneracy/repetitiveness metric): per stratum and gram order
+    ``n``, the number of n-gram tokens, the number of DISTINCT
+    n-grams, and their ratio. A mode-collapsed or boilerplate-heavy
+    stratum shows distinct-2/3 ratios far below its peers — the
+    corpus-level counterpart of the per-document
+    ``repetition_stats``.
+
+    Output: ``(stratum, n, total_grams, distinct_grams, ratio)``;
+    ratio rounds to 6, strata with zero grams at order ``n`` report
+    a 0-total row only if the stratum exists at another order (empty
+    gram relations simply contribute nothing).
+
+    Plan shape: one gram explode per order (flat transform + slice,
+    union-stacked), then ONE aggregation per (stratum, n) computing
+    count + count(DISTINCT gram) — Spark plans the distinct as a
+    two-phase partial aggregate, so the shuffle carries (stratum, n,
+    gram) rows that map-side-combine; nothing is corpus-quadratic
+    and no gram list ever materializes per stratum.
+    """
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive orders: {ns}")
+    toks = df.select(F.col(strata_col).alias("stratum"),
+                     _word_array(text_col).alias("__t"))
+    parts = [toks.select("stratum", F.lit(int(n)).alias("n"),
+                         F.explode(_gram_array_all(F.col("__t"), n))
+                         .alias("__g")) for n in ns]
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    return (allg.groupBy("stratum", "n")
+            .agg(F.count("*").alias("total_grams"),
+                 F.countDistinct("__g").alias("distinct_grams"))
+            .select("stratum", "n", "total_grams", "distinct_grams",
+                    F.round(F.col("distinct_grams").cast("double")
+                            / F.col("total_grams"), 6).alias("ratio")))
+
+
+def novelty_score(df: DataFrame, reference: DataFrame, id_col: str,
+                  text_col: str, n: int = 3) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction
+    of the document's DISTINCT n-grams that never occur in
+    ``reference`` — the memorization/regurgitation audit (how much of
+    a candidate batch is already covered by what the model trained
+    on), the inverse axis of ``benchmark_contamination``'s overlap
+    count.
+
+    Output: ``(id, n_grams, n_novel, novelty)`` for every input doc;
+    ``novelty`` rounds to 6, documents with no order-``n`` grams get
+    NULL novelty (no evidence).
+
+    Plan shape: both sides explode to distinct gram relations; the
+    reference side is aggregated to DISTINCT grams once (its size is
+    vocabulary-like, far below corpus rows) and the membership test
+    is one LEFT ANTI equi-join on the gram — no broadcast assumption
+    (a 100 TB reference's gram relation still equi-joins; AQE
+    broadcasts it only when it fits), map-side combine on both
+    explodes, never a per-doc loop.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    docs = df.select(F.col(id_col), _word_array(text_col).alias("__t"))
+    dg = (docs.select(F.col(id_col),
+                      F.explode_outer(_gram_array(F.col("__t"), n))
+                      .alias("__g")))
+    refg = (reference.select(_word_array(text_col).alias("__t"))
+            .select(F.explode(_gram_array(F.col("__t"), n)).alias("__g"))
+            .distinct())
+    novel = (dg.filter(F.col("__g").isNotNull())
+             .join(refg, "__g", "left_anti")
+             .groupBy(id_col).agg(F.count("*").alias("n_novel")))
+    totals = (dg.groupBy(id_col)
+              .agg(F.count("__g").alias("n_grams")))
+    return (totals.join(novel, id_col, "left")
+            .select(F.col(id_col), "n_grams",
+                    F.coalesce("n_novel", F.lit(0).cast("bigint"))
+                    .alias("n_novel"),
+                    F.when(F.col("n_grams") > 0, F.round(
+                        F.coalesce("n_novel", F.lit(0).cast("bigint"))
+                        .cast("double") / F.col("n_grams"), 6))
+                    .alias("novelty")))
