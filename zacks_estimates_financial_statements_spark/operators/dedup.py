@@ -850,14 +850,19 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
 
     Simplification vs FastCDC: no min/max chunk bounds — those make
     the boundary decision sequential (a cut suppresses nearby cuts);
-    the unbounded form keeps every boundary decision independent, so
-    the whole operator is ONE zero-shuffle projection (the
-    ``winnow_fingerprints`` argument): gram-hash cuts, spans and
-    chunk texts all build as per-document arrays, then one
-    posexplode. The only interpreted lambdas run over bounded
-    per-document arrays, and nothing is duplicated row-wise — chunk
-    texts partition the document, so the exploded relation carries
-    each corpus byte exactly once.
+    the unbounded form keeps every boundary decision independent.
+
+    Plan shape (the ``repeated_spans`` + ``drop_repeated_spans``
+    pair's): trailing grams build as a per-doc array and posexplode
+    to rows, so the md5 cut test runs in CODEGEN over the exploded
+    relation — NOT inside an interpreted per-element lambda (the
+    first formulation hashed inside ``F.filter`` and paid the
+    documented HOF tax: 37.7 s → ~2 s at sf0.1). Cut rows are
+    ~1/avg_words of tokens; spans derive from them with one
+    per-doc lag/row_number window; chunk texts assemble via the
+    disjoint-interval membership join (a position matches exactly
+    one chunk — zero amplification) + one ordered-reassembly
+    groupBy. Everything shuffled is token-linear or smaller.
     """
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
@@ -869,33 +874,39 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
                     F.filter("__t0", lambda x: x != "").alias("__t"))
             .filter(F.size("__t") >= 1))
     n = F.size("__t")
-    ends = F.when(n >= w, F.sequence(F.lit(w), n)) \
-        .otherwise(F.array().cast("array<int>"))
-    cut = (toks
-           .withColumn("__cuts", F.filter(ends, lambda e: (
-               hash60(F.concat_ws(" ", F.slice("__t", e - (w - 1), w)))
-               % avg_words) == 0))
-           .withColumn("__ends", F.array_distinct(
-               F.concat("__cuts", F.array(n))))
-           .withColumn("__starts", F.transform(
-               F.concat(F.array(F.lit(0)),
-                        F.slice("__ends", 1,
-                                F.greatest(F.size("__ends") - 1,
-                                           F.lit(0)))),
-               lambda x: x + 1)))
-    chunks = cut.withColumn("__chunks", F.transform(
-        F.arrays_zip(F.col("__starts").alias("s"),
-                     F.col("__ends").alias("e")),
-        lambda p: F.struct(
-            p["s"].alias("s"), p["e"].alias("e"),
-            F.concat_ws(" ", F.slice("__t", p["s"],
-                                     p["e"] - p["s"] + 1)).alias("txt"))))
-    return (chunks.select(F.col(id_col),
-                          F.posexplode("__chunks").alias("__i", "__c"))
-            .select(F.col(id_col),
-                    (F.col("__i") + 1).cast("bigint").alias("chunk_idx"),
-                    F.col("__c.s").cast("bigint").alias("start_word"),
-                    (F.col("__c.e") - F.col("__c.s") + 1).cast("bigint")
-                    .alias("n_words"),
-                    F.md5("__c.txt").alias("chunk_hash"),
-                    F.col("__c.txt").alias("chunk_text")))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(F.when(n >= w, F.transform(
+            F.sequence(F.lit(w), n),
+            lambda e: F.array_join(F.slice("__t", e - (w - 1), w),
+                                   " ")))
+            .otherwise(F.array().cast("array<string>")))
+        .alias("__i", "__g"))
+    cuts = (grams.filter((hash60(F.col("__g")) % avg_words) == 0)
+            .select(F.col(id_col), (F.col("__i") + w).alias("__e")))
+    bounds = (cuts.unionByName(toks.select(F.col(id_col),
+                                           n.alias("__e")))
+              .distinct())
+    ws = Window.partitionBy(id_col).orderBy("__e")
+    spans = bounds.select(
+        F.col(id_col).alias("__sid"),
+        (F.coalesce(F.lag("__e").over(ws), F.lit(0)) + 1).alias("__s"),
+        F.col("__e"),
+        F.row_number().over(ws).cast("bigint").alias("chunk_idx"))
+    pos = (toks.select(F.col(id_col),
+                       F.posexplode("__t").alias("__p0", "__w"))
+           .select(F.col(id_col), (F.col("__p0") + 1).alias("__p"),
+                   "__w"))
+    memb = pos.join(spans, (F.col(id_col) == F.col("__sid"))
+                    & (F.col("__p") >= F.col("__s"))
+                    & (F.col("__p") <= F.col("__e")))
+    agg = (memb.groupBy(id_col, "chunk_idx", "__s", "__e")
+           .agg(F.concat_ws(" ", F.transform(
+               F.array_sort(F.collect_list(F.struct("__p", "__w"))),
+               lambda s: s["__w"])).alias("chunk_text")))
+    return agg.select(
+        F.col(id_col), "chunk_idx",
+        F.col("__s").cast("bigint").alias("start_word"),
+        (F.col("__e") - F.col("__s") + 1).cast("bigint")
+        .alias("n_words"),
+        F.md5("chunk_text").alias("chunk_hash"), "chunk_text")
