@@ -3337,6 +3337,97 @@ FROM base
 """
 
 
+def q_script_profile(spark, sf):
+    """Unicode-script mix panel (functions/text.py
+    ``script_profile``): script runs appended by doc_id arithmetic so
+    every block counter fires on a known subset; zero-shuffle
+    projection with RE2∩Java-identical code-point classes."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(" Привет"
+                                 " мир"))
+        .when(d % 3 == 1, F.lit(" 日本語テキ"
+                                "スト"))
+        .otherwise(F.lit(" مرحبا")))
+    return docs.select("doc_id", *T.script_profile(text2))
+
+
+ORACLE_SCRIPT_PROFILE = """
+WITH base AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440'
+         WHEN doc_id % 3 = 1
+         THEN ' \u65e5\u672c\u8a9e\u30c6\u30ad\u30b9\u30c8'
+         ELSE ' \u0645\u0631\u062d\u0628\u0627' END AS t
+  FROM documents),
+cnt AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t,
+        '[A-Za-z\u00c0-\u024f]'))::BIGINT AS n_latin,
+    len(regexp_extract_all(t, '[\u0400-\u04ff]'))::BIGINT
+      AS n_cyrillic,
+    len(regexp_extract_all(t, '[\u0370-\u03ff]'))::BIGINT AS n_greek,
+    len(regexp_extract_all(t, '[\u0600-\u06ff]'))::BIGINT AS n_arabic,
+    len(regexp_extract_all(t,
+        '[\u4e00-\u9fff\u3040-\u30ff]'))::BIGINT AS n_cjk,
+    len(regexp_extract_all(t,
+        '[\uac00-\ud7af\u1100-\u11ff]'))::BIGINT AS n_hangul
+  FROM base)
+SELECT doc_id,
+  (n_latin + n_cyrillic + n_greek + n_arabic + n_cjk + n_hangul)
+    AS n_letters,
+  n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_hangul,
+  CASE WHEN (n_latin + n_cyrillic + n_greek + n_arabic + n_cjk
+             + n_hangul) > 0 THEN
+    round(n_latin::DOUBLE / (n_latin + n_cyrillic + n_greek + n_arabic
+                             + n_cjk + n_hangul), 6) END AS latin_share,
+  CASE WHEN (n_latin + n_cyrillic + n_greek + n_arabic + n_cjk
+             + n_hangul) > 0 THEN
+    round(n_cjk::DOUBLE / (n_latin + n_cyrillic + n_greek + n_arabic
+                           + n_cjk + n_hangul), 6) END AS cjk_share
+FROM cnt
+"""
+
+
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit (operators/profiling.py ``k_anonymity``,
+    Sweeney 2002): (lang, source, 100-char length bucket) as
+    quasi-identifiers with a NULL-lang slice (doc_id%17) proving the
+    null-safe join keeps NULL classes; one map-side groupBy + one
+    <=>-keyed join back."""
+    from zacks_estimates_financial_statements_spark.operators import profiling
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 != 0, F.col("lang")).alias("lang2"),
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint")
+        .alias("len_bucket"))
+    return profiling.k_anonymity(base, ["lang2", "source", "len_bucket"],
+                                 k=5)
+
+
+ORACLE_K_ANONYMITY = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 17 <> 0 THEN lang END AS lang2, source,
+    (n_chars // 100)::BIGINT AS len_bucket
+  FROM documents),
+sizes AS (
+  SELECT lang2, source, len_bucket, count(*)::BIGINT AS class_size
+  FROM base GROUP BY lang2, source, len_bucket)
+SELECT b.doc_id, b.lang2, b.source, b.len_bucket, s.class_size,
+  s.class_size >= 5 AS k_anonymous
+FROM base b JOIN sizes s
+  ON b.lang2 IS NOT DISTINCT FROM s.lang2
+  AND b.source IS NOT DISTINCT FROM s.source
+  AND b.len_bucket IS NOT DISTINCT FROM s.len_bucket
+"""
+
+
 def q_ngram_diversity(spark, sf):
     """Distinct-n diversity (operators/curation.py ``ngram_diversity``,
     Li et al. NAACL'16): per-language distinct-1/2/3 ratios; gram
@@ -5564,6 +5655,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registrable_domain": q_registrable_domain,
     "tokenizer_fertility": q_tokenizer_fertility,
     "ascii_fold": q_ascii_fold,
+    "script_profile": q_script_profile,
+    "k_anonymity": q_k_anonymity,
     "ngram_diversity": q_ngram_diversity,
     "novelty_score": q_novelty_score,
     "readability": q_readability,
@@ -5704,6 +5797,8 @@ _ORACLE: dict[str, str] = {
     "registrable_domain": ORACLE_REGISTRABLE_DOMAIN,
     "tokenizer_fertility": _oracle_tokenizer_fertility(),
     "ascii_fold": _oracle_ascii_fold(),
+    "script_profile": ORACLE_SCRIPT_PROFILE,
+    "k_anonymity": ORACLE_K_ANONYMITY,
     "ngram_diversity": ORACLE_NGRAM_DIVERSITY,
     "novelty_score": ORACLE_NOVELTY_SCORE,
     "readability": ORACLE_READABILITY,

@@ -128,6 +128,8 @@ HEADLINE = [
     "ascii_fold",           # NFKD-pair diacritic translate fold
     "ngram_diversity",      # corpus distinct-n degeneracy metric
     "novelty_score",        # unseen-gram fraction vs reference corpus
+    "script_profile",       # Unicode script-mix routing panel
+    "k_anonymity",          # quasi-identifier release-gate audit
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

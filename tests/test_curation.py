@@ -1733,3 +1733,25 @@ def test_ascii_fold_table(spark):
     # ß passes through (fold, not transliteration); dash untouched
     assert got[0]["f"] == "Creme brulee a Sao Paulo — NONO übermäßig" \
         .replace("ü", "u").replace("ä", "a")
+
+
+# -------------------------------------------------------------- script profile
+
+def test_script_profile_counts_blocks(spark):
+    from zacks_estimates_financial_statements_spark.functions import text as TXT
+
+    rows = [(1, "Hello Привет 日本語 한글 مرحبا Ω"),
+            (2, "ascii only words"), (3, "1234 ... !!!"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *TXT.script_profile(F.col("text"))).collect()}
+    r1 = out[1]
+    assert r1["n_latin"] == 5                  # Hello
+    assert r1["n_cyrillic"] == 6               # Привет
+    assert r1["n_cjk"] == 3 and r1["n_hangul"] == 2
+    assert r1["n_arabic"] == 5 and r1["n_greek"] == 1
+    assert r1["n_letters"] == 22
+    assert abs(r1["latin_share"] - round(5 / 22, 6)) < 1e-9
+    assert out[2]["latin_share"] == 1.0 and out[2]["cjk_share"] == 0.0
+    assert out[3]["n_letters"] == 0 and out[3]["latin_share"] is None
+    assert out[4]["latin_share"] is None

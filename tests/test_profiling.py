@@ -215,3 +215,26 @@ def test_embedding_diversity_degenerate_strata(spark):
     allrow = profiling.embedding_diversity(df, "v").collect()
     assert len(allrow) == 1 and allrow[0]["stratum"] == "all" \
         and allrow[0]["n"] == 3
+
+
+# ----------------------------------------------------------------- k-anonymity
+
+def test_k_anonymity_class_sizes_and_null_groups(spark):
+    rows = [(1, "en", "a"), (2, "en", "a"), (3, "en", "a"),
+            (4, "fr", "a"), (5, None, "a"), (6, None, "a")]
+    df = spark.createDataFrame(rows, "id bigint, lang string, src string")
+    out = {r["id"]: r for r in profiling.k_anonymity(
+        df, ["lang", "src"], k=2).collect()}
+    assert len(out) == 6                      # NULL rows NOT dropped
+    assert out[1]["class_size"] == 3 and out[1]["k_anonymous"]
+    assert out[4]["class_size"] == 1 and not out[4]["k_anonymous"]
+    # the NULL lang rows form their own equivalence class of size 2
+    assert out[5]["class_size"] == 2 and out[5]["k_anonymous"]
+
+
+def test_k_anonymity_multi_column_key(spark):
+    rows = [(1, "en", 1), (2, "en", 1), (3, "en", 2)]
+    df = spark.createDataFrame(rows, "id bigint, lang string, b int")
+    out = {r["id"]: r["class_size"] for r in profiling.k_anonymity(
+        df, ["lang", "b"], k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 1}

@@ -232,6 +232,12 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "per-doc ratio",
         "no broadcast assumption — AQE promotes the reference side "
         "only when it fits"),
+    "script_profile": (
+        "zero-shuffle code-point-class regexp_count projection",
+        "no shuffle at any scale"),
+    "k_anonymity": (
+        "map-side groupBy(class) → NULL-SAFE keyed join back",
+        "hot identifier classes combine map-side; no corpus window"),
 }
 
 

@@ -287,3 +287,38 @@ def ascii_fold(col: Column) -> Column:
     through unchanged (this is a fold, not a transliteration — ß/æ/œ
     expansions change lengths and are out of scope)."""
     return F.translate(col, ASCII_FOLD_FROM, ASCII_FOLD_TO)
+
+
+def script_profile(text: Column) -> list[Column]:
+    """Unicode-script mix profile — the routing signal multilingual
+    pipelines branch on before language-ID (a CJK document should
+    never reach a Latin-trained quality model): per document, counts
+    of LETTER-class characters by major script block and each
+    script's share of those letters.
+
+    Returns columns ``[n_letters, n_latin, n_cyrillic, n_greek,
+    n_arabic, n_cjk, n_hangul, latin_share, cjk_share]`` to splat
+    into a projection. Block ranges are literal code-point classes —
+    identical semantics in Java regex and RE2, so the SQL twin counts
+    the same characters. Shares divide in double and round to 6;
+    documents with no letters yield NULL shares. Zero-shuffle
+    projection at any corpus size.
+    """
+    def cnt(pattern: str) -> Column:
+        return F.regexp_count(text, F.lit(pattern)).cast("bigint")
+
+    latin = cnt(r"[A-Za-zÀ-ɏ]")
+    cyr = cnt(r"[Ѐ-ӿ]")
+    greek = cnt(r"[Ͱ-Ͽ]")
+    arabic = cnt(r"[؀-ۿ]")
+    cjk = cnt(r"[一-鿿぀-ヿ]")
+    hangul = cnt(r"[가-힯ᄀ-ᇿ]")
+    total = latin + cyr + greek + arabic + cjk + hangul
+    share = lambda c: F.when(total > 0, F.round(
+        c.cast("double") / total.cast("double"), 6))
+    return [total.alias("n_letters"), latin.alias("n_latin"),
+            cyr.alias("n_cyrillic"), greek.alias("n_greek"),
+            arabic.alias("n_arabic"), cjk.alias("n_cjk"),
+            hangul.alias("n_hangul"),
+            share(latin).alias("latin_share"),
+            share(cjk).alias("cjk_share")]

@@ -439,3 +439,44 @@ def embedding_diversity(df: DataFrame, vec_col: str,
             2.0 * (F.col("mean_norm_sq") - F.col("centroid_norm_sq"))
             * F.col("n") / (F.col("n") - 1), 6))
         .alias("mean_pairwise_sq"))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns (Sweeney 2002
+    — the release-gate check before publishing per-record metadata):
+    every row annotated with its equivalence-class size (rows sharing
+    its exact quasi-identifier combination, NULLs grouped as a value)
+    and ``k_anonymous`` = class_size ≥ k. Rows in small classes are
+    the re-identification risk; callers suppress or generalize them.
+
+    Output: the input columns plus ``(class_size, k_anonymous)``.
+
+    Plan shape: ONE map-side-combined groupBy over the
+    quasi-identifier key to class sizes, then an equi-join back on
+    the same key — the second shuffle reuses the first's partitioning
+    (Catalyst aligns both sides on the identical key), and a heavily
+    duplicated class is a hot GROUP not a hot window: the count
+    combines map-side, so skew in identifiers does not straggle. No
+    window over the corpus, no driver collect.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    left = df.alias("__ka_l")
+    sizes = (df.groupBy(*quasi_cols)
+             .agg(F.count("*").alias("class_size"))
+             .alias("__ka_s"))
+    # NULL-safe key equality: a plain equi-join would silently drop
+    # every row whose quasi-identifier tuple contains a NULL — the
+    # exact rows a privacy audit most needs to see (NULL groups are
+    # themselves equivalence classes). <=> keys still hash-join.
+    cond = None
+    for c in quasi_cols:
+        this = F.col(f"__ka_l.{c}").eqNullSafe(F.col(f"__ka_s.{c}"))
+        cond = this if cond is None else (cond & this)
+    out = (left.join(sizes, cond)
+           .select(*[F.col(f"__ka_l.{c}") for c in df.columns],
+                   "class_size"))
+    return out.withColumn("k_anonymous", F.col("class_size") >= k)
