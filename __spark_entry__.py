@@ -4437,6 +4437,45 @@ WHERE o.o_orderpriority = '1-URGENT'
 """
 
 
+def q_label_propagation(spark, sf):
+    """Deterministic synchronous LPA (operators/graph.py
+    ``label_propagation``): 4 rounds over the same deterministic
+    97-host link graph pagerank uses; neighbor-majority labels, ties
+    to the smallest label — each round replayed as a MATERIALIZED
+    CTE in the twin."""
+    docs = _t(spark, sf, "documents")
+    edges = (docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    return graph.label_propagation(edges, n_iter=4)
+
+
+def _oracle_label_propagation(n_iter: int = 4) -> str:
+    parts = ["""WITH e AS (
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+  FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97),
+sym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst AS a, src AS b FROM e)),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM sym)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT s.a AS node, l.label, count(*) AS c
+  FROM sym s JOIN l{k - 1} l ON s.b = l.node
+  GROUP BY s.a, l.label),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER
+      (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM c{k}) WHERE rn = 1)""")
+    parts.append(f"\nSELECT node, label FROM l{n_iter}")
+    return "".join(parts)
+
+
 def q_pagerank(spark, sf):
     """Distributed fixed-iteration PageRank (operators/graph.py): the
     crawl-quality prior over a deterministic link graph derived from
@@ -5657,6 +5696,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ascii_fold": q_ascii_fold,
     "script_profile": q_script_profile,
     "k_anonymity": q_k_anonymity,
+    "label_propagation": q_label_propagation,
     "ngram_diversity": q_ngram_diversity,
     "novelty_score": q_novelty_score,
     "readability": q_readability,
@@ -5799,6 +5839,7 @@ _ORACLE: dict[str, str] = {
     "ascii_fold": _oracle_ascii_fold(),
     "script_profile": ORACLE_SCRIPT_PROFILE,
     "k_anonymity": ORACLE_K_ANONYMITY,
+    "label_propagation": _oracle_label_propagation(),
     "ngram_diversity": ORACLE_NGRAM_DIVERSITY,
     "novelty_score": ORACLE_NOVELTY_SCORE,
     "readability": ORACLE_READABILITY,

@@ -130,6 +130,7 @@ HEADLINE = [
     "novelty_score",        # unseen-gram fraction vs reference corpus
     "script_profile",       # Unicode script-mix routing panel
     "k_anonymity",          # quasi-identifier release-gate audit
+    "label_propagation",    # deterministic LPA community detection
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -201,3 +201,35 @@ def test_incremental_components_equal_full_recompute(spark):
     assert incremental == truth
     # the batch really did merge old components / take over minimums
     assert relabel.count() > 0
+
+
+# ---------------------------------------------------------- label propagation
+
+def test_label_propagation_two_communities(spark):
+    # two triangles bridged by one edge: LPA separates them where
+    # connected_components sees a single component
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src bigint, dst bigint")
+    out = {r["node"]: r["label"] for r in graph.label_propagation(
+        edges, n_iter=4).collect()}
+    assert len({out[1], out[2], out[3]}) == 1
+    assert len({out[4], out[5], out[6]}) == 1
+    assert out[1] != out[4]
+    comps = {r["node"]: r["component"] for r in
+             graph.connected_components(edges, src="src",
+                                        dst="dst").collect()}
+    assert len(set(comps.values())) == 1       # CC: one blob
+
+
+def test_label_propagation_deterministic_and_ignores_self_loops(spark):
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 7) for i in range(30)] + [(2, 2)],
+        "src bigint, dst bigint")
+    a = sorted(map(tuple, graph.label_propagation(edges, n_iter=3)
+                   .collect()))
+    b = sorted(map(tuple, graph.label_propagation(
+        edges.repartition(5), n_iter=3).collect()))
+    assert a == b and len(a) > 0
+    # min-label tie-break: labels are drawn from node ids
+    assert all(lbl in {n for n, _ in a} for _, lbl in a)

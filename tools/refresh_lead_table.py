@@ -238,6 +238,11 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
     "k_anonymity": (
         "map-side groupBy(class) → NULL-SAFE keyed join back",
         "hot identifier classes combine map-side; no corpus window"),
+    "label_propagation": (
+        "per round: neighbor-label equi-join → (node, label) count → "
+        "max_by argmax in the same agg; localCheckpoint",
+        "no per-node window over the neighbor relation; rounds are "
+        "fixed-count like pagerank"),
 }
 
 

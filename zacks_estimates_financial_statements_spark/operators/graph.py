@@ -315,3 +315,61 @@ def apply_relabel(labels: DataFrame, relabel_map: DataFrame) -> DataFrame:
             .select("node",
                     F.coalesce("new_component", "component")
                     .alias("component")))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", n_iter: int = 3,
+                      reliable: bool = False) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the LPA
+    community detector; the GraphX/GraphFrames ``labelPropagation``
+    counterpart): every node starts labeled with its own id; each
+    round it adopts the most frequent label among its NEIGHBORS
+    (undirected view of the edge set), ties broken by the SMALLEST
+    label — fully deterministic, unlike the randomized asynchronous
+    original. Communities = nodes sharing a final label. Where
+    ``connected_components`` answers "is there any path", LPA finds
+    DENSE regions inside a component — the domain-cluster /
+    topic-community signal over the ``extract_links`` graph that
+    pagerank's per-node score cannot give.
+
+    Output: ``(node, label)`` after ``n_iter`` synchronous rounds
+    (fixed iterations, matching ``pagerank``'s replayable-oracle
+    discipline; LPA label counts are integers, so rounds are exact —
+    no rounding contract needed).
+
+    Scale shape (one round): symmetrized edges equi-join the label
+    relation on the neighbor key, a (node, label) count map-side-
+    combines, and the argmax is ``max_by`` over a ``(count, -label)``
+    struct in the SAME grouped aggregation — never a per-node window
+    over the corpus-scale neighbor relation. Isolated nodes never
+    appear in the edge relation and keep their own label by
+    definition. Per-round ``localCheckpoint`` truncates lineage
+    (``reliable=True`` swaps in HDFS checkpoints, the pagerank
+    contract); driver state is zero rows.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+         .filter(F.col("a") != F.col("b")))
+    sym = (e.union(e.select(F.col("b").alias("a"),
+                            F.col("a").alias("b"))).distinct())
+
+    def mat(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    sym = mat(sym)
+    labels = mat(sym.select(F.col("a").alias("node")).distinct()
+                 .withColumn("label", F.col("node")))
+    for _ in range(n_iter):
+        nb = (sym.join(labels.select(F.col("node").alias("b"), "label"),
+                       "b")
+              .groupBy(F.col("a").alias("node"), "label")
+              .agg(F.count(F.lit(1)).alias("__c")))
+        labels = mat(nb.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("__c"),
+                                       (-F.col("label")).alias("__nl")))
+            .alias("label")))
+    return labels
