@@ -3337,6 +3337,56 @@ FROM base
 """
 
 
+def q_robots_check(spark, sf):
+    """robots.txt parse + allow evaluation (functions/web.py
+    ``parse_robots`` + ``robots_allowed``, RFC 9309 literal-prefix
+    subset): 5 synthesized hosts — even ones carry an exact `badbot`
+    group that must EXCLUDE the `*` group — against 4 path shapes;
+    the oracle derives every verdict from the synthesis arithmetic."""
+    star = ("User-agent: *\nDisallow: /private\n"
+            "Allow: /private/ok\n")
+    bad = star + "\nUser-agent: badbot\nDisallow: /\nAllow: /pub\n"
+    files = spark.createDataFrame(
+        [(f"h{k}.org", bad if k % 2 == 0 else star) for k in range(5)],
+        "host string, robots string")
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 5).cast("string"), F.lit(".org"),
+        F.when(d % 4 == 0, F.concat(F.lit("/private/doc"),
+                                    d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("/private/ok/"),
+                                   d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("/pub/"), d.cast("string")))
+        .otherwise(F.lit("/")))
+    rules = web.parse_robots(files, "host", "robots")
+    return web.robots_allowed(docs.select("doc_id", url.alias("u")),
+                              rules, "doc_id", "u", agent="badbot")
+
+
+ORACLE_ROBOTS_CHECK = """
+WITH base AS (
+  SELECT doc_id, doc_id % 5 AS k, doc_id % 4 AS p,
+    CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || doc_id
+         WHEN doc_id % 4 = 1 THEN '/private/ok/' || doc_id
+         WHEN doc_id % 4 = 2 THEN '/pub/' || doc_id
+         ELSE '/' END AS path
+  FROM documents)
+SELECT doc_id,
+  'https://h' || k || '.org' ||
+    CASE WHEN p = 3 THEN '/' ELSE path END AS url,
+  'h' || k || '.org' AS host, path,
+  CASE WHEN k % 2 = 0 THEN (p = 2)
+       ELSE (p = 1 OR p = 2 OR p = 3) END AS allowed,
+  CASE WHEN k % 2 = 0 THEN
+         CASE WHEN p = 2 THEN '/pub' ELSE '/' END
+       ELSE CASE WHEN p = 0 THEN '/private'
+                 WHEN p = 1 THEN '/private/ok' END
+  END AS matched_prefix
+FROM base
+"""
+
+
 def q_script_profile(spark, sf):
     """Unicode-script mix panel (functions/text.py
     ``script_profile``): script runs appended by doc_id arithmetic so
@@ -5694,6 +5744,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registrable_domain": q_registrable_domain,
     "tokenizer_fertility": q_tokenizer_fertility,
     "ascii_fold": q_ascii_fold,
+    "robots_check": q_robots_check,
     "script_profile": q_script_profile,
     "k_anonymity": q_k_anonymity,
     "label_propagation": q_label_propagation,
@@ -5837,6 +5888,7 @@ _ORACLE: dict[str, str] = {
     "registrable_domain": ORACLE_REGISTRABLE_DOMAIN,
     "tokenizer_fertility": _oracle_tokenizer_fertility(),
     "ascii_fold": _oracle_ascii_fold(),
+    "robots_check": ORACLE_ROBOTS_CHECK,
     "script_profile": ORACLE_SCRIPT_PROFILE,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "label_propagation": _oracle_label_propagation(),

@@ -131,6 +131,7 @@ HEADLINE = [
     "script_profile",       # Unicode script-mix routing panel
     "k_anonymity",          # quasi-identifier release-gate audit
     "label_propagation",    # deterministic LPA community detection
+    "robots_check",         # robots.txt parse + RFC 9309 allow check
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

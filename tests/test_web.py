@@ -214,3 +214,62 @@ def test_registrable_domain_psl_semantics(spark):
     assert out[5]["registrable"] == "example.weirdtld"
     assert out[6]["host"] == "example.com"         # www./port stripped
     assert out[6]["registrable"] == "example.com"
+
+
+# -------------------------------------------------------------------- robots
+
+ROBOTS = """# crawl policy
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+
+User-agent: badbot
+User-agent: evilbot
+Disallow: /
+Allow: /welcome
+"""
+
+
+def _robots_fixture(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    files = spark.createDataFrame([("site.org", ROBOTS)],
+                                  "host string, robots string")
+    return web.parse_robots(files, "host", "robots")
+
+
+def test_parse_robots_groups_and_rules(spark):
+    rules = {(r["agent"], r["allow"], r["prefix"])
+             for r in _robots_fixture(spark).collect()}
+    assert rules == {
+        ("*", False, "/private"), ("*", True, "/private/ok"),
+        ("badbot", False, "/"), ("badbot", True, "/welcome"),
+        ("evilbot", False, "/"), ("evilbot", True, "/welcome"),
+    }
+
+
+def test_robots_allowed_semantics(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    rules = _robots_fixture(spark)
+    urls = spark.createDataFrame(
+        [(1, "https://site.org/public/page"),
+         (2, "https://site.org/private/doc"),
+         (3, "https://site.org/private/ok/doc"),
+         (4, "https://other.org/anything"),     # no robots -> allowed
+         (5, "https://site.org/")],
+        "id bigint, url string")
+    star = {r["id"]: r for r in web.robots_allowed(
+        urls, rules, "id", "url", agent="goodbot").collect()}
+    assert star[1]["allowed"] and star[1]["matched_prefix"] is None
+    assert not star[2]["allowed"]
+    assert star[3]["allowed"]                  # longer Allow wins
+    assert star[3]["matched_prefix"] == "/private/ok"
+    assert star[4]["allowed"] and star[5]["allowed"]
+    # exact group excludes the * group entirely
+    bad = {r["id"]: r for r in web.robots_allowed(
+        urls, rules, "id", "url", agent="BadBot").collect()}
+    assert not bad[1]["allowed"]               # Disallow: /
+    assert not bad[2]["allowed"]
+    assert bad[2]["matched_prefix"] == "/"     # * rules NOT consulted
+    assert not bad[5]["allowed"]

@@ -243,6 +243,11 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "max_by argmax in the same agg; localCheckpoint",
         "no per-node window over the neighbor relation; rounds are "
         "fixed-count like pagerank"),
+    "robots_check": (
+        "per-host group windows (KB-bounded files) → rules relation "
+        "→ host equi-join + startswith residual → max_by winner",
+        "corpus shuffles once on host; matches bounded by "
+        "rules-per-host"),
 }
 
 

@@ -285,3 +285,115 @@ def registrable_domain(df: DataFrame, id_col: str, url_col: str,
         F.when(s >= 2,
                F.concat_ws(".", F.slice(labels_o, s - 1, n_o - s + 2)))
         .alias("registrable"))
+
+
+def parse_robots(df: DataFrame, host_col: str,
+                 robots_col: str) -> DataFrame:
+    """Parse robots.txt files into a rules RELATION — the crawl-side
+    companion of ``politeness_schedule`` / ``url_filter`` (the
+    reference is itself a rate-limited scraper; a real crawl of its
+    kind must honor robots): one row per (host, agent, rule), from
+    the original 1994 semantics RFC 9309 §2.2 formalizes —
+    ``User-agent`` lines open a group (CONSECUTIVE agent lines share
+    it), following ``Allow``/``Disallow`` lines attach to that group,
+    ``#`` comments and blank lines ignored, empty-path rules dropped
+    (an empty Disallow allows everything). Path wildcards (``*``,
+    ``$``) are NOT interpreted — prefixes are literal (documented
+    subset; flag such rules upstream if needed).
+
+    Output: ``(host, agent, allow, prefix, rule_order)`` — ``agent``
+    lowercased, ``rule_order`` the rule line's index within its file
+    (RFC tie-breaks don't need it — longest-prefix + allow-wins is
+    order-free — but audits do).
+
+    Plan shape: one line posexplode, two windows PER HOST (group
+    boundary lag + running group id) — robots files are KB-sized, so
+    a per-host window partition is bounded by file lines, never
+    corpus-scale — then one (host, group) equi-join between the
+    group's agent rows and its directive rows. No UDF, no driver
+    parsing.
+    """
+    from pyspark.sql import Window
+
+    lines = (df.select(F.col(host_col).alias("host"),
+                       F.posexplode(F.split(F.col(robots_col), "\n"))
+                       .alias("__i", "__l0"))
+             .withColumn("__l", F.trim(F.regexp_replace("__l0",
+                                                        "#.*$", "")))
+             .filter(F.col("__l") != ""))
+    kv = lines.select(
+        "host", "__i",
+        F.lower(F.trim(F.regexp_extract("__l", r"^([^:]+):", 1)))
+        .alias("__k"),
+        F.trim(F.regexp_extract("__l", r"^[^:]+:(.*)$", 1))
+        .alias("__v"))
+    kv = kv.filter(F.col("__k").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("__i")
+    marked = (kv.withColumn("__ua", F.col("__k") == "user-agent")
+              .withColumn("__prev_ua",
+                          F.coalesce(F.lag("__ua").over(w),
+                                     F.lit(False)))
+              .withColumn("__b", (F.col("__ua")
+                                  & ~F.col("__prev_ua")).cast("int"))
+              .withColumn("__grp", F.sum("__b").over(
+                  w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))))
+    agents = (marked.filter(F.col("__ua"))
+              .select("host", "__grp",
+                      F.lower("__v").alias("agent")))
+    rules = (marked.filter(~F.col("__ua") & (F.col("__v") != ""))
+             .select("host", "__grp",
+                     (F.col("__k") == "allow").alias("allow"),
+                     F.col("__v").alias("prefix"),
+                     F.col("__i").cast("bigint").alias("rule_order")))
+    return agents.join(rules, ["host", "__grp"]).drop("__grp")
+
+
+def robots_allowed(urls: DataFrame, rules: DataFrame, id_col: str,
+                   url_col: str, agent: str = "*") -> DataFrame:
+    """Evaluate crawl permission for every URL against a
+    ``parse_robots`` rules relation, RFC 9309 §2.2.2 semantics for
+    the literal-prefix subset: pick the host's matching group (an
+    EXACT agent match excludes the ``*`` group — most-specific-group
+    rule), find every rule whose prefix literally prefixes the URL
+    path, and let the LONGEST prefix decide; at equal length, Allow
+    wins. No matching rule (or no robots at all) = allowed.
+
+    Output: ``(id, url, host, path, allowed, matched_prefix)``.
+
+    Plan shape: per-host group selection is a tiny aggregation over
+    the rules relation (bounded by robots lines); the URL check is
+    ONE host equi-join carrying the ``startswith`` residual — the
+    corpus side shuffles once on the host, matches are bounded by
+    rules-per-host, and the winner is ``max_by`` over a
+    ``(len(prefix), allow)`` struct in the per-id aggregation — no
+    window over the matched relation.
+    """
+    a = agent.strip().lower()
+    host = url_host(F.col(url_col))
+    pathq = F.regexp_replace(
+        F.regexp_replace(F.col(url_col), "#.*$", ""),
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    path = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    base = urls.select(F.col(id_col), F.col(url_col).alias("url"),
+                       host.alias("host"), path.alias("path"))
+    cand = rules.filter(F.col("agent").isin(a, "*"))
+    has_exact = (cand.groupBy("host")
+                 .agg(F.max((F.col("agent") == a).cast("int"))
+                      .alias("__ex")))
+    grp = (cand.join(has_exact, "host")
+           .filter(((F.col("agent") == a) & (F.col("__ex") == 1))
+                   | ((F.col("agent") == "*") & (F.col("__ex") == 0)))
+           .select(F.col("host").alias("__rh"), "allow", "prefix"))
+    hits = (base.join(grp, (F.col("host") == F.col("__rh"))
+                      & F.col("path").startswith(F.col("prefix")))
+            .groupBy(id_col)
+            .agg(F.max_by(
+                F.struct(F.col("allow"), F.col("prefix")),
+                F.struct(F.length("prefix"),
+                         F.col("allow").cast("int"))).alias("__win")))
+    return (base.join(hits, id_col, "left")
+            .select(F.col(id_col), "url", "host", "path",
+                    F.coalesce(F.col("__win.allow"), F.lit(True))
+                    .alias("allowed"),
+                    F.col("__win.prefix").alias("matched_prefix")))
