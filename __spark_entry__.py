@@ -3337,6 +3337,80 @@ FROM base
 """
 
 
+def q_corpus_diff(spark, sf):
+    """Snapshot CDC (operators/curation.py ``corpus_diff``): a new
+    corpus version synthesized from the old — d%11 removed, d%7
+    changed (text suffix), d%13 cloned under id+10000 (added) — and
+    diffed by normalized fingerprints; one full-outer id join, text
+    never shuffles."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    survivors = docs.filter(d % 11 != 0).select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" changed")))
+        .otherwise(F.col("text")).alias("text"))
+    added = docs.filter(d % 13 == 0).select(
+        (d + 10000).alias("doc_id"), "text")
+    new = survivors.unionByName(added)
+    return curation.corpus_diff(docs, new, "doc_id", "text")
+
+
+ORACLE_CORPUS_DIFF = """
+WITH fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+      AS f,
+    md5(trim(regexp_replace(lower(text || ' changed'),
+                            '[^a-z0-9]+', ' ', 'g'))) AS fc
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN 'removed'
+       WHEN doc_id % 7 = 0 THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  f AS old_fp,
+  CASE WHEN doc_id % 11 = 0 THEN NULL
+       WHEN doc_id % 7 = 0 THEN fc ELSE f END AS new_fp
+FROM fp
+UNION ALL
+SELECT doc_id + 10000 AS doc_id, 'added' AS status,
+  NULL AS old_fp, f AS new_fp
+FROM fp WHERE doc_id % 13 = 0
+"""
+
+
+def q_split_sentences(spark, sf):
+    """Sentence segmentation (functions/text.py ``split_sentences``):
+    terminal-punct runs synthesized onto the word soup; two-phase
+    mark-and-split (RE2 has no lookbehind) shared with the twin;
+    zero-shuffle explode."""
+    docs = _t(spark, sf, "documents")
+    text2 = F.concat(F.lit("One two three. Four five! Six?   "),
+                     F.substring(F.col("text"), 1, 30))
+    return T.split_sentences(docs.select("doc_id", text2.alias("t")),
+                             "doc_id", "t")
+
+
+ORACLE_SPLIT_SENTENCES = """
+WITH base AS (
+  SELECT doc_id,
+    'One two three. Four five! Six?   ' || substr(text, 1, 30) AS t
+  FROM documents),
+marked AS (
+  SELECT doc_id,
+    string_split(regexp_replace(t, '([.!?]+)\\s+',
+                                '\\1' || chr(9247), 'g'),
+                 chr(9247)) AS parts
+  FROM base),
+ex AS (
+  SELECT doc_id, r.i AS i0, trim(parts[r.i]) AS sentence
+  FROM marked, unnest(range(1, len(parts) + 1)) AS r(i))
+SELECT doc_id, i0::BIGINT AS sent_idx, sentence,
+  len(regexp_extract_all(lower(sentence), '[a-z0-9_]+'))::BIGINT
+    AS n_words
+FROM ex WHERE sentence <> ''
+"""
+
+
 def q_robots_check(spark, sf):
     """robots.txt parse + allow evaluation (functions/web.py
     ``parse_robots`` + ``robots_allowed``, RFC 9309 literal-prefix
@@ -5745,6 +5819,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "ascii_fold": q_ascii_fold,
     "robots_check": q_robots_check,
+    "corpus_diff": q_corpus_diff,
+    "split_sentences": q_split_sentences,
     "script_profile": q_script_profile,
     "k_anonymity": q_k_anonymity,
     "label_propagation": q_label_propagation,
@@ -5889,6 +5965,8 @@ _ORACLE: dict[str, str] = {
     "tokenizer_fertility": _oracle_tokenizer_fertility(),
     "ascii_fold": _oracle_ascii_fold(),
     "robots_check": ORACLE_ROBOTS_CHECK,
+    "corpus_diff": ORACLE_CORPUS_DIFF,
+    "split_sentences": ORACLE_SPLIT_SENTENCES,
     "script_profile": ORACLE_SCRIPT_PROFILE,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "label_propagation": _oracle_label_propagation(),

@@ -132,6 +132,8 @@ HEADLINE = [
     "k_anonymity",          # quasi-identifier release-gate audit
     "label_propagation",    # deterministic LPA community detection
     "robots_check",         # robots.txt parse + RFC 9309 allow check
+    "corpus_diff",          # snapshot CDC by normalized fingerprint
+    "split_sentences",      # sentence relation (mark-and-split)
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

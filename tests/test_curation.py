@@ -1755,3 +1755,41 @@ def test_script_profile_counts_blocks(spark):
     assert out[2]["latin_share"] == 1.0 and out[2]["cjk_share"] == 0.0
     assert out[3]["n_letters"] == 0 and out[3]["latin_share"] is None
     assert out[4]["latin_share"] is None
+
+
+# -------------------------------------------------------- corpus diff / sents
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"),
+         (4, "Same   TEXT!?")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "now different"), (5, "brand new"),
+         (4, "same text")],   # 4: only case/punct differ -> unchanged
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r["status"] for r in curation.corpus_diff(
+        old, new, "doc_id", "text").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
+
+
+def test_split_sentences_boundaries(spark):
+    from zacks_estimates_financial_statements_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(1, "First one. Second two!! Third three?   Tail no punct"),
+         (2, "No boundary at all"), (3, "Ends clean."), (4, ""),
+         (5, None)],
+        "doc_id bigint, text string")
+    rows = TXT.split_sentences(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"], r["n_words"]))
+    assert [s for _, s, _ in sorted(by_doc[1])] == [
+        "First one.", "Second two!!", "Third three?", "Tail no punct"]
+    assert sorted(by_doc[1])[0][2] == 2
+    assert by_doc[2] == [(1, "No boundary at all", 4)]
+    assert by_doc[3] == [(1, "Ends clean.", 2)]   # trailing part empty
+    assert 4 not in by_doc and 5 not in by_doc

@@ -248,6 +248,13 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "→ host equi-join + startswith residual → max_by winner",
         "corpus shuffles once on host; matches bounded by "
         "rules-per-host"),
+    "corpus_diff": (
+        "two zero-shuffle fingerprint projections → ONE full-outer "
+        "id join",
+        "text never shuffles; only 32-byte fingerprints move"),
+    "split_sentences": (
+        "mark-and-split + posexplode projection",
+        "no shuffle at any scale"),
 }
 
 

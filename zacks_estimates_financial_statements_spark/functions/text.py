@@ -322,3 +322,44 @@ def script_profile(text: Column) -> list[Column]:
             hangul.alias("n_hangul"),
             share(latin).alias("latin_share"),
             share(cjk).alias("cjk_share")]
+
+
+#: sentence-boundary sentinel: a printable rare code point (SYMBOL FOR
+#: UNIT SEPARATOR) both engines can emit in a regex replacement —
+#: RE2 has no lookbehind, so the shared-twin split must be two-phase
+#: (mark boundaries, then split on the mark).
+_SENT_SEP = "␟"
+
+
+def split_sentences(df: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """Sentence segmentation into a long relation — the unit the
+    bitext-mining / readability / repetition passes want below the
+    paragraph: one row per sentence with its 1-based index and a
+    cheap per-sentence word count. Boundaries are terminal-punct runs
+    (``[.!?]+``) followed by whitespace — the deterministic
+    regex-splittable subset (no abbreviation model; "Dr. Smith"
+    splits — documented; identical in Java regex and RE2, which is
+    why there is no lookbehind here); the terminal run stays attached
+    to its sentence. Trailing text without terminal punctuation is a
+    sentence; empty/NULL documents produce no rows.
+
+    Output: ``(id, sent_idx, sentence, n_words)``. One
+    mark-and-split + posexplode projection — zero shuffles at any
+    corpus size.
+    """
+    marked = F.regexp_replace(F.col(text_col), r"([.!?]+)\s+",
+                              "$1" + _SENT_SEP)
+    parts = F.split(marked, _SENT_SEP)
+    out = (df.select(F.col(id_col),
+                     F.posexplode(parts).alias("__i", "__s"))
+           .select(F.col(id_col), F.col("__i"),
+                   F.trim(F.col("__s")).alias("sentence"))
+           .filter(F.col("sentence") != ""))
+    return (out.select(F.col(id_col),
+                       (F.col("__i") + 1).cast("bigint")
+                       .alias("sent_idx"), "sentence")
+            .withColumn(
+                "n_words",
+                F.regexp_count(F.lower("sentence"),
+                               F.lit("[a-z0-9_]+")).cast("bigint")))

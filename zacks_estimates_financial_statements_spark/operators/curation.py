@@ -1970,3 +1970,38 @@ def novelty_score(df: DataFrame, reference: DataFrame, id_col: str,
                         F.coalesce("n_novel", F.lit(0).cast("bigint"))
                         .cast("double") / F.col("n_grams"), 6))
                     .alias("novelty")))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the change-data-capture step
+    an INCREMENTAL pipeline keys on (re-clean/re-embed only what
+    changed; the batch analog of the streaming ingestion gate):
+    every id labeled ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` by comparing normalized-content fingerprints
+    (``functions.text.fingerprint`` — case/punct/whitespace-robust,
+    the corpus-dedup convention), carrying both fingerprints for
+    audit.
+
+    Output: ``(id, status, old_fp, new_fp)``.
+
+    Plan shape: each side reduces to ``(id, fp)`` in a zero-shuffle
+    projection; ONE full-outer equi-join on the id decides the
+    status. Text never shuffles — only 32-byte fingerprints move.
+    At 100 TB the join is the unavoidable comparison; everything
+    else is map-side.
+    """
+    from zacks_estimates_financial_statements_spark.functions import text as _T
+
+    o = old.select(F.col(id_col),
+                   _T.fingerprint(F.col(text_col)).alias("old_fp"))
+    n = new.select(F.col(id_col),
+                   _T.fingerprint(F.col(text_col)).alias("new_fp"))
+    j = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") == F.col("new_fp"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(F.col(id_col), status.alias("status"),
+                    "old_fp", "new_fp")
