@@ -51,3 +51,19 @@ def test_attestation_artifact_matches_registry():
 def test_oracle_sql_keys_subset_of_queries():
     qkeys, okeys = _registry_keys()
     assert okeys <= qkeys, f"oracle-only keys: {sorted(okeys - qkeys)}"
+
+
+def test_bench_headline_names_are_registered_queries():
+    """A bench HEADLINE/TRACKED entry naming a nonexistent query would
+    silently break the baseline and the driver's BENCH json."""
+    spec = importlib.util.spec_from_file_location(
+        "bench_attest", os.path.join(ROOT, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qkeys, _ = _registry_keys()
+    missing = [n for n in bench.HEADLINE if n not in qkeys]
+    assert not missing, f"bench HEADLINE not in registry: {missing}"
+    tracked = getattr(bench, "TRACKED_NON_HEADLINE", [])
+    missing_t = [n for n in tracked
+                 if n not in qkeys and not n.endswith("_fast")]
+    assert not missing_t, f"bench tracked not in registry: {missing_t}"
