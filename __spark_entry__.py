@@ -2262,6 +2262,75 @@ FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+def q_decontaminate_spans(spark, sf):
+    """Span-level benchmark REMOVAL (operators/curation.py
+    ``decontaminate_spans``): the decontaminate split's bench slice
+    cut OUT of every corpus doc at 4-gram granularity — merged
+    islands, surgical removal, annotate-everything output."""
+    docs = _t(spark, sf, "documents")
+    split = curation.hash_split(docs, "doc_id", {"bench": 1, "corpus": 9},
+                                seed="decontam")
+    bench = split.filter("split = 'bench'")
+    corpus = split.filter("split = 'corpus'")
+    return curation.decontaminate_spans(corpus, bench, "doc_id",
+                                        "text", n=4)
+
+
+ORACLE_DECONTAMINATE_SPANS = """
+WITH b AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5('decontam|' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 1000000 AS bucket
+  FROM documents),
+toks AS (
+  SELECT doc_id, bucket,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM b),
+grams AS (
+  SELECT doc_id, bucket, g.i AS s, g.i + 3 AS e,
+    array_to_string(t[g.i:g.i + 3], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 4),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE bucket < 100000),
+hit AS (
+  SELECT c.doc_id, c.s, c.e FROM grams c JOIN bench USING (gram)
+  WHERE c.bucket >= 100000),
+brk AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS b
+  FROM hit),
+isl AS (
+  SELECT doc_id, s, e,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk),
+iv AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl
+  GROUP BY doc_id, island),
+pos AS (
+  SELECT doc_id, u.i AS p, t[u.i] AS w
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE bucket >= 100000),
+kept AS (
+  SELECT p.doc_id, p.p, p.w FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = p.doc_id
+                    AND p.p BETWEEN iv.s AND iv.e)),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+  (coalesce(len(t.t), 0) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+WHERE t.bucket >= 100000
+"""
+
+
 def q_pii_scan(spark, sf):
     """PII detection + redaction. The synthetic corpus has no PII, so
     deterministic fakes are planted first (identically in the oracle):
@@ -5821,6 +5890,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_check": q_robots_check,
     "corpus_diff": q_corpus_diff,
     "split_sentences": q_split_sentences,
+    "decontaminate_spans": q_decontaminate_spans,
     "script_profile": q_script_profile,
     "k_anonymity": q_k_anonymity,
     "label_propagation": q_label_propagation,
@@ -5967,6 +6037,7 @@ _ORACLE: dict[str, str] = {
     "robots_check": ORACLE_ROBOTS_CHECK,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "split_sentences": ORACLE_SPLIT_SENTENCES,
+    "decontaminate_spans": ORACLE_DECONTAMINATE_SPANS,
     "script_profile": ORACLE_SCRIPT_PROFILE,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "label_propagation": _oracle_label_propagation(),

@@ -134,6 +134,7 @@ HEADLINE = [
     "robots_check",         # robots.txt parse + RFC 9309 allow check
     "corpus_diff",          # snapshot CDC by normalized fingerprint
     "split_sentences",      # sentence relation (mark-and-split)
+    "decontaminate_spans",  # surgical benchmark-gram span removal
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

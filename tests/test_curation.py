@@ -1793,3 +1793,38 @@ def test_split_sentences_boundaries(spark):
     assert by_doc[2] == [(1, "No boundary at all", 4)]
     assert by_doc[3] == [(1, "Ends clean.", 2)]   # trailing part empty
     assert 4 not in by_doc and 5 not in by_doc
+
+
+# ------------------------------------------------------- decontaminate spans
+
+def test_decontaminate_spans_surgical_removal(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer")],
+        "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(1, "intro words the secret benchmark answer closing words"),
+         (2, "totally clean document body here"),
+         (3, "the secret benchmark answer"),      # fully contaminated
+         (4, "x the secret benchmark answer y the secret benchmark "
+             "answer z")],                        # two hits, kept glue
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in curation.decontaminate_spans(
+        corpus, bench, "doc_id", "text", n=4).collect()}
+    assert out[1]["clean_text"] == "intro words closing words"
+    assert out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "totally clean document body here"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "x y z" and out[4]["n_removed"] == 8
+
+
+def test_decontaminate_spans_merges_overlapping_hits(spark):
+    # benchmark grams overlap in the corpus doc: one merged island,
+    # no double removal
+    bench = spark.createDataFrame([(9, "a b c d e")],
+                                  "doc_id bigint, text string")
+    corpus = spark.createDataFrame([(1, "start a b c d e end")],
+                                   "doc_id bigint, text string")
+    out = curation.decontaminate_spans(corpus, bench, "doc_id",
+                                       "text", n=4).collect()[0]
+    assert out["clean_text"] == "start end" and out["n_removed"] == 5

@@ -255,6 +255,11 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
     "split_sentences": (
         "mark-and-split + posexplode projection",
         "no shuffle at any scale"),
+    "decontaminate_spans": (
+        "gram-position explode ⋈ DISTINCT benchmark grams → "
+        "islands merge over HIT rows → shared removal core",
+        "corpus text never shuffles for the match; islands windows "
+        "see hit rows only"),
 }
 
 

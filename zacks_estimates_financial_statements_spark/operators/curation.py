@@ -1656,6 +1656,18 @@ def drop_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     """
     spans = repeated_spans(df, id_col, text_col, k, min_docs).select(
         F.col(id_col).alias("__sid"), "span_start", "span_end")
+    return _remove_intervals(df, id_col, text_col, spans)
+
+
+def _remove_intervals(df: DataFrame, id_col: str, text_col: str,
+                      spans: DataFrame) -> DataFrame:
+    """Shared removal tail: cut DISJOINT 1-based token intervals
+    ``(__sid, span_start, span_end)`` out of every document and
+    rejoin survivors in position order — the drop_repeated_spans /
+    decontaminate_spans common core. One posexplode, one id-equi +
+    range-residual membership join (disjoint intervals: a position
+    matches at most once, zero amplification), one ordered-reassembly
+    groupBy."""
     toks = df.select(F.col(id_col), _word_array(text_col).alias("__t"))
     totals = toks.select(F.col(id_col),
                          F.coalesce(F.size("__t"), F.lit(0))
@@ -1684,6 +1696,67 @@ def drop_repeated_spans(df: DataFrame, id_col: str, text_col: str,
                     (F.col("__tot")
                      - F.coalesce("n_kept", F.lit(0).cast("bigint")))
                     .alias("n_removed")))
+
+
+def decontaminate_spans(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 13) -> DataFrame:
+    """Span-level benchmark decontamination — the REMOVAL transform
+    (GPT-3 appendix-C discipline, applied surgically): cut every
+    corpus token interval that exactly matches a benchmark ``n``-gram
+    and rejoin the survivors, instead of dropping whole documents
+    (``benchmark_contamination`` flags; this repairs — the same
+    flag→remove symmetry as ``repeated_spans`` →
+    ``drop_repeated_spans``). Overlapping hits merge into one removed
+    island first (gaps-and-islands), so adjacent benchmark grams cut
+    once.
+
+    Output: ``(id, clean_text, n_kept, n_removed)`` for EVERY corpus
+    document (normalized token stream, the corpus-dedup convention).
+
+    Plan shape: corpus gram positions explode once and inner-join the
+    DISTINCT benchmark gram set (broadcast-sized for real benchmark
+    suites — AQE promotes it; corpus text itself never shuffles for
+    the match, the ``benchmark_contamination`` argument); interval
+    merge is two bounded windows over HIT rows only; removal is the
+    shared ``_remove_intervals`` membership join.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = corpus.select(F.col(id_col), _word_array(text_col)
+                         .alias("__w"))
+    cg = (toks.select(
+        F.col(id_col),
+        F.posexplode_outer(_gram_array_all(F.col("__w"), n))
+        .alias("__i", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select(F.col(id_col), (F.col("__i") + 1).alias("__s"),
+                "gram"))
+    bg = (benchmark.select(_word_array(text_col).alias("__w"))
+          .select(F.explode_outer(_gram_array(F.col("__w"), n))
+                  .alias("gram"))
+          .distinct())
+    hits = (cg.join(bg, "gram")
+            .select(F.col(id_col), F.col("__s"),
+                    (F.col("__s") + (n - 1)).alias("__e")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("__s")
+    brk = hits.withColumn(
+        "__b",
+        F.when(F.col("__s") > F.coalesce(
+            F.max("__e").over(w.rowsBetween(Window.unboundedPreceding,
+                                            -1)), F.lit(-1)),
+            F.lit(1)).otherwise(F.lit(0)))
+    isl = brk.withColumn(
+        "__island",
+        F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)))
+    spans = (isl.groupBy(id_col, "__island")
+             .agg(F.min("__s").alias("span_start"),
+                  F.max("__e").alias("span_end"))
+             .select(F.col(id_col).alias("__sid"), "span_start",
+                     "span_end"))
+    return _remove_intervals(corpus, id_col, text_col, spans)
 
 
 def c4_clean(df: DataFrame, id_col: str, text_col: str, *,
