@@ -3530,6 +3530,76 @@ FROM base
 """
 
 
+def q_normalize_punct(spark, sf):
+    """Typographic normalization (functions/text.py
+    ``normalize_punct``): curly quotes/dashes/NBSP/bullets folded,
+    ellipsis + ligatures expanded — on punct-seeded text; the oracle
+    embeds the module's own fold tables so literals cannot drift."""
+    docs = _t(spark, sf, "documents")
+    seed = ("\u201cQuoted\u201d \u2014 it\u2019s na\u00efve\u2026 "
+            "\ufb01ne \u00e6on\u00a0end ")
+    return docs.select(
+        "doc_id",
+        T.normalize_punct(F.concat(F.lit(seed),
+                                   F.substring("text", 1, 40)))
+        .alias("clean"))
+
+
+def _oracle_normalize_punct() -> str:
+    frm = T.PUNCT_FOLD_FROM.replace("'", "''")
+    to = T.PUNCT_FOLD_TO.replace("'", "''")
+    seed = ("\u201cQuoted\u201d \u2014 it\u2019s na\u00efve\u2026 "
+            "\ufb01ne \u00e6on\u00a0end ")
+    expr = f"translate('{seed}' || substr(text, 1, 40), '{frm}', '{to}')"
+    for a, b in T.PUNCT_EXPANSIONS:
+        expr = f"replace({expr}, '{a}', '{b}')"
+    return f"SELECT doc_id, {expr} AS clean FROM documents"
+
+
+def q_mojibake(spark, sf):
+    """Encoding-damage panel (functions/text.py ``mojibake_stats``):
+    mojibake artifacts seeded by doc_id arithmetic (mangled 2-byte
+    sequences, â-euro punctuation triples, U+FFFD); same literal
+    patterns both engines."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    text2 = F.concat(
+        F.substring("text", 1, 30),
+        F.when(d % 4 == 1, F.lit(" \u00c3\u00a9\u00c3\u00a8"))
+        .when(d % 4 == 2, F.lit(" \u00e2\u20ac\u2122 x "
+                                "\u00e2\u20ac\u0153"))
+        .when(d % 4 == 3, F.lit(" \ufffd\u00c2\u00b7"))
+        .otherwise(F.lit(" clean tail")))
+    return docs.select("doc_id", *T.mojibake_stats(text2))
+
+
+ORACLE_MOJIBAKE = """
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 30) ||
+    CASE WHEN doc_id % 4 = 1
+         THEN ' ' || chr(195) || chr(169) || chr(195) || chr(168)
+         WHEN doc_id % 4 = 2
+         THEN ' ' || chr(226) || chr(8364) || chr(8482) || ' x '
+              || chr(226) || chr(8364) || chr(339)
+         WHEN doc_id % 4 = 3
+         THEN ' ' || chr(65533) || chr(194) || chr(183)
+         ELSE ' clean tail' END AS t
+  FROM documents),
+cnt AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t, chr(65533)))::BIGINT AS n_replacement,
+    len(regexp_extract_all(t,
+        chr(195) || '[' || chr(128) || '-' || chr(191) || ']'
+        || '|' || chr(226) || chr(8364) || '.'
+        || '|' || chr(194) || '[' || chr(160) || '-' || chr(191)
+        || ']'))::BIGINT AS n_mojibake
+  FROM base)
+SELECT doc_id, n_replacement, n_mojibake,
+  (n_replacement + n_mojibake) > 0 AS mojibake_flag
+FROM cnt
+"""
+
+
 def q_script_profile(spark, sf):
     """Unicode-script mix panel (functions/text.py
     ``script_profile``): script runs appended by doc_id arithmetic so
@@ -5891,6 +5961,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "split_sentences": q_split_sentences,
     "decontaminate_spans": q_decontaminate_spans,
+    "normalize_punct": q_normalize_punct,
+    "mojibake": q_mojibake,
     "script_profile": q_script_profile,
     "k_anonymity": q_k_anonymity,
     "label_propagation": q_label_propagation,
@@ -6038,6 +6110,8 @@ _ORACLE: dict[str, str] = {
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "split_sentences": ORACLE_SPLIT_SENTENCES,
     "decontaminate_spans": ORACLE_DECONTAMINATE_SPANS,
+    "normalize_punct": _oracle_normalize_punct(),
+    "mojibake": ORACLE_MOJIBAKE,
     "script_profile": ORACLE_SCRIPT_PROFILE,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "label_propagation": _oracle_label_propagation(),

@@ -135,6 +135,8 @@ HEADLINE = [
     "corpus_diff",          # snapshot CDC by normalized fingerprint
     "split_sentences",      # sentence relation (mark-and-split)
     "decontaminate_spans",  # surgical benchmark-gram span removal
+    "normalize_punct",      # typographic fold + ligature expansion
+    "mojibake",             # encoding-damage detection panel
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

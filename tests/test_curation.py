@@ -1828,3 +1828,35 @@ def test_decontaminate_spans_merges_overlapping_hits(spark):
     out = curation.decontaminate_spans(corpus, bench, "doc_id",
                                        "text", n=4).collect()[0]
     assert out["clean_text"] == "start end" and out["n_removed"] == 5
+
+
+# ------------------------------------------------- punct fold / mojibake
+
+def test_normalize_punct_folds_and_expands(spark):
+    from zacks_estimates_financial_statements_spark.functions import text as TXT
+
+    s = ("\u201cHi\u201d \u2014 it\u2019s \u00e6on\u2026 "
+         "\ufb01ne\u00a0end")
+    df = spark.createDataFrame([(1, s)], "doc_id bigint, text string")
+    got = df.select(TXT.normalize_punct(F.col("text"))
+                    .alias("c")).collect()[0]["c"]
+    assert got == "\"Hi\" - it's aeon... fine end"
+
+
+def test_mojibake_stats_detects_artifacts(spark):
+    from zacks_estimates_financial_statements_spark.functions import text as TXT
+
+    rows = [(1, "clean ascii text"),
+            (2, "caf\u00c3\u00a9 broken"),            # mangled e-acute
+            (3, "it\u00e2\u20ac\u2122s x \u00e2\u20ac\u0153q"),
+            (4, "lost \ufffd byte \u00c2\u00b7 dot"),
+            (5, "caf\u00e9 legitimate accents \u00f1")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *TXT.mojibake_stats(F.col("text"))).collect()}
+    assert not out[1]["mojibake_flag"]
+    assert out[2]["n_mojibake"] == 1 and out[2]["mojibake_flag"]
+    assert out[3]["n_mojibake"] == 2
+    assert out[4]["n_replacement"] == 1 and out[4]["n_mojibake"] == 1
+    # real accented text must NOT trip the detector
+    assert not out[5]["mojibake_flag"]

@@ -260,6 +260,12 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "islands merge over HIT rows → shared removal core",
         "corpus text never shuffles for the match; islands windows "
         "see hit rows only"),
+    "normalize_punct": (
+        "translate + chained replace codegen projection",
+        "no shuffle at any scale"),
+    "mojibake": (
+        "zero-shuffle artifact-pattern regexp_count projection",
+        "no shuffle at any scale"),
 }
 
 

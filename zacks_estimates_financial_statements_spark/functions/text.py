@@ -363,3 +363,58 @@ def split_sentences(df: DataFrame, id_col: str,
                 "n_words",
                 F.regexp_count(F.lower("sentence"),
                                F.lit("[a-z0-9_]+")).cast("bigint")))
+
+
+#: punctuation fold: typographic variants -> ASCII (1:1 via translate;
+#: exported for the SQL twin). Curly quotes, dashes, exotic spaces,
+#: bullets - written as escapes so no invisible char hides in source.
+PUNCT_FOLD_FROM = ("\u2018\u2019\u201a\u201b"   # curly single
+                   "\u201c\u201d\u201e\u201f"   # curly double
+                   "\u2013\u2014\u2015\u2012"   # dashes
+                   "\u00a0\u2002\u2003\u2009\u200a"  # spaces
+                   "\u2022\u00b7")                # bullets
+PUNCT_FOLD_TO = "''''" + '"' * 4 + '----' + ' ' * 5 + '--'
+assert len(PUNCT_FOLD_FROM) == len(PUNCT_FOLD_TO), \
+    (len(PUNCT_FOLD_FROM), len(PUNCT_FOLD_TO))
+
+#: length-changing expansions (applied AFTER the translate, in order)
+PUNCT_EXPANSIONS = (("\u2026", "..."), ("\u00e6", "ae"),
+                    ("\u00c6", "AE"), ("\u0153", "oe"),
+                    ("\u0152", "OE"), ("\u00df", "ss"),
+                    ("\ufb01", "fi"), ("\ufb02", "fl"))
+
+
+def normalize_punct(col: Column) -> Column:
+    """Typographic-punctuation normalization - the cleanup BEFORE
+    tokenization that makes curly-quoted web text and its
+    straight-quoted duplicate hash the same: curly quotes / dashes /
+    exotic spaces / bullets fold 1:1 via translate; ellipsis and
+    the Latin ligatures (ae oe ss fi fl) expand via chained
+    replace (the length-changing cases ascii_fold
+    deliberately leaves alone). Both pieces exist verbatim in ANSI
+    SQL; tables exported (PUNCT_FOLD_FROM/TO,
+    PUNCT_EXPANSIONS) so the twin embeds identical literals.
+    Zero-shuffle codegen projection."""
+    out = F.translate(col, PUNCT_FOLD_FROM, PUNCT_FOLD_TO)
+    for a, b in PUNCT_EXPANSIONS:
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
+def mojibake_stats(text: Column) -> list[Column]:
+    """Encoding-damage panel: count the UTF-8 replacement char
+    (U+FFFD - bytes already lost) and the classic UTF-8-read-as-
+    Latin-1 double-encoding artifacts (U+00C3 + continuation-range
+    char for a mangled 2-byte sequence, U+00E2 U+20AC pairs for
+    mangled punctuation, stray U+00C2 before symbols). Returns
+    columns [n_replacement, n_mojibake, mojibake_flag] to splat
+    into a projection - the route-to-re-decode signal a web-crawl
+    cleanup pass branches on. Same literal patterns in Java regex
+    and RE2; zero shuffle."""
+    n_rep = F.regexp_count(text, F.lit("\ufffd")).cast("bigint")
+    pat = ("\u00c3[\u0080-\u00bf]"
+           "|\u00e2\u20ac."
+           "|\u00c2[\u00a0-\u00bf]")
+    n_moj = F.regexp_count(text, F.lit(pat)).cast("bigint")
+    return [n_rep.alias("n_replacement"), n_moj.alias("n_mojibake"),
+            ((n_rep + n_moj) > 0).alias("mojibake_flag")]
