@@ -3600,6 +3600,85 @@ FROM cnt
 """
 
 
+def q_epoch_plan(spark, sf):
+    """Data-constrained epoch allocation (operators/curation.py
+    ``epoch_plan``, Muennighoff'23 regime): water-filling with
+    4-epoch caps over a rare/common split (doc_id%13), tau=0.5,
+    budget 80k tokens — the rare stratum hits its cap at sf0.01 and
+    the freed budget re-spreads; closed form via sorted-ratio prefix
+    sums, replayed window-for-window in the twin."""
+    docs = _t(spark, sf, "documents")
+    strat = docs.withColumn(
+        "stratum2",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("rare"))
+        .otherwise(F.lit("common")))
+    return curation.epoch_plan(strat, "stratum2", "text",
+                               budget_tokens=80000, max_epochs=4.0,
+                               tau=0.5)
+
+
+ORACLE_EPOCH_PLAN = """
+WITH strat AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'rare' ELSE 'common' END
+           AS stratum,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                    x -> x <> '')) AS nt
+  FROM documents),
+per AS (
+  SELECT stratum, sum(nt)::BIGINT AS n_tokens FROM strat
+  GROUP BY stratum HAVING sum(nt) > 0),
+w AS (
+  SELECT stratum, n_tokens,
+    round(pow(n_tokens::DOUBLE / sum(n_tokens) OVER (), 1.0 / 0.5), 6)
+      AS w0
+  FROM per),
+w2 AS (
+  SELECT stratum, n_tokens,
+    round(w0 / (sum(w0::DECIMAL(38,6)) OVER ())::DOUBLE, 6) AS weight,
+    round(n_tokens * 4.0::DOUBLE, 6) AS cap_tokens
+  FROM w),
+w3 AS (
+  SELECT *, round(cap_tokens / weight, 6) AS r FROM w2),
+staged AS (
+  SELECT *,
+    sum(cap_tokens::DECIMAL(38,6)) OVER
+      (ORDER BY r, stratum ROWS UNBOUNDED PRECEDING) AS caps,
+    sum(weight::DECIMAL(38,6)) OVER () AS wsum,
+    sum(weight::DECIMAL(38,6)) OVER
+      (ORDER BY r, stratum ROWS UNBOUNDED PRECEDING) AS wpre,
+    lead(r) OVER (ORDER BY r, stratum) AS rnext
+  FROM w3),
+lam AS (
+  SELECT *,
+    (wsum - wpre)::DOUBLE AS wrest,
+    CASE WHEN (wsum - wpre)::DOUBLE > 0 THEN
+      round((80000.0 - caps::DOUBLE) / (wsum - wpre)::DOUBLE, 6)
+    END AS lam_k
+  FROM staged),
+fin AS (
+  SELECT *,
+    max(CASE WHEN r <= lam_k AND coalesce(rnext > lam_k, TRUE)
+             THEN lam_k END) OVER () AS lam_sel,
+    min(r) OVER () AS minr,
+    round(80000.0 / wsum::DOUBLE, 6) AS lam0
+  FROM lam),
+alloc AS (
+  SELECT stratum, n_tokens, weight, cap_tokens,
+    CASE WHEN coalesce(CASE WHEN minr > lam0 THEN lam0 END,
+                       lam_sel) IS NULL
+         THEN cap_tokens
+         ELSE round(least(cap_tokens,
+                          coalesce(CASE WHEN minr > lam0 THEN lam0 END,
+                                   lam_sel) * weight), 6) END
+      AS alloc_tokens
+  FROM fin)
+SELECT stratum, n_tokens, weight, cap_tokens, alloc_tokens,
+  round(alloc_tokens / n_tokens, 6) AS epochs,
+  alloc_tokens >= cap_tokens AS capped
+FROM alloc
+"""
+
+
 def q_script_profile(spark, sf):
     """Unicode-script mix panel (functions/text.py
     ``script_profile``): script runs appended by doc_id arithmetic so
@@ -5963,6 +6042,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_spans": q_decontaminate_spans,
     "normalize_punct": q_normalize_punct,
     "mojibake": q_mojibake,
+    "epoch_plan": q_epoch_plan,
     "script_profile": q_script_profile,
     "k_anonymity": q_k_anonymity,
     "label_propagation": q_label_propagation,
@@ -6112,6 +6192,7 @@ _ORACLE: dict[str, str] = {
     "decontaminate_spans": ORACLE_DECONTAMINATE_SPANS,
     "normalize_punct": _oracle_normalize_punct(),
     "mojibake": ORACLE_MOJIBAKE,
+    "epoch_plan": ORACLE_EPOCH_PLAN,
     "script_profile": ORACLE_SCRIPT_PROFILE,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "label_propagation": _oracle_label_propagation(),

@@ -137,6 +137,7 @@ HEADLINE = [
     "decontaminate_spans",  # surgical benchmark-gram span removal
     "normalize_punct",      # typographic fold + ligature expansion
     "mojibake",             # encoding-damage detection panel
+    "epoch_plan",           # water-filling epoch-capped budget fill
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

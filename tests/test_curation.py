@@ -1860,3 +1860,34 @@ def test_mojibake_stats_detects_artifacts(spark):
     assert out[4]["n_replacement"] == 1 and out[4]["n_mojibake"] == 1
     # real accented text must NOT trip the detector
     assert not out[5]["mojibake_flag"]
+
+
+# ------------------------------------------------------------------ epoch plan
+
+def test_epoch_plan_waterfill_caps_and_budget(spark):
+    rows = [("small", "w " * 100), ("big", "w " * 1000)]
+    df = spark.createDataFrame(rows, "src string, text string")
+    # flattened weights (tau=5 -> share^0.2) + big budget: the small
+    # stratum hits its 4-epoch cap, freed budget goes to the big one
+    out = {r["stratum"]: r for r in curation.epoch_plan(
+        df, "src", "text", budget_tokens=3000, max_epochs=4.0,
+        tau=5.0).collect()}
+    assert out["small"]["capped"] and out["small"]["epochs"] == 4.0
+    assert not out["big"]["capped"]
+    total = out["small"]["alloc_tokens"] + out["big"]["alloc_tokens"]
+    assert abs(total - 3000) < 1.0          # budget exhausted
+    # proportional regime (tau=1): equal epochs, nobody capped
+    prop = {r["stratum"]: r for r in curation.epoch_plan(
+        df, "src", "text", budget_tokens=2200, max_epochs=4.0,
+        tau=1.0).collect()}
+    assert abs(prop["small"]["epochs"] - prop["big"]["epochs"]) < 1e-4
+    assert not prop["small"]["capped"] and not prop["big"]["capped"]
+
+
+def test_epoch_plan_budget_exceeds_all_caps(spark):
+    df = spark.createDataFrame([("a", "w " * 10), ("b", "w " * 20)],
+                               "src string, text string")
+    out = curation.epoch_plan(df, "src", "text", budget_tokens=10_000,
+                              max_epochs=2.0).collect()
+    assert all(r["capped"] and r["epochs"] == 2.0 for r in out)
+    assert sum(r["alloc_tokens"] for r in out) == 60.0   # < budget

@@ -153,7 +153,12 @@ LAMBDA_FILTER_OK = {
 #: window runs over an aggregate whose cardinality is bounded by
 #: construction). Post-`.limit(top_n)` windows need no whitelist entry —
 #: the detector sees the GlobalLimit below the Window.
-GLOBAL_WINDOW_OK: dict[str, str] = {}
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "epoch_plan": "every window's input is the groupBy(strata) "
+                  "aggregate — |strata| rows by construction (the "
+                  "mixture_plan frame); the water-filling prefix "
+                  "sums need a global order over that tiny relation",
+}
 
 _LAMBDA_FILTER_RE = re.compile(r"Filter [^\n]+")
 

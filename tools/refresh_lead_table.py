@@ -266,6 +266,11 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
     "mojibake": (
         "zero-shuffle artifact-pattern regexp_count projection",
         "no shuffle at any scale"),
+    "epoch_plan": (
+        "ONE corpus agg → sorted-ratio prefix sums + lead() boundary "
+        "on the |strata|-row frame",
+        "water-filling in closed form; no driver loop, windows see "
+        "|strata| rows"),
 }
 
 

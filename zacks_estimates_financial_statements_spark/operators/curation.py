@@ -2078,3 +2078,104 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
               .otherwise(F.lit("changed")))
     return j.select(F.col(id_col), status.alias("status"),
                     "old_fp", "new_fp")
+
+
+def epoch_plan(df: DataFrame, strata_col: str, text_col: str,
+               budget_tokens: int, max_epochs: float = 4.0,
+               tau: float = 1.0,
+               token_count: Column | None = None) -> DataFrame:
+    """Data-constrained mixture allocation (the Muennighoff et al.
+    2023 "data-constrained scaling" regime): fill a training budget
+    across strata proportionally to temperature-``tau`` weights, but
+    cap every stratum at ``max_epochs`` repetitions of its unique
+    tokens — the point where repeated data stops helping. The
+    proportional-with-caps optimum is WATER-FILLING: small strata hit
+    their epoch cap, the freed budget re-spreads over the rest; the
+    classic iterative solution has a closed form over the sorted
+    cap/weight ratios (largest boundary k with ``r_k ≤ λ_k`` where
+    ``λ_k = (B − Σ_{i≤k} cap_i) / Σ_{i>k} w_i``), which is two prefix
+    sums and a lead() on the |strata|-row frame — no driver loop.
+
+    Output per stratum: ``(stratum, n_tokens, weight, cap_tokens,
+    alloc_tokens, epochs, capped)``; ``Σ alloc_tokens ≈ B`` (6-digit
+    quantization) unless the budget exceeds every cap, in which case
+    every stratum saturates at ``max_epochs`` and the plan reports
+    the shortfall implicitly (Σ alloc < B).
+
+    Determinism: weights are the decimal-routed temperature shares
+    (``temperature_mixture``'s recipe); every ratio/λ/allocation
+    rounds to 6; ratio ties sort by stratum. Scale: ONE corpus
+    aggregation; every window below it runs on |strata| rows (the
+    mixture_plan contract).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0: {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0: {max_epochs}")
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    from pyspark.sql import Window
+
+    nt = (token_count if token_count is not None
+          else F.size(_word_array(text_col)))
+    per = (df.groupBy(strata_col)
+           .agg(F.sum(nt.cast("bigint")).alias("n_tokens"))
+           .filter(F.col("n_tokens") > 0))
+    every = Window.partitionBy(F.lit(0))
+    share = F.col("n_tokens") / F.col("__total")
+    w = (per.withColumn("__total", F.sum("n_tokens").over(every))
+         .withColumn("__w0", F.round(F.pow(share, F.lit(1.0 / tau)), 6))
+         .withColumn("__sw", F.sum(F.col("__w0").cast("decimal(38,6)"))
+                     .over(every))
+         .withColumn("weight", F.round(F.col("__w0")
+                                       / F.col("__sw").cast("double"),
+                                       6))
+         .withColumn("cap_tokens",
+                     F.round(F.col("n_tokens") * float(max_epochs), 6))
+         .withColumn("__r", F.round(F.col("cap_tokens")
+                                    / F.col("weight"), 6)))
+    order = Window.partitionBy(F.lit(0)).orderBy("__r", strata_col)
+    run = Window.partitionBy(F.lit(0)).orderBy("__r", strata_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = float(budget_tokens)
+    lam_row = F.when(
+        F.col("__wrest") > 0,
+        F.round((F.lit(b) - F.col("__caps").cast("double"))
+                / F.col("__wrest").cast("double"), 6))
+    staged = (w
+              .withColumn("__caps", F.sum(F.col("cap_tokens")
+                                          .cast("decimal(38,6)")).over(run))
+              .withColumn("__wsum", F.sum(F.col("weight")
+                                          .cast("decimal(38,6)")).over(every))
+              .withColumn("__wpre", F.sum(F.col("weight")
+                                          .cast("decimal(38,6)")).over(run))
+              .withColumn("__wrest", (F.col("__wsum") - F.col("__wpre"))
+                          .cast("double"))
+              .withColumn("__lam_k", lam_row)
+              .withColumn("__rnext", F.lead("__r").over(order)))
+    # boundary candidates: all first-k-capped prefixes that satisfy
+    # r_k <= lambda_k AND r_{k+1} > lambda_k; plus the none-capped
+    # boundary lambda_0 = B / total_w when even the smallest ratio
+    # clears it. The final lambda is the (unique) valid candidate.
+    lam0 = F.round(F.lit(b) / F.col("__wsum").cast("double"), 6)
+    valid = ((F.col("__r") <= F.col("__lam_k"))
+             & (F.coalesce(F.col("__rnext") > F.col("__lam_k"),
+                           F.lit(True))))
+    fin = (staged
+           .withColumn("__lam_sel", F.max(F.when(valid, F.col("__lam_k")))
+                       .over(every))
+           .withColumn("__minr", F.min("__r").over(every))
+           .withColumn("__lam", F.coalesce(
+               F.when(F.col("__minr") > lam0, lam0),
+               F.col("__lam_sel"))))
+    alloc = F.when(
+        F.col("__lam").isNull(), F.col("cap_tokens")
+    ).otherwise(F.round(F.least(F.col("cap_tokens"),
+                                F.col("__lam") * F.col("weight")), 6))
+    return (fin.select(F.col(strata_col).alias("stratum"), "n_tokens",
+                       "weight", "cap_tokens",
+                       alloc.alias("alloc_tokens"))
+            .withColumn("epochs", F.round(F.col("alloc_tokens")
+                                          / F.col("n_tokens"), 6))
+            .withColumn("capped",
+                        F.col("alloc_tokens") >= F.col("cap_tokens")))
