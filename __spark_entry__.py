@@ -3679,6 +3679,102 @@ FROM alloc
 """
 
 
+def q_code_score(spark, sf):
+    """Code-vs-prose routing panel (functions/text.py ``code_score``):
+    a code block appended to every third doc, prose to the rest; the
+    oracle runs the identical regex counts. Zero-shuffle."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    code_tail = ("\ndef calc(x):\n  y = x + 1;\n  while y: y = y - 2;"
+                 "\n  return y;")
+    prose_tail = "\nPlain prose continues without any markers here."
+    text2 = F.concat(F.col("text"),
+                     F.when(d % 3 == 0, F.lit(code_tail))
+                     .otherwise(F.lit(prose_tail)))
+    return docs.select("doc_id", *T.code_score(text2))
+
+
+ORACLE_CODE_SCORE = """
+WITH base AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+    THEN chr(10) || 'def calc(x):' || chr(10) || '  y = x + 1;'
+         || chr(10) || '  while y: y = y - 2;' || chr(10)
+         || '  return y;'
+    ELSE chr(10) || 'Plain prose continues without any markers here.'
+    END AS t
+  FROM documents),
+cnt AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t, '[{};]'))::BIGINT AS n_braces,
+    len(regexp_extract_all(lower(t),
+      '(^|[^a-z0-9_])(def|return|import|function|var|const|if|else|for|while|class|void|int|public)($|[^a-z0-9_])'
+      ))::BIGINT AS n_keywords,
+    len(regexp_extract_all(t, '(?m)^(  |' || chr(9) || ')'))::BIGINT
+      AS n_indented_lines,
+    len(regexp_extract_all(t,
+      '[a-zA-Z0-9_\\]\\)] ?=[^=]'))::BIGINT AS n_assign,
+    len(string_split(t, chr(10)))::BIGINT AS n_lines,
+    length(t) AS tl
+  FROM base)
+SELECT doc_id, n_braces, n_keywords, n_indented_lines, n_assign,
+  n_lines,
+  CASE WHEN tl > 0 THEN round(
+    (least(1.0::DOUBLE, n_braces::DOUBLE / greatest(n_lines, 1))
+     + least(1.0::DOUBLE, n_keywords::DOUBLE / greatest(n_lines, 1))
+     + least(1.0::DOUBLE, n_indented_lines::DOUBLE
+             / greatest(n_lines, 1))
+     + least(1.0::DOUBLE, n_assign::DOUBLE / greatest(n_lines, 1)))
+    / 4.0, 6) END AS code_score
+FROM cnt
+"""
+
+
+def q_url_features(spark, sf):
+    """Crawl-frontier URL features (functions/web.py
+    ``url_features``): four path shapes by doc_id arithmetic (root,
+    deep trailing-slash, id-segment with query, empty); the oracle
+    computes the same features from the same synthesized parts."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"), F.lit(".org"),
+        F.when(d % 4 == 0, F.lit("/"))
+        .when(d % 4 == 1, F.concat(F.lit("/a/b/"), d.cast("string"),
+                                   F.lit("/")))
+        .when(d % 4 == 2, F.concat(F.lit("/p"), d.cast("string"),
+                                   F.lit("/x?a=1&b=2")))
+        .otherwise(F.lit("")))
+    return web.url_features(docs.select("doc_id", url.alias("u")),
+                            "doc_id", "u")
+
+
+ORACLE_URL_FEATURES = """
+WITH parts AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN '/'
+         WHEN doc_id % 4 = 1 THEN '/a/b/' || doc_id || '/'
+         WHEN doc_id % 4 = 2 THEN '/p' || doc_id || '/x'
+         ELSE '' END AS path,
+    CASE WHEN doc_id % 4 = 2 THEN 'a=1&b=2' ELSE '' END AS q
+  FROM documents)
+SELECT doc_id,
+  'https://h' || (doc_id % 7) || '.org' || path ||
+    CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url,
+  'h' || (doc_id % 7) || '.org' AS host,
+  len(list_filter(string_split(path, '/'), s -> s <> ''))::BIGINT
+    AS depth,
+  (CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END)::BIGINT
+    AS n_params,
+  length(path)::BIGINT AS path_len,
+  CASE WHEN length(path) > 0 THEN
+    round(length(regexp_replace(path, '[^0-9]', '', 'g'))::DOUBLE
+          / length(path), 6) END AS digit_frac,
+  (path = '' OR path = '/' OR path LIKE '%/') AS is_index
+FROM parts
+"""
+
+
 def q_script_profile(spark, sf):
     """Unicode-script mix panel (functions/text.py
     ``script_profile``): script runs appended by doc_id arithmetic so
@@ -6043,6 +6139,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_punct": q_normalize_punct,
     "mojibake": q_mojibake,
     "epoch_plan": q_epoch_plan,
+    "code_score": q_code_score,
+    "url_features": q_url_features,
     "script_profile": q_script_profile,
     "k_anonymity": q_k_anonymity,
     "label_propagation": q_label_propagation,
@@ -6193,6 +6291,8 @@ _ORACLE: dict[str, str] = {
     "normalize_punct": _oracle_normalize_punct(),
     "mojibake": ORACLE_MOJIBAKE,
     "epoch_plan": ORACLE_EPOCH_PLAN,
+    "code_score": ORACLE_CODE_SCORE,
+    "url_features": ORACLE_URL_FEATURES,
     "script_profile": ORACLE_SCRIPT_PROFILE,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "label_propagation": _oracle_label_propagation(),

@@ -138,6 +138,8 @@ HEADLINE = [
     "normalize_punct",      # typographic fold + ligature expansion
     "mojibake",             # encoding-damage detection panel
     "epoch_plan",           # water-filling epoch-capped budget fill
+    "code_score",           # code-vs-prose routing panel
+    "url_features",         # crawl-frontier URL priors
     # leakage_safe_split joins the non-headline tail below: it embeds a
     # connected-components run whose fixed checkpoint/convergence jobs
     # dominate at bench sf — same exclusion rationale as dedup_clusters.

@@ -1891,3 +1891,43 @@ def test_epoch_plan_budget_exceeds_all_caps(spark):
                               max_epochs=2.0).collect()
     assert all(r["capped"] and r["epochs"] == 2.0 for r in out)
     assert sum(r["alloc_tokens"] for r in out) == 60.0   # < budget
+
+
+# ----------------------------------------------------- code score / url feats
+
+def test_code_score_separates_code_from_prose(spark):
+    from zacks_estimates_financial_statements_spark.functions import text as TXT
+
+    code = ("def add(a, b):\n  total = a + b;\n  return total;\n"
+            "class Thing:\n  pass")
+    prose = ("The weather stayed pleasant throughout the afternoon "
+             "and nobody mentioned anything unusual at all.")
+    df = spark.createDataFrame([(1, code), (2, prose), (3, "")],
+                               "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *TXT.code_score(F.col("text"))).collect()}
+    assert out[1]["n_braces"] >= 2 and out[1]["n_keywords"] >= 3
+    assert out[1]["n_indented_lines"] == 3
+    assert out[1]["code_score"] > 0.4
+    assert out[2]["code_score"] < 0.1
+    assert out[3]["code_score"] is None
+
+
+def test_url_features_panel(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    rows = [(1, "https://a.org/"),
+            (2, "https://a.org/blog/2024/05/post-123?utm=x&ref=y"),
+            (3, "https://a.org"),
+            (4, "https://a.org/p/12345/")]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r["doc_id"]: r for r in web.url_features(
+        df, "doc_id", "url").collect()}
+    assert out[1]["depth"] == 0 and out[1]["is_index"]
+    r2 = out[2]
+    assert r2["depth"] == 4 and r2["n_params"] == 2 and not r2["is_index"]
+    assert abs(r2["digit_frac"] - round(9 / len("/blog/2024/05/post-123"),
+                                        6)) < 1e-9
+    assert out[3]["path_len"] == 0 and out[3]["digit_frac"] is None \
+        and out[3]["is_index"]
+    assert out[4]["is_index"] and out[4]["digit_frac"] > 0.5

@@ -271,6 +271,12 @@ NEW_ROWS: dict[str, tuple[str, str]] = {
         "on the |strata|-row frame",
         "water-filling in closed form; no driver loop, windows see "
         "|strata| rows"),
+    "code_score": (
+        "zero-shuffle marker-regex panel projection",
+        "no shuffle at any scale"),
+    "url_features": (
+        "zero-shuffle scheme/host/path feature projection",
+        "no shuffle at any scale"),
 }
 
 

@@ -418,3 +418,45 @@ def mojibake_stats(text: Column) -> list[Column]:
     n_moj = F.regexp_count(text, F.lit(pat)).cast("bigint")
     return [n_rep.alias("n_replacement"), n_moj.alias("n_mojibake"),
             ((n_rep + n_moj) > 0).alias("mojibake_flag")]
+
+
+def code_score(text: Column) -> list[Column]:
+    """Code-vs-prose routing panel — the signal that sends a document
+    to the code tokenizer/quality track instead of the prose one
+    (every mixed web corpus needs the split before per-track
+    cleaning): counts of code-ish markers computed with
+    cross-engine-identical regexes, plus a [0,1] score.
+
+    Markers: ``n_braces`` (``{};`` punctuation), ``n_keywords``
+    (whole-token hits of a fixed keyword set: def/return/import/
+    function/var/const/if/else/for/while/class/void/int/public),
+    ``n_indented_lines`` (lines starting with 2+ spaces or a tab),
+    ``n_assign`` (``=`` neighbored by identifier chars, excluding
+    ``==``). ``score`` saturates each signal against the line count
+    and averages — 6-digit rounded, NULL for empty docs. Zero-shuffle
+    projection.
+    """
+    kw = ("def|return|import|function|var|const|if|else|for|while"
+          "|class|void|int|public")
+    n_braces = F.regexp_count(text, F.lit(r"[{};]")).cast("bigint")
+    n_kw = F.regexp_count(
+        F.lower(text),
+        F.lit(r"(^|[^a-z0-9_])(" + kw + r")($|[^a-z0-9_])"))\
+        .cast("bigint")
+    n_indent = F.regexp_count(text, F.lit(r"(?m)^(  |\t)"))\
+        .cast("bigint")
+    n_assign = F.regexp_count(text, F.lit(r"[a-zA-Z0-9_\]\)] ?=[^=]"))\
+        .cast("bigint")
+    n_lines = F.coalesce(F.size(F.split(text, "\n")), F.lit(0))\
+        .cast("bigint")
+    sat = lambda c: F.least(F.lit(1.0),
+                            c.cast("double")
+                            / F.greatest(n_lines, F.lit(1))
+                            .cast("double"))
+    score = F.when(F.length(text) > 0, F.round(
+        (sat(n_braces) + sat(n_kw) + sat(n_indent) + sat(n_assign))
+        / 4.0, 6))
+    return [n_braces.alias("n_braces"), n_kw.alias("n_keywords"),
+            n_indent.alias("n_indented_lines"),
+            n_assign.alias("n_assign"), n_lines.alias("n_lines"),
+            score.alias("code_score")]

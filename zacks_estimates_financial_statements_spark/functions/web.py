@@ -397,3 +397,38 @@ def robots_allowed(urls: DataFrame, rules: DataFrame, id_col: str,
                     F.coalesce(F.col("__win.allow"), F.lit(True))
                     .alias("allowed"),
                     F.col("__win.prefix").alias("matched_prefix")))
+
+
+def url_features(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Crawl-frontier URL features — the cheap priors a frontier
+    scheduler ranks by before fetching anything (pairs with
+    ``politeness_schedule`` and the pagerank prior): path depth,
+    query-parameter count, digit share of the path (IDs/pagination ≈
+    low-value), path length, and ``is_index`` (root or trailing
+    slash). All from the same scheme/host/path split
+    ``canonical_url`` uses; zero-shuffle projection.
+
+    Output: ``(id, url, host, depth, n_params, path_len, digit_frac,
+    is_index)``; ``digit_frac`` NULL for empty paths.
+    """
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    host = url_host(F.col(url_col))
+    pathq = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    q = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    seg = F.filter(F.split(path, "/"), lambda s: s != "")
+    n_params = F.when(q == "", F.lit(0)).otherwise(
+        F.size(F.split(q, "&"))).cast("bigint")
+    plen = F.length(path).cast("bigint")
+    digits = F.length(F.regexp_replace(path, r"[^0-9]", ""))
+    return df.select(
+        F.col(id_col), F.col(url_col).alias("url"),
+        host.alias("host"),
+        F.size(seg).cast("bigint").alias("depth"),
+        n_params.alias("n_params"), plen.alias("path_len"),
+        F.when(plen > 0, F.round(digits.cast("double")
+                                 / plen.cast("double"), 6))
+        .alias("digit_frac"),
+        ((path == "") | (path == "/") | path.endswith("/"))
+        .alias("is_index"))
