@@ -19,7 +19,13 @@ the (doc, term) counts must map-side-combine), ``pagerank`` (one hub
 node receives 50% of all edges — contribution aggregation must
 combine before the shuffle), and ``bpe_encode`` (the top word covers
 half the corpus — encode works on the distinct-word relation, so the
-hot word is ONE row there and fan-out happens only at rejoin).
+hot word is ONE row there and fan-out happens only at rejoin),
+``label_propagation`` (the hub's neighbor-label counts must collapse
+map-side in the same grouped argmax), ``phrase_search`` (a stop-term
+phrase floods candidate votes — the (id, start) groupBy must
+map-side-combine), ``ngram_diversity`` (one stratum owns 50% of rows —
+the distinct-gram agg must two-phase) and ``drop_repeated_spans``
+(90% of docs share the removed interval).
 
 For every stage the sweep reads ``/stages/{id}/{attempt}/taskSummary``
 and the gate fails when a qualifying stage (>= 4 tasks, max task
@@ -180,6 +186,29 @@ def main() -> int:
             df, "doc_id", "text",
             [("c", "o"), ("co", "o"), ("coo", "k"), ("t", "h"),
              ("th", "e"), ("s", "i")])),
+        # hub node 0 again: LPA's per-round neighbor-label count must
+        # collapse the hub's (node, label) rows map-side, and the
+        # max_by argmax rides the SAME grouped agg (no per-node window
+        # over the hub's edge fan-in)
+        "label_propagation": lambda: force(graph.label_propagation(
+            edges, n_iter=2)),
+        # every doc contains "the cookies": a phrase made of stop
+        # terms floods the candidate votes — the (id, start) vote
+        # groupBy must map-side-combine, and only slot-matching
+        # tokens may reach the shuffle
+        "phrase_search": lambda: force(retrieval.phrase_search(
+            df, "doc_id", "text", ["accept", "all", "cookies"])),
+        # one stratum (the hot host) owns 50% of all rows: the
+        # (stratum, n) distinct-gram agg must two-phase, never a
+        # per-stratum gram list
+        "ngram_diversity": lambda: force(curation.ngram_diversity(
+            df, "doc_id", "text", "host", ns=(1, 2))),
+        # 90% of docs share the SAME removed interval text: span
+        # grouping rides the dense_rank window on span text (hot span
+        # sorts into one partition bounded like any groupBy) and the
+        # membership join is per-id equi
+        "drop_repeated_spans": lambda: force(curation.drop_repeated_spans(
+            df, "doc_id", "text", k=8, min_docs=3)),
     }
 
     report, violations = {}, []
