@@ -273,3 +273,41 @@ def test_robots_allowed_semantics(spark):
     assert not bad[2]["allowed"]
     assert bad[2]["matched_prefix"] == "/"     # * rules NOT consulted
     assert not bad[5]["allowed"]
+
+
+def test_parse_robots_edge_cases(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    files = spark.createDataFrame(
+        [("a.org", "# only comments\n\n# nothing else"),
+         # rules BEFORE any User-agent group are invalid per RFC 9309
+         # and must be dropped, not attached to a phantom group
+         ("b.org", "Disallow: /orphan\nUser-agent: *\nDisallow: /x"),
+         # empty Disallow (allow-everything idiom) drops; mixed case
+         # keys and agent values normalize
+         ("c.org", "USER-AGENT: MixedBot\nDISALLOW:\nAllow: /ok")],
+        "host string, robots string")
+    rules = web.parse_robots(files, "host", "robots").collect()
+    by_host = {}
+    for r in rules:
+        by_host.setdefault(r["host"], set()).add(
+            (r["agent"], r["allow"], r["prefix"]))
+    assert "a.org" not in by_host
+    assert by_host["b.org"] == {("*", False, "/x")}
+    assert by_host["c.org"] == {("mixedbot", True, "/ok")}
+
+
+def test_robots_allowed_no_rules_relation_rows(spark):
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    rules = web.parse_robots(
+        spark.createDataFrame([("x.org", "User-agent: *\nDisallow: /p")],
+                              "host string, robots string"),
+        "host", "robots")
+    urls = spark.createDataFrame(
+        [(1, "https://x.org/p/1"), (2, "https://x.org/q"),
+         (3, "https://unknown.net/p/1")],
+        "id bigint, url string")
+    out = {r["id"]: r["allowed"] for r in web.robots_allowed(
+        urls, rules, "id", "url").collect()}
+    assert out == {1: False, 2: True, 3: True}
