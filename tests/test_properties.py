@@ -307,3 +307,59 @@ def test_funnel_matches_bruteforce(spark, rows):
                ev, "user_id", "event_type", "ts", steps,
                horizon_seconds=horizon).collect()}
     assert got == ref()
+
+
+# --------------------------------------------------- closed-form op properties
+
+@settings(max_examples=10, deadline=None)
+@given(arrivals=st.lists(st.integers(min_value=0, max_value=3600),
+                         min_size=1, max_size=25),
+       interval=st.integers(min_value=1, max_value=60))
+def test_politeness_closed_form_equals_sequential(spark, arrivals,
+                                                  interval):
+    """The running-max window closed form must equal the sequential
+    max(arr, prev + I) recurrence for ANY arrival multiset."""
+    from zacks_estimates_financial_statements_spark.functions.web import politeness_schedule
+
+    rows = [("h", i, f"2024-01-01 00:{a // 60:02d}:{a % 60:02d}")
+            for i, a in enumerate(sorted(arrivals))]
+    df = spark.createDataFrame(rows, "host string, id bigint, ts string")
+    got = sorted(politeness_schedule(df, "host", "id", "ts",
+                                     float(interval)).collect(),
+                 key=lambda r: r["position"])
+    sched = None
+    for r in got:
+        exp = r["arrival_us"] if sched is None else \
+            max(r["arrival_us"], sched + interval * 1_000_000)
+        assert r["sched_us"] == exp
+        sched = exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(sizes=st.lists(st.integers(min_value=1, max_value=50),
+                      min_size=2, max_size=5, unique=True),
+       budget=st.integers(min_value=10, max_value=2000),
+       tau=st.sampled_from([0.5, 1.0, 2.0, 5.0]))
+def test_epoch_plan_waterfill_invariants(spark, sizes, budget, tau):
+    """For ANY strata/budget/temperature: (a) allocations never exceed
+    caps, (b) the budget is exhausted to quantization unless every
+    stratum saturates, (c) uncapped strata share one water level
+    (alloc/weight equal)."""
+    from zacks_estimates_financial_statements_spark.operators import curation
+
+    rows = [(f"s{i}", "w " * n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = curation.epoch_plan(df, "src", "text", budget_tokens=budget,
+                              max_epochs=3.0, tau=tau).collect()
+    total_cap = sum(r["cap_tokens"] for r in out)
+    total_alloc = sum(r["alloc_tokens"] for r in out)
+    for r in out:
+        assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-6
+    if budget >= total_cap:
+        assert all(r["capped"] for r in out)
+        assert abs(total_alloc - total_cap) < 1e-3
+    else:
+        assert abs(total_alloc - budget) < 1.0
+        levels = {round(r["alloc_tokens"] / r["weight"], 2)
+                  for r in out if not r["capped"]}
+        assert len(levels) <= 1
