@@ -3804,7 +3804,8 @@ WITH base AS (
 cnt AS (
   SELECT doc_id,
     len(regexp_extract_all(t,
-        '[A-Za-z\u00c0-\u024f]'))::BIGINT AS n_latin,
+        '[A-Za-z\u00c0-\u00d6\u00d8-\u00f6\u00f8-\u024f]'))::BIGINT
+      AS n_latin,
     len(regexp_extract_all(t, '[\u0400-\u04ff]'))::BIGINT
       AS n_cyrillic,
     len(regexp_extract_all(t, '[\u0370-\u03ff]'))::BIGINT AS n_greek,

@@ -1234,6 +1234,25 @@ def test_semantic_contamination_self_pairs_and_candidates(spark):
     assert brute == viac
 
 
+def test_semantic_contamination_string_bench_ids(spark):
+    # eval-set ids are commonly strings — the nearest-id tie-break
+    # must not negate the id column (ANSI would throw); ties on
+    # cosine break to the SMALLEST id.
+    from zacks_estimates_financial_statements_spark.operators import curation as cur
+
+    corpus = spark.createDataFrame(
+        [("doc1", [1.0, 0.0])], "vec_id string, embedding array<float>")
+    bench = spark.createDataFrame(
+        [("mmlu/b", [1.0, 0.0]), ("mmlu/a", [1.0, 0.0]),
+         ("gsm8k/z", [0.0, 1.0])],
+        "vec_id string, embedding array<float>")
+    got = cur.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.95).collect()
+    assert len(got) == 1
+    assert got[0]["contaminated"]
+    assert got[0]["nearest_bench_id"] == "mmlu/a"
+
+
 # ---------------------------------------------------------- Kneser-Ney LM
 
 def test_kn_perplexity_hand_computed(spark):

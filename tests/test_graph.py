@@ -233,3 +233,19 @@ def test_label_propagation_deterministic_and_ignores_self_loops(spark):
     assert a == b and len(a) > 0
     # min-label tie-break: labels are drawn from node ids
     assert all(lbl in {n for n, _ in a} for _, lbl in a)
+
+
+def test_label_propagation_string_node_ids(spark):
+    # the advertised use: host/URL graphs with STRING ids — the
+    # tie-break must not negate the label column (ANSI would throw).
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("a.com", "c.com"),
+         ("x.org", "y.org"), ("y.org", "z.org"), ("x.org", "z.org")],
+        "src string, dst string")
+    out = {r["node"]: r["label"] for r in graph.label_propagation(
+        edges, n_iter=3).collect()}
+    assert len({out["a.com"], out["b.com"], out["c.com"]}) == 1
+    assert len({out["x.org"], out["y.org"], out["z.org"]}) == 1
+    assert out["a.com"] != out["x.org"]
+    # smallest-label convention holds for strings too
+    assert out["x.org"] == "x.org" and out["a.com"] == "a.com"

@@ -188,6 +188,25 @@ def test_politeness_schedule_matches_sequential_replay(spark):
         sched = exp
 
 
+def test_politeness_schedule_malformed_arrival_degrades_per_row(spark):
+    """The NULL-arrival contract: a malformed timestamp (ANSI cast
+    would abort the whole job) is dropped from the schedule; the
+    remaining rows schedule exactly as if it were never there."""
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    rows = [("a", 1, "2024-01-01 00:00:00"),
+            ("a", 2, "2024-01-01 00:60:00"),   # minute 60 — unparseable
+            ("a", 3, "not a timestamp"),
+            ("a", 4, None),
+            ("a", 5, "2024-01-01 00:00:01")]
+    df = spark.createDataFrame(rows, "host string, id bigint, ts string")
+    out = {r["id"]: r for r in web.politeness_schedule(
+        df, "host", "id", "ts", interval_sec=10).collect()}
+    assert sorted(out) == [1, 5]               # bad rows filtered, no abort
+    assert out[5]["sched_us"] - out[1]["sched_us"] == 10_000_000
+    assert [out[1]["position"], out[5]["position"]] == [0, 1]
+
+
 # --------------------------------------------------------- registrable domain
 
 def test_registrable_domain_psl_semantics(spark):

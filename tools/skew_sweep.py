@@ -24,8 +24,14 @@ hot word is ONE row there and fan-out happens only at rejoin),
 map-side in the same grouped argmax), ``phrase_search`` (a stop-term
 phrase floods candidate votes — the (id, start) groupBy must
 map-side-combine), ``ngram_diversity`` (one stratum owns 50% of rows —
-the distinct-gram agg must two-phase) and ``drop_repeated_spans``
-(90% of docs share the removed interval).
+the distinct-gram agg must two-phase), ``drop_repeated_spans``
+(90% of docs share the removed interval), ``kn_perplexity`` (the
+boilerplate bigrams repeat across 90% of docs — every KN count model
+must two-phase; the round-8 groupBy+join-back C(w1,w2) replaces an
+unsplittable (w1,w2) window), and ``politeness_schedule`` (one host
+owns 50% of requests — the per-key chain is sequential by semantics;
+the row measures its honest cost, bounded in production by the
+politeness invariant itself).
 
 For every stage the sweep reads ``/stages/{id}/{attempt}/taskSummary``
 and the gate fails when a qualifying stage (>= 4 tasks, max task
@@ -145,7 +151,7 @@ def main() -> int:
     def force(d):
         d.write.format("noop").mode("overwrite").save()
 
-    from zacks_estimates_financial_statements_spark.functions import tokenize
+    from zacks_estimates_financial_statements_spark.functions import tokenize, web
     from zacks_estimates_financial_statements_spark.operators import graph, retrieval
 
     # hub-skewed edge set: every doc links the ONE hub node, plus a
@@ -171,8 +177,15 @@ def main() -> int:
         "classifier_score": lambda: force(curation.classifier_quality_score(
             df, "doc_id", "text", weights, dim=dim)),
         # "the" heads ~every bigram: head-count model via groupBy
-        # (map-side combined), not a w1 window
+        # (map-side combined), not a w1 window; the ~16 boilerplate
+        # bigrams each repeat in 90% of docs — C(w1,w2) must attach by
+        # an AQE-splittable join-back, never a (w1,w2) window
         "lm_perplexity": lambda: force(curation.bigram_lm_perplexity(
+            df, "doc_id", "text")),
+        # same degenerate-bigram shape through the KN smoothing tier:
+        # all four count models (pair, head, continuation left/right)
+        # must two-phase; none may ride an occurrence-relation window
+        "kn_perplexity": lambda: force(curation.kn_perplexity(
             df, "doc_id", "text")),
         # stop-term "the" matches EVERY document; "cookies" matches 90%
         "bm25_search": lambda: force(retrieval.bm25_score(
@@ -209,6 +222,17 @@ def main() -> int:
         # membership join is per-id equi
         "drop_repeated_spans": lambda: force(curation.drop_repeated_spans(
             df, "doc_id", "text", k=8, min_docs=3)),
+        # hot.example.com owns 50% of all requests: the per-key
+        # running-max window is a sequential chain BY SEMANTICS (a
+        # host's schedule cannot be split), so the skew bound here
+        # measures the honest cost of that chain — the partition is
+        # bounded by the politeness invariant itself (a key at
+        # 1 req/10 s accrues ~8.6k requests/day, never corpus-scale)
+        "politeness_schedule": lambda: force(web.politeness_schedule(
+            df.select("host", F.col("doc_id").alias("rid"),
+                      F.timestamp_micros(F.col("doc_id") * 250_000)
+                      .cast("string").alias("ts")),
+            "host", "rid", "ts", interval_sec=1.0)),
     }
 
     report, violations = {}, []

@@ -307,7 +307,9 @@ def script_profile(text: Column) -> list[Column]:
     def cnt(pattern: str) -> Column:
         return F.regexp_count(text, F.lit(pattern)).cast("bigint")
 
-    latin = cnt(r"[A-Za-zÀ-ɏ]")
+    # À-ɏ minus U+00D7 (×) and U+00F8 gap U+00F7 (÷) — the two
+    # non-letter code points inside Latin-1 Supplement's letter runs.
+    latin = cnt(r"[A-Za-zÀ-ÖØ-öø-ɏ]")
     cyr = cnt(r"[Ѐ-ӿ]")
     greek = cnt(r"[Ͱ-Ͽ]")
     arabic = cnt(r"[؀-ۿ]")

@@ -206,6 +206,15 @@ def politeness_schedule(df: DataFrame, key_col: str, id_col: str,
     timestamp convention) and ``position`` the 0-based fetch index
     within the key. ``wait_us`` is the rate-limit delay imposed on the
     request; its per-key mean is the politeness cost of the crawl.
+
+    NULL-arrival contract: the timestamp is parsed with ``try_cast``
+    (Spark 4 runs ANSI — a plain cast would abort the whole job on one
+    malformed row). Rows whose timestamp fails to parse (or is NULL)
+    are FILTERED OUT of the schedule — an unparseable arrival has no
+    position in the arrival order. Quarantine them upstream with
+    ``try_cast(ts as timestamp) IS NULL`` if they need surfacing; the
+    streaming twin (``streaming.schedule_fetches``) applies the same
+    rule so batch and stream stay unified.
     """
     from pyspark.sql import Window
 
@@ -213,10 +222,11 @@ def politeness_schedule(df: DataFrame, key_col: str, id_col: str,
         raise ValueError(f"interval_sec must be > 0: {interval_sec}")
     iv = int(round(interval_sec * 1_000_000))
     w = Window.partitionBy(key_col).orderBy("arrival_us", id_col)
-    base = df.select(
+    base = (df.select(
         F.col(key_col), F.col(id_col),
-        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        F.unix_micros(F.col(ts_col).try_cast("timestamp"))
         .alias("arrival_us"))
+        .where(F.col("arrival_us").isNotNull()))
     pos = (F.row_number().over(w) - 1).cast("bigint")
     sched = (base
              .withColumn("position", pos)

@@ -336,8 +336,11 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
               .filter(F.col("__cos").isNotNull()))
     best = (scored.groupBy(id_col)
             .agg(F.max("__cos").alias("max_cosine"),
-                 F.max_by("__bid", F.struct(F.col("__cos"),
-                                            (-F.col("__bid")).alias("n")))
+                 # min_by over (-cos, id): highest cosine, then
+                 # smallest bench id — negate the (numeric) score, not
+                 # the id, so string benchmark ids survive ANSI.
+                 F.min_by("__bid", F.struct((-F.col("__cos")).alias("nc"),
+                                            F.col("__bid")))
                  .alias("nearest_bench_id")))
     return (corpus.select(id_col).join(best, id_col, "left")
             .select(id_col, "max_cosine", "nearest_bench_id",
@@ -890,15 +893,19 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
 
     Plan shape, all linear in corpus tokens: ONE bigram explode
     (``arrays_zip`` of two array slices — no self-join of the token
-    relation). ``C(w1 w2)`` attaches as a WINDOW count over
-    ``partition by (w1, w2)`` — single lineage, no aggregate-and-
-    join-back for the pair counts. ``C(w1 ·)`` deliberately does NOT
-    use a ``partition by w1`` window: on a web corpus the hottest head
-    token ("the") would put a double-digit share of ALL bigram rows in
-    one window partition, and AQE's skew splitting applies to joins,
-    not windows (it also cost a SECOND full shuffle of the occurrence
-    relation, since hash(w1) and hash(w1, w2) partitionings cannot
-    share an exchange). Instead one ``posexplode`` branch builds the
+    relation). ``C(w1 w2)`` is a ``groupBy(w1, w2).count()`` joined
+    back to the occurrence relation — NOT a ``partition by (w1, w2)``
+    window: the count side map-side-combines to bigram TYPES before
+    its shuffle, and the join-back's probe-side shuffle is
+    AQE-skew-SPLITTABLE, where a window partition holding a
+    planet-scale top bigram ("of the" ≈ 1% of all occurrences) is one
+    unsplittable task — a 100× straggler at 10k tasks that local[32]
+    never shows (round-8 fix; the skew sweep now pins it). ``C(w1 ·)``
+    deliberately does NOT use a ``partition by w1`` window either: on
+    a web corpus the hottest head token ("the") would put a
+    double-digit share of ALL bigram rows in one window partition
+    (same argument, one decade worse). Instead one ``posexplode``
+    branch builds the
     (token, head_count) model via ``groupBy(token)`` — map-side
     combine collapses each task to its distinct tokens before the
     shuffle, so the hottest key moves at most #partitions rows — and
@@ -920,7 +927,6 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
     full occurrence shuffle, both of which dominate at real corpus
     scale where the hottest head token carries ~3-5% of all bigrams.
     """
-    from pyspark.sql import Window
 
     toks = (df.select(F.col(id_col), _word_array(text_col).alias("__t"))
             .filter(F.size("__t") >= 2))
@@ -947,8 +953,8 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
                              .otherwise(0)).alias("__c1")))
     vocab = (head_model.agg(F.count("__c1").cast("double").alias("__v"))
              .withColumn("__k", F.lit(1)))
-    annot = bi.withColumn(
-        "__c12", F.count("*").over(Window.partitionBy("w1", "w2")))
+    pair_model = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    annot = bi.join(pair_model, ["w1", "w2"])
     nll = F.round(
         -F.log((F.col("__c12") + F.lit(alpha))
                / (F.col("__c1") + F.lit(alpha) * F.col("__v"))),
@@ -986,8 +992,10 @@ def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
     6 and sum as ``decimal(38,6)``, ppl rounds to 6 — the repo recipe.
 
     Plan shape — same skew discipline as ``bigram_lm_perplexity``
-    (its docstring carries the full argument): C(w1 w2) is the
-    (w1, w2) window count on the occurrence relation; C(w1 ·) is the
+    (its docstring carries the full argument): C(w1 w2) is a
+    ``groupBy(w1, w2).count()`` joined back to the occurrence relation
+    (AQE-skew-splittable; a (w1, w2) window would make the top bigram
+    one unsplittable task — round-8 fix); C(w1 ·) is the
     posexplode head-count model (groupBy, map-side combined — never a
     w1 window); the three KN count models (N1+(w1 ·), N1+(· w2), and
     the 1-row N1+(· ·)) all derive from the DISTINCT-bigram relation,
@@ -996,7 +1004,6 @@ def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
     rows before each shuffle. Models attach by plain joins AQE
     broadcasts while the vocabulary fits.
     """
-    from pyspark.sql import Window
 
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
@@ -1020,8 +1027,8 @@ def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
     r2 = dp.groupBy("w2").agg(F.count("*").alias("__n1l"))
     nb = (dp.agg(F.count("*").cast("double").alias("__nb"))
           .withColumn("__k", F.lit(1)))
-    annot = bi.withColumn(
-        "__c12", F.count("*").over(Window.partitionBy("w1", "w2")))
+    pair_model = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    annot = bi.join(pair_model, ["w1", "w2"])
     d = F.lit(float(discount))
     p = (F.greatest(F.col("__c12") - d, F.lit(0.0)) / F.col("__c1")
          + d * F.col("__n1r") / F.col("__c1")

@@ -368,8 +368,12 @@ def label_propagation(edges: DataFrame, src: str = "src",
                        "b")
               .groupBy(F.col("a").alias("node"), "label")
               .agg(F.count(F.lit(1)).alias("__c")))
+        # min_by over (-count, label): highest count, then SMALLEST
+        # label — negating the count (always numeric) instead of the
+        # label keeps the tie-break legal for string node ids (the
+        # extract_links host/URL graph) under ANSI.
         labels = mat(nb.groupBy("node").agg(
-            F.max_by("label", F.struct(F.col("__c"),
-                                       (-F.col("label")).alias("__nl")))
+            F.min_by("label", F.struct((-F.col("__c")).alias("__nc"),
+                                       F.col("label")))
             .alias("label")))
     return labels

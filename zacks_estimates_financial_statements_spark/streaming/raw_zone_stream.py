@@ -593,9 +593,13 @@ def schedule_fetches(df: DataFrame, key_col: str, id_col: str,
     out_schema = (f"{key_col} {dts[key_col]}, {id_col} {dts[id_col]}, "
                   "arrival_us bigint, sched_us bigint, wait_us bigint, "
                   "position bigint")
-    prepared = df.select(
+    # Same NULL-arrival contract as the batch twin: try_cast (ANSI
+    # safety) and drop unparseable arrivals — they have no position.
+    prepared = (df.select(
         F.col(key_col), F.col(id_col),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__arr_us"))
+        F.unix_micros(F.col(ts_col).try_cast("timestamp"))
+        .alias("__arr_us"))
+        .where(F.col("__arr_us").isNotNull()))
     return (prepared.groupBy(key_col)
             .applyInPandasWithState(
                 _schedule_fn(iv, key_col, id_col),
