@@ -48,6 +48,29 @@ def test_attestation_artifact_matches_registry():
     assert not weak, f"oracle-backed queries without hash verdict: {weak}"
 
 
+def test_newest_round_snapshot_matches_registry():
+    """The NEWEST committed ``CORRECTNESS_local_rNN.json`` must carry
+    the full registry key set — round-7 shipped a mid-round 119-query
+    snapshot while the canonical file had 147. Snapshots are stamped
+    by ``tools/stamp_round.py`` (byte-copy of the canonical artifact)
+    as the LAST step of a round; this pins that discipline. Older
+    snapshots are historical records of smaller registries and are
+    exempt."""
+    import re
+
+    snaps = sorted(f for f in os.listdir(ROOT)
+                   if re.fullmatch(r"CORRECTNESS_local_r\d+\.json", f))
+    assert snaps, "no round snapshot committed"
+    newest = snaps[-1]
+    results = json.load(open(os.path.join(ROOT, newest)))
+    qkeys, _ = _registry_keys()
+    assert set(results) == qkeys, (
+        f"{newest} is stale vs the registry "
+        f"(missing={sorted(qkeys - set(results))}): stamp it from the "
+        "canonical artifact with `python tools/stamp_round.py <round>` "
+        "as the round's last step")
+
+
 def test_oracle_sql_keys_subset_of_queries():
     qkeys, okeys = _registry_keys()
     assert okeys <= qkeys, f"oracle-only keys: {sorted(okeys - qkeys)}"
