@@ -3367,6 +3367,85 @@ FROM base
 """
 
 
+def q_schedule_fetches_stream(spark, sf):
+    """STATEFUL STREAMING politeness scheduler end-to-end
+    (streaming/raw_zone_stream.py ``schedule_fetches`` — the repo's
+    only ``applyInPandasWithState`` operator): the same 50-key fetch
+    request feed as ``politeness_schedule``, split into four
+    arrival-time-range parquet files and replayed one file per
+    micro-batch (``maxFilesPerTrigger=1`` + ``availableNow``), so the
+    (last_sched_us, position) state must carry the politeness contract
+    ACROSS four micro-batches. The time-range split makes arrivals
+    batch-monotone per key, which is exactly the regime where the
+    streaming recurrence equals the batch closed form — hence the SQL
+    twin is the same running-max window as ``politeness_schedule``'s,
+    and a state-handling bug (dropped position, stale last_sched)
+    breaks the hash, not just a unit test."""
+    import tempfile
+    import uuid
+
+    from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import (
+        schedule_fetches,
+    )
+
+    ev = _t(spark, sf, "events")
+    req = ev.select((F.col("user_id") % 50).alias("host"),
+                    "event_id", F.col("ts").cast("string").alias("ts"))
+    # quartile boundaries via ONE bounded agg (no global-sort window);
+    # half-open ranges keep equal arrivals in one batch file
+    qs = req.select(F.unix_micros(F.col("ts").try_cast("timestamp"))
+                    .alias("us"))
+    b1, b2, b3 = qs.agg(
+        F.percentile_approx("us", [0.25, 0.5, 0.75], 10000)
+        .alias("b")).collect()[0]["b"]
+    root = tempfile.mkdtemp(prefix="sched_stream_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        us = F.unix_micros(F.col("ts").try_cast("timestamp"))
+        cuts = [None, b1, b2, b3, None]
+        for i in range(4):
+            part = req
+            if cuts[i] is not None:
+                part = part.filter(us >= cuts[i])
+            if cuts[i + 1] is not None:
+                part = part.filter(us < cuts[i + 1])
+            stage = os.path.join(root, f"stage{i}")
+            part.coalesce(1).write.parquet(stage)
+            pf = next(f for f in os.listdir(stage)
+                      if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            os.rename(os.path.join(stage, pf), dst)
+            # file source orders batches by modification time: pin it
+            # so batch i replays strictly before batch i+1
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        qname = f"sched_stream_{uuid.uuid4().hex[:8]}"
+        stream = (spark.readStream.schema("host bigint, event_id bigint, "
+                                          "ts string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src))
+        out = schedule_fetches(stream, "host", "event_id", "ts",
+                               interval_sec=10.0)
+        q = (out.writeStream.format("memory").queryName(qname)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        res = spark.table(qname)
+        # memory-sink rows live in the session; copy out so the table
+        # name can be dropped and repeated runs don't accumulate
+        res = spark.createDataFrame(res.collect(), schema=res.schema)
+        spark.catalog.dropTempView(qname)
+        return res
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SCHEDULE_FETCHES_STREAM = ORACLE_POLITENESS_SCHEDULE
+
+
 def q_registrable_domain(spark, sf):
     """PSL registrable-domain extraction (functions/web.py
     ``registrable_domain``): synthesized 3/4-label hosts against a
@@ -6125,6 +6204,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_filter": q_url_filter,
     "c4_clean": q_c4_clean,
     "politeness_schedule": q_politeness_schedule,
+    "schedule_fetches_stream": q_schedule_fetches_stream,
     "pmi_collocations": q_pmi_collocations,
     "phrase_search": q_phrase_search,
     "margin_topk": q_margin_topk,
@@ -6277,6 +6357,7 @@ _ORACLE: dict[str, str] = {
     "url_filter": ORACLE_URL_FILTER,
     "c4_clean": ORACLE_C4_CLEAN,
     "politeness_schedule": ORACLE_POLITENESS_SCHEDULE,
+    "schedule_fetches_stream": ORACLE_SCHEDULE_FETCHES_STREAM,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "margin_topk": ORACLE_MARGIN_TOPK,

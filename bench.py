@@ -179,6 +179,9 @@ TRACKED_NON_HEADLINE = [
     "standardize_fast",
     "profile_table_fast",
     "unigram_train",          # EM loop: per-round checkpoint fixed cost
+    "schedule_fetches_stream",  # applyInPandasWithState politeness: 4
+                                # micro-batches, state across batches
+                                # (the repo's only stateful Python op)
 ]
 
 

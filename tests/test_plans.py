@@ -115,3 +115,58 @@ def test_bloom_semi_join_filters_before_exchange(entry, spark, sf_dir):
     assert sidx, "large-side scan not found"
     between = lines[bidx[0] + 1:sidx[0]]
     assert not any("Exchange" in ln for ln in between), between
+
+
+def test_margin_over_ivf_corpus_scale_plan(spark):
+    """The corpus x corpus margin-mining regime
+    (tools/margin_corpus_study.py): both directions fed from topk_ivf
+    with broadcast_queries=False and a prebuilt index, candidates
+    materialized once. Pinned: the candidate plans' only nested loops
+    are the bounded 16-row centroid fan-outs (cached build lineage
+    excluded), and the margin arithmetic itself — equi-joins plus
+    <=k-rows-per-key groupBys over the materialized candidates — has
+    ZERO nested loops and ZERO cartesian products."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from zacks_estimates_financial_statements_spark.operators import similarity
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from margin_corpus_study import live_node_counts
+
+    corpus = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: F.cos(i * (F.col("id") + 1)))
+        .alias("embedding")).persist()
+    corpus.count()
+    queries = corpus.select(
+        (F.col("vec_id") + 1000).alias("query_id"),
+        F.col("embedding").alias("query_vec")).persist()
+    queries.count()
+    index = similarity.ivf_build(corpus, n_centroids=8)
+    fwd = similarity.topk_ivf(corpus, queries, k=3, nprobe=2,
+                              index=index, broadcast_queries=False)
+    bnlj, cart = live_node_counts(
+        fwd._jdf.queryExecution().executedPlan().toString())
+    assert (bnlj, cart) == (1, 0), (bnlj, cart)  # probe fan-out only
+    bwd = similarity.topk_ivf(
+        queries.select(F.col("query_id").alias("vec_id"),
+                       F.col("query_vec").alias("embedding")),
+        corpus.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("query_vec")),
+        k=3, nprobe=2, n_centroids=8, broadcast_queries=False)
+    bnlj, cart = live_node_counts(
+        bwd._jdf.queryExecution().executedPlan().toString())
+    assert bnlj <= 2 and cart == 0, (bnlj, cart)  # assign + probe
+    margins = similarity.margin_topk(corpus, queries, k=3,
+                                     fwd=fwd.persist(), bwd=bwd.persist())
+    bnlj, cart = live_node_counts(
+        margins._jdf.queryExecution().executedPlan().toString())
+    assert (bnlj, cart) == (0, 0), (bnlj, cart)
+    assert margins.count() > 0
+    for d in (corpus, queries, index.assigned):
+        d.unpersist()
