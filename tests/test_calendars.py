@@ -58,6 +58,26 @@ def test_dividend_parse_positions(spark, tmp_path):
     ]
 
 
+def test_dividend_malformed_dates_degrade_per_row(spark, tmp_path):
+    """ANSI NULL contract: a malformed scraped date NULLs its own row
+    (try_to_date) instead of aborting the job, and the loader drops
+    rows whose ex_date is unparseable — mirroring the reference's
+    per-file transaction where a bad row cannot load."""
+    rows = [["AAPL", "Apple", "x", "$0.25", "x", "not-a-date", "x", "2024-06-01"],
+            ["MSFT", "Microsoft", "x", "$1.10", "x", "2024-05-21", "x", "05/32/2024"]]
+    _write_day_file(tmp_path, "dividend-calendar", "2024-05-10", "2024-05-20", rows)
+    files = read_calendar_files(spark, str(tmp_path), "dividend-calendar",
+                                "2024-05-10")
+    got = sorted((r["act_symbol"], r["ex_date"], r["payable_date"])
+                 for r in C.dividend_rows(files).collect())
+    assert got == [("AAPL", None, D(2024, 6, 1)),
+                   ("MSFT", D(2024, 5, 21), None)]
+    store = TableStore(spark, str(tmp_path / "tables"), "dividend_calendar")
+    pipe.load_dividend_calendar(store, files, D(2024, 5, 10))
+    kept = [(r["act_symbol"], r["ex_date"]) for r in store.read().collect()]
+    assert kept == [("MSFT", D(2024, 5, 21))]
+
+
 @pytest.fixture()
 def ec_store(spark, tmp_path):
     return TableStore(spark, str(tmp_path / "tables"), "earnings_calendar")

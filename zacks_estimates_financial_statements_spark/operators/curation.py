@@ -339,6 +339,7 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
                  # min_by over (-cos, id): highest cosine, then
                  # smallest bench id — negate the (numeric) score, not
                  # the id, so string benchmark ids survive ANSI.
+                 # ansi-ok: __cos is an internal double (cosine); negation is numeric
                  F.min_by("__bid", F.struct((-F.col("__cos")).alias("nc"),
                                             F.col("__bid")))
                  .alias("nearest_bench_id")))
@@ -1562,6 +1563,7 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
                  .select(F.col(id_col),
                          (F.round(F.lit(1.0)
                                   / (F.lit(1.0)
+                                     # ansi-ok: __m is numeric (margin); negation after double cast
                                      + F.exp(-F.col("__m").cast("double"))),
                                   6) - F.col("__y")).alias("__r")))
         grads = (feats.join(resid, id_col)

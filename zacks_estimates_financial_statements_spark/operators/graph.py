@@ -373,6 +373,7 @@ def label_propagation(edges: DataFrame, src: str = "src",
         # label keeps the tie-break legal for string node ids (the
         # extract_links host/URL graph) under ANSI.
         labels = mat(nb.groupBy("node").agg(
+            # ansi-ok: __c is an internal bigint count; negation is numeric
             F.min_by("label", F.struct((-F.col("__c")).alias("__nc"),
                                        F.col("label")))
             .alias("label")))

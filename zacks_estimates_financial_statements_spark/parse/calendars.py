@@ -68,13 +68,22 @@ def earnings_rows(files: DataFrame) -> DataFrame:
 
 
 def dividend_rows(files: DataFrame) -> DataFrame:
-    """T10 — dividend_calendar-shaped rows (+ ordering metadata)."""
+    """T10 — dividend_calendar-shaped rows (+ ordering metadata).
+
+    NULL contract: the payload cells are scraped strings, so every parse
+    degrades PER ROW instead of aborting the job under ANSI —
+    ``try_to_date``/``try_cast`` yield NULL for malformed dates/amounts,
+    and the loader (pipelines.calendar_pipeline.load_dividend_calendar)
+    drops rows with NULL act_symbol/ex_date/amount, mirroring the
+    reference's per-file transaction where an unparseable row cannot
+    load. ``payable_date`` stays nullable ('--' and malformed → NULL).
+    """
     rows = parse_calendar_rows(files)
     return rows.select(
         F.col("row")[0].alias("act_symbol"),
-        F.to_date(F.col("row")[5]).alias("ex_date"),
+        F.try_to_date(F.col("row")[5]).alias("ex_date"),
         E.strip_dollar(F.col("row")[3]).try_cast(DEC).alias("amount"),
         F.when(F.col("row")[7] == "--", F.lit(None).cast("date"))
-         .otherwise(F.to_date(F.col("row")[7])).alias("payable_date"),
+         .otherwise(F.try_to_date(F.col("row")[7])).alias("payable_date"),
         F.col("path"), F.col("row_idx"),
     )

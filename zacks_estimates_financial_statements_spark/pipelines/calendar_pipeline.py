@@ -80,7 +80,8 @@ def load_dividend_calendar(store: TableStore, files: DataFrame,
     No stale-estimate cleanup for dividends
     (dividend-calendar-transform-load.rkt has no such step)."""
     new_rows = P.dividend_rows(files).filter(
-        F.col("act_symbol").isNotNull() & F.col("amount").isNotNull())
+        F.col("act_symbol").isNotNull() & F.col("amount").isNotNull()
+        & F.col("ex_date").isNotNull())
     store.overwrite(merge_calendar(store.read(), new_rows, folder_date, "ex_date"))
 
 

@@ -64,6 +64,7 @@ def read_calendar_files(spark: SparkSession, base: str, dataset: str,
     (earnings-calendar-transform-load.rkt:55-56)."""
     folder = f"{base}/{dataset}/{folder_date}"
     return (read_dated_folder(spark, folder, ".json")
+            # ansi-ok: day-file stems are pipeline-written YYYY-MM-DD names; abort loudly on layout drift
             .withColumn("event_date", F.to_date(F.col("file_stem"), "yyyy-MM-dd"))
             .withColumn("folder_date", F.lit(folder_date).cast("date"))
             .drop("file_stem"))
@@ -199,5 +200,5 @@ def read_archived_documents(spark: SparkSession, pattern: str,
     out = raw.select("path", "content").mapInPandas(
         fn, "path string, content string, file_stem string, "
             "folder_date string")
-    return out.withColumn("folder_date",
+    return out.withColumn("folder_date",  # ansi-ok: archive member dir name, written by archive_day; tampered archives abort loudly
                           F.col("folder_date").cast("date"))

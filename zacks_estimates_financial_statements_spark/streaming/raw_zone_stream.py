@@ -46,6 +46,7 @@ def stream_calendar_files(spark: SparkSession, folder_glob: str) -> DataFrame:
     path = F.input_file_name()
     return raw.select(
         path.alias("path"),
+        # ansi-ok: pipeline-written dated layout; a malformed stem must abort loudly (layout-drift/tamper detection)
         F.to_date(F.regexp_extract(path, r"([^/]+)\.json$", 1), "yyyy-MM-dd")
          .alias("event_date"),
         F.col("value").alias("content"))
@@ -80,6 +81,7 @@ def stream_documents(spark: SparkSession, base: str,
     path = F.input_file_name()
     return raw.select(
         F.regexp_extract(path, rf"([^/]+){suffix}$", 1).alias("act_symbol"),
+        # ansi-ok: pipeline-written dated layout; a malformed folder must abort loudly (layout-drift/tamper detection)
         F.to_date(F.regexp_extract(path, r"/(\d{4}-\d{2}-\d{2})/[^/]+$", 1),
                   "yyyy-MM-dd").alias("folder_date"),
         F.col("value").alias("content"))
