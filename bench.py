@@ -185,6 +185,31 @@ TRACKED_NON_HEADLINE = [
 ]
 
 
+def _calibration_run(spark) -> float:
+    """One pass of the host-speed probe: a fixed, data-independent
+    synthetic workload (hash + shuffle + agg over spark.range) whose
+    runtime depends only on the host, never on the query set or sf.
+    Its median rides the bench JSON as ``calibration_sec``; the ratio
+    against the baseline's recorded value (``host_factor``) tells a
+    reader whether elevated per-query ratios are host noise (CPU steal,
+    thermal, co-tenancy) or real regressions — the shared-host noise
+    band was measured at ±30-60% under load (PERFORMANCE.md)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    df = (spark.range(0, 64_000_000, 1, 32)
+          .select((F.xxhash64("id") % 9973).alias("k"),
+                  # pmod before summing: 64M raw hash values overflow a
+                  # long sum under ANSI
+                  F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_003)).alias("v"))
+          .groupBy("k")
+          .agg(F.sum("v").alias("s"), F.count("*").alias("c")))
+    t0 = _t.time()
+    df.write.format("noop").mode("overwrite").save()
+    return _t.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -216,6 +241,11 @@ def main() -> None:
         except Exception:
             pass
 
+    cal_sec = round(statistics.median(
+        _calibration_run(spark) for _ in range(3)), 3)
+    print(f"# calibration probe: {cal_sec:.2f}s (median of 3)",
+          file=sys.stderr)
+
     n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
     tracked = HEADLINE + [q for q in TRACKED_NON_HEADLINE if q in qs]
     samples: dict[str, list[float]] = {name: [] for name in tracked}
@@ -244,8 +274,18 @@ def main() -> None:
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
     vs_baseline = {}
+    host_factor = None
     if os.path.exists(base_path):
-        base = json.load(open(base_path)).get("queries", {})
+        base_doc = json.load(open(base_path))
+        base = base_doc.get("queries", {})
+        base_cal = base_doc.get("calibration_sec")
+        if base_cal:
+            host_factor = round(cal_sec / base_cal, 2)
+            if host_factor > 1.2:
+                print(f"# HOST SLOW: calibration probe {host_factor:.2f}x "
+                      "the baseline host speed — elevated per-query ratios "
+                      "below are probably co-tenancy noise, not regressions",
+                      file=sys.stderr)
         for name, t in timings.items():
             b = base.get(name)
             if b:
@@ -266,6 +306,8 @@ def main() -> None:
         "non_headline": {name: timings[name]
                          for name in tracked if name not in HEADLINE},
         "vs_baseline": vs_baseline,
+        "calibration_sec": cal_sec,
+        "host_factor": host_factor,
         "sf": sf,
         "n": n_iters,
     }))

@@ -37,6 +37,7 @@ def main() -> int:
         "protocol": "noop-sink full evaluation, round-robin, "
                     "median of n passes (see bench.py docstring)",
         "headline_total_sec": bench["value"],
+        "calibration_sec": bench.get("calibration_sec"),
         "queries": {**bench["queries"], **bench.get("non_headline", {})},
     }
     path = os.path.join(ROOT, "BENCH_BASELINE.json")
