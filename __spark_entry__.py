@@ -3354,7 +3354,13 @@ WITH base AS (
     (row_number() OVER (PARTITION BY user_id % 50
                         ORDER BY epoch_us(ts), event_id)
      - 1)::BIGINT AS position
-  FROM events)
+  FROM events
+  -- NULL-arrival contract parity: the Spark side try_casts and DROPS
+  -- unparseable/NULL arrivals (web.politeness_schedule, streaming
+  -- schedule_fetches); events.ts is nullable, so without this filter
+  -- one NULL ts in a future testdata regeneration flips both
+  -- attestations red.
+  WHERE ts IS NOT NULL)
 SELECT host, event_id, arrival_us,
   (position * 10000000 + max(arrival_us - position * 10000000) OVER
      (PARTITION BY host ORDER BY arrival_us, event_id

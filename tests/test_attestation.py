@@ -58,8 +58,12 @@ def test_newest_round_snapshot_matches_registry():
     exempt."""
     import re
 
-    snaps = sorted(f for f in os.listdir(ROOT)
-                   if re.fullmatch(r"CORRECTNESS_local_r\d+\.json", f))
+    # sort by the parsed round number, not lexicographically: 'r100'
+    # sorts before 'r99' as a string, which would pin the wrong file
+    snaps = sorted(
+        (f for f in os.listdir(ROOT)
+         if re.fullmatch(r"CORRECTNESS_local_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"r(\d+)\.json", f).group(1)))
     assert snaps, "no round snapshot committed"
     newest = snaps[-1]
     results = json.load(open(os.path.join(ROOT, newest)))

@@ -168,5 +168,5 @@ def test_margin_over_ivf_corpus_scale_plan(spark):
         margins._jdf.queryExecution().executedPlan().toString())
     assert (bnlj, cart) == (0, 0), (bnlj, cart)
     assert margins.count() > 0
-    for d in (corpus, queries, index.assigned):
+    for d in (corpus, queries, index.assigned, fwd, bwd):
         d.unpersist()

@@ -16,6 +16,16 @@ whose strict ``.cast("date")`` calls on the synthetic TPC-H columns
 intentionally mirror DuckDB's strict ``::DATE`` casts — per-row
 degradation there would silently diverge from the oracle contract.
 
+Mechanics: source is tokenized, comments and docstrings are blanked
+out (prose mentioning ``to_date(`` must not trip the gate), but
+ordinary string literals REMAIN scanned — SQL strings passed to
+``selectExpr``/``F.expr`` carry casts too, and a naive
+``line.split('#')`` would hide a hazard behind a '#' inside a regex
+literal (both failure modes observed in this lint's first version).
+Unary minus is detected positionally: ``- F.col`` is a hazard when the
+preceding token is an opener, an operator, or a Python keyword
+(``return -F.col(...)``), and arithmetic when it is an operand.
+
 Each hit must be either structurally safe (applied to an
 ``F.lit(...)``) or carry an explicit ``# ansi-ok: <reason>`` waiver on
 the same or the preceding line. The waiver is the point: every non-try
@@ -29,26 +39,29 @@ Usage: python tools/ansi_audit.py
 
 from __future__ import annotations
 
+import io
+import keyword
 import os
 import re
 import sys
+import tokenize
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(ROOT, "zacks_estimates_financial_statements_spark")
 
-#: (pattern, description). Patterns are checked per non-docstring line.
+#: (pattern, description) — scanned per comment/docstring-blanked line.
 HAZARDS = [
     (re.compile(r"(?<!try_)\bto_(?:date|timestamp)\s*\("),
      "non-try to_date/to_timestamp: one malformed string aborts the job"),
     (re.compile(r"""\.cast\(\s*(["'])(?:date|timestamp(?:_ntz)?)\1"""),
      "plain .cast to date/timestamp: use try_to_date/try_to_timestamp "
      "on user-data strings"),
-    # unary minus only: the char before '-' (if any) is an opener or
-    # separator, never an operand — binary `a - F.col(b)` is arithmetic
-    (re.compile(r"(?:^|[(,=\[{:+*])\s*-\s*F\.col\("),
-     "unary negation of a column: throws under ANSI for non-numeric "
-     "types (use min_by/struct tie-breaks or waive for numeric cols)"),
 ]
+
+NEG = re.compile(r"-\s*F\.col\(")
+NEG_WHY = ("unary negation of a column: throws under ANSI for "
+           "non-numeric types (use min_by/struct tie-breaks or waive "
+           "for numeric cols)")
 
 WAIVER = re.compile(r"#\s*ansi-ok\s*:")
 
@@ -57,7 +70,69 @@ WAIVER = re.compile(r"#\s*ansi-ok\s*:")
 #: hazard this lint exists for.
 LIT_CAST = re.compile(r"""F\.lit\([^()]*(?:\([^()]*\))?[^()]*\)\s*\.cast\(""")
 
-TRIPLE = re.compile(r'"""|\'\'\'')
+#: token types that end a logical line — a STRING right after one of
+#: these (or at file start / after INDENT/DEDENT) is a docstring or a
+#: no-op expression string, not data the code consumes
+_LINE_STARTERS = (tokenize.NEWLINE, tokenize.INDENT, tokenize.DEDENT)
+
+
+def _blank(rows: list[list[str]], start, end) -> None:
+    """Blank the [start, end) token span (1-based rows) in place."""
+    r0, c0 = start
+    r1, c1 = end
+    for r in range(r0, r1 + 1):
+        row = rows[r - 1]
+        lo = c0 if r == r0 else 0
+        hi = c1 if r == r1 else len(row)
+        for c in range(lo, min(hi, len(row))):
+            row[c] = " "
+
+
+def scan_source(src: str) -> tuple[list[str], set[int]]:
+    """(scan_lines, waiver_lines): source with comments + docstrings
+    blanked, and the 1-based line numbers carrying an ansi-ok waiver.
+    Falls back to raw lines (waivers from a regex pass) if tokenize
+    rejects the source — the gate must fail loudly on hazards, not
+    silently on syntax."""
+    lines = src.splitlines()
+    rows = [list(ln) for ln in lines]
+    waivers: set[int] = set()
+    try:
+        prev_sig = None
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type == tokenize.COMMENT:
+                if WAIVER.search(tok.string):
+                    waivers.add(tok.start[0])
+                _blank(rows, tok.start, tok.end)
+            elif tok.type == tokenize.STRING and (
+                    prev_sig is None or prev_sig in _LINE_STARTERS):
+                _blank(rows, tok.start, tok.end)
+            if tok.type not in (tokenize.NL, tokenize.COMMENT):
+                prev_sig = tok.type
+    except tokenize.TokenizeError:
+        rows = [list(ln) for ln in lines]
+        waivers = {i + 1 for i, ln in enumerate(lines) if WAIVER.search(ln)}
+    return ["".join(r) for r in rows], waivers
+
+
+def _is_unary(code: str, pos: int) -> bool:
+    """True if the '-' at ``pos`` negates its operand (vs subtraction):
+    preceded by nothing, an opener/operator/separator, or a Python
+    keyword (``return -F.col(...)``, ``else -F.col(...)``)."""
+    j = pos - 1
+    while j >= 0 and code[j] in " \t":
+        j -= 1
+    if j < 0:
+        return True
+    c = code[j]
+    if c in ")]}\"'":
+        return False
+    if c.isalnum() or c == "_":
+        k = j
+        while k >= 0 and (code[k].isalnum() or code[k] == "_"):
+            k -= 1
+        return keyword.iskeyword(code[k + 1:j + 1])
+    return True  # operator / opener / separator → unary
 
 
 def iter_sources():
@@ -68,27 +143,25 @@ def iter_sources():
 
 
 def audit_file(path: str) -> list[str]:
-    findings = []
-    lines = open(path, encoding="utf-8").read().splitlines()
+    src = open(path, encoding="utf-8").read()
+    raw_lines = src.splitlines()
+    scan_lines, waivers = scan_source(src)
     rel = os.path.relpath(path, ROOT)
-    in_doc = False
-    for i, line in enumerate(lines):
-        quotes = len(TRIPLE.findall(line))
-        if in_doc:
-            if quotes % 2 == 1:
-                in_doc = False
+    findings = []
+    for i, code in enumerate(scan_lines, start=1):
+        if i in waivers or (i - 1) in waivers:
             continue
-        if quotes % 2 == 1:
-            in_doc = True
-        code = line if WAIVER.search(line) else line.split("#", 1)[0]
         for pat, why in HAZARDS:
             if not pat.search(code):
                 continue
-            if WAIVER.search(line) or (i > 0 and WAIVER.search(lines[i - 1])):
-                continue
             if pat is HAZARDS[1][0] and LIT_CAST.search(code):
                 continue
-            findings.append(f"{rel}:{i + 1}: {why}\n    {line.strip()}")
+            findings.append(f"{rel}:{i}: {why}\n    {raw_lines[i - 1].strip()}")
+        for mm in NEG.finditer(code):
+            if _is_unary(code, mm.start()):
+                findings.append(
+                    f"{rel}:{i}: {NEG_WHY}\n    {raw_lines[i - 1].strip()}")
+                break
     return findings
 
 

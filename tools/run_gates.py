@@ -87,9 +87,19 @@ def main() -> int:
             continue
         results[name], _ = run_gate(name, cmd)
 
-    all_green = all(results.values())
+    all_green = bool(results) and all(results.values())
     print(f"\ngates: {sum(results.values())}/{len(results)} green")
     if args.round is not None:
+        # Stamping requires the FULL battery: a skipped gate is not a
+        # green gate, and all() over an empty dict is vacuously true —
+        # without this check `--skip <everything> --round N` would
+        # stamp a snapshot with zero checks run.
+        ran = set(results)
+        missing = [n for n, _ in GATES if n not in ran]
+        if missing:
+            print(f"NOT stamping round {args.round}: skipped gates "
+                  f"{missing} — stamping requires the full battery")
+            return 1
         if not all_green:
             print(f"NOT stamping round {args.round}: red gates "
                   f"{[n for n, ok in results.items() if not ok]}")

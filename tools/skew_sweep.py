@@ -62,6 +62,19 @@ FLOOR_MS = 250      # ignore stages whose slowest task is below this
 SLACK_MS = 300      # additive allowance on top of 4x median
 RATIO = 4.0
 
+#: Per-op straggler-ratio overrides. ``politeness_schedule``'s per-host
+#: running-max chain is sequential BY SEMANTICS — one host's schedule
+#: cannot be split across tasks — so with the fixture giving the hot
+#: host 50% of all rows and a median host ~1/997 of the rest, its hot
+#: task is EXPECTED to run ~997x the median task, and the generic 4x
+#: bound would be a designed-in red the moment the stage clears
+#: FLOOR_MS (it passes today only because the stage is fast). The
+#: override bounds the op at the fixture's constructed row ratio with
+#: 2x slack: it still catches ACCIDENTAL amplification (the window
+#: shuffling more than its input rows, a lost partition pruning), while
+#: not flagging the semantic chain whose honest cost the row documents.
+OP_RATIO = {"politeness_schedule": 2 * 997.0}
+
 
 def build_fixture(spark, rows: int):
     from pyspark.sql import functions as F
@@ -249,7 +262,7 @@ def main() -> int:
         for st in stages:
             if st["tasks"] < 4 or st["max_ms"] < FLOOR_MS:
                 continue
-            bound = RATIO * st["med_ms"] + SLACK_MS
+            bound = OP_RATIO.get(name, RATIO) * st["med_ms"] + SLACK_MS
             st["bound_ms"] = bound
             st["ok"] = st["max_ms"] <= bound
             if not st["ok"]:
