@@ -55,6 +55,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings relation under the similarity-kit NULL contract
+    (operators/similarity.py ``_scorable``): rows with a NULL vec_id or
+    a NULL embedding are unaddressable/unscorable and are excluded
+    BEFORE any ORDER BY/LIMIT selection — Spark sorts NULLs first
+    ascending while DuckDB sorts them last, so an unfiltered
+    ``ORDER BY vec_id LIMIT k`` would pick DIFFERENT query/centroid
+    sets on the two engines (round-8 contract fuzz). Every oracle twin
+    reads the matching filtered subquery."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id").isNotNull()
+                    & F.col("embedding").isNotNull())
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table's ``ts`` physical parquet type has drifted across
     driver testdata regenerations (INT64 TIMESTAMP(NANOS) ↔ TIMESTAMP
@@ -670,7 +684,11 @@ _SHINGLE_SQL = """
     i -> array_to_string(w[i:i+{km1}], ' '))) AS shingle
   FROM (SELECT doc_id,
           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-        FROM documents)
+        -- NULL contract (shingles_from_words): NULL text has NO
+        -- shingles, hence no signature/fingerprint. Without the filter
+        -- DuckDB's greatest() skips the NULL length (same trap as
+        -- Spark's) and emits NULL-minhash sig rows Spark never makes.
+        FROM documents WHERE text IS NOT NULL)
 """
 
 
@@ -1071,7 +1089,7 @@ _SIGNBITS_SQL = """
 
 
 def q_topk_cosine(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
@@ -1082,12 +1100,12 @@ def q_topk_cosine(spark, sf):
 
 ORACLE_TOPK_COSINE = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 5),
 scored AS (
   SELECT q.query_id, e.vec_id,
     {_COS_SQL.format(a='e.embedding', b='q.query_vec')} AS cos
-  FROM embeddings e CROSS JOIN q),
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e CROSS JOIN q),
 ranked AS (
   SELECT query_id, vec_id, cos,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
@@ -1104,7 +1122,7 @@ def q_margin_topk(spark, sf):
     — the bitext-mining / hubness-normalized alignment criterion.
     Exact candidate tiers here (oracle-checkable); ivf/lsh swap in at
     corpus×corpus scale with the same contract."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
@@ -1113,12 +1131,12 @@ def q_margin_topk(spark, sf):
 
 ORACLE_MARGIN_TOPK = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 5),
 fs AS (
   SELECT q.query_id, e.vec_id,
     {_COS_SQL.format(a='e.embedding', b='q.query_vec')} AS cos
-  FROM embeddings e CROSS JOIN q),
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e CROSS JOIN q),
 fwd AS (
   SELECT * FROM (
     SELECT query_id, vec_id, cos, row_number() OVER
@@ -1156,7 +1174,7 @@ def q_hard_negatives(spark, sf):
     (a, a + 250 + a % 3). Exact candidate tier (the oracle-checkable
     default); lsh/ivf swap in for the 100 TB path with the same
     contract."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     anchors = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("anchor_id"),
                        F.col("embedding").alias("anchor_vec")))
@@ -1173,7 +1191,7 @@ def q_hard_negatives(spark, sf):
 
 ORACLE_HARD_NEGATIVES = f"""
 WITH a AS (
-  SELECT vec_id AS anchor_id, embedding AS avec FROM embeddings
+  SELECT vec_id AS anchor_id, embedding AS avec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 5),
 pos AS (
   SELECT anchor_id, anchor_id + 250 + anchor_id % 3 AS vec_id FROM a
@@ -1181,7 +1199,7 @@ pos AS (
 scored AS (
   SELECT a.anchor_id, e.vec_id,
     {_COS_SQL.format(a='e.embedding', b='a.avec')} AS cos
-  FROM embeddings e CROSS JOIN a),
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e CROSS JOIN a),
 cand AS (
   SELECT anchor_id, vec_id, cos,
     row_number() OVER (PARTITION BY anchor_id
@@ -1203,7 +1221,7 @@ def q_embedding_near_dup(spark, sf):
     """Embedding near-dup via the sign-bit-bucketed scale path
     (bucket_bits>0 → equi-join on the SRP sketch, never all-pairs; the
     exact crossJoin baseline is covered by unit tests instead)."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     out = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding",
                                          min_cosine=0.2, bucket_bits=6)
     return out.select("id_a", "id_b",
@@ -1214,7 +1232,7 @@ ORACLE_EMBEDDING_NEAR_DUP = f"""
 WITH bk AS (
   SELECT vec_id, embedding,
     {_SIGNBITS_SQL.format(v='embedding')} AS bkt
-  FROM embeddings)
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
 FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
@@ -1229,7 +1247,7 @@ def q_semantic_dedup(spark, sf):
     with a smaller-id intra-cluster twin at cosine >= threshold. The
     low 0.2 threshold makes the synthetic random embeddings actually
     produce duplicate verdicts worth checking."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     out = dedup.semantic_dedup(emb, "vec_id", "embedding",
                                n_centroids=16, min_cosine=0.2)
     return out.select("vec_id", "centroid_id", "dup_of", "keep")
@@ -1237,7 +1255,7 @@ def q_semantic_dedup(spark, sf):
 
 ORACLE_SEMANTIC_DEDUP = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 16),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -1245,11 +1263,11 @@ assign AS (
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
         {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC, c.centroid_id)
       AS rn
-    FROM embeddings e CROSS JOIN cent c)
+    FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e CROSS JOIN cent c)
   WHERE rn = 1),
 cl AS (
   SELECT e.vec_id, e.embedding, a.centroid_id
-  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e JOIN assign a ON e.vec_id = a.vec_id),
 dup_pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM cl a JOIN cl b
@@ -1307,7 +1325,7 @@ def q_ann_lsh_topk(spark, sf):
     """Approximate top-k: sign-bit LSH buckets + multi-probe + exact
     cosine re-rank (the scale path; `topk_cosine` is its exact
     baseline)."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
@@ -1319,10 +1337,10 @@ def q_ann_lsh_topk(spark, sf):
 
 ORACLE_ANN_LSH_TOPK = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 5),
 cb AS (SELECT vec_id, embedding, {_SIGNBITS_SQL.format(v='embedding')} AS b
-       FROM embeddings),
+       FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings),
 qb AS (SELECT query_id, query_vec, {_SIGNBITS_SQL.format(v='query_vec')} AS b
        FROM q),
 cand AS (
@@ -1462,7 +1480,7 @@ def q_ann_ivf_topk(spark, sf):
     """IVF coarse-quantization top-k: deterministic seed centroids,
     nprobe nearest lists, exact re-rank (the other scale path next to
     the LSH variant)."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
@@ -1473,7 +1491,7 @@ def q_ann_ivf_topk(spark, sf):
 
 ORACLE_ANN_IVF_TOPK = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 16),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -1481,10 +1499,10 @@ assign AS (
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
         {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC, c.centroid_id)
       AS rn
-    FROM embeddings e CROSS JOIN cent c)
+    FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e CROSS JOIN cent c)
   WHERE rn = 1),
 q AS (
-  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  SELECT vec_id AS query_id, embedding AS qvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 5),
 probes AS (
   SELECT query_id, qvec, centroid_id FROM (
@@ -1496,7 +1514,7 @@ probes AS (
 cand AS (
   SELECT p.query_id, e.vec_id,
     {_COS_SQL.format(a='e.embedding', b='p.qvec')} AS cos
-  FROM embeddings e
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e
   JOIN assign a ON e.vec_id = a.vec_id
   JOIN probes p ON p.centroid_id = a.centroid_id),
 ranked AS (
@@ -1746,6 +1764,9 @@ def q_clean_corpus(spark, sf):
     exact dedup (min-id winner) in one dataflow — the shape of a real
     corpus-cleaning job."""
     docs = _t(spark, sf, "documents")
+    # NULL-id rows are unaddressable (the keep-first dedup has no key
+    # for them) — excluded, matching the oracle's equi-joins on doc_id
+    docs = docs.filter(F.col("doc_id").isNotNull())
     scored = docs.select(
         "doc_id",
         T.detect_language(F.col("text")).alias("lang_pred"),
@@ -1865,7 +1886,9 @@ ORACLE_WINNOW_FINGERPRINT = """
 WITH norm AS (
   SELECT doc_id,
     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
-  FROM documents),
+  -- NULL contract (winnow_fingerprints): per-doc fingerprints need an
+  -- id; NULL-id rows are excluded on both engines
+  FROM documents WHERE doc_id IS NOT NULL),
 grams AS (
   SELECT doc_id, i,
     ('0x' || substr(md5(substr(n, i, 5)), 1, 15))::BIGINT AS h,
@@ -2427,13 +2450,13 @@ def q_topic_summaries(spark, sf):
     from zacks_estimates_financial_statements_spark.operators import topics
 
     docs = _t(spark, sf, "documents")
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     return topics.topic_summaries(docs, emb, n_clusters=16, top_terms=5)
 
 
 ORACLE_TOPIC_SUMMARIES = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 16),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -2441,7 +2464,7 @@ assign AS (
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
         {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC, c.centroid_id)
       AS rn
-    FROM embeddings e CROSS JOIN cent c)
+    FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e CROSS JOIN cent c)
   WHERE rn = 1),
 clustered AS (
   SELECT d.doc_id, d.text, a.centroid_id
@@ -2543,7 +2566,7 @@ def q_hybrid_search(spark, sf):
     from zacks_estimates_financial_statements_spark.operators.curation import _word_array
 
     docs = _t(spark, sf, "documents")
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     top = (docs.select(F.explode(_word_array("text")).alias("w"))
            .groupBy("w").agg(F.count("*").alias("n"))
            .orderBy(F.desc("n"), F.asc("w")).limit(3).collect())
@@ -2561,11 +2584,11 @@ WITH lex AS (
     SELECT doc_id,
       (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INT AS rank
     FROM ({{bm25}}) b) WHERE rank <= 50),
-qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+qv AS (SELECT embedding AS q FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings WHERE vec_id = 0),
 semall AS (
   SELECT e.vec_id AS doc_id,
     round({_COS_SQL.format(a="e.embedding", b="qv.q")}, 6) AS s
-  FROM embeddings e, qv),
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e, qv),
 sem AS (
   SELECT doc_id, rank FROM (
     SELECT doc_id,
@@ -2961,7 +2984,7 @@ def q_cross_modal_pairs(spark, sf):
     text match. The tiny pair set broadcasts into both embedding
     joins; the embedding table never shuffles."""
     docs = _t(spark, sf, "documents")
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     pairs = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
                                          k=12, bands=4)
     ea = emb.select(F.col("vec_id").alias("id_a"),
@@ -2983,8 +3006,10 @@ scored AS ({_LSH_SCORED_SELECT})
 SELECT s.id_a, s.id_b, s.est_jaccard,
   round({_COS_SQL.format(a='ea.embedding', b='eb.embedding')}, 6) AS cosine
 FROM scored s
-JOIN embeddings ea ON ea.vec_id = s.id_a
-JOIN embeddings eb ON eb.vec_id = s.id_b
+JOIN (SELECT * FROM embeddings WHERE vec_id IS NOT NULL
+      AND embedding IS NOT NULL) ea ON ea.vec_id = s.id_a
+JOIN (SELECT * FROM embeddings WHERE vec_id IS NOT NULL
+      AND embedding IS NOT NULL) eb ON eb.vec_id = s.id_b
 """
 
 
@@ -3037,7 +3062,7 @@ def q_quantize_embeddings(spark, sf):
     floor(v/scale + 0.5), mean-abs reconstruction error. One
     projection, zero shuffles; folds run left-to-right to match
     DuckDB's list_reduce order."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     return similarity.quantize_embeddings(emb, "vec_id", "embedding")
 
 
@@ -3046,7 +3071,7 @@ WITH s AS (
   SELECT vec_id, embedding,
     list_reduce(list_prepend(0.0, list_transform(embedding,
       v -> abs(v::DOUBLE))), (a, b) -> greatest(a, b)) / 127 AS scale
-  FROM embeddings),
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings),
 q AS (
   SELECT vec_id, embedding, scale,
     list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
@@ -3994,7 +4019,9 @@ WITH toks AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t
-  FROM documents),
+  -- NULL contract (novelty_score): NULL-id rows are unaddressable and
+  -- excluded; NULL-text docs stay with n_grams 0 / NULL novelty
+  FROM documents WHERE doc_id IS NOT NULL),
 dg AS (
   SELECT DISTINCT doc_id, array_to_string(t[r.i:r.i + 2], ' ') AS g
   FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
@@ -4084,7 +4111,7 @@ def q_embedding_diversity(spark, sf):
     one (stratum, dim) map-side-combined agg + a |strata|-row
     roll-up."""
     from zacks_estimates_financial_statements_spark.operators import profiling
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     base = emb.select((F.col("vec_id") % 5).cast("string").alias("g"),
                       "embedding")
     return profiling.embedding_diversity(base, "embedding", "g")
@@ -4092,7 +4119,7 @@ def q_embedding_diversity(spark, sf):
 
 ORACLE_EMBEDDING_DIVERSITY = """
 WITH base AS (
-  SELECT (vec_id % 5)::VARCHAR AS stratum, embedding FROM embeddings),
+  SELECT (vec_id % 5)::VARCHAR AS stratum, embedding FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings),
 counts AS (
   SELECT stratum, count(*)::BIGINT AS n FROM base GROUP BY stratum),
 ex AS (
@@ -4870,7 +4897,7 @@ def q_pq_adc_topk(spark, sf):
     lookup tables, never through the floats. The DuckDB twin replays
     codebook slicing, argmin encoding, table build, and the
     decimal-summed ADC ranking."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
@@ -4888,7 +4915,7 @@ ORACLE_PQ_ADC_TOPK = f"""
 WITH seeds AS (
   SELECT vec_id, embedding,
     (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code_id
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+  FROM (SELECT * FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings ORDER BY vec_id LIMIT 16)),
 book AS (
   SELECT m.m::INT AS subspace, s.code_id,
     s.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS code_vec
@@ -4896,7 +4923,7 @@ book AS (
 sliced AS (
   SELECT e.vec_id, m.m::INT AS subspace,
     e.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS v
-  FROM embeddings e, generate_series(0, 3) m(m)),
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e, generate_series(0, 3) m(m)),
 enc AS (
   SELECT vec_id, subspace, code_id FROM (
     SELECT s.vec_id, s.subspace, b.code_id,
@@ -4908,7 +4935,7 @@ enc AS (
 qparts AS (
   SELECT q.vec_id AS query_id, m.m::INT AS subspace,
     q.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS qv
-  FROM (SELECT vec_id, embedding FROM embeddings
+  FROM (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
         ORDER BY vec_id LIMIT 5) q,
        generate_series(0, 3) m(m)),
 tbl AS (
@@ -5655,7 +5682,7 @@ def q_random_projection(spark, sf):
     """JL random projection 64 -> 16 dims (operators/similarity.py
     ``random_projection``): deterministic Achlioptas sign matrix
     compiled to flat +/-element_at codegen chains, zero shuffles."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     return similarity.random_projection(emb, "vec_id", "embedding",
                                         in_dim=64, out_dim=16)
 
@@ -5674,7 +5701,7 @@ def _oracle_random_projection(in_dim: int, out_dim: int) -> str:
             for i in range(in_dim))
         outs.append(f"round(({terms}) * {inv_root!r}, 6) AS rp_{j}")
     cols = ",\n  ".join(outs)
-    return f"SELECT vec_id,\n  {cols}\nFROM embeddings"
+    return f"SELECT vec_id,\n  {cols}\nFROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings"
 
 
 def q_link_extract(spark, sf):
@@ -5728,7 +5755,7 @@ def q_semantic_decontaminate(spark, sf):
     non-self benchmark item (ties -> smallest bench id), flagged at
     0.35 (the empirical p95 of this corpus — non-vacuous on synthetic
     embeddings). Broadcast-bench cross scoring + ONE map-side max_by."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _emb(spark, sf)
     bench = emb.orderBy("vec_id").limit(20)
     return curation.semantic_contamination(
         emb, bench, "vec_id", "embedding", threshold=0.35)
@@ -5736,12 +5763,12 @@ def q_semantic_decontaminate(spark, sf):
 
 ORACLE_SEMANTIC_DECONTAMINATE = f"""
 WITH b AS (
-  SELECT vec_id AS bid, embedding AS bvec FROM embeddings
+  SELECT vec_id AS bid, embedding AS bvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 20),
 scored AS (
   SELECT e.vec_id, b.bid,
     round({_COS_SQL.format(a='e.embedding', b='b.bvec')}, 6) AS cos
-  FROM embeddings e CROSS JOIN b
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e CROSS JOIN b
   WHERE e.vec_id <> b.bid),
 best AS (
   SELECT vec_id, cos AS max_cosine, bid AS nearest_bench_id
@@ -5752,7 +5779,7 @@ best AS (
   WHERE rn = 1)
 SELECT e.vec_id, best.max_cosine, best.nearest_bench_id,
   coalesce(best.max_cosine >= 0.35, FALSE) AS contaminated
-FROM embeddings e LEFT JOIN best USING (vec_id)
+FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e LEFT JOIN best USING (vec_id)
 """
 
 

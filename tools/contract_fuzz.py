@@ -1,0 +1,105 @@
+"""NULL/empty-string contract fuzz — run the full oracle battery on
+data the synthetic testdata never shows it.
+
+Round-8 self-review found a latent attestation divergence: the Spark
+side of the politeness scheduler try-casts and DROPS NULL arrivals,
+while its DuckDB twin kept them — green today only because the current
+``events.parquet`` happens to contain no NULL ``ts``. That is a CLASS
+of bug (every per-row degradation contract has an oracle twin that
+must state the same contract), and the class is only testable with
+data that exercises it.
+
+This tool copies an sf directory with deterministic fault injection —
+every top-level column of every table gets ~``--null-rate`` NULLs, and
+string columns additionally get ~``--empty-rate`` empty strings — then
+runs ``tools/oracle_check.py`` against the fuzzed directory. Both
+engines read identical bytes, so the ONLY thing asserted is that the
+Spark query and its oracle SQL agree on degraded input: a hash
+mismatch here is a contract divergence that will flip a real
+attestation red the day the driver's testdata generator drifts (it has
+drifted before: the events.ts physical-type change, CLAUDE.md).
+
+The fuzzed directory is NOT the canonical attestation input —
+``oracle_check`` refuses to refresh ``CORRECTNESS_local.json`` for
+non-canonical sf dirs, so this run can never clobber the round
+artifact.
+
+Masks are seeded by crc32(table|column): identical across runs and
+machines, so a failure reproduces exactly.
+
+Usage: python tools/contract_fuzz.py [--src /root/testdata/sf0.001]
+           [--out /tmp/fuzz_sf] [--null-rate 0.02] [--empty-rate 0.01]
+           [query ...]
+Exit = oracle_check's exit (1 on any divergence).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _mask(table: str, col: str, n: int, rate: float, salt: str = "") -> np.ndarray:
+    seed = zlib.crc32(f"{table}|{col}|{salt}".encode())
+    return np.random.default_rng(seed).random(n) < rate
+
+
+def fuzz_table(path: str, table: str, null_rate: float,
+               empty_rate: float) -> pa.Table:
+    t = pq.read_table(path)
+    n = t.num_rows
+    for idx, name in enumerate(t.schema.names):
+        field = t.schema.field(name)
+        col = t.column(name)
+        nulls = _mask(table, name, n, null_rate)
+        if nulls.any():
+            col = pc.if_else(pa.array(~nulls), col,
+                             pa.scalar(None, type=field.type))
+        if pa.types.is_string(field.type):
+            empties = _mask(table, name, n, empty_rate, salt="empty")
+            if empties.any():
+                col = pc.if_else(pa.array(~empties), col,
+                                 pa.scalar("", type=field.type))
+        t = t.set_column(idx, field, col)
+    return t
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/fuzz_sf")
+    ap.add_argument("--null-rate", type=float, default=0.02)
+    ap.add_argument("--empty-rate", type=float, default=0.01)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    for table in TABLES:
+        src = os.path.join(args.src, f"{table}.parquet")
+        fuzzed = fuzz_table(src, table, args.null_rate, args.empty_rate)
+        pq.write_table(fuzzed, os.path.join(args.out, f"{table}.parquet"))
+        injected = sum(fuzzed.column(c).null_count
+                       for c in fuzzed.schema.names)
+        print(f"# fuzzed {table}: {fuzzed.num_rows} rows, "
+              f"{injected} NULLs injected")
+
+    cmd = [sys.executable, os.path.join(ROOT, "tools", "oracle_check.py"),
+           args.out, *args.queries]
+    return subprocess.run(cmd, cwd=ROOT).returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -181,11 +181,17 @@ def main() -> int:
             print(f"OK   {name}: {len(srows)} rows, {dt:.1f}s")
     spark.stop()
     outs = [json_out] if json_out else []
-    if not only:
-        # full-registry run: the canonical local attestation refreshes
-        # unconditionally so it cannot lag the registry
+    canonical_sf = "/root/testdata/sf0.01"
+    if not only and os.path.realpath(sf_dir) == os.path.realpath(canonical_sf):
+        # full-registry run AT THE CANONICAL SF: the local attestation
+        # refreshes so it cannot lag the registry. Other data dirs
+        # (sf0.001 smoke runs, contract-fuzz datasets) must never
+        # clobber the canonical artifact.
         outs.append(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_local.json"))
+    elif not only:
+        print(f"# non-canonical sf_dir {sf_dir}: "
+              "NOT refreshing CORRECTNESS_local.json")
     for out in outs:
         with open(out, "w") as f:
             json.dump(results, f, indent=2)

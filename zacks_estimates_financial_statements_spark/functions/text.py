@@ -188,11 +188,21 @@ def shingles_from_words(words: Column, k: int = 3) -> Column:
     ``split(normalize_text(...))`` expression — Catalyst does not eliminate
     common subexpressions through lambda functions, so an inline expression
     re-runs the regexp normalization once per array element (measured 25×
-    slower at sf0.1)."""
+    slower at sf0.1).
+
+    NULL contract: a NULL words array yields NULL (→ explode produces no
+    shingle rows), matching the SQL twins where NULL text propagates
+    through ``len``/``generate_series``. Without the guard,
+    ``greatest(size(NULL) - k, 0)`` silently becomes 0 (Spark's greatest
+    SKIPS nulls) and every NULL-text document gets one '' shingle —
+    making all of them perfect near-dups of each other (round-8 contract
+    fuzz). An EMPTY (but non-NULL) normalized text still yields the
+    single '' shingle on both engines."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    return F.when(
+        words.isNotNull(),
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
 
 

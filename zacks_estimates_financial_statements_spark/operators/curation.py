@@ -59,6 +59,12 @@ def hash_split(df: DataFrame, id_col: str,
     partitioning and execution order, and stable across runs and engines
     (same assignment in the DuckDB oracle). Weights are normalized, so
     ``{"train": 8, "val": 1, "test": 1}`` works as well as fractions.
+
+    NULL contract: a NULL id has no hash, hence NO split — ``bucket``
+    and ``split`` are NULL and downstream ``split = '...'`` filters drop
+    the row on both engines. (The naive ``when/otherwise`` chain would
+    silently dump every NULL-id row into the LAST split, because a NULL
+    bucket fails each ``<`` test — round-8 contract fuzz.)
     """
     if not weights:
         raise ValueError("weights must name at least one split")
@@ -77,6 +83,7 @@ def hash_split(df: DataFrame, id_col: str,
             expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
+    split = F.when(F.col("bucket").isNotNull(), split)
     return out.withColumn("split", split)
 
 
@@ -481,10 +488,16 @@ def token_budget_fill(df: DataFrame, strata_col: str, text_col: str,
     per-row token count (e.g. ``n_tokens`` from
     ``functions.tokenize.wordpiece_encode``) so the budget means MODEL
     tokens; ``text_col`` is ignored then.
+
+    NULL contract: NULL-id rows are excluded — the deterministic
+    tie-break needs an id, Spark and SQL engines disagree on where
+    NULLs sort ascending, and an unaddressable row silently consuming
+    budget would shift every later row's cum_tokens (contract fuzz).
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     from pyspark.sql import Window
+    df = df.filter(F.col(id_col).isNotNull())
     nt = (token_count if token_count is not None
           else F.size(_word_array(text_col)))
     w = (Window.partitionBy(strata_col)
@@ -2018,9 +2031,12 @@ def novelty_score(df: DataFrame, reference: DataFrame, id_col: str,
     on), the inverse axis of ``benchmark_contamination``'s overlap
     count.
 
-    Output: ``(id, n_grams, n_novel, novelty)`` for every input doc;
-    ``novelty`` rounds to 6, documents with no order-``n`` grams get
-    NULL novelty (no evidence).
+    Output: ``(id, n_grams, n_novel, novelty)`` for every ADDRESSABLE
+    input doc (NULL-id rows are excluded — the per-doc groupBy would
+    otherwise merge them into one artifact row whose join-back then
+    zeroes n_novel, since an equi-join never matches NULL);
+    ``novelty`` rounds to 6, documents with no order-``n`` grams
+    (including NULL text) get n_grams 0 and NULL novelty (no evidence).
 
     Plan shape: both sides explode to distinct gram relations; the
     reference side is aggregated to DISTINCT grams once (its size is
@@ -2032,7 +2048,8 @@ def novelty_score(df: DataFrame, reference: DataFrame, id_col: str,
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    docs = df.select(F.col(id_col), _word_array(text_col).alias("__t"))
+    docs = (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col), _word_array(text_col).alias("__t")))
     dg = (docs.select(F.col(id_col),
                       F.explode_outer(_gram_array(F.col("__t"), n))
                       .alias("__g")))

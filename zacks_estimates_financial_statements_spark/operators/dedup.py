@@ -585,8 +585,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     ``k + w - 1`` normalized chars contribute no full window, matching
     the SQL twin exactly.
     """
-    norm = (df.select(F.col(id_col),
-                      T.normalize_text(F.col(text_col)).alias("__norm"))
+    # NULL-id rows are excluded: "distinct hashes PER DOC" needs an id
+    # — the zero-shuffle per-row distinct would otherwise disagree with
+    # any grouped twin, which merges all NULL ids into one group
+    norm = (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col),
+                    T.normalize_text(F.col(text_col)).alias("__norm"))
             # Spark's sequence(1, 0) counts DOWN — guard short docs out
             # before generating gram positions
             .filter(F.length("__norm") >= k))
@@ -623,8 +627,14 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     pairs within each bucket group so the corpus scans once (a bucket
     self-join would scan it per side) and a degenerate hot bucket is
     dropped by the ``max_bucket_size`` guard. 0 = exact all-pairs
-    crossJoin (baseline/verification)."""
-    base = df.select(F.col(id_col), F.col(vec_col))
+    crossJoin (baseline/verification).
+
+    NULL contract: rows with a NULL id or NULL vector are unscorable /
+    unaddressable and are excluded (the similarity-kit ``_scorable``
+    contract; oracle twins carry the matching WHERE)."""
+    base = (df.filter(F.col(id_col).isNotNull()
+                      & F.col(vec_col).isNotNull())
+            .select(F.col(id_col), F.col(vec_col)))
     if bucket_bits > 0:
         buckets = base.withColumn("__bucket",
                                   V.sign_bits(F.col(vec_col), bucket_bits))
@@ -662,8 +672,10 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     the keep-first-by-id convention matches every other dedup operator
     here).
 
-    Returns one row per input: ``(id, centroid_id, dup_of, keep)`` with
-    ``dup_of`` = the smallest qualifying twin id (NULL when kept).
+    Returns one row per SCORABLE input (NULL-id/NULL-vector rows are
+    excluded via ``ivf_assign``'s contract — an unscorable row cannot
+    be clustered): ``(id, centroid_id, dup_of, keep)`` with ``dup_of``
+    = the smallest qualifying twin id (NULL when kept).
 
     Plan shape: centroid assignment is a broadcast scoring pass (the
     corpus never shuffles for it — ``similarity.ivf_assign``), pair

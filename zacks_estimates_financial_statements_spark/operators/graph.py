@@ -159,7 +159,12 @@ def resolve_duplicate_clusters(df: DataFrame, pairs: DataFrame,
     corpus-wide operation is the final left join on the unique id,
     whose small side AQE broadcasts. The iterative part never touches
     the corpus at all, only the edge set.
+
+    NULL contract: NULL-id rows are excluded — an unaddressable row
+    can neither be a cluster member nor a keeper (its ``keep`` would
+    be NULL, not false), and equi-joins never match it anyway.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     labels = connected_components(pairs, src=src, dst=dst)
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("cluster_size"))

@@ -32,6 +32,16 @@ from pyspark.storagelevel import StorageLevel
 from zacks_estimates_financial_statements_spark.functions import vectors as V
 
 
+def _scorable(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """NULL contract (round-8 contract fuzz): a row with a NULL id or a
+    NULL vector is unaddressable/unscorable — every similarity operator
+    excludes such rows at entry instead of propagating NULL cosines into
+    rank windows (where Spark and SQL engines disagree on NULL order)
+    or NULL ids into deterministic tie-breaks. Oracle twins state the
+    same ``WHERE id IS NOT NULL AND vec IS NOT NULL``."""
+    return df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+
+
 def _rank_topk(scored: DataFrame, query_id: str, k: int,
                order_cols: list) -> DataFrame:
     w = Window.partitionBy(query_id).orderBy(*order_cols)
@@ -44,7 +54,10 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     query_id_col: str = "query_id",
                     query_vec_col: str = "query_vec") -> DataFrame:
     """Exact cosine top-k per query: (query_id, vec_id, cosine, rank).
-    Ties break deterministically by id."""
+    Ties break deterministically by id. NULL-id/NULL-vector rows are
+    excluded on both sides (see ``_scorable``)."""
+    corpus = _scorable(corpus, id_col, vec_col)
+    queries = _scorable(queries, query_id_col, query_vec_col)
     joined = corpus.crossJoin(F.broadcast(queries))
     cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
     scored = joined.select(F.col(query_id_col), F.col(id_col),
@@ -86,9 +99,11 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the all-pairs scale-killer; the probe expansion trades a constant
     per-query fan-out for a hash join the corpus side never loops over.
     """
-    c = corpus.withColumn("__bucket", V.sign_bits(F.col(vec_col), bucket_bits))
-    q = queries.withColumn("__qbucket",
-                           V.sign_bits(F.col(query_vec_col), bucket_bits))
+    c = (_scorable(corpus, id_col, vec_col)
+         .withColumn("__bucket", V.sign_bits(F.col(vec_col), bucket_bits)))
+    q = (_scorable(queries, query_id_col, query_vec_col)
+         .withColumn("__qbucket",
+                     V.sign_bits(F.col(query_vec_col), bucket_bits)))
     masks = F.array(*[F.lit(m) for m in
                       _hamming_ball_masks(bucket_bits, probe_hamming)])
     probes = (q.select(F.col(query_id_col), F.col(query_vec_col),
@@ -139,7 +154,10 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
     between iterations on a real cluster to cut lineage replay. Float
     means make refined runs deterministic up to summation order — the
     exact-SQL oracle covers the seed path (``kmeans_iters=0``), recall
-    tests cover refinement."""
+    tests cover refinement. NULL-id/NULL-vector rows are excluded (see
+    ``_scorable``) — a NULL id would otherwise be picked as a seed
+    centroid first under Spark's NULLS-FIRST ascending sort."""
+    corpus = _scorable(corpus, id_col, vec_col)
     centroids = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
                  .select(F.col(id_col).alias("centroid_id"),
                          F.col(vec_col).alias("centroid_vec")))
@@ -236,6 +254,7 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         assign, centroids = ivf_assign(corpus, n_centroids, id_col,
                                        vec_col, kmeans_iters)
         corpus_assigned = corpus.join(assign, id_col)
+    queries = _scorable(queries, query_id_col, query_vec_col)
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"),
         V.cosine(F.col(query_vec_col), F.col("centroid_vec")).alias("__cos"))
@@ -270,8 +289,10 @@ def quantize_embeddings(df: DataFrame, id_col: str,
     recompute the abs-max fold per element (the 25×-measured CLAUDE.md
     rule). Returns ``(id, scale, qvec, mae)`` with scale and the
     mean-abs reconstruction error rounded to 6 digits for cross-engine
-    hashing.
+    hashing. NULL-id/NULL-vector rows are excluded (``_scorable``) —
+    there is no int8 representation of an absent vector.
     """
+    df = _scorable(df, id_col, vec_col)
     absmax = F.aggregate(
         F.col(vec_col), F.lit(0.0),
         lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
