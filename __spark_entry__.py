@@ -959,7 +959,10 @@ b AS (
       % 1000000 AS bucket
   FROM keyed)
 SELECT doc_id, bucket,
-  CASE {branches} ELSE '{th[-1][0]}' END AS split
+  -- NULL contract (hash_split): a NULL id has no hash, hence NO split
+  -- (the bare ELSE would dump NULL buckets into the last split)
+  CASE WHEN bucket IS NULL THEN NULL
+       {branches} ELSE '{th[-1][0]}' END AS split
 FROM b
 """
 
@@ -1286,6 +1289,11 @@ def q_sessionize_batch(spark, sf):
     the previous event exceeds 30 minutes)."""
     from pyspark.sql import Window
     ev = _t(spark, sf, "events")
+    # NULL contract: sessionization needs a user key, a time, and the
+    # event-id tie-break — NULL rows are excluded (oracle twin matches;
+    # Spark and DuckDB disagree on NULL order in the session window)
+    ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                   & F.col("event_id").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (F.col("ts").cast("long")
            - F.lag(F.col("ts").cast("long")).over(w)) > 1800
@@ -1308,7 +1316,10 @@ WITH marked AS (
     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
       (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
     THEN 1 ELSE 0 END AS new_session
-  FROM events),
+  -- NULL contract: sessionization needs a user key, a time, and the
+  -- event-id tie-break; NULL rows are excluded (Spark def matches)
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
 sess AS (
   SELECT user_id, ts,
     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1377,7 +1388,9 @@ SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
        event_type,
        count(*) AS n,
        {_dt_sql("CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_value
-FROM events
+-- NULL contract: Spark's window() drops NULL event times (no window
+-- can contain them); the twin states the same filter
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 
@@ -1402,7 +1415,12 @@ SELECT event_type, count(*) AS n,
   CAST(sum(k) AS BIGINT) AS sum_k,
   min(k) AS min_k, max(k) AS max_k
 FROM (
-  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  -- json_valid guard: DuckDB's json_extract_string THROWS on malformed
+  -- JSON (e.g. an empty string), where Spark's get_json_object returns
+  -- NULL — the degradation contract is per-row NULL on both engines
+  SELECT event_type,
+    TRY_CAST(CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
   FROM events)
 WHERE k IS NOT NULL
 GROUP BY event_type
@@ -1695,7 +1713,10 @@ def q_corpus_report(spark, sf):
     """Per-source corpus health report: volumes, decimal-exact mean
     quality, short-doc share. One map-side-combined aggregation."""
     docs = _t(spark, sf, "documents")
-    return curation.corpus_report(docs, "source", "text")
+    # NULL contract: the report covers addressable documents (the twin
+    # keys per-doc stats by doc_id); NULL-id rows are excluded
+    return curation.corpus_report(docs.filter(F.col("doc_id").isNotNull()),
+                                  "source", "text")
 
 
 ORACLE_CORPUS_REPORT = f"""
@@ -1953,7 +1974,10 @@ WITH b AS (
       % 1000000 AS bucket
   FROM documents)
 SELECT doc_id, bucket,
-  CASE {branches} ELSE '{th[-1][0]}' END AS split
+  -- NULL contract (hash_split): a NULL id has no hash, hence NO split
+  -- (the bare ELSE would dump NULL buckets into the last split)
+  CASE WHEN bucket IS NULL THEN NULL
+       {branches} ELSE '{th[-1][0]}' END AS split
 FROM b
 """
 
@@ -2065,7 +2089,8 @@ edges AS (
   UNION
   SELECT id_b AS u, id_a AS v FROM cand),
 reach(node, r) AS (
-  SELECT doc_id, doc_id FROM documents
+  -- NULL contract: NULL-id docs are unaddressable, excluded from CC
+  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u),
 comp AS (
@@ -2232,7 +2257,8 @@ edges AS (
   UNION
   SELECT id_b AS u, id_a AS v FROM cand),
 reach(node, r) AS (
-  SELECT doc_id, doc_id FROM documents
+  -- NULL contract: NULL-id docs are unaddressable, excluded from CC
+  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u)
 SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
@@ -4255,6 +4281,9 @@ def q_asof_join(spark, sf):
     is pre-aggregated per (user, ts) because duplicate right timestamps
     make "the" as-of row undefined in every engine."""
     ev = _t(spark, sf, "events")
+    # NULL contract: an as-of join needs a key and a time on both
+    # sides — NULL user_id/ts rows are excluded (oracle twin matches)
+    ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     purchases = (ev.filter(F.col("event_type") == "purchase")
                  .groupBy("user_id", "ts")
                  .agg(F.max("value").alias("last_purchase_value")))
@@ -4269,12 +4298,16 @@ def q_asof_join(spark, sf):
 
 
 ORACLE_ASOF_JOIN = """
+-- NULL contract: an as-of join needs a key and a time on both sides;
+-- NULL user_id/ts rows are excluded (Spark def filters identically)
 WITH purch AS (
   SELECT user_id, ts, max(value) AS last_purchase_value
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+  FROM events WHERE event_type = 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
 ev AS (
   SELECT event_id, user_id, ts, event_type FROM events
-  WHERE event_type <> 'purchase')
+  WHERE event_type <> 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL)
 SELECT ev.event_id, ev.user_id, epoch_us(ev.ts) AS ts_us, ev.event_type,
   p.last_purchase_value, epoch_us(p.ts) AS last_purchase_ts_us
 FROM ev ASOF LEFT JOIN purch p
@@ -5167,6 +5200,9 @@ def q_zorder_key(spark, sf):
     integer-exact across engines (which is what the oracle checks)."""
     from zacks_estimates_financial_statements_spark.operators import layout
     ev = _t(spark, sf, "events")
+    # NULL contract: a layout key must exist — rows missing either curve
+    # dimension are excluded (oracle twin matches)
+    ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     minute = F.floor(F.unix_micros("ts") / F.lit(60_000_000)) - F.lit(_ZO_BASE_MIN)
     zx = layout.scale_to_bits(F.col("user_id"), 0, 149, _ZO_BITS)
     zy = layout.scale_to_bits(minute, 0, 44639, _ZO_BITS)
@@ -5199,7 +5235,9 @@ WITH dims AS (
     {_zo_scale_sql("user_id", 0, 149, _ZO_BITS)} AS zx,
     {_zo_scale_sql(f"epoch_us(ts) // 60000000 - {_ZO_BASE_MIN}",
                    0, 44639, _ZO_BITS)} AS zy
-  FROM events)
+  -- NULL contract: a layout key must exist — rows missing either
+  -- curve dimension are excluded (Spark def matches)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
 SELECT event_id, zx, zy,
   ({_zo_interleave_sql("zx", "zy", _ZO_BITS)})::BIGINT AS zkey
 FROM dims
@@ -5364,7 +5402,9 @@ WITH u AS (
   SELECT doc_id, source, n_chars AS weight,
     (('0x' || substr(md5('wsample|' || doc_id::VARCHAR), 1, 15))::BIGINT
        % 1000000 + 0.5) / 1000000.0 AS u
-  FROM documents WHERE n_chars > 0),
+  -- NULL contract (weighted_sample): the A-ES uniform is keyed on the
+  -- id, so NULL-id rows have no key and are excluded
+  FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL),
 k AS (
   SELECT doc_id, source, weight,
     round(ln(u) / weight::DOUBLE, 6) AS es_key

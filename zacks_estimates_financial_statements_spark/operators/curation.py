@@ -144,7 +144,9 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, n: int,
     keyed md5 bucket mapped to ``(0, 1)`` — so the sample is exactly
     reproducible across runs, engines and repartitioning, the property
     ``hash_split`` gives splits (``rand(seed)`` changes with partition
-    layout; a 100 TB re-run must not).
+    layout; a 100 TB re-run must not). A NULL id therefore has no
+    uniform (and no rank tie-break): NULL-id rows are excluded, like
+    non-positive weights.
 
     With ``strata_col``, top-``n`` PER STRATUM via one window shuffle
     on the stratum (parallel across strata). Without it, a global
@@ -166,6 +168,7 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, n: int,
     u = (_bucket(id_col, seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
     scored = (df.filter(F.col(weight_col) > 0)
+              .filter(F.col(id_col).isNotNull())
               .withColumn("es_key", key))
     order = [F.col("es_key").desc(), F.col(id_col).desc()]
     if strata_col is not None:
