@@ -2547,14 +2547,15 @@ WITH toks AS (
   SELECT doc_id,
     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                        x -> x <> '')) AS tok
-  FROM documents),
+  -- NULL contract (bm25_score): the corpus is the addressable docs
+  FROM documents WHERE doc_id IS NOT NULL),
 q AS (
   SELECT tok FROM (
     SELECT tok, count(*) AS n FROM toks GROUP BY tok
     ORDER BY n DESC, tok LIMIT 3)),
 dl AS (
   SELECT d.doc_id, coalesce(c.cnt, 0) AS dl
-  FROM documents d LEFT JOIN (
+  FROM (SELECT * FROM documents WHERE doc_id IS NOT NULL) d LEFT JOIN (
     SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) c
     ON d.doc_id = c.doc_id),
 stats AS (
@@ -3117,6 +3118,10 @@ def q_domain_quota(spark, sf):
     top-10 docs per host by quality proxy (n_chars), ties broken by id.
     One window shuffle on the host."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: quota ranks addressable docs of a known host —
+    # a NULL doc_id/source null-propagates into the synthesized URL
+    docs = docs.filter(F.col("doc_id").isNotNull()
+                       & F.col("source").isNotNull())
     raw = F.concat(F.lit("https://www."), F.col("source"),
                    F.lit(".Example.COM/p/"), F.col("doc_id"))
     d = docs.select("doc_id", "n_chars", web.url_host(raw).alias("host"))
@@ -3128,7 +3133,9 @@ def q_domain_quota(spark, sf):
 ORACLE_DOMAIN_QUOTA = """
 WITH d AS (
   SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
-  FROM documents)
+  -- NULL contract: quota ranks addressable docs of a known host
+  -- (Spark's URL synthesis null-propagates doc_id into the host)
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL)
 SELECT doc_id, host,
   (row_number() OVER (PARTITION BY host
      ORDER BY n_chars DESC, doc_id ASC))::INT AS host_rank,
@@ -3145,6 +3152,10 @@ def q_domain_quota_skewsafe(spark, sf):
     operator docstring), NULL tail ranks. The oracle twin states the
     equivalence: row_number capped at N, NULL beyond."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: quota ranks addressable docs of a known host —
+    # a NULL doc_id/source null-propagates into the synthesized URL
+    docs = docs.filter(F.col("doc_id").isNotNull()
+                       & F.col("source").isNotNull())
     raw = F.concat(F.lit("https://www."), F.col("source"),
                    F.lit(".Example.COM/p/"), F.col("doc_id"))
     d = docs.select("doc_id", "n_chars", web.url_host(raw).alias("host"))
@@ -3157,7 +3168,8 @@ def q_domain_quota_skewsafe(spark, sf):
 ORACLE_DOMAIN_QUOTA_SKEWSAFE = """
 WITH d AS (
   SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
-  FROM documents),
+  -- NULL contract: same addressability filter as ORACLE_DOMAIN_QUOTA
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
 r AS (
   SELECT doc_id, host,
     (row_number() OVER (PARTITION BY host
@@ -3249,6 +3261,9 @@ def q_url_filter(spark, sf):
     regex; the oracle derives every flag independently from the
     synthesis arithmetic."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: synthesized per-doc inputs need an id (NULL
+    # null-propagates every doc_id-derived expression)
+    docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
     url = F.concat(F.lit("https://h"), (d % 7).cast("string"),
                    F.lit(".test"), (d % 3).cast("string"),
@@ -3266,7 +3281,7 @@ WITH base AS (
     'https://h' || (doc_id % 7) || '.test' || (doc_id % 3)
       || '.org/p/' || doc_id AS url,
     'h' || (doc_id % 7) || '.test' || (doc_id % 3) || '.org' AS host
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL)
 SELECT doc_id, url, host,
   CASE WHEN (doc_id % 7) = 3 AND (doc_id % 3) = 1 THEN 'h3.test1.org'
        WHEN (doc_id % 3) = 0 THEN 'test0.org' END AS matched_domain,
@@ -3345,6 +3360,9 @@ def q_c4_clean(spark, sf):
     oracle derives every flag and the cleaned text independently from
     the synthesis arithmetic."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: synthesized per-doc inputs need an id (NULL
+    # null-propagates every doc_id-derived expression)
+    docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
     nl = F.lit("\n")
     text2 = F.concat(
@@ -3381,7 +3399,7 @@ SELECT doc_id,
   (doc_id % 11 = 0) AS has_badword,
   (doc_id % 7 = 0) AS has_doc_drop,
   (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS keep
-FROM documents
+FROM documents WHERE doc_id IS NOT NULL  -- NULL contract: addressable docs only
 """
 
 
@@ -3510,6 +3528,9 @@ def q_registrable_domain(spark, sf):
     both label depths; oracle derives everything from the synthesis
     arithmetic."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: synthesized per-doc inputs need an id (NULL
+    # null-propagates every doc_id-derived expression)
+    docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
     url = F.concat(F.lit("https://h"), (d % 7).cast("string"),
                    F.when(d % 2 == 0, F.lit(".site")).otherwise(F.lit("")),
@@ -3530,7 +3551,8 @@ WITH base AS (
     'h' || (doc_id % 7)
       || CASE WHEN doc_id % 2 = 0 THEN '.site' ELSE '' END
       || '.ex' || (doc_id % 3) || '.org' AS host
-  FROM documents)
+  -- NULL contract: NULL doc_id null-propagates the synthesized URL
+  FROM documents WHERE doc_id IS NOT NULL)
 SELECT doc_id, url, host,
   CASE WHEN doc_id % 3 = 0 THEN 'org'
        ELSE 'ex' || (doc_id % 3) || '.org' END AS public_suffix,
@@ -3549,6 +3571,9 @@ def q_corpus_diff(spark, sf):
     diffed by normalized fingerprints; one full-outer id join, text
     never shuffles."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: synthesized per-doc inputs need an id (NULL
+    # null-propagates every doc_id-derived expression)
+    docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
     survivors = docs.filter(d % 11 != 0).select(
         "doc_id",
@@ -3567,10 +3592,13 @@ WITH fp AS (
       AS f,
     md5(trim(regexp_replace(lower(text || ' changed'),
                             '[^a-z0-9]+', ' ', 'g'))) AS fc
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL)
 SELECT doc_id,
+  -- NULL-text survivors: appending ' changed' to NULL text yields the
+  -- same NULL fingerprint, so the content is (absently) unchanged —
+  -- the IS DISTINCT FROM mirrors the operator's null-safe compare
   CASE WHEN doc_id % 11 = 0 THEN 'removed'
-       WHEN doc_id % 7 = 0 THEN 'changed'
+       WHEN doc_id % 7 = 0 AND f IS DISTINCT FROM fc THEN 'changed'
        ELSE 'unchanged' END AS status,
   f AS old_fp,
   CASE WHEN doc_id % 11 = 0 THEN NULL
@@ -3629,6 +3657,9 @@ def q_robots_check(spark, sf):
         [(f"h{k}.org", bad if k % 2 == 0 else star) for k in range(5)],
         "host string, robots string")
     docs = _t(spark, sf, "documents")
+    # NULL contract: synthesized per-doc inputs need an id (NULL
+    # null-propagates every doc_id-derived expression)
+    docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
     url = F.concat(
         F.lit("https://h"), (d % 5).cast("string"), F.lit(".org"),
@@ -3650,7 +3681,7 @@ WITH base AS (
          WHEN doc_id % 4 = 1 THEN '/private/ok/' || doc_id
          WHEN doc_id % 4 = 2 THEN '/pub/' || doc_id
          ELSE '/' END AS path
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL)
 SELECT doc_id,
   'https://h' || k || '.org' ||
     CASE WHEN p = 3 THEN '/' ELSE path END AS url,
@@ -3820,6 +3851,9 @@ def q_code_score(spark, sf):
     a code block appended to every third doc, prose to the rest; the
     oracle runs the identical regex counts. Zero-shuffle."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: synthesized per-doc inputs need an id (NULL
+    # null-propagates every doc_id-derived expression)
+    docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
     code_tail = ("\ndef calc(x):\n  y = x + 1;\n  while y: y = y - 2;"
                  "\n  return y;")
@@ -3839,7 +3873,7 @@ WITH base AS (
          || '  return y;'
     ELSE chr(10) || 'Plain prose continues without any markers here.'
     END AS t
-  FROM documents),
+  FROM documents WHERE doc_id IS NOT NULL),
 cnt AS (
   SELECT doc_id,
     len(regexp_extract_all(t, '[{};]'))::BIGINT AS n_braces,
@@ -3872,6 +3906,9 @@ def q_url_features(spark, sf):
     deep trailing-slash, id-segment with query, empty); the oracle
     computes the same features from the same synthesized parts."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: synthesized per-doc inputs need an id (NULL
+    # null-propagates every doc_id-derived expression)
+    docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
     url = F.concat(
         F.lit("https://h"), (d % 7).cast("string"), F.lit(".org"),
@@ -3893,7 +3930,7 @@ WITH parts AS (
          WHEN doc_id % 4 = 2 THEN '/p' || doc_id || '/x'
          ELSE '' END AS path,
     CASE WHEN doc_id % 4 = 2 THEN 'a=1&b=2' ELSE '' END AS q
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL)
 SELECT doc_id,
   'https://h' || (doc_id % 7) || '.org' || path ||
     CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url,
@@ -4177,6 +4214,8 @@ def q_calibration_bins(spark, sf):
     arithmetic on both sides; ONE ≤n_bins-group map-side-combined
     aggregation."""
     docs = _t(spark, sf, "documents")
+    # NULL contract: a NULL id has no synthesized score/label -- excluded
+    docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
     scored = docs.select(
         (((d * 37) % 101).cast("double") / 100.0).alias("score"),
@@ -4189,7 +4228,10 @@ ORACLE_CALIBRATION_BINS = """
 WITH scored AS (
   SELECT ((doc_id * 37) % 101)::DOUBLE / 100.0 AS s,
     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
-  FROM documents),
+  -- NULL contract: a NULL id synthesizes a NULL score, which cannot be
+  -- binned (DuckDB's least() would otherwise dump it into bin 9 while
+  -- Spark's label stays NULL) -- excluded on both engines
+  FROM documents WHERE doc_id IS NOT NULL),
 binned AS (
   SELECT least(floor(s * 10), 9)::BIGINT AS bin,
     round(s, 6)::DECIMAL(38,6) AS s6, y
@@ -5777,14 +5819,17 @@ SELECT doc_id, CAST(1 AS INT) AS link_pos,
     || '?utm_campaign=z&z=2&a=1#top' AS url,
   'https://' || source || '.example.com/Art/' || (doc_id // 10)
     || '?a=1&z=2' AS canonical_url
-FROM documents
+-- NULL contract: a NULL doc_id or source null-propagates through the
+-- Spark-side page concat, so the whole synthesized page is NULL and
+-- extract_links emits nothing for that doc
+FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
 UNION ALL
 SELECT doc_id, CAST(3 AS INT) AS link_pos,
   'http://h' || (doc_id % 7) || '.test.org:80/p/' || (doc_id % 13)
     || '/' AS url,
   'http://h' || (doc_id % 7) || '.test.org/p/' || (doc_id % 13)
     AS canonical_url
-FROM documents
+FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
 """
 
 
@@ -6140,16 +6185,17 @@ def q_table_extract(spark, sf):
 
 ORACLE_TABLE_EXTRACT = """
 SELECT doc_id, 1::INT AS table_idx, 1::INT AS row_idx, 1::INT AS col_idx,
-       'metric' AS cell FROM documents
-UNION ALL SELECT doc_id, 1, 1, 2, 'value' FROM documents
-UNION ALL SELECT doc_id, 1, 2, 1, 'rev' FROM documents
-UNION ALL SELECT doc_id, 1, 2, 2, (doc_id * 3)::VARCHAR FROM documents
-UNION ALL SELECT doc_id, 1, 3, 1, 'eps' FROM documents
+       -- NULL contract: NULL doc_id null-propagates the page concat
+       'metric' AS cell FROM documents WHERE doc_id IS NOT NULL
+UNION ALL SELECT doc_id, 1, 1, 2, 'value' FROM documents WHERE doc_id IS NOT NULL
+UNION ALL SELECT doc_id, 1, 2, 1, 'rev' FROM documents WHERE doc_id IS NOT NULL
+UNION ALL SELECT doc_id, 1, 2, 2, (doc_id * 3)::VARCHAR FROM documents WHERE doc_id IS NOT NULL
+UNION ALL SELECT doc_id, 1, 3, 1, 'eps' FROM documents WHERE doc_id IS NOT NULL
 UNION ALL SELECT doc_id, 1, 3, 2,
-  (doc_id % 7)::VARCHAR || '.' || (doc_id % 10)::VARCHAR FROM documents
+  (doc_id % 7)::VARCHAR || '.' || (doc_id % 10)::VARCHAR FROM documents WHERE doc_id IS NOT NULL
 UNION ALL SELECT doc_id, 2, 1, 1, 'a' || (doc_id % 5)::VARCHAR
-  FROM documents
-UNION ALL SELECT doc_id, 2, 1, 2, 'b' FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
+UNION ALL SELECT doc_id, 2, 1, 2, 'b' FROM documents WHERE doc_id IS NOT NULL
 """
 
 

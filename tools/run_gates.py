@@ -16,9 +16,11 @@ Order (each regenerates its committed artifact as a side effect):
 3. ``plan_audit``      — executes every plan; regenerates ``PLANS.md``
 4. ``shuffle_audit``   — REST-measured amplification; ``SHUFFLE.md``
 5. ``skew_sweep``      — power-law straggler gate
-6. ``scale_study``     — sf0.01→sf0.1 scaling exponents
-7. ``pytest``          — the full unit/pipeline/property suite
-8. ``stamp_round N``   — byte-copies the canonical attestation to
+6. ``contract_fuzz``   — full oracle battery on NULL/empty-injected
+                         data (latent cross-engine contract gate)
+7. ``scale_study``     — sf0.01→sf0.1 scaling exponents
+8. ``pytest``          — the full unit/pipeline/property suite
+9. ``stamp_round N``   — byte-copies the canonical attestation to
                          ``CORRECTNESS_local_r{NN}.json`` (only with
                          ``--round N``, only when 1-7 all passed)
 
@@ -50,6 +52,7 @@ GATES = [
     ("plan_audit", [sys.executable, "tools/plan_audit.py"]),
     ("shuffle_audit", [sys.executable, "tools/shuffle_audit.py"]),
     ("skew_sweep", [sys.executable, "tools/skew_sweep.py", "--json"]),
+    ("contract_fuzz", [sys.executable, "tools/contract_fuzz.py"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
 ]

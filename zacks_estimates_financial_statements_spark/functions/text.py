@@ -459,8 +459,10 @@ def code_score(text: Column) -> list[Column]:
         .cast("bigint")
     n_assign = F.regexp_count(text, F.lit(r"[a-zA-Z0-9_\]\)] ?=[^=]"))\
         .cast("bigint")
-    n_lines = F.coalesce(F.size(F.split(text, "\n")), F.lit(0))\
-        .cast("bigint")
+    # no coalesce: NULL text means NULL line count (no evidence), the
+    # same NULL the other panel fields carry — a 0 here would diverge
+    # from any SQL twin's len(string_split(NULL))
+    n_lines = F.size(F.split(text, "\n")).cast("bigint")
     sat = lambda c: F.least(F.lit(1.0),
                             c.cast("double")
                             / F.greatest(n_lines, F.lit(1))

@@ -2095,14 +2095,20 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
     """
     from zacks_estimates_financial_statements_spark.functions import text as _T
 
+    # Presence is tracked EXPLICITLY, not via fingerprint nullness: a
+    # doc that exists in both snapshots with NULL text has a NULL
+    # fingerprint on both sides and must read "unchanged" (null-safe
+    # compare), not "added" (round-8 contract fuzz).
     o = old.select(F.col(id_col),
-                   _T.fingerprint(F.col(text_col)).alias("old_fp"))
+                   _T.fingerprint(F.col(text_col)).alias("old_fp"),
+                   F.lit(True).alias("__in_old"))
     n = new.select(F.col(id_col),
-                   _T.fingerprint(F.col(text_col)).alias("new_fp"))
+                   _T.fingerprint(F.col(text_col)).alias("new_fp"),
+                   F.lit(True).alias("__in_new"))
     j = o.join(n, id_col, "full_outer")
-    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
-              .when(F.col("new_fp").isNull(), F.lit("removed"))
-              .when(F.col("old_fp") == F.col("new_fp"),
+    status = (F.when(F.col("__in_old").isNull(), F.lit("added"))
+              .when(F.col("__in_new").isNull(), F.lit("removed"))
+              .when(F.col("old_fp").eqNullSafe(F.col("new_fp")),
                     F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return j.select(F.col(id_col), status.alias("status"),

@@ -67,9 +67,17 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 def best_match(pairs: DataFrame, left_id: str, right_id: str) -> DataFrame:
     """Fold fuzzy-join pairs to the single best match per left record:
     smallest distance, ties to the smallest right id (``min(struct)`` —
-    deterministic). One map-side-combined aggregation."""
+    deterministic). One map-side-combined aggregation.
+
+    NULL contract: a candidate with a NULL right id still counts toward
+    ``n_candidates`` but is LEAST preferred (SQL NULLS-LAST ordering) —
+    Spark's struct-min would otherwise treat NULL as smallest and pick
+    an identity-less "best" match over a real one (contract fuzz)."""
     return (pairs.groupBy(left_id)
-            .agg(F.min(F.struct("dist", right_id)).alias("m"),
+            .agg(F.min(F.struct(
+                F.col("dist"),
+                F.col(right_id).isNull().cast("int").alias("__nl"),
+                F.col(right_id))).alias("m"),
                  F.count(F.lit(1)).alias("n_candidates"))
             .select(left_id,
                     F.col(f"m.{right_id}").alias(right_id),

@@ -42,6 +42,10 @@ def bm25_score(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("query must contain at least one term")
     from zacks_estimates_financial_statements_spark.operators.curation import _word_array
 
+    # NULL contract: the indexed corpus is the addressable docs — a
+    # NULL id would merge every such doc into one aggregation group,
+    # corrupting N/avgdl/df. NULL text stays: dl 0 via explode_outer.
+    df = df.filter(F.col(id_col).isNotNull())
     toks = df.select(F.col(id_col), F.explode_outer(_word_array(text_col))
                      .alias("__tok"))
     # doc lengths + corpus stats (explode_outer keeps zero-token docs
