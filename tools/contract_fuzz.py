@@ -29,8 +29,28 @@ machines, so a failure reproduces exactly.
 
 Usage: python tools/contract_fuzz.py [--src /root/testdata/sf0.001]
            [--out /tmp/fuzz_sf] [--null-rate 0.02] [--empty-rate 0.01]
-           [query ...]
+           [--dup-rate 0] [--nan-rate 0] [query ...]
 Exit = oracle_check's exit (1 on any divergence).
+
+Extra fault classes (default OFF — the committed gate runs the
+NULL/empty class; these are reconnaissance dials for future rounds):
+``--dup-rate`` appends verbatim clones of ~that fraction of rows
+(duplicate ids with identical content — stresses keep-first/grouped
+vs per-row plans); ``--nan-rate`` replaces ~that fraction of double
+values with NaN (every third one -inf — stresses aggregate and
+comparison semantics; Spark orders NaN LAST and NaN==NaN in joins,
+engines differ).
+
+Round-8 reconnaissance (sized, deferred to round 9):
+- ``--dup-rate 0.02``: 20/148 diverge — per-doc plans emit one row
+  per physical row while grouped twins emit one per id; each operator
+  needs an explicit duplicate-id contract (dedup on entry vs
+  amplify), same triage discipline as the NULL sweep.
+- ``--nan-rate 0.02``: 12/148 diverge — mostly ORACLE-side hard
+  errors (DuckDB cannot cast NaN/-inf to DECIMAL/INT128 where Spark's
+  try-path degrades); contract candidate: non-finite measures → NULL
+  per row (``isfinite`` guard in the twins, try_cast already on the
+  Spark side).
 """
 
 from __future__ import annotations
@@ -58,7 +78,8 @@ def _mask(table: str, col: str, n: int, rate: float, salt: str = "") -> np.ndarr
 
 
 def fuzz_table(path: str, table: str, null_rate: float,
-               empty_rate: float) -> pa.Table:
+               empty_rate: float, dup_rate: float = 0.0,
+               nan_rate: float = 0.0) -> pa.Table:
     t = pq.read_table(path)
     n = t.num_rows
     for idx, name in enumerate(t.schema.names):
@@ -73,7 +94,19 @@ def fuzz_table(path: str, table: str, null_rate: float,
             if empties.any():
                 col = pc.if_else(pa.array(~empties), col,
                                  pa.scalar("", type=field.type))
+        if nan_rate and pa.types.is_floating(field.type):
+            nans = _mask(table, name, n, nan_rate, salt="nan")
+            if nans.any():
+                infs = _mask(table, name, n, nan_rate / 3, salt="inf")
+                col = pc.if_else(pa.array(~nans), col,
+                                 pa.scalar(float("nan"), type=field.type))
+                col = pc.if_else(pa.array(~infs), col,
+                                 pa.scalar(float("-inf"), type=field.type))
         t = t.set_column(idx, field, col)
+    if dup_rate:
+        dups = _mask(table, "__row__", n, dup_rate, salt="dup")
+        if dups.any():
+            t = pa.concat_tables([t, t.filter(pa.array(dups))])
     return t
 
 
@@ -83,13 +116,16 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/fuzz_sf")
     ap.add_argument("--null-rate", type=float, default=0.02)
     ap.add_argument("--empty-rate", type=float, default=0.01)
+    ap.add_argument("--dup-rate", type=float, default=0.0)
+    ap.add_argument("--nan-rate", type=float, default=0.0)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     for table in TABLES:
         src = os.path.join(args.src, f"{table}.parquet")
-        fuzzed = fuzz_table(src, table, args.null_rate, args.empty_rate)
+        fuzzed = fuzz_table(src, table, args.null_rate, args.empty_rate,
+                            args.dup_rate, args.nan_rate)
         pq.write_table(fuzzed, os.path.join(args.out, f"{table}.parquet"))
         injected = sum(fuzzed.column(c).null_count
                        for c in fuzzed.schema.names)
