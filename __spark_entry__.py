@@ -3428,8 +3428,10 @@ WITH base AS (
   -- unparseable/NULL arrivals (web.politeness_schedule, streaming
   -- schedule_fetches); events.ts is nullable, so without this filter
   -- one NULL ts in a future testdata regeneration flips both
-  -- attestations red.
-  WHERE ts IS NOT NULL)
+  -- attestations red. NULL-id contract (r8 advice): the id is the
+  -- arrival-order tie-break and Spark sorts NULLs FIRST where DuckDB
+  -- sorts them LAST — an unaddressable request has no position.
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL)
 SELECT host, event_id, arrival_us,
   (position * 10000000 + max(arrival_us - position * 10000000) OVER
      (PARTITION BY host ORDER BY arrival_us, event_id

@@ -70,6 +70,21 @@ def test_unary_negation_forms(tmp_path):
         assert _audit_src(tmp_path, s) == [], s
 
 
+def test_tokenize_failure_falls_back_to_raw_lines(tmp_path):
+    # Unterminated string → tokenize.TokenError. The documented fallback
+    # scans raw lines (hazards still flagged, waivers honored by regex)
+    # instead of crashing — r8 advice: the except clause named a
+    # nonexistent ``tokenize.TokenizeError`` so audit_file raised
+    # AttributeError on unparseable source.
+    src = (
+        'x = F.to_timestamp(s)\n'
+        'y = F.to_date(s)  # ansi-ok: loud abort intended\n'
+        'broken = "unterminated\n'
+    )
+    findings = _audit_src(tmp_path, src)
+    assert len(findings) == 1 and "to_timestamp" in findings[0]
+
+
 def test_waiver_and_lit_cast_pass(tmp_path):
     src = (
         "a = F.lit(folder).cast('date')\n"

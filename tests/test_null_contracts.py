@@ -106,3 +106,27 @@ def test_novelty_null_text_doc_keeps_row_null_id_does_not(spark):
             .collect()}
     assert set(rows) == {1, 2}
     assert rows[2]["n_grams"] == 0 and rows[2]["novelty"] is None
+
+
+def test_politeness_schedule_drops_null_id_even_on_tied_arrival(spark):
+    # r8 advice: the id is the ordering tie-break; Spark windows sort
+    # NULLs FIRST asc, DuckDB LAST, pandas puts NaN last — a NULL id on
+    # a tied arrival would get an engine-dependent position and shift
+    # every later position. Contract: unaddressable → unschedulable.
+    from zacks_estimates_financial_statements_spark.functions import web
+    from zacks_estimates_financial_statements_spark.streaming import (
+        raw_zone_stream,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    df = spark.createDataFrame(
+        [("h", 2, t0), ("h", None, t0), ("h", 1, t0),
+         ("h", 5, "2024-01-01 00:00:03"), ("h", None, None)],
+        "host string, id bigint, ts string")
+    for fn in (web.politeness_schedule, raw_zone_stream.schedule_fetches):
+        rows = sorted(fn(df, "host", "id", "ts", interval_sec=10)
+                      .collect(), key=lambda r: r["position"])
+        assert [r["id"] for r in rows] == [1, 2, 5]
+        assert [r["position"] for r in rows] == [0, 1, 2]
+        # closed form: sched_i = i*I + running max of (arr_j - j*I)
+        assert [r["wait_us"] for r in rows] == [0, 10_000_000, 17_000_000]

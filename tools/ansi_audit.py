@@ -109,7 +109,7 @@ def scan_source(src: str) -> tuple[list[str], set[int]]:
                 _blank(rows, tok.start, tok.end)
             if tok.type not in (tokenize.NL, tokenize.COMMENT):
                 prev_sig = tok.type
-    except tokenize.TokenizeError:
+    except (tokenize.TokenError, SyntaxError, IndentationError):
         rows = [list(ln) for ln in lines]
         waivers = {i + 1 for i, ln in enumerate(lines) if WAIVER.search(ln)}
     return ["".join(r) for r in rows], waivers

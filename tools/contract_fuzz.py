@@ -97,7 +97,10 @@ def fuzz_table(path: str, table: str, null_rate: float,
         if nan_rate and pa.types.is_floating(field.type):
             nans = _mask(table, name, n, nan_rate, salt="nan")
             if nans.any():
-                infs = _mask(table, name, n, nan_rate / 3, salt="inf")
+                # -inf sites are a ~1/3 SUBSET of the NaN'd rows (ADVICE r8:
+                # an independent mask overwrote values that were never NaN'd,
+                # including previously injected NULLs).
+                infs = nans & _mask(table, name, n, 1.0 / 3, salt="inf")
                 col = pc.if_else(pa.array(~nans), col,
                                  pa.scalar(float("nan"), type=field.type))
                 col = pc.if_else(pa.array(~infs), col,

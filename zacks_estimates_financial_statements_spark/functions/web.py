@@ -215,6 +215,15 @@ def politeness_schedule(df: DataFrame, key_col: str, id_col: str,
     ``try_cast(ts as timestamp) IS NULL`` if they need surfacing; the
     streaming twin (``streaming.schedule_fetches``) applies the same
     rule so batch and stream stay unified.
+
+    NULL-id contract: rows with a NULL ``id_col`` are likewise dropped.
+    The id is the arrival-order tie-break, and a NULL there is a
+    cross-engine ordering trap (Spark windows sort NULLs FIRST
+    ascending, DuckDB LAST, pandas tuple sort puts NaN last): two
+    same-host requests tying on ``arrival_us`` with one NULL id would
+    get engine-dependent positions — and every downstream position is
+    shifted either way. Repo rule: an unaddressable request cannot be
+    scheduled (same contract as ``sessionize_batch``).
     """
     from pyspark.sql import Window
 
@@ -226,7 +235,8 @@ def politeness_schedule(df: DataFrame, key_col: str, id_col: str,
         F.col(key_col), F.col(id_col),
         F.unix_micros(F.col(ts_col).try_cast("timestamp"))
         .alias("arrival_us"))
-        .where(F.col("arrival_us").isNotNull()))
+        .where(F.col("arrival_us").isNotNull()
+               & F.col(id_col).isNotNull()))
     pos = (F.row_number().over(w) - 1).cast("bigint")
     sched = (base
              .withColumn("position", pos)

@@ -595,13 +595,16 @@ def schedule_fetches(df: DataFrame, key_col: str, id_col: str,
     out_schema = (f"{key_col} {dts[key_col]}, {id_col} {dts[id_col]}, "
                   "arrival_us bigint, sched_us bigint, wait_us bigint, "
                   "position bigint")
-    # Same NULL-arrival contract as the batch twin: try_cast (ANSI
-    # safety) and drop unparseable arrivals — they have no position.
+    # Same NULL-arrival AND NULL-id contract as the batch twin:
+    # try_cast (ANSI safety), drop unparseable arrivals (no position)
+    # and NULL ids (the tie-break column — engines order NULLs
+    # differently, so a NULL id on a tied arrival is an ordering trap).
     prepared = (df.select(
         F.col(key_col), F.col(id_col),
         F.unix_micros(F.col(ts_col).try_cast("timestamp"))
         .alias("__arr_us"))
-        .where(F.col("__arr_us").isNotNull()))
+        .where(F.col("__arr_us").isNotNull()
+               & F.col(id_col).isNotNull()))
     return (prepared.groupBy(key_col)
             .applyInPandasWithState(
                 _schedule_fn(iv, key_col, id_col),
