@@ -3457,9 +3457,18 @@ def q_schedule_fetches_stream(spark, sf):
     streaming recurrence equals the batch closed form — hence the SQL
     twin is the same running-max window as ``politeness_schedule``'s,
     and a state-handling bug (dropped position, stale last_sched)
-    breaks the hash, not just a unit test."""
+    breaks the hash, not just a unit test.
+
+    Harness note (r8 verdict #2): the stream lands in a per-run
+    PARQUET sink read back distributed — rows never route through the
+    driver (the earlier memory-sink + ``collect`` + ``createDataFrame``
+    hop put corpus-width rows on the driver AND into the bench
+    timing). The sink dir must outlive this call (the caller evaluates
+    the returned DataFrame), so it is swept at process exit instead of
+    in the ``finally``."""
+    import atexit
+    import shutil
     import tempfile
-    import uuid
 
     from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import (
         schedule_fetches,
@@ -3496,27 +3505,26 @@ def q_schedule_fetches_stream(spark, sf):
             # file source orders batches by modification time: pin it
             # so batch i replays strictly before batch i+1
             os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        qname = f"sched_stream_{uuid.uuid4().hex[:8]}"
         stream = (spark.readStream.schema("host bigint, event_id bigint, "
                                           "ts string")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(src))
         out = schedule_fetches(stream, "host", "event_id", "ts",
                                interval_sec=10.0)
-        q = (out.writeStream.format("memory").queryName(qname)
+        sink = tempfile.mkdtemp(prefix="sched_stream_out_")
+        atexit.register(shutil.rmtree, sink, ignore_errors=True)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
              .option("checkpointLocation", os.path.join(root, "ckpt"))
              .outputMode("append")
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        res = spark.table(qname)
-        # memory-sink rows live in the session; copy out so the table
-        # name can be dropped and repeated runs don't accumulate
-        res = spark.createDataFrame(res.collect(), schema=res.schema)
-        spark.catalog.dropTempView(qname)
-        return res
+        # explicit schema: a zero-row stream leaves only _spark_metadata
+        return spark.read.schema(
+            "host bigint, event_id bigint, arrival_us bigint, "
+            "sched_us bigint, wait_us bigint, position bigint"
+        ).parquet(sink)
     finally:
-        import shutil
-
         shutil.rmtree(root, ignore_errors=True)
 
 
