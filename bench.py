@@ -324,10 +324,17 @@ def main() -> None:
             b = base.get(name)
             if b:
                 vs_baseline[name] = round(t / b, 2)
+        # Flag on the HOST-NORMALIZED ratio (r9: raw ratios spam
+        # phantom flags on a slow host — the driver's r8 run at
+        # host_factor 1.38 — and MASK real regressions on a fast one,
+        # host_factor < 1). The JSON keeps the raw ratios; the probe
+        # ratio is the divisor, clamped away from 0 for safety.
+        hf = host_factor if host_factor and host_factor > 0.1 else 1.0
         for name, r in sorted(vs_baseline.items(), key=lambda kv: -kv[1]):
-            if r > 1.5:
+            if r / hf > 1.5:
                 print(f"# REGRESSION? {name}: {timings[name]:.2f}s = "
-                      f"{r:.2f}x baseline", file=sys.stderr)
+                      f"{r:.2f}x baseline ({r / hf:.2f}x host-normalized)",
+                      file=sys.stderr)
     else:
         print("# no BENCH_BASELINE.json — per-query deltas unavailable "
               "(tools/bench_baseline.py regenerates it)", file=sys.stderr)
