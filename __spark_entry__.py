@@ -46,6 +46,28 @@ def _dt_sql(expr: str) -> str:
             " AS VARCHAR), '(\\.\\d*?)0+$', '\\1'), '\\.$', '')")
 
 
+# --- non-finite measure contract (r9 contract fuzz, --nan-rate) -----------
+# Spark's ANSI double->decimal CAST yields NULL for NaN/±Inf, so every
+# decimal-routed aggregate already degrades a non-finite measure to NULL
+# per row. DuckDB's CAST hard-aborts instead — twins must state the same
+# contract explicitly. `_fin_sql` is the raw guard, `_decg` the guarded
+# decimal cast (the twin of the package's `_dec`/`.cast(DEC)` idiom).
+def _fin_sql(expr: str) -> str:
+    return f"CASE WHEN isfinite({expr}) THEN {expr} END"
+
+
+def _decg(expr: str) -> str:
+    return f"CAST({_fin_sql(expr)} AS DECIMAL(38,6))"
+
+
+def _finite(c: F.Column) -> F.Column:
+    """Spark-side twin of `_fin_sql` for paths that do NOT route through
+    a decimal cast (exact percentiles, double->text rendering): NaN and
+    ±Inf degrade to NULL per row. Spark comparison semantics order NaN
+    above +Inf, so the open interval excludes all three."""
+    return F.when((c > float("-inf")) & (c < float("inf")), c)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp->date casts follow the session timezone; DuckDB's are
     # timezone-free. Pin UTC so results don't depend on the harness TZ.
@@ -328,12 +350,10 @@ def q_export_text(spark, sf):
         E.export_text(F.col("o_orderdate").cast("date")).alias("date_text"))
 
 
-ORACLE_EXPORT_TEXT = """
+ORACLE_EXPORT_TEXT = f"""
 SELECT o_orderkey,
   coalesce(CASE WHEN o_orderkey % 3 = 0 THEN
-    regexp_replace(regexp_replace(
-      CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
-      '(\\.\\d*?)0+$', '\\1'), '\\.$', '') END, '') AS price_text,
+    {_dt_sql(_decg('o_totalprice'))} END, '') AS price_text,
   coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '') AS date_text
 FROM orders
 """
@@ -367,9 +387,9 @@ def q_pricing_summary(spark, sf):
 
 ORACLE_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
-  {_dt_sql("CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_qty,
-  {_dt_sql("CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_base_price,
-  {_dt_sql("CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(1 - l_discount AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_disc_price,
+  {_dt_sql(f"CAST(sum({_decg('l_quantity')}) AS DECIMAL(38,6))")} AS sum_qty,
+  {_dt_sql(f"CAST(sum({_decg('l_extendedprice')}) AS DECIMAL(38,6))")} AS sum_base_price,
+  {_dt_sql(f"CAST(sum({_decg('l_extendedprice')} * {_decg('1 - l_discount')}) AS DECIMAL(38,6))")} AS sum_disc_price,
   count(*) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -452,7 +472,7 @@ def q_star_join(spark, sf):
 
 ORACLE_STAR_JOIN = f"""
 SELECT r_name, n_name, count(*) AS orders_cnt,
-  {_dt_sql("CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS revenue
+  {_dt_sql(f"CAST(sum({_decg('o_totalprice')}) AS DECIMAL(38,6))")} AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -596,7 +616,7 @@ def q_replace_window(spark, sf):
 
 ORACLE_REPLACE_WINDOW = f"""
 SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
-       {_dt_sql("CAST(o_totalprice AS DECIMAL(38,6))")} AS price
+       {_dt_sql(_decg('o_totalprice'))} AS price
 FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
 UNION ALL
 SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
@@ -1236,7 +1256,9 @@ WITH bk AS (
   SELECT vec_id, embedding,
     {_SIGNBITS_SQL.format(v='embedding')} AS bkt
   FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+-- duplicate-id contract (_bucket_pairs): pair lists are DISTINCT and
+-- self-pair-free — duplicate physical rows of one id add nothing
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
   round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
 FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.2
@@ -1387,7 +1409,7 @@ SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
        epoch_us(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR) AS window_end_us,
        event_type,
        count(*) AS n,
-       {_dt_sql("CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))")} AS sum_value
+       {_dt_sql(f"CAST(sum({_decg('value')}) AS DECIMAL(38,6))")} AS sum_value
 -- NULL contract: Spark's window() drops NULL event times (no window
 -- can contain them); the twin states the same filter
 FROM events WHERE ts IS NOT NULL
@@ -1458,10 +1480,13 @@ def q_approx_quantiles(spark, sf):
     exact interpolated median (comparable cross-engine, rounded) + each
     engine's own sketch-error flag."""
     ev = _t(spark, sf, "events")
+    # non-finite contract: NaN/±Inf degrade to NULL before the sketch —
+    # engines disagree on NaN quantile mechanics (twin mirrors)
+    v = _finite(F.col("value"))
     agg = (ev.groupBy("event_type")
-           .agg(F.expr("percentile(value, 0.5)").alias("m"),
-                F.percentile_approx("value", 0.5, 10000).alias("am"),
-                F.max("value").alias("mx"), F.min("value").alias("mn")))
+           .agg(F.percentile(v, F.lit(0.5)).alias("m"),
+                F.percentile_approx(v, 0.5, 10000).alias("am"),
+                F.max(v).alias("mx"), F.min(v).alias("mn")))
     ok = (F.abs(F.col("am") - F.col("m"))
           <= (F.col("mx") - F.col("mn")) * 0.01)
     return agg.select("event_type",
@@ -1469,12 +1494,15 @@ def q_approx_quantiles(spark, sf):
                       ok.alias("approx_within_1pct_range"))
 
 
-ORACLE_APPROX_QUANTILES = """
+ORACLE_APPROX_QUANTILES = f"""
+WITH e AS (
+  -- non-finite contract: NaN/±Inf measure -> NULL (Spark def mirrors)
+  SELECT event_type, {_fin_sql('value')} AS value FROM events)
 SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS median,
   abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
     <= (max(value) - min(value)) * 0.01 AS approx_within_1pct_range
-FROM events GROUP BY event_type
+FROM e GROUP BY event_type
 """
 
 
@@ -1818,7 +1846,12 @@ fp AS (
     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
   FROM documents),
 gated AS (
-  SELECT s.doc_id, s.toks, s.q, f.fp
+  -- duplicate-id contract (clean_corpus): the keep-first window emits
+  -- ONE row per surviving fingerprint — physical copies of one doc are
+  -- the same logical doc (identical content ⇒ identical score row), so
+  -- DISTINCT collapses them before the winner join (which would
+  -- otherwise amplify 2×2×2 through the three doc_id equi-joins)
+  SELECT DISTINCT s.doc_id, s.toks, s.q, f.fp
   FROM stats s JOIN lang l ON s.doc_id = l.doc_id
   JOIN fp f ON f.doc_id = s.doc_id
   WHERE l.lang_pred = 'en' AND s.toks >= 20 AND s.q >= 0.5)
@@ -1904,25 +1937,31 @@ def q_winnow_fingerprint(spark, sf):
 
 
 ORACLE_WINNOW_FINGERPRINT = """
-WITH norm AS (
-  SELECT doc_id,
+WITH norm AS MATERIALIZED (
+  -- duplicate-id contract (winnow_fingerprints): PER-PHYSICAL-ROW —
+  -- each input row fingerprints independently (the Spark side is a
+  -- zero-shuffle per-row projection), so duplicate rows of one id
+  -- amplify the output multiset. rid tags physical rows so the window
+  -- below cannot interleave two copies of one doc.
+  SELECT row_number() OVER () AS rid, doc_id,
     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
   -- NULL contract (winnow_fingerprints): per-doc fingerprints need an
   -- id; NULL-id rows are excluded on both engines
   FROM documents WHERE doc_id IS NOT NULL),
 grams AS (
-  SELECT doc_id, i,
+  SELECT rid, doc_id, i,
     ('0x' || substr(md5(substr(n, i, 5)), 1, 15))::BIGINT AS h,
     len(n) - 4 AS ng
   FROM norm, LATERAL (
     SELECT unnest(generate_series(1, len(n) - 4)) AS i)
   WHERE len(n) >= 5),
 wins AS (
-  SELECT doc_id, i, ng,
-    min(h) OVER (PARTITION BY doc_id ORDER BY i
+  SELECT rid, doc_id, i, ng,
+    min(h) OVER (PARTITION BY rid ORDER BY i
                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
   FROM grams)
-SELECT DISTINCT doc_id, wm AS fp FROM wins WHERE i <= ng - 3
+SELECT doc_id, fp FROM (
+  SELECT DISTINCT rid, doc_id, wm AS fp FROM wins WHERE i <= ng - 3)
 """
 
 
@@ -3202,15 +3241,15 @@ ORACLE_TIME_ROLLUP = f"""
 SELECT 'minute' AS granularity, event_type,
   epoch_us(date_trunc('minute', ts)) AS bucket_us,
   count(*)::BIGINT AS n_events,
-  {_dt_sql("sum(value::DECIMAL(38,6))")} AS sum_value
+  {_dt_sql(f"sum({_decg('value')})")} AS sum_value
 FROM events GROUP BY event_type, date_trunc('minute', ts)
 UNION ALL
 SELECT 'hour', event_type, epoch_us(date_trunc('hour', ts)),
-  count(*)::BIGINT, {_dt_sql("sum(value::DECIMAL(38,6))")}
+  count(*)::BIGINT, {_dt_sql(f"sum({_decg('value')})")}
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 UNION ALL
 SELECT 'day', event_type, epoch_us(date_trunc('day', ts)),
-  count(*)::BIGINT, {_dt_sql("sum(value::DECIMAL(38,6))")}
+  count(*)::BIGINT, {_dt_sql(f"sum({_decg('value')})")}
 FROM events GROUP BY event_type, date_trunc('day', ts)
 """
 
@@ -5058,16 +5097,19 @@ def q_bloom_semi_join(spark, sf):
     large = li.select(F.col("l_orderkey").alias("o_orderkey"),
                       "l_quantity", "l_linenumber")
     out = SK.bloom_semi_join(large, od, "o_orderkey", "inner")
+    # non-finite contract: the double->text render (no decimal cast on
+    # this path) NULLs NaN/±Inf — Spark writes "NaN"/"Infinity" where
+    # DuckDB writes "nan"/"inf" (twin mirrors)
     return out.select(
         "o_orderkey", "l_linenumber",
-        decimal_text(F.col("l_quantity")).alias("qty_text"),
-        decimal_text(F.col("o_totalprice")).alias("total_text"))
+        decimal_text(_finite(F.col("l_quantity"))).alias("qty_text"),
+        decimal_text(_finite(F.col("o_totalprice"))).alias("total_text"))
 
 
 ORACLE_BLOOM_SEMI_JOIN = f"""
 SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
-  {_dt_sql('l.l_quantity')} AS qty_text,
-  {_dt_sql('o.o_totalprice')} AS total_text
+  {_dt_sql(_fin_sql('l.l_quantity'))} AS qty_text,
+  {_dt_sql(_fin_sql('o.o_totalprice'))} AS total_text
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 """
@@ -5224,9 +5266,12 @@ def q_robust_outliers(spark, sf):
         "med", "mad", "is_outlier")
 
 
-ORACLE_ROBUST_OUTLIERS = """
+ORACLE_ROBUST_OUTLIERS = f"""
 WITH b AS (
-  SELECT event_id, event_type, date_trunc('day', ts) AS bucket, value
+  -- non-finite contract: NaN/±Inf measure behaves like NULL (excluded
+  -- from med/MAD, row kept, is_outlier NULL) — operator docstring
+  SELECT event_id, event_type, date_trunc('day', ts) AS bucket,
+         {_fin_sql('value')} AS value
   FROM events),
 med AS (
   SELECT event_type, bucket, quantile_cont(value, 0.5) AS med
@@ -5313,8 +5358,8 @@ def q_standardize(spark, sf):
 
 def _std_sql(c: str) -> str:
     n = "(SELECT count(*) FROM lineitem)::DOUBLE"
-    s = f"(SELECT sum({c}::DECIMAL(38,6)) FROM lineitem)::DOUBLE"
-    ss = (f"(SELECT sum(round({c} * {c}, 6)::DECIMAL(38,6)) "
+    s = f"(SELECT sum({_decg(c)}) FROM lineitem)::DOUBLE"
+    ss = (f"(SELECT sum({_decg(f'round({c} * {c}, 6)')}) "
           f"FROM lineitem)::DOUBLE")
     mu = f"({s} / {n})"
     sigma = f"sqrt(greatest(({ss} / {n}) - {mu} * {mu}, 0.0))"
@@ -5371,19 +5416,18 @@ def q_correlation(spark, sf):
 
 
 def _corr_branch(a: str, b: str) -> str:
+    # non-finite contract: every moment mirrors Spark's guarded decimal
+    # element cast (NaN/±Inf row -> NULL, skipped by the sum)
+    sa, sb = f"sum({_decg(a)})::DOUBLE", f"sum({_decg(b)})::DOUBLE"
+    sp = f"sum({_decg(f'round({a} * {b}, 6)')})::DOUBLE"
+    saa = f"sum({_decg(f'round({a} * {a}, 6)')})::DOUBLE"
+    sbb = f"sum({_decg(f'round({b} * {b}, 6)')})::DOUBLE"
     return f"""
 SELECT '{a}' AS col_a, '{b}' AS col_b,
   (SELECT count(*) FROM lineitem)::BIGINT AS n,
-  round((count(*)::DOUBLE * sum(round({a} * {b}, 6)::DECIMAL(38,6))::DOUBLE
-         - sum({a}::DECIMAL(38,6))::DOUBLE * sum({b}::DECIMAL(38,6))::DOUBLE)
-    / nullif(sqrt(count(*)::DOUBLE
-                  * sum(round({a} * {a}, 6)::DECIMAL(38,6))::DOUBLE
-                  - sum({a}::DECIMAL(38,6))::DOUBLE
-                    * sum({a}::DECIMAL(38,6))::DOUBLE)
-          * sqrt(count(*)::DOUBLE
-                 * sum(round({b} * {b}, 6)::DECIMAL(38,6))::DOUBLE
-                 - sum({b}::DECIMAL(38,6))::DOUBLE
-                   * sum({b}::DECIMAL(38,6))::DOUBLE), 0.0), 6) AS r
+  round((count(*)::DOUBLE * {sp} - {sa} * {sb})
+    / nullif(sqrt(count(*)::DOUBLE * {saa} - {sa} * {sa})
+          * sqrt(count(*)::DOUBLE * {sbb} - {sb} * {sb}), 0.0), 6) AS r
 FROM lineitem"""
 
 
@@ -5414,8 +5458,10 @@ def _profile_branch(col: str, kind: str) -> str:
         mx = f"epoch_us(max({col}))::VARCHAR"
         al = "NULL::DOUBLE"
     elif kind == "double":
-        mn = _dt_sql(f"min({col})::DECIMAL(38,6)")
-        mx = _dt_sql(f"max({col})::DECIMAL(38,6)")
+        # non-finite contract: Spark renders min/max through an ANSI
+        # decimal cast (NaN/±Inf -> NULL); guard the agg result likewise
+        mn = _dt_sql(_decg(f"min({col})"))
+        mx = _dt_sql(_decg(f"max({col})"))
         al = "NULL::DOUBLE"
     else:  # string
         mn, mx = f"min({col})", f"max({col})"

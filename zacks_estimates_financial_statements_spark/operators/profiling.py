@@ -213,23 +213,34 @@ def robust_outliers(df: DataFrame, ts_col: str, group_cols: list[str],
 
     Output: input columns + ``bucket``, ``med``, ``mad``, ``is_outlier``
     (med/mad rounded to 6).
+
+    Non-finite contract (r9 contract fuzz): a NaN/±Inf measure is
+    unscorable and behaves exactly like a NULL one — excluded from the
+    median and MAD statistics, row kept with ``is_outlier`` NULL. (The
+    engines disagree on NaN percentile mechanics, and one Inf would
+    poison every deviation in its bucket.)
     """
     from pyspark.sql.functions import broadcast
 
     bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
     keys = group_cols + ["bucket"]
-    b = df.withColumn("bucket", bucket)
+    v = F.col(value_col)
+    if isinstance(df.schema[value_col].dataType,
+                  (Ty.FloatType, Ty.DoubleType)):
+        # Spark orders NaN above +Inf, so the open interval nulls all 3
+        v = F.when((v > float("-inf")) & (v < float("inf")), v)
+    b = df.withColumn("bucket", bucket).withColumn("__v", v)
     med = (b.groupBy(*keys)
-           .agg(F.percentile(F.col(value_col), 0.5).alias("med")))
+           .agg(F.percentile(F.col("__v"), 0.5).alias("med")))
     dev = b.join(broadcast(med), keys)
     mad = (dev.groupBy(*keys)
-           .agg(F.percentile(F.abs(F.col(value_col) - F.col("med")), 0.5)
+           .agg(F.percentile(F.abs(F.col("__v") - F.col("med")), 0.5)
                 .alias("mad")))
     out = dev.join(broadcast(mad), keys)
     return out.select(
         *df.columns, "bucket",
         F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
-        (F.abs(F.col(value_col) - F.col("med"))
+        (F.abs(F.col("__v") - F.col("med"))
          > F.lit(k) * F.lit(MAD_SIGMA) * F.col("mad")).alias("is_outlier"))
 
 
