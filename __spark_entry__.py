@@ -1903,7 +1903,11 @@ WITH toks AS (
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t
   FROM documents),
-pos AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+-- duplicate-id contract (cdc_chunks): output keyed (id, chunk_idx);
+-- physical copies of one doc collapse (DISTINCT here = the Spark
+-- side's bounds-distinct + collect_set membership dedup)
+pos AS (SELECT DISTINCT doc_id, t, len(t) AS n FROM toks
+        WHERE len(t) >= 1),
 cuts AS (
   SELECT doc_id, r.e FROM pos, unnest(range(3, n + 1)) AS r(e)
   WHERE ('0x' || substr(md5(array_to_string(t[r.e - 2:r.e], ' ')),
@@ -2136,9 +2140,14 @@ comp AS (
   SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
 sizes AS (
   SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
-SELECT c.doc_id, c.component, s.cluster_size,
-  (c.doc_id = c.component) AS keep
-FROM comp c JOIN sizes s USING (component)
+-- duplicate-id contract (resolve_duplicate_clusters): labels ATTACH to
+-- corpus rows ("every row gains ..."), so physical copies of one id
+-- each carry the label row; cluster_size counts logical ids, not rows
+SELECT d.doc_id, c.component, s.cluster_size,
+  (d.doc_id = c.component) AS keep
+FROM documents d
+JOIN comp c ON d.doc_id = c.doc_id
+JOIN sizes s USING (component)
 """
 
 
@@ -2264,7 +2273,9 @@ def q_incremental_cc(spark, sf):
     cpairs = dedup.minhash_near_dup_pairs(corpus, "doc_id", "text",
                                           k=12, bands=4)
     cc = graph.connected_components(cpairs)
-    labels = (corpus.select(F.col("doc_id").alias("node"))
+    # duplicate-id contract: a CC label index is KEYED — one row per
+    # node id (distinct rides the join's own node-key exchange)
+    labels = (corpus.select(F.col("doc_id").alias("node")).distinct()
               .join(cc, "node", "left")
               .select("node", F.coalesce("component", "node")
                       .alias("component")))
@@ -2279,7 +2290,7 @@ def q_incremental_cc(spark, sf):
     batch_labels, relabel = graph.incremental_components(
         labels, bpairs.union(cross))
     merged = graph.apply_relabel(labels, relabel)
-    batch_all = (batch.select(F.col("doc_id").alias("node"))
+    batch_all = (batch.select(F.col("doc_id").alias("node")).distinct()
                  .join(batch_labels, "node", "left")
                  .select("node", F.coalesce("component", "node")
                          .alias("component")))
@@ -2336,17 +2347,22 @@ grams AS (
   WHERE len(t) >= 4),
 bench AS (SELECT DISTINCT gram FROM grams WHERE bucket < 100000),
 corp AS (SELECT doc_id, gram FROM grams WHERE bucket >= 100000),
+-- duplicate-id contract (benchmark_contamination): one output row per
+-- PHYSICAL corpus row, gram statistics per LOGICAL doc (distinct
+-- grams per id — grams is DISTINCT, so count(*) = count distinct)
 totals AS (
-  SELECT b.doc_id, count(c.gram)::BIGINT AS total_grams
-  FROM b LEFT JOIN corp c ON b.doc_id = c.doc_id
-  WHERE b.bucket >= 100000 GROUP BY b.doc_id),
+  SELECT doc_id, count(*)::BIGINT AS total_grams
+  FROM corp GROUP BY doc_id),
 hits AS (
   SELECT c.doc_id, count(*)::BIGINT AS overlap_grams
   FROM corp c JOIN bench USING (gram) GROUP BY c.doc_id)
-SELECT t.doc_id, t.total_grams,
+SELECT b.doc_id, coalesce(t.total_grams, 0)::BIGINT AS total_grams,
   coalesce(h.overlap_grams, 0)::BIGINT AS overlap_grams,
   coalesce(h.overlap_grams, 0) > 0 AS contaminated
-FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+FROM b
+LEFT JOIN totals t ON b.doc_id = t.doc_id
+LEFT JOIN hits h ON b.doc_id = h.doc_id
+WHERE b.bucket >= 100000
 """
 
 

@@ -244,10 +244,19 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     GPT-3-style n-gram overlap check — Brown et al., arXiv:2005.14165
     §C uses 13-gram collisions; pass ``n=13`` for that convention).
 
-    Returns one row per corpus document: ``total_grams`` (distinct
-    n-grams in the doc), ``overlap_grams`` (of those, how many appear
-    anywhere in the benchmark) and ``contaminated`` (overlap > 0).
-    Documents shorter than ``n`` tokens have 0/0/false.
+    Returns one row per corpus ROW (one per document when ids are
+    unique): ``total_grams`` (distinct n-grams in the doc),
+    ``overlap_grams`` (of those, how many appear anywhere in the
+    benchmark) and ``contaminated`` (overlap > 0). Documents shorter
+    than ``n`` tokens have 0/0/false.
+
+    Duplicate-id contract (r9 contract fuzz): gram statistics are per
+    LOGICAL document — ``overlap_grams`` counts DISTINCT matched grams
+    per id, so verbatim physical copies of one id carry identical
+    panels (one output row each) instead of double-counted overlaps.
+    Dedup stays free: the distinct folds into the overlap aggregation
+    the plan already pays; the corpus-width totals projection never
+    shuffles.
 
     Scale shape: benchmarks are tiny next to a training corpus, so the
     distinct benchmark gram set is broadcast (flip
@@ -288,7 +297,7 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
                                   F.explode_outer("__grams").alias("gram"))
     overlaps = (corpus_grams.join(bench_grams, "gram")
                 .groupBy(id_col)
-                .agg(F.count("*").alias("overlap_grams")))
+                .agg(F.countDistinct("gram").alias("overlap_grams")))
     return (totals.join(overlaps, id_col, "left")
             .select(id_col, "total_grams",
                     F.coalesce("overlap_grams", F.lit(0)).cast("bigint")

@@ -875,6 +875,15 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
     disjoint-interval membership join (a position matches exactly
     one chunk — zero amplification) + one ordered-reassembly
     groupBy. Everything shuffled is token-linear or smaller.
+
+    Duplicate-id contract (r9 contract fuzz): output is KEYED —
+    one row per ``(id, chunk_idx)``; duplicate physical rows of one
+    id are the same logical document and collapse. Free by
+    construction: boundary rows dedup in the existing ``bounds``
+    distinct, and the doubled ``(pos, word)`` membership rows dedup
+    via ``collect_set`` inside the reassembly shuffle the plan
+    already pays — no extra exchange. (Without this, two verbatim
+    copies interleaved into one "dup dup"-doubled token stream.)
     """
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
@@ -914,7 +923,7 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
                     & (F.col("__p") <= F.col("__e")))
     agg = (memb.groupBy(id_col, "chunk_idx", "__s", "__e")
            .agg(F.concat_ws(" ", F.transform(
-               F.array_sort(F.collect_list(F.struct("__p", "__w"))),
+               F.array_sort(F.collect_set(F.struct("__p", "__w"))),
                lambda s: s["__w"])).alias("chunk_text")))
     return agg.select(
         F.col(id_col), "chunk_idx",

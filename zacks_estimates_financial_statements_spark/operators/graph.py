@@ -163,6 +163,12 @@ def resolve_duplicate_clusters(df: DataFrame, pairs: DataFrame,
     NULL contract: NULL-id rows are excluded — an unaddressable row
     can neither be a cluster member nor a keeper (its ``keep`` would
     be NULL, not false), and equi-joins never match it anyway.
+
+    Duplicate-id contract (r9 contract fuzz): labels attach PER ROW —
+    physical copies of one id each receive the (identical) label row,
+    and ``cluster_size`` counts logical ids, not physical rows (sizes
+    aggregate over the label set, never the corpus). Collapsing exact
+    copies is ``dedup_exact``'s job, upstream of cluster resolution.
     """
     df = df.filter(F.col(id_col).isNotNull())
     labels = connected_components(pairs, src=src, dst=dst)
