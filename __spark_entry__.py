@@ -2609,8 +2609,13 @@ q AS (
     SELECT tok, count(*) AS n FROM toks GROUP BY tok
     ORDER BY n DESC, tok LIMIT 3)),
 dl AS (
+  -- duplicate-id contract (bm25_score): postings key on the id — rows
+  -- of one id MERGE (their token streams concatenate), so the length
+  -- relation is one row per id; ids are expected unique upstream
+  -- (dedup_exact), the index is merely deterministic when they are not
   SELECT d.doc_id, coalesce(c.cnt, 0) AS dl
-  FROM (SELECT * FROM documents WHERE doc_id IS NOT NULL) d LEFT JOIN (
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id IS NOT NULL) d LEFT JOIN (
     SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) c
     ON d.doc_id = c.doc_id),
 stats AS (
@@ -2668,9 +2673,11 @@ WITH lex AS (
     FROM ({{bm25}}) b) WHERE rank <= 50),
 qv AS (SELECT embedding AS q FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings WHERE vec_id = 0),
 semall AS (
+  -- duplicate-id contract: candidate lists are keyed — best score per id
   SELECT e.vec_id AS doc_id,
-    round({_COS_SQL.format(a="e.embedding", b="qv.q")}, 6) AS s
-  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e, qv),
+    max(round({_COS_SQL.format(a="e.embedding", b="qv.q")}, 6)) AS s
+  FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e, qv
+  GROUP BY e.vec_id),
 sem AS (
   SELECT doc_id, rank FROM (
     SELECT doc_id,
@@ -2876,22 +2883,32 @@ def q_wordpiece_encode(spark, sf):
                                      max_piece_len=6)
     enc = tokenize.wordpiece_encode(docs, "doc_id", "text", vocab,
                                     max_piece_len=6)
-    return (docs.select("doc_id")
-            .join(enc, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-                    F.coalesce(F.concat_ws(" ", "tokens"), F.lit(""))
-                    .alias("token_str")))
+    # duplicate-id contract: the encoder emits ONE ROW PER INPUT ROW
+    # (zero-shuffle mapInPandas) — physical copies each encode
+    # independently. No join-back: the earlier docs⋈enc left join both
+    # amplified duplicates quadratically (2×2 rows per duplicated id)
+    # and paid a needless shuffle. NULL-id rows are unaddressable and
+    # keep the prior 0/"" masking.
+    addr = F.col("doc_id").isNotNull()
+    return enc.select(
+        "doc_id",
+        F.when(addr, F.col("n_tokens")).otherwise(F.lit(0))
+        .alias("n_tokens"),
+        F.when(addr, F.coalesce(F.concat_ws(" ", "tokens"), F.lit("")))
+        .otherwise(F.lit("")).alias("token_str"))
 
 
 ORACLE_WORDPIECE_ENCODE = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id,
+WITH RECURSIVE toks AS MATERIALIZED (
+  -- duplicate-id contract (wordpiece_encode): ONE ROW PER INPUT ROW —
+  -- rid tags physical rows so copies of one id encode independently
+  -- instead of interleaving into a doubled stream
+  SELECT row_number() OVER () AS rid, doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t
   FROM documents),
 words AS (
-  SELECT doc_id, i AS widx, t[i] AS word
+  SELECT rid, doc_id, i AS widx, t[i] AS word
   FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
 top AS (
   SELECT word FROM (
@@ -2905,31 +2922,33 @@ pieces AS (
   FROM (SELECT DISTINCT word FROM words) w,
        unnest(range(1, length(word) + 1)) AS u(i)),
 enc AS (
-  SELECT doc_id, widx, word, 1 AS pos, '' AS toks, 0 AS n
+  SELECT rid, widx, word, 1 AS pos, '' AS toks, 0 AS n
   FROM words
   UNION ALL
-  SELECT doc_id, widx, word,
+  SELECT rid, widx, word,
     pos + coalesce(length(best), 1),
     toks || ' ' || coalesce(best, '<unk>'),
     n + 1
   FROM (
-    SELECT e.doc_id, e.widx, e.word, e.pos, e.toks, e.n,
+    SELECT e.rid, e.widx, e.word, e.pos, e.toks, e.n,
       (SELECT p.piece FROM pieces p
        WHERE p.piece = substr(e.word, e.pos, length(p.piece))
        ORDER BY length(p.piece) DESC LIMIT 1) AS best
     FROM enc e
     WHERE e.pos <= length(e.word)) s),
 per_word AS (
-  SELECT doc_id, widx, trim(toks) AS wt, n
+  SELECT rid, widx, trim(toks) AS wt, n
   FROM enc WHERE pos > length(word)),
 agg AS (
-  SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+  SELECT rid, sum(n)::BIGINT AS n_tokens,
     string_agg(wt, ' ' ORDER BY widx) AS token_str
-  FROM per_word GROUP BY doc_id)
-SELECT d.doc_id,
-  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
-  coalesce(a.token_str, '') AS token_str
-FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+  FROM per_word GROUP BY rid)
+SELECT t.doc_id,
+  CASE WHEN t.doc_id IS NULL THEN 0
+       ELSE coalesce(a.n_tokens, 0) END::BIGINT AS n_tokens,
+  CASE WHEN t.doc_id IS NULL THEN ''
+       ELSE coalesce(a.token_str, '') END AS token_str
+FROM toks t LEFT JOIN agg a ON t.rid = a.rid
 """
 
 
@@ -3009,9 +3028,12 @@ def q_token_budget_fill(spark, sf):
 
 ORACLE_TOKEN_BUDGET_FILL = f"""
 WITH s AS (
-  SELECT doc_id, source, quality FROM ({_QUALITY_STATS_SQL})),
+  -- duplicate-id contract (token_budget_fill): a duplicated id charges
+  -- the budget ONCE — verbatim copies collapse (DISTINCT here = the
+  -- Spark side's adjacent-tie lag guard inside the fill window)
+  SELECT DISTINCT doc_id, source, quality FROM ({_QUALITY_STATS_SQL})),
 tok AS (
-  SELECT doc_id,
+  SELECT DISTINCT doc_id,
     len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                     x -> x <> ''))::BIGINT AS n_tokens
   FROM documents),
@@ -3652,7 +3674,10 @@ def q_corpus_diff(spark, sf):
 
 ORACLE_CORPUS_DIFF = """
 WITH fp AS (
-  SELECT doc_id,
+  -- duplicate-id contract (corpus_diff): one status per id per side —
+  -- verbatim physical copies collapse (DISTINCT = the operator's
+  -- per-side min-fp group)
+  SELECT DISTINCT doc_id,
     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
       AS f,
     md5(trim(regexp_replace(lower(text || ' changed'),
@@ -4168,7 +4193,9 @@ SELECT t.doc_id, coalesce(d.n_grams, 0)::BIGINT AS n_grams,
   coalesce(v.n_novel, 0)::BIGINT AS n_novel,
   CASE WHEN coalesce(d.n_grams, 0) > 0 THEN
     round(coalesce(v.n_novel, 0)::DOUBLE / d.n_grams, 6) END AS novelty
-FROM toks t
+-- duplicate-id contract (novelty_score): one row per logical doc,
+-- per-id distinct gram counts (dg is DISTINCT already)
+FROM (SELECT DISTINCT doc_id FROM toks) t
 LEFT JOIN tot d USING (doc_id)
 LEFT JOIN nov v USING (doc_id)
 """

@@ -505,6 +505,15 @@ def token_budget_fill(df: DataFrame, strata_col: str, text_col: str,
     tie-break needs an id, Spark and SQL engines disagree on where
     NULLs sort ascending, and an unaddressable row silently consuming
     budget would shift every later row's cum_tokens (contract fuzz).
+
+    Duplicate-id contract (r9 contract fuzz): a duplicated id must not
+    consume budget twice — verbatim physical copies (same id ⇒ same
+    priority, so they tie adjacent in the sort) collapse to one charged
+    row via a ``lag(id)`` guard over the same window spec, inside the
+    exchange the cumulative sum already pays; no extra shuffle.
+    Same-id rows in *different* strata, or with different priorities
+    (divergent content), are distinct fill decisions and each charge —
+    true logical dedup is ``dedup_exact``'s job upstream.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -512,9 +521,13 @@ def token_budget_fill(df: DataFrame, strata_col: str, text_col: str,
     df = df.filter(F.col(id_col).isNotNull())
     nt = (token_count if token_count is not None
           else F.size(_word_array(text_col)))
-    w = (Window.partitionBy(strata_col)
-         .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_ord = (Window.partitionBy(strata_col)
+             .orderBy(F.col(order_col).desc(), F.col(id_col).asc()))
+    w = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = (df.withColumn("__prev_id", F.lag(id_col).over(w_ord))
+          .filter(F.col("__prev_id").isNull()
+                  | (F.col("__prev_id") != F.col(id_col)))
+          .drop("__prev_id"))
     return (df
             .withColumn("n_tokens", nt.cast("bigint"))
             .withColumn("cum_tokens", F.sum("n_tokens").over(w))
@@ -2068,11 +2081,15 @@ def novelty_score(df: DataFrame, reference: DataFrame, id_col: str,
     refg = (reference.select(_word_array(text_col).alias("__t"))
             .select(F.explode(_gram_array(F.col("__t"), n)).alias("__g"))
             .distinct())
+    # duplicate-id contract (r9 fuzz): one row per LOGICAL doc with
+    # per-id DISTINCT gram counts (the docstring's "distinct n-grams"),
+    # so physical copies of one id collapse inside the aggs the plan
+    # already pays instead of double-counting every gram
     novel = (dg.filter(F.col("__g").isNotNull())
              .join(refg, "__g", "left_anti")
-             .groupBy(id_col).agg(F.count("*").alias("n_novel")))
+             .groupBy(id_col).agg(F.countDistinct("__g").alias("n_novel")))
     totals = (dg.groupBy(id_col)
-              .agg(F.count("__g").alias("n_grams")))
+              .agg(F.countDistinct("__g").alias("n_grams")))
     return (totals.join(novel, id_col, "left")
             .select(F.col(id_col), "n_grams",
                     F.coalesce("n_novel", F.lit(0).cast("bigint"))
@@ -2108,12 +2125,23 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
     # doc that exists in both snapshots with NULL text has a NULL
     # fingerprint on both sides and must read "unchanged" (null-safe
     # compare), not "added" (round-8 contract fuzz).
-    o = old.select(F.col(id_col),
-                   _T.fingerprint(F.col(text_col)).alias("old_fp"),
-                   F.lit(True).alias("__in_old"))
-    n = new.select(F.col(id_col),
-                   _T.fingerprint(F.col(text_col)).alias("new_fp"),
-                   F.lit(True).alias("__in_new"))
+    # Duplicate-id contract (r9 fuzz): the diff is KEYED — one status
+    # per id per side, so each side reduces to one (id, min fp) row
+    # (verbatim copies are identical; for divergent copies the min
+    # fingerprint represents the side, deterministically). The agg
+    # rides the join's own id-key exchange. NULL-id rows are
+    # unaddressable and excluded — grouping would otherwise merge every
+    # such doc into one fingerprint.
+    o = (old.filter(F.col(id_col).isNotNull())
+         .select(F.col(id_col),
+                 _T.fingerprint(F.col(text_col)).alias("old_fp"))
+         .groupBy(id_col).agg(F.min("old_fp").alias("old_fp"))
+         .withColumn("__in_old", F.lit(True)))
+    n = (new.filter(F.col(id_col).isNotNull())
+         .select(F.col(id_col),
+                 _T.fingerprint(F.col(text_col)).alias("new_fp"))
+         .groupBy(id_col).agg(F.min("new_fp").alias("new_fp"))
+         .withColumn("__in_new", F.lit(True)))
     j = o.join(n, id_col, "full_outer")
     status = (F.when(F.col("__in_old").isNull(), F.lit("added"))
               .when(F.col("__in_new").isNull(), F.lit("removed"))

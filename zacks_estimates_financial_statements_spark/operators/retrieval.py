@@ -45,6 +45,11 @@ def bm25_score(df: DataFrame, id_col: str, text_col: str,
     # NULL contract: the indexed corpus is the addressable docs — a
     # NULL id would merge every such doc into one aggregation group,
     # corrupting N/avgdl/df. NULL text stays: dl 0 via explode_outer.
+    # Duplicate-id contract (r9 fuzz): postings key on the id, so rows
+    # sharing an id MERGE — their token streams concatenate into one
+    # logical document (dl/tf sum across rows; N counts ids). Ids are
+    # expected unique upstream (dedup_exact); merging keeps the index
+    # deterministic and zero-extra-shuffle when they are not.
     df = df.filter(F.col(id_col).isNotNull())
     toks = df.select(F.col(id_col), F.explode_outer(_word_array(text_col))
                      .alias("__tok"))
@@ -143,6 +148,12 @@ def hybrid_search(docs: DataFrame, id_col: str, text_col: str,
                       F.round(vectors.cosine(F.col(vec_col), qv), 6)
                       .alias("s"))
            .filter(F.col("s").isNotNull())
+           # duplicate-id contract (r9 fuzz): a candidate list is KEYED
+           # — physical copies of one id collapse to (id, best score)
+           # via a narrow map-side-combined agg BEFORE ranking (a dup
+           # would burn two top-n slots and double-join in the fusion;
+           # the lexical side is keyed already by bm25's merge contract)
+           .groupBy(id_col).agg(F.max("s").alias("s"))
            .orderBy(F.col("s").desc(), F.col(id_col).asc())
            .limit(top_n))
     sem = sem.withColumn("rank", F.row_number().over(
