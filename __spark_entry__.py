@@ -1750,8 +1750,14 @@ def q_corpus_report(spark, sf):
 ORACLE_CORPUS_REPORT = f"""
 WITH ts AS ({ORACLE_TEXT_STATS}),
 j AS (
+  -- duplicate-id contract (corpus_report): volume accounting is over
+  -- PHYSICAL rows (a duplicated row is real extra volume — the Spark
+  -- side is one inline agg, no join); the DISTINCT keeps the per-doc
+  -- stats join from amplifying copies 2x2
   SELECT d.source, d.text, ts.ws_tokens, ts.quality
-  FROM documents d JOIN ts ON d.doc_id = ts.doc_id)
+  FROM documents d JOIN (
+    SELECT DISTINCT doc_id, ws_tokens, quality FROM ts) ts
+    ON d.doc_id = ts.doc_id)
 SELECT source, count(*)::BIGINT AS n_docs,
   sum(len(text))::BIGINT AS total_chars,
   sum(ws_tokens)::BIGINT AS total_ws_tokens,
@@ -3212,13 +3218,18 @@ WITH d AS (
   SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
   -- NULL contract: quota ranks addressable docs of a known host
   -- (Spark's URL synthesis null-propagates doc_id into the host)
-  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL)
-SELECT doc_id, host,
-  (row_number() OVER (PARTITION BY host
-     ORDER BY n_chars DESC, doc_id ASC))::INT AS host_rank,
-  (row_number() OVER (PARTITION BY host
-     ORDER BY n_chars DESC, doc_id ASC)) <= 10 AS keep
-FROM d
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+-- duplicate-id contract (domain_quota): a quota slot is per LOGICAL
+-- doc — verbatim copies share one rank (rank over DISTINCT candidate
+-- rows, attached back to every physical row)
+dd AS (SELECT DISTINCT doc_id, n_chars, host FROM d),
+r AS (
+  SELECT doc_id, host,
+    (row_number() OVER (PARTITION BY host
+       ORDER BY n_chars DESC, doc_id ASC))::INT AS rn
+  FROM dd)
+SELECT d.doc_id, d.host, r.rn AS host_rank, r.rn <= 10 AS keep
+FROM d JOIN r USING (doc_id, host)
 """
 
 
@@ -3247,15 +3258,18 @@ WITH d AS (
   SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
   -- NULL contract: same addressability filter as ORACLE_DOMAIN_QUOTA
   FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+-- duplicate-id contract: same per-logical-doc slot rule as
+-- ORACLE_DOMAIN_QUOTA (rank over DISTINCT candidates, per-row attach)
+dd AS (SELECT DISTINCT doc_id, n_chars, host FROM d),
 r AS (
   SELECT doc_id, host,
     (row_number() OVER (PARTITION BY host
        ORDER BY n_chars DESC, doc_id ASC))::INT AS rn
-  FROM d)
-SELECT doc_id, host,
-  CASE WHEN rn <= 10 THEN rn END AS host_rank,
-  rn <= 10 AS keep
-FROM r
+  FROM dd)
+SELECT d.doc_id, d.host,
+  CASE WHEN r.rn <= 10 THEN r.rn END AS host_rank,
+  r.rn <= 10 AS keep
+FROM d JOIN r USING (doc_id, host)
 """
 
 
@@ -4743,10 +4757,16 @@ need AS (
   FROM base),
 stream AS (
   -- this DuckDB can't correlate generate_series bounds: over-generate a
-  -- fixed block range (max nbytes here needs 53 blocks) and filter
+  -- fixed block range (max nbytes here needs 53 blocks) and filter.
+  -- duplicate-id contract: the md5 chain is a pure function of the id —
+  -- build it once per DISTINCT id (a duplicated ids row would emit
+  -- every block twice into the string_agg, interleaving the stream);
+  -- the final join back to need amplifies per physical row, matching
+  -- the per-row Spark synthesis.
   SELECT n.media_id,
     string_agg(md5(n.media_id || ':' || g.b), '' ORDER BY g.b) AS hexstream
-  FROM need n, generate_series(0, 63) AS g(b)
+  FROM (SELECT DISTINCT media_id, nbytes FROM need) n,
+       generate_series(0, 63) AS g(b)
   WHERE g.b < (n.nbytes * 2 + 31) // 32
   GROUP BY n.media_id)
 SELECT n.media_id, n.fmt,
@@ -5783,7 +5803,9 @@ def _oracle_train_classifier(n_iter: int) -> str:
     gradients / weights as AS MATERIALIZED stages (the bpe_train
     lesson — DuckDB inlines plain CTEs at every reference)."""
     ctes = ["""toks AS MATERIALIZED (
-  SELECT doc_id,
+  -- duplicate-id contract (train_quality_classifier): the training
+  -- multiset is of DISTINCT (id, tokens, label) examples
+  SELECT DISTINCT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t,
     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y

@@ -855,6 +855,14 @@ def domain_quota(df: DataFrame, host_col: str, id_col: str,
     ``keep = false`` via one id-equi-join back to the corpus. Measured
     in ``tests/test_skew_sweep.py``: a 50%-hot-domain corpus shows no
     straggler task >4× the stage median on this path.
+
+    Duplicate-id contract (r9 contract fuzz): a quota slot is PER
+    LOGICAL DOC — verbatim physical copies of one id tie adjacent in
+    the rank order and SHARE one rank/slot (rank = running count of
+    first-copies inside the same window; same shuffle as row_number),
+    so a duplicated id cannot eat the host's quota twice nor
+    mismultiply through the skew path's id-equi attach. Copies with
+    different priorities are distinct candidates and rank separately.
     """
     if max_per_host < 1:
         raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
@@ -862,9 +870,17 @@ def domain_quota(df: DataFrame, host_col: str, id_col: str,
 
     order = ([F.desc(priority_col)] if priority_col else []) + \
         [F.asc(id_col)]
+
+    def lrank(w_spec) -> F.Column:
+        prev = F.lag(id_col).over(w_spec)
+        first = (prev.isNull() | (prev != F.col(id_col))).cast("int")
+        return F.sum(first).over(
+            w_spec.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)).cast("int")
+
     if exact_ranks:
         w = Window.partitionBy(host_col).orderBy(*order)
-        return (df.withColumn("host_rank", F.row_number().over(w))
+        return (df.withColumn("host_rank", lrank(w))
                 .withColumn("keep", F.col("host_rank") <= max_per_host))
     w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
     w2 = Window.partitionBy(host_col).orderBy(*order)
@@ -872,12 +888,14 @@ def domain_quota(df: DataFrame, host_col: str, id_col: str,
             .withColumn("__salt",
                         F.pmod(F.xxhash64(F.col(id_col)),
                                F.lit(salt_buckets)))
-            .withColumn("__lr", F.row_number().over(w1))
+            .withColumn("__lr", lrank(w1))
             .filter(F.col("__lr") <= max_per_host)
-            .withColumn("__r", F.row_number().over(w2))
+            .withColumn("__r", lrank(w2))
             .filter(F.col("__r") <= max_per_host)
             .select(F.col(id_col).alias("__kid"),
-                    F.col("__r").alias("host_rank")))
+                    F.col("__r").alias("host_rank"))
+            # copies carry identical (id, rank): one attach row per id
+            .distinct())
     return (df.join(kept, df[id_col] == kept["__kid"], "left")
             .drop("__kid")
             .withColumn("keep", F.col("host_rank").isNotNull()))
@@ -1564,10 +1582,18 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
         return d.checkpoint(eager=True) if reliable else \
             d.localCheckpoint(eager=True)
 
+    # Duplicate-id contract (r9 fuzz): the training multiset is of
+    # DISTINCT (id, tokens, label) examples — verbatim physical copies
+    # collapse (they would both double-count N/gradients AND corrupt
+    # the merged feature vector to x = 2c/n through the (id, bucket)
+    # group); rows that genuinely differ remain distinct examples. One
+    # extra exchange, directly upstream of the id-repartition the
+    # persisted relations pay anyway.
     base = (df.select(F.col(id_col),
                       _word_array(text_col).alias("__t"),
                       F.col(label_col).cast("double").alias("__y"))
-            .filter(F.size("__t") > 0))
+            .filter(F.size("__t") > 0)
+            .distinct())
     labels = (base.select(id_col, "__y")
               .repartition(F.col(id_col))
               .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1875,12 +1901,20 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str, *,
     for p in drop_line_phrases:
         phrase_ok = phrase_ok & ~F.contains(F.lower("__t"),
                                             F.lit(p.lower()))
+    # duplicate-id contract (r9 fuzz): the reassembly is keyed on the
+    # id, so verbatim physical copies contribute identical (pos, line)
+    # structs — collect_set dedups them inside the shuffle the plan
+    # already pays (collect_list doubled every clean line); legitimate
+    # repeated lines WITHIN a doc survive (distinct positions).
     kept = (lines.filter(ends_ok & words_ok & phrase_ok)
             .groupBy(id_col)
-            .agg(F.concat_ws("\n", F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__l"))),
-                lambda s: s["__l"])).alias("clean_text"),
-                F.count("*").alias("n_kept_lines")))
+            .agg(F.array_sort(F.collect_set(F.struct("__p", "__l")))
+                 .alias("__ls"))
+            .select(F.col(id_col),
+                    F.concat_ws("\n", F.transform(
+                        F.col("__ls"), lambda s: s["__l"]))
+                    .alias("clean_text"),
+                    F.size("__ls").cast("bigint").alias("n_kept_lines")))
     n_kept = F.coalesce("n_kept_lines", F.lit(0).cast("bigint"))
     return (docs.join(kept, id_col, "left")
             .select(F.col(id_col),
