@@ -4512,7 +4512,10 @@ WITH ids AS (
   SELECT doc_id AS media_id, doc_id % 40 AS key
   FROM documents WHERE doc_id < 60),
 {_SQL_IMAGE_HASHES},
-sk AS (SELECT i.media_id, h.dhash FROM ids i JOIN hashes h USING (key))
+-- duplicate-id contract (_bucket_pairs): pair lists are DISTINCT and
+-- self-pair-free — physical copies of one id add nothing
+sk AS (SELECT DISTINCT i.media_id, h.dhash
+       FROM ids i JOIN hashes h USING (key))
 SELECT a.media_id AS id_a, b.media_id AS id_b,
   bit_count(xor(a.dhash, b.dhash))::INT AS hamming
 FROM sk a JOIN sk b ON a.media_id < b.media_id
@@ -4686,7 +4689,10 @@ def q_media_curate(spark, sf):
         multimodal.MEDIA_SCHEMA)
     media = media.unionByName(corrupt)
     hashes = multimodal.perceptual_hashes(media).localCheckpoint()
-    good = hashes.filter(F.col("dhash").isNotNull()).select("media_id")
+    # duplicate-id contract: the label relation is KEYED (one row per
+    # id) so the per-row attach below cannot go quadratic on copies
+    good = (hashes.filter(F.col("dhash").isNotNull())
+            .select("media_id").distinct())
     pairs = dedup.hamming_near_dup_pairs(
         hashes.filter(F.col("dhash").isNotNull())
         .select("media_id", "dhash"), "media_id", "dhash",

@@ -47,6 +47,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     every candidate through ``levenshtein``. Matched key PAIRS (already
     distance-filtered, usually tiny) then join back to both row sets —
     row-level fan-out only for actual matches.
+
+    Duplicate-row contract (r9 contract fuzz): output pairs are
+    DISTINCT rows — verbatim physical copies on either side would
+    otherwise multiply every pair they touch (m×n per candidate)
+    straight into ``best_match``'s candidate counts. Rows that differ
+    in ANY column remain distinct pairs; the distinct runs over the
+    bounded match relation, not the corpus.
     """
     lk, rk = F.col(left_key), F.col(right_key)
     lkeys = left.select(lk).distinct()
@@ -61,7 +68,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     matched = (cand
                .withColumn("dist", F.levenshtein(lk, rk))
                .filter(F.col("dist") <= max_dist))
-    return left.join(matched, left_key).join(right, right_key)
+    return left.join(matched, left_key).join(right, right_key).distinct()
 
 
 def best_match(pairs: DataFrame, left_id: str, right_id: str) -> DataFrame:
