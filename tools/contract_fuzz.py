@@ -32,25 +32,31 @@ Usage: python tools/contract_fuzz.py [--src /root/testdata/sf0.001]
            [--dup-rate 0] [--nan-rate 0] [query ...]
 Exit = oracle_check's exit (1 on any divergence).
 
-Extra fault classes (default OFF — the committed gate runs the
-NULL/empty class; these are reconnaissance dials for future rounds):
-``--dup-rate`` appends verbatim clones of ~that fraction of rows
-(duplicate ids with identical content — stresses keep-first/grouped
-vs per-row plans); ``--nan-rate`` replaces ~that fraction of double
-values with NaN (every third one -inf — stresses aggregate and
-comparison semantics; Spark orders NaN LAST and NaN==NaN in joins,
-engines differ).
+Extra fault classes: ``--dup-rate`` appends verbatim clones of ~that
+fraction of rows (duplicate ids with identical content — stresses
+keep-first/grouped vs per-row plans); ``--nan-rate`` replaces ~that
+fraction of double values with NaN (a ~1/3 subset of those -inf —
+stresses aggregate and comparison semantics; Spark orders NaN LAST
+and NaN==NaN in joins, engines differ).
 
-Round-8 reconnaissance (sized, deferred to round 9):
-- ``--dup-rate 0.02``: 20/148 diverge — per-doc plans emit one row
-  per physical row while grouped twins emit one per id; each operator
-  needs an explicit duplicate-id contract (dedup on entry vs
-  amplify), same triage discipline as the NULL sweep.
-- ``--nan-rate 0.02``: 12/148 diverge — mostly ORACLE-side hard
-  errors (DuckDB cannot cast NaN/-inf to DECIMAL/INT128 where Spark's
-  try-path degrades); contract candidate: non-finite measures → NULL
-  per row (``isfinite`` guard in the twins, try_cast already on the
-  Spark side).
+Both classes were CLOSED in round 9 (round-8 reconnaissance sized
+them at 20/148 and 12/148 divergences) and now run in the committed
+gate (``tools/run_gates.py`` gate 6 passes all dials together):
+
+- duplicate-id contracts — repo-wide rules, stated per operator and
+  pinned by ``tests/test_dup_contracts.py``: KEYED outputs (selection,
+  pairs, clusters, per-doc scores, quota slots, diffs) collapse
+  verbatim copies of one id, with the dedup riding an exchange the
+  plan already pays; PER-ROW multiset outputs (fingerprints,
+  chunks, encoders, label attaches) amplify per physical row and the
+  twins tag physical rows (``row_number() OVER ()``) so windows can't
+  interleave two copies of one doc; corpus-STATISTIC operators (bm25)
+  merge rows of one id deterministically and document it.
+- non-finite contracts — non-finite measure → NULL per row: Spark's
+  ANSI double→decimal cast already yields NULL for NaN/±Inf, the
+  twins mirror with ``isfinite`` guards (``_decg``/``_fin_sql`` in
+  ``__spark_entry__.py``); exact-percentile/robust-stats operators
+  exclude non-finite values from the statistic (row kept, flag NULL).
 """
 
 from __future__ import annotations

@@ -16,13 +16,22 @@ Order (each regenerates its committed artifact as a side effect):
 3. ``plan_audit``      — executes every plan; regenerates ``PLANS.md``
 4. ``shuffle_audit``   — REST-measured amplification; ``SHUFFLE.md``
 5. ``skew_sweep``      — power-law straggler gate
-6. ``contract_fuzz``   — full oracle battery on NULL/empty-injected
-                         data (latent cross-engine contract gate)
+6. ``contract_fuzz``   — full oracle battery on degraded data with ALL
+                         dials on (NULL/empty + duplicate-id clones +
+                         NaN/-inf) — the cross-engine contract gate;
+                         the r8 recon dials were closed in r9 and run
+                         combined in one pass
 7. ``scale_study``     — sf0.01→sf0.1 scaling exponents
 8. ``pytest``          — the full unit/pipeline/property suite
 9. ``stamp_round N``   — byte-copies the canonical attestation to
                          ``CORRECTNESS_local_r{NN}.json`` (only with
                          ``--round N``, only when 1-7 all passed)
+
+``--sf01`` additionally runs the full oracle battery at sf0.1
+(artifact ``CORRECTNESS_sf01.json``) — correctness was historically
+attested only at sf0.01 while bench runs at sf0.1, so scale-dependent
+divergence (sketch escapes, hot-cap engagement, AQE plan changes) was
+invisible. Off by default: it roughly doubles gate wall-clock.
 
 ``bench.py`` is deliberately NOT here: it needs an idle host and the
 driver runs it independently; use ``tools/bench_baseline.py`` for
@@ -52,7 +61,8 @@ GATES = [
     ("plan_audit", [sys.executable, "tools/plan_audit.py"]),
     ("shuffle_audit", [sys.executable, "tools/shuffle_audit.py"]),
     ("skew_sweep", [sys.executable, "tools/skew_sweep.py", "--json"]),
-    ("contract_fuzz", [sys.executable, "tools/contract_fuzz.py"]),
+    ("contract_fuzz", [sys.executable, "tools/contract_fuzz.py",
+                       "--dup-rate", "0.02", "--nan-rate", "0.02"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
 ]
@@ -80,11 +90,20 @@ def main() -> int:
                     help="stamp CORRECTNESS_local_r{NN}.json if all green")
     ap.add_argument("--skip", default="",
                     help="comma-separated gate names to skip")
+    ap.add_argument("--sf01", action="store_true",
+                    help="also attest the full registry at sf0.1 "
+                         "(writes CORRECTNESS_sf01.json)")
     args = ap.parse_args()
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
 
+    gates = list(GATES)
+    if args.sf01:
+        gates.insert(3, ("oracle_sf01",
+                         [sys.executable, "tools/oracle_check.py",
+                          "/root/testdata/sf0.1",
+                          "--json", "CORRECTNESS_sf01.json"]))
     results: dict[str, bool] = {}
-    for name, cmd in GATES:
+    for name, cmd in gates:
         if name in skip:
             print(f"SKIP  {name}")
             continue
