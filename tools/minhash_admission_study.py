@@ -56,15 +56,27 @@ K, BANDS = 12, 4
 
 
 def synth_docs(base, copies: int, n: int):
-    """×copies the documents relation: re-id'd, one marker word
-    appended per copy so copies are near-duplicate (most shingles
-    shared) but never byte-equal."""
+    """×copies the documents relation: re-id'd, and every copy gets a
+    per-copy salt word spliced after every 3rd word — at shingle_k=3
+    that rewrites essentially every shingle, so copies are DISTINCT
+    documents to the LSH (a naive append-one-marker synth left all
+    copies near-dups of each other, and the admitted pair count grew
+    ×copies² instead of tracking the batch — measured in the first cut
+    of this study)."""
+    def salted(c):
+        words = F.split(F.col("text"), " ")
+        spliced = F.flatten(F.transform(
+            words,
+            lambda w, i: F.when(i % 3 == 2,
+                                F.array(w, F.lit(f"salt{c}x")))
+            .otherwise(F.array(w))))
+        return F.array_join(spliced, " ")
+
     out = base
     for c in range(1, copies):
         out = out.unionByName(base.select(
             (F.col("doc_id") + c * n).alias("doc_id"),
-            F.concat_ws(" ", F.col("text"), F.lit(f"copymark{c}"))
-            .alias("text")))
+            salted(c).alias("text")))
     return out
 
 
