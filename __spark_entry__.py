@@ -1170,17 +1170,23 @@ bwd AS (
     SELECT query_id, vec_id, cos, row_number() OVER
       (PARTITION BY vec_id ORDER BY cos DESC, query_id) AS r
     FROM fs) WHERE r <= 4),
+-- neighborhood SUMS stay exact decimal; /k folds into the margin
+-- division (margin = cos*2k / (S_fwd+S_bwd)) — rounding each MEAN to
+-- 6 first put the 7th digit on a .5 boundary ~1/4 of the time and the
+-- engines resolve the half-case differently (sf0.1 find; operator
+-- docstring)
 afwd AS (
   SELECT query_id,
-    round((sum(round(cos, 6)::DECIMAL(38,6)))::DOUBLE / 4, 6) AS afwd
+    sum(round(cos, 6)::DECIMAL(38,6)) AS sfwd
   FROM fwd GROUP BY query_id),
 abwd AS (
   SELECT vec_id,
-    round((sum(round(cos, 6)::DECIMAL(38,6)))::DOUBLE / 4, 6) AS abwd
+    sum(round(cos, 6)::DECIMAL(38,6)) AS sbwd
   FROM bwd GROUP BY vec_id),
 sc AS (
   SELECT f.query_id, f.vec_id, round(f.cos, 6) AS cosine,
-    round(round(f.cos, 6) / ((a.afwd + b.abwd) / 2.0), 6) AS margin
+    round((round(f.cos, 6) * 8.0) / (a.sfwd + b.sbwd)::DOUBLE, 6)
+      AS margin
   FROM fwd f JOIN afwd a USING (query_id) JOIN abwd b USING (vec_id))
 SELECT query_id, vec_id, cosine, margin,
   row_number() OVER (PARTITION BY query_id
@@ -5432,7 +5438,9 @@ def _std_sql(c: str) -> str:
           f"FROM lineitem)::DOUBLE")
     mu = f"({s} / {n})"
     sigma = f"sqrt(greatest(({ss} / {n}) - {mu} * {mu}, 0.0))"
-    return (f"round(({c}::DOUBLE - {mu}) / nullif({sigma}, 0.0), 6) "
+    # + 0 folds IEEE -0.0 to 0.0 (DuckDB round keeps the sign of a
+    # tiny negative rounding to zero; Spark's drops it — sf0.1 find)
+    return (f"round(({c}::DOUBLE - {mu}) / nullif({sigma}, 0.0), 6) + 0 "
             f"AS {c}__scaled")
 
 
@@ -5574,7 +5582,9 @@ WITH u AS (
   FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL),
 k AS (
   SELECT doc_id, source, weight,
-    round(ln(u) / weight::DOUBLE, 6) AS es_key
+    -- + 0 folds IEEE -0.0 to 0.0 (DuckDB round keeps the sign of a
+    -- tiny negative rounding to zero; Spark's drops it — sf0.1 find)
+    round(ln(u) / weight::DOUBLE, 6) + 0 AS es_key
   FROM u),
 r AS (
   SELECT *, (row_number() OVER (PARTITION BY source

@@ -48,6 +48,14 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # -0.0 == 0.0 (IEEE): DuckDB's round() preserves the sign
+            # of a tiny negative rounding to zero, Spark's BigDecimal
+            # round drops it — hashing them apart is a harness
+            # artifact, first seen at sf0.1 (standardize,
+            # weighted_sample). The producing twins ALSO add `+ 0` at
+            # the source so external comparers see identical bytes.
+            return "0.0"
         return repr(v)
     # Strict rendering: preserve decimal scale, timestamp precision, and
     # the decimal-vs-integer physical type. (Round 1 lesson: normalize()

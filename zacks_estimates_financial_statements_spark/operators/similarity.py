@@ -694,9 +694,17 @@ def margin_topk(corpus: DataFrame, queries: DataFrame, k: int = 4,
     relations (≤ k rows per key) and two equi-joins — nothing
     corpus-quadratic.
 
-    Determinism: per-pair cosines round to 6; neighborhood sums route
-    through ``decimal(38,6)`` then divide by ``k`` in double rounded
-    to 6; the final margin rounds to 6 — the repo cross-engine recipe.
+    Determinism: per-pair cosines round to 6; neighborhood sums stay
+    EXACT ``decimal(38,6)`` and the ``/k`` folds into the margin
+    division (``margin = cos·2k / (S_fwd + S_bwd)``); only the final
+    margin rounds to 6. The earlier recipe rounded each neighborhood
+    MEAN to 6 first — but a 6-digit decimal sum divided by k=4 puts
+    the 7th digit on a .5 boundary with probability ~1/4, and the two
+    engines resolve that half-case through different arithmetic
+    (Spark: BigDecimal of the exact binary double; DuckDB: a scaled
+    multiply) — a systematic cross-engine flip first caught by the
+    sf0.1 attestation (one row at 2e-6). Deferring the division
+    leaves one double rounding, identical on both sides.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -715,20 +723,18 @@ def margin_topk(corpus: DataFrame, queries: DataFrame, k: int = 4,
 
     def nbhd(df, key_col, out_key, out_col):
         return (df.groupBy(F.col(key_col).alias(out_key))
-                .agg(F.round(
-                    F.sum(F.round(F.col("cosine"), 6)
-                          .cast("decimal(38,6)")).cast("double") / k,
-                    6).alias(out_col)))
+                .agg(F.sum(F.round(F.col("cosine"), 6)
+                           .cast("decimal(38,6)")).alias(out_col)))
 
-    afwd = nbhd(fwd, query_id_col, query_id_col, "__afwd")
-    abwd = nbhd(bwd, query_id_col, id_col, "__abwd")
+    sfwd = nbhd(fwd, query_id_col, query_id_col, "__sfwd")
+    sbwd = nbhd(bwd, query_id_col, id_col, "__sbwd")
     pairs = fwd.select(query_id_col, id_col,
                        F.round(F.col("cosine"), 6).alias("cosine"))
-    scored = (pairs.join(afwd, query_id_col).join(abwd, id_col)
+    scored = (pairs.join(sfwd, query_id_col).join(sbwd, id_col)
               .select(query_id_col, id_col, "cosine",
-                      F.round(F.col("cosine")
-                              / ((F.col("__afwd") + F.col("__abwd"))
-                                 / 2.0), 6).alias("margin")))
+                      F.round((F.col("cosine") * F.lit(float(2 * k)))
+                              / (F.col("__sfwd") + F.col("__sbwd"))
+                              .cast("double"), 6).alias("margin")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("margin"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w)))
