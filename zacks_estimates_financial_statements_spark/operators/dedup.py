@@ -270,6 +270,19 @@ def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
     the index is an in-memory relation in tests); turn it on when the
     index is parquet-backed — the streaming ingestion gate's regime.
 
+    Two layout/conf requirements for the prune to actually prune
+    (measured in ``tools/minhash_admission_study.py``): (1) write the
+    index SORTED (or bucketed) by ``bucket`` — md5 bucket keys are
+    uniform, so an unsorted file's every row group spans the whole key
+    range and nothing skips; (2) raise
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` above the batch's
+    key count — past the default (10) Spark degrades the pushed In to
+    a min/max RANGE, which uniform keys always span. And the regime
+    matters: this is an asymmetric-batch tool — with a corpus-sized
+    batch the collected key list itself becomes the bottleneck (the
+    study's first cut measured the prune LOSING 13 s to 2 s at ×10
+    batch); keep the full-scan broadcast join for symmetric sweeps.
+
     Returns ``(batch_id, corpus_id, est_jaccard)``, distinct pairs.
     """
     probe = (minhash_index(batch, id_col, text_col, k=k, bands=bands,
