@@ -2107,23 +2107,28 @@ def novelty_score(df: DataFrame, reference: DataFrame, id_col: str,
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # duplicate-id contract (r9 fuzz): one row per LOGICAL doc with
+    # per-id distinct gram counts. Verbatim physical copies collapse
+    # HERE, on the doc-level (id, tokens) projection — one narrow
+    # |docs|-row exchange — NOT via countDistinct in the gram aggs,
+    # which re-shuffles the whole |grams| relation per aggregate
+    # (measured: 33.7k → 316k shuffled rows at sf0.01, a 9× ratio
+    # regression caught by the shuffle-audit gate). Within-row grams
+    # are already distinct (_gram_array), so plain counts stay exact.
     docs = (df.filter(F.col(id_col).isNotNull())
-            .select(F.col(id_col), _word_array(text_col).alias("__t")))
+            .select(F.col(id_col), _word_array(text_col).alias("__t"))
+            .distinct())
     dg = (docs.select(F.col(id_col),
                       F.explode_outer(_gram_array(F.col("__t"), n))
                       .alias("__g")))
     refg = (reference.select(_word_array(text_col).alias("__t"))
             .select(F.explode(_gram_array(F.col("__t"), n)).alias("__g"))
             .distinct())
-    # duplicate-id contract (r9 fuzz): one row per LOGICAL doc with
-    # per-id DISTINCT gram counts (the docstring's "distinct n-grams"),
-    # so physical copies of one id collapse inside the aggs the plan
-    # already pays instead of double-counting every gram
     novel = (dg.filter(F.col("__g").isNotNull())
              .join(refg, "__g", "left_anti")
-             .groupBy(id_col).agg(F.countDistinct("__g").alias("n_novel")))
+             .groupBy(id_col).agg(F.count("*").alias("n_novel")))
     totals = (dg.groupBy(id_col)
-              .agg(F.countDistinct("__g").alias("n_grams")))
+              .agg(F.count("__g").alias("n_grams")))
     return (totals.join(novel, id_col, "left")
             .select(F.col(id_col), "n_grams",
                     F.coalesce("n_novel", F.lit(0).cast("bigint"))
