@@ -1149,8 +1149,14 @@ def q_margin_topk(spark, sf):
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
-    return similarity.margin_topk(emb, queries, k=4)
+    return similarity.margin_topk(emb, queries, k=_MARGIN_K)
 
+
+# Shared k for q_margin_topk and its twin: the margin numerator is
+# cos*2k (mean of two k-sized neighborhoods folded into the division),
+# so the SQL literal MUST track the operator's k (ADVICE r9: a
+# hard-coded 8.0 would silently diverge if k ever changed).
+_MARGIN_K = 4
 
 ORACLE_MARGIN_TOPK = f"""
 WITH q AS (
@@ -1164,12 +1170,12 @@ fwd AS (
   SELECT * FROM (
     SELECT query_id, vec_id, cos, row_number() OVER
       (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r
-    FROM fs) WHERE r <= 4),
+    FROM fs) WHERE r <= {_MARGIN_K}),
 bwd AS (
   SELECT * FROM (
     SELECT query_id, vec_id, cos, row_number() OVER
       (PARTITION BY vec_id ORDER BY cos DESC, query_id) AS r
-    FROM fs) WHERE r <= 4),
+    FROM fs) WHERE r <= {_MARGIN_K}),
 -- neighborhood SUMS stay exact decimal; /k folds into the margin
 -- division (margin = cos*2k / (S_fwd+S_bwd)) — rounding each MEAN to
 -- 6 first put the 7th digit on a .5 boundary ~1/4 of the time and the
@@ -1185,7 +1191,7 @@ abwd AS (
   FROM bwd GROUP BY vec_id),
 sc AS (
   SELECT f.query_id, f.vec_id, round(f.cos, 6) AS cosine,
-    round((round(f.cos, 6) * 8.0) / (a.sfwd + b.sbwd)::DOUBLE, 6)
+    round((round(f.cos, 6) * {2.0 * _MARGIN_K}) / (a.sfwd + b.sbwd)::DOUBLE, 6)
       AS margin
   FROM fwd f JOIN afwd a USING (query_id) JOIN abwd b USING (vec_id))
 SELECT query_id, vec_id, cosine, margin,
@@ -3541,6 +3547,11 @@ FROM base
 """
 
 
+# Parquet sinks of prior q_schedule_fetches_stream passes, swept by the
+# next invocation (only the newest may still back a live DataFrame).
+_SCHED_STREAM_SINKS: list = []
+
+
 def q_schedule_fetches_stream(spark, sf):
     """STATEFUL STREAMING politeness scheduler end-to-end
     (streaming/raw_zone_stream.py ``schedule_fetches`` — the repo's
@@ -3561,8 +3572,10 @@ def q_schedule_fetches_stream(spark, sf):
     driver (the earlier memory-sink + ``collect`` + ``createDataFrame``
     hop put corpus-width rows on the driver AND into the bench
     timing). The sink dir must outlive this call (the caller evaluates
-    the returned DataFrame), so it is swept at process exit instead of
-    in the ``finally``."""
+    the returned DataFrame), so only the MOST RECENT sink stays alive:
+    each invocation sweeps its predecessors (ADVICE r9: atexit-only
+    cleanup accumulated one dir per pass across a long gate/bench
+    session), and process exit sweeps the last one."""
     import atexit
     import shutil
     import tempfile
@@ -3608,7 +3621,10 @@ def q_schedule_fetches_stream(spark, sf):
                   .parquet(src))
         out = schedule_fetches(stream, "host", "event_id", "ts",
                                interval_sec=10.0)
+        while _SCHED_STREAM_SINKS:  # prior passes' sinks are dead now
+            shutil.rmtree(_SCHED_STREAM_SINKS.pop(), ignore_errors=True)
         sink = tempfile.mkdtemp(prefix="sched_stream_out_")
+        _SCHED_STREAM_SINKS.append(sink)
         atexit.register(shutil.rmtree, sink, ignore_errors=True)
         q = (out.writeStream.format("parquet")
              .option("path", sink)

@@ -52,8 +52,12 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     DISTINCT rows — verbatim physical copies on either side would
     otherwise multiply every pair they touch (m×n per candidate)
     straight into ``best_match``'s candidate counts. Rows that differ
-    in ANY column remain distinct pairs; the distinct runs over the
-    bounded match relation, not the corpus.
+    in ANY column remain distinct pairs. The dedup runs per SIDE, on
+    each side's rows semi-restricted to matched keys (bounded by the
+    match fan-in) — deduping distinct left rows and distinct right
+    rows before the fan-out is row-for-row identical to a distinct of
+    the joined output, without shuffling the m×n-amplified wide rows
+    (ADVICE r9: the earlier plan distinct'd the final join).
     """
     lk, rk = F.col(left_key), F.col(right_key)
     lkeys = left.select(lk).distinct()
@@ -68,7 +72,11 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     matched = (cand
                .withColumn("dist", F.levenshtein(lk, rk))
                .filter(F.col("dist") <= max_dist))
-    return left.join(matched, left_key).join(right, right_key).distinct()
+    lrows = (left.join(matched.select(left_key).distinct(),
+                       left_key, "semi").distinct())
+    rrows = (right.join(matched.select(right_key).distinct(),
+                        right_key, "semi").distinct())
+    return lrows.join(matched, left_key).join(rrows, right_key)
 
 
 def best_match(pairs: DataFrame, left_id: str, right_id: str) -> DataFrame:
