@@ -498,3 +498,155 @@ def test_schedule_fetches_batch_twin_parity(spark):
     twin = politeness_schedule(df, "host", "id", "ts", interval_sec=5)
     assert sorted(map(tuple, batch.collect())) == \
         sorted(map(tuple, twin.collect()))
+
+
+def _table_snapshot(spark, tables, names):
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+
+    out = {}
+    for name in names:
+        store = TableStore(spark, tables, name)
+        out[name] = (sorted(map(tuple, store.read().collect()))
+                     if store.exists() else [])
+    return out
+
+
+def test_dedup_gate_stream_mid_batch_crash_recovery(spark, tmp_path):
+    """Kill the dedup-gate foreachBatch MID-epoch — after the epoch's
+    first table write (rejects) commits, before corpus/index — restart
+    from the checkpoint, and prove the end-state equals an
+    uninterrupted run. This is the exactly-once-EFFECT claim the
+    PK-upsert design makes (module docstring recovery contract): the
+    failed epoch is not committed, the file source replays it, and the
+    already-written prefix upserts as a no-op."""
+    import json as J
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    from zacks_estimates_financial_statements_spark.streaming.raw_zone_stream import (
+        run_dedup_gate_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    batches = [
+        [{"doc_id": 1, "text": base},
+         {"doc_id": 2, "text": "completely different first-batch text here"}],
+        [{"doc_id": 10, "text": base},  # near-dup of 1 -> rejects write
+         {"doc_id": 11, "text": "a genuinely new document in batch two"}],
+    ]
+    names = ["gate_corpus", "gate_index", "gate_rejects"]
+
+    def drop_all(inbox):
+        inbox.mkdir()
+        for i, rows in enumerate(batches):
+            p = inbox / f"b{i}.jsonl"
+            p.write_text("\n".join(J.dumps(r) for r in rows) + "\n")
+            # pin file order so batch replay order is deterministic
+            import os
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # uninterrupted twin
+    drop_all(tmp_path / "inbox_a")
+    q = run_dedup_gate_stream(spark, str(tmp_path / "inbox_a" / "*.jsonl"),
+                              str(tmp_path / "ta"), str(tmp_path / "cka"))
+    q.awaitTermination(120)
+    want = _table_snapshot(spark, str(tmp_path / "ta"), names)
+    assert [r[0] for r in want["gate_rejects"]] == [10]
+
+    # faulted run: epoch 0 does 2 upserts (corpus, index); epoch 1 does
+    # rejects, corpus, index — crash entering its SECOND write (call 4)
+    drop_all(tmp_path / "inbox_b")
+    tables_b, ck_b = str(tmp_path / "tb"), str(tmp_path / "ckb")
+    real = TableStore.upsert_ignore
+    calls = {"n": 0}
+
+    def faulty(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("injected mid-batch crash")
+        return real(self, *a, **kw)
+
+    TableStore.upsert_ignore = faulty
+    try:
+        q = run_dedup_gate_stream(spark, str(tmp_path / "inbox_b" / "*.jsonl"),
+                                  tables_b, ck_b)
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+    finally:
+        TableStore.upsert_ignore = real
+    assert calls["n"] == 4
+    # the crash really was mid-batch: epoch 1's rejects write landed,
+    # its corpus/index writes did not
+    partial = _table_snapshot(spark, tables_b, names)
+    assert [r[0] for r in partial["gate_rejects"]] == [10]
+    assert sorted(r[0] for r in partial["gate_corpus"]) == [1, 2]
+
+    # restart from the checkpoint: epoch 1 replays whole; PK upserts
+    # make the already-written rejects row a no-op
+    q = run_dedup_gate_stream(spark, str(tmp_path / "inbox_b" / "*.jsonl"),
+                              tables_b, ck_b)
+    q.awaitTermination(120)
+    assert _table_snapshot(spark, tables_b, names) == want
+
+
+def test_estimates_stream_mid_batch_crash_recovery(spark, tmp_path):
+    """Kill the estimates loader mid-fan-out (one of the six destination
+    tables written, the rest not), restart, and prove convergence to
+    the uninterrupted end-state — the per-document-transaction analog
+    (SURVEY W3) under a crash instead of a bad document."""
+    import pytest
+    from fixtures import estimate_page
+    from pyspark.errors import StreamingQueryException
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    from zacks_estimates_financial_statements_spark.pipelines.estimate_pipeline import (
+        ESTIMATE_TABLES,
+    )
+
+    def drop(base):
+        d = base / "estimates" / "2024-06-01"
+        d.mkdir(parents=True)
+        (d / "AAPL.detailed-estimates.html").write_text(estimate_page())
+
+    # uninterrupted twin
+    drop(tmp_path / "raw_a")
+    q = S.run_estimates_stream(spark, str(tmp_path / "raw_a"),
+                               str(tmp_path / "ta"), str(tmp_path / "cka"))
+    q.awaitTermination(120)
+    want = _table_snapshot(spark, str(tmp_path / "ta"),
+                           list(ESTIMATE_TABLES))
+    assert all(want[t] for t in ESTIMATE_TABLES)
+
+    # faulted run: let exactly ONE table write commit, fail the rest
+    drop(tmp_path / "raw_b")
+    tables_b, ck_b = str(tmp_path / "tb"), str(tmp_path / "ckb")
+    real = TableStore.upsert_ignore
+    import threading
+    lock = threading.Lock()
+    calls = {"n": 0}
+
+    def faulty(self, *a, **kw):
+        with lock:  # serialize: exactly one write wins, the rest die
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise RuntimeError("injected mid-fan-out crash")
+            return real(self, *a, **kw)
+
+    TableStore.upsert_ignore = faulty
+    try:
+        q = S.run_estimates_stream(spark, str(tmp_path / "raw_b"),
+                                   tables_b, ck_b)
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+    finally:
+        TableStore.upsert_ignore = real
+    partial = _table_snapshot(spark, tables_b, list(ESTIMATE_TABLES))
+    n_written = sum(1 for t in ESTIMATE_TABLES if partial[t])
+    assert n_written == 1  # genuinely mid-fan-out
+
+    q = S.run_estimates_stream(spark, str(tmp_path / "raw_b"),
+                               tables_b, ck_b)
+    q.awaitTermination(120)
+    assert _table_snapshot(spark, tables_b, list(ESTIMATE_TABLES)) == want

@@ -29,7 +29,7 @@ machines, so a failure reproduces exactly.
 
 Usage: python tools/contract_fuzz.py [--src /root/testdata/sf0.001]
            [--out /tmp/fuzz_sf] [--null-rate 0.02] [--empty-rate 0.01]
-           [--dup-rate 0] [--nan-rate 0] [query ...]
+           [--dup-rate 0] [--nan-rate 0] [--conflict-rate 0] [query ...]
 Exit = oracle_check's exit (1 on any divergence).
 
 Extra fault classes: ``--dup-rate`` appends verbatim clones of ~that
@@ -77,6 +77,43 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Key columns preserved by --conflict-rate clones: the clone keeps the
+# key and mutates every OTHER column — the fault a real incremental
+# ingest produces on every re-scrape of a changed page (same id,
+# different content).
+KEYS = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey"},
+    "customer": {"c_custkey"},
+    "supplier": {"s_suppkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey"},
+    "lineitem": {"l_orderkey", "l_linenumber"},
+    "events": {"event_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+
+
+def _mutate_column(field: pa.Field, col: pa.ChunkedArray):
+    """Deterministic content mutation for conflict clones; NULL stays
+    NULL, NaN/-inf stay non-finite (the dials compose)."""
+    if pa.types.is_string(field.type):
+        return pc.binary_join_element_wise(col, pa.scalar("~c"), "")
+    if pa.types.is_floating(field.type):
+        return pc.add(col, pa.scalar(1.5, type=field.type))
+    if pa.types.is_integer(field.type):
+        return pc.add(col, pa.scalar(1, type=field.type))
+    if pa.types.is_timestamp(field.type):
+        return pc.add(col, pa.scalar(1_000_000, type=pa.duration("us")))
+    if pa.types.is_list(field.type):
+        vals = col.to_pylist()
+        vals = [None if v is None
+                else ([v[0] + 0.25] + v[1:] if len(v) else v)
+                for v in vals]
+        return pa.chunked_array([pa.array(vals, type=field.type)])
+    return col
+
 
 def _mask(table: str, col: str, n: int, rate: float, salt: str = "") -> np.ndarray:
     seed = zlib.crc32(f"{table}|{col}|{salt}".encode())
@@ -85,7 +122,8 @@ def _mask(table: str, col: str, n: int, rate: float, salt: str = "") -> np.ndarr
 
 def fuzz_table(path: str, table: str, null_rate: float,
                empty_rate: float, dup_rate: float = 0.0,
-               nan_rate: float = 0.0) -> pa.Table:
+               nan_rate: float = 0.0,
+               conflict_rate: float = 0.0) -> pa.Table:
     t = pq.read_table(path)
     n = t.num_rows
     for idx, name in enumerate(t.schema.names):
@@ -116,6 +154,19 @@ def fuzz_table(path: str, table: str, null_rate: float,
         dups = _mask(table, "__row__", n, dup_rate, salt="dup")
         if dups.any():
             t = pa.concat_tables([t, t.filter(pa.array(dups))])
+    if conflict_rate:
+        # clone from the post-fault base rows (NOT the verbatim dups):
+        # same key, every other column mutated
+        confl = _mask(table, "__row__", n, conflict_rate, salt="conflict")
+        if confl.any():
+            clone = t.slice(0, n).filter(pa.array(confl))
+            for idx, name in enumerate(clone.schema.names):
+                if name in KEYS[table]:
+                    continue
+                field = clone.schema.field(name)
+                clone = clone.set_column(
+                    idx, field, _mutate_column(field, clone.column(name)))
+            t = pa.concat_tables([t, clone])
     return t
 
 
@@ -127,6 +178,7 @@ def main() -> int:
     ap.add_argument("--empty-rate", type=float, default=0.01)
     ap.add_argument("--dup-rate", type=float, default=0.0)
     ap.add_argument("--nan-rate", type=float, default=0.0)
+    ap.add_argument("--conflict-rate", type=float, default=0.0)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -134,7 +186,8 @@ def main() -> int:
     for table in TABLES:
         src = os.path.join(args.src, f"{table}.parquet")
         fuzzed = fuzz_table(src, table, args.null_rate, args.empty_rate,
-                            args.dup_rate, args.nan_rate)
+                            args.dup_rate, args.nan_rate,
+                            args.conflict_rate)
         pq.write_table(fuzzed, os.path.join(args.out, f"{table}.parquet"))
         injected = sum(fuzzed.column(c).null_count
                        for c in fuzzed.schema.names)

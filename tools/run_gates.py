@@ -18,9 +18,10 @@ Order (each regenerates its committed artifact as a side effect):
 5. ``skew_sweep``      — power-law straggler gate
 6. ``contract_fuzz``   — full oracle battery on degraded data with ALL
                          dials on (NULL/empty + duplicate-id clones +
-                         NaN/-inf) — the cross-engine contract gate;
-                         the r8 recon dials were closed in r9 and run
-                         combined in one pass
+                         NaN/-inf + conflicting same-id clones) — the
+                         cross-engine contract gate; the r8 recon dials
+                         were closed in r9, the conflict dial in r10,
+                         all run combined in one pass
 7. ``scale_study``     — sf0.01→sf0.1 scaling exponents
 8. ``pytest``          — the full unit/pipeline/property suite
 9. ``stamp_round N``   — byte-copies the canonical attestation to
@@ -31,7 +32,11 @@ Order (each regenerates its committed artifact as a side effect):
 (artifact ``CORRECTNESS_sf01.json``) — correctness was historically
 attested only at sf0.01 while bench runs at sf0.1, so scale-dependent
 divergence (sketch escapes, hot-cap engagement, AQE plan changes) was
-invisible. Off by default: it roughly doubles gate wall-clock.
+invisible. Off by default for mid-round iteration (it roughly doubles
+gate wall-clock) — but STAMPING implies it: ``--round N`` adds the
+sf0.1 leg automatically and refuses to stamp without it green (r9
+verdict #5: the sf0.1 first run caught three real divergences; a gate
+that has caught bugs must not be skippable on the round stamp).
 
 ``bench.py`` is deliberately NOT here: it needs an idle host and the
 driver runs it independently; use ``tools/bench_baseline.py`` for
@@ -62,7 +67,8 @@ GATES = [
     ("shuffle_audit", [sys.executable, "tools/shuffle_audit.py"]),
     ("skew_sweep", [sys.executable, "tools/skew_sweep.py", "--json"]),
     ("contract_fuzz", [sys.executable, "tools/contract_fuzz.py",
-                       "--dup-rate", "0.02", "--nan-rate", "0.02"]),
+                       "--dup-rate", "0.02", "--nan-rate", "0.02",
+                       "--conflict-rate", "0.02"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
 ]
@@ -97,7 +103,7 @@ def main() -> int:
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
 
     gates = list(GATES)
-    if args.sf01:
+    if args.sf01 or args.round is not None:
         gates.insert(3, ("oracle_sf01",
                          [sys.executable, "tools/oracle_check.py",
                           "/root/testdata/sf0.1",
@@ -117,7 +123,8 @@ def main() -> int:
         # without this check `--skip <everything> --round N` would
         # stamp a snapshot with zero checks run.
         ran = set(results)
-        missing = [n for n, _ in GATES if n not in ran]
+        # stamping requires every default gate PLUS the sf0.1 leg
+        missing = [n for n, _ in gates if n not in ran]
         if missing:
             print(f"NOT stamping round {args.round}: skipped gates "
                   f"{missing} — stamping requires the full battery")
