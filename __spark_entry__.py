@@ -1432,9 +1432,26 @@ GROUP BY 1, 2, 3
 def q_json_extract(spark, sf):
     """Semi-structured extraction (the analytics-side twin of the T8
     calendar JSON cleanup): pull a typed field out of the events JSON
-    props column and aggregate it — pure JVM expressions, pushable scan."""
+    props column and aggregate it — pure JVM expressions, pushable scan.
+
+    Malformed-payload contract (r10 conflict fuzz): extraction is
+    defined over the payload subset BOTH engines parse identically —
+    flat JSON objects (one brace pair, no single quotes, no trailing
+    comma; one shared regex guard). Every Spark JSON function
+    (get_json_object, from_json, even try_parse_json) is
+    Jackson-prefix-LENIENT — ``{"k":5}~c`` extracts 5 — while strict
+    validators (DuckDB json_valid, python json) reject it; Spark has
+    no strict validator, so the guard pins the common subset instead.
+    Inside the guard the residual asymmetries degrade to NULL on both
+    sides (Spark rejects ``05``/``+5``; DuckDB accepts ``NaN`` whose
+    bigint try_cast nulls). Out of contract: exponent-rendered values
+    (``1e2`` — Spark re-renders ``100.0`` whose bigint cast nulls,
+    DuckDB casts 100); this pipeline's serializers render integers."""
     ev = _t(spark, sf, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    flat = (F.col("props").rlike(r"^\{[^{}']*\}$")
+            & ~F.col("props").rlike(r",\s*\}$"))
+    k = F.when(flat, F.get_json_object(F.col("props"), "$.k")) \
+        .try_cast("bigint")
     return (ev.withColumn("k", k)
             .filter(F.col("k").isNotNull())
             .groupBy("event_type")
@@ -1449,11 +1466,15 @@ SELECT event_type, count(*) AS n,
   CAST(sum(k) AS BIGINT) AS sum_k,
   min(k) AS min_k, max(k) AS max_k
 FROM (
-  -- json_valid guard: DuckDB's json_extract_string THROWS on malformed
-  -- JSON (e.g. an empty string), where Spark's get_json_object returns
-  -- NULL — the degradation contract is per-row NULL on both engines
+  -- flat-object guard (shared with the Spark side): Spark's JSON
+  -- parse is Jackson-prefix-lenient, json_valid is strict — the
+  -- contract pins extraction to the subset both parse identically;
+  -- json_valid stays for the residual cases inside the guard that
+  -- Jackson rejects and DuckDB would throw on
   SELECT event_type,
-    TRY_CAST(CASE WHEN json_valid(props)
+    TRY_CAST(CASE WHEN regexp_matches(props, '^\\{[^{}'']*\\}$')
+                   AND NOT regexp_matches(props, ',\\s*\\}$')
+                   AND json_valid(props)
                   THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
   FROM events)
 WHERE k IS NOT NULL
@@ -1490,7 +1511,14 @@ def q_approx_quantiles(spark, sf):
     """Approximate quantiles (Greenwald-Khanna percentile_approx) per
     event_type, same engine-local-tolerance contract as the HLL query:
     exact interpolated median (comparable cross-engine, rounded) + each
-    engine's own sketch-error flag."""
+    engine's own sketch-error flag.
+
+    Small-group contract (r10 conflict fuzz): the sketch-error flag is
+    only DEFINED for groups with >= 100 finite values — GK returns a
+    data point while the exact median interpolates, so on a ~20-row
+    group the gap between the two middle values alone can exceed 1% of
+    range and the two engines' sketches land on opposite sides of the
+    line; sketch guarantees are asymptotic, tiny groups report NULL."""
     ev = _t(spark, sf, "events")
     # non-finite contract: NaN/±Inf degrade to NULL before the sketch —
     # engines disagree on NaN quantile mechanics (twin mirrors)
@@ -1498,9 +1526,11 @@ def q_approx_quantiles(spark, sf):
     agg = (ev.groupBy("event_type")
            .agg(F.percentile(v, F.lit(0.5)).alias("m"),
                 F.percentile_approx(v, 0.5, 10000).alias("am"),
-                F.max(v).alias("mx"), F.min(v).alias("mn")))
-    ok = (F.abs(F.col("am") - F.col("m"))
-          <= (F.col("mx") - F.col("mn")) * 0.01)
+                F.max(v).alias("mx"), F.min(v).alias("mn"),
+                F.count(v).alias("nv")))
+    ok = F.when(F.col("nv") >= 100,
+                F.abs(F.col("am") - F.col("m"))
+                <= (F.col("mx") - F.col("mn")) * 0.01)
     return agg.select("event_type",
                       F.round(F.col("m").cast("double"), 6).alias("median"),
                       ok.alias("approx_within_1pct_range"))
@@ -1512,8 +1542,11 @@ WITH e AS (
   SELECT event_type, {_fin_sql('value')} AS value FROM events)
 SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS median,
-  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-    <= (max(value) - min(value)) * 0.01 AS approx_within_1pct_range
+  -- small-group contract: the sketch-error flag is NULL under 100
+  -- finite values (Spark def mirrors; see q_approx_quantiles)
+  CASE WHEN count(value) >= 100 THEN
+    abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+      <= (max(value) - min(value)) * 0.01 END AS approx_within_1pct_range
 FROM e GROUP BY event_type
 """
 
@@ -1882,7 +1915,7 @@ JOIN (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp) k
 # round) — shared by clean_corpus, quantile_gate and token_budget_fill
 # so the score definition cannot drift between oracles
 _QUALITY_STATS_SQL = r"""
-    SELECT doc_id, source,
+    SELECT doc_id, source, text,
       CASE WHEN trim(text) = '' THEN 0
         ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
       CASE WHEN (CASE WHEN trim(text) = '' THEN 0
@@ -2350,36 +2383,38 @@ def q_decontaminate(spark, sf):
 
 ORACLE_DECONTAMINATE = """
 WITH b AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, row_number() OVER () AS rid,
     ('0x' || substr(md5('decontam|' || doc_id::VARCHAR), 1, 15))::BIGINT
       % 1000000 AS bucket
   FROM documents),
 toks AS (
-  SELECT doc_id, bucket,
+  SELECT doc_id, rid, bucket,
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t
   FROM b),
 grams AS (
-  SELECT DISTINCT doc_id, bucket, array_to_string(t[i:i+3], ' ') AS gram
+  SELECT DISTINCT rid, bucket, array_to_string(t[i:i+3], ' ') AS gram
   FROM toks, unnest(range(1, len(t) - 2)) AS g(i)
   WHERE len(t) >= 4),
 bench AS (SELECT DISTINCT gram FROM grams WHERE bucket < 100000),
-corp AS (SELECT doc_id, gram FROM grams WHERE bucket >= 100000),
--- duplicate-id contract (benchmark_contamination): one output row per
--- PHYSICAL corpus row, gram statistics per LOGICAL doc (distinct
--- grams per id — grams is DISTINCT, so count(*) = count distinct)
+corp AS (SELECT rid, gram FROM grams WHERE bucket >= 100000),
+-- duplicate-id contract (benchmark_contamination, r10): one output
+-- row per PHYSICAL corpus row, EVERY statistic from that row's own
+-- grams (rid tags physical rows) — conflicting-content copies of one
+-- id are scored each on their own text; verbatim copies carry
+-- identical panels
 totals AS (
-  SELECT doc_id, count(*)::BIGINT AS total_grams
-  FROM corp GROUP BY doc_id),
+  SELECT rid, count(*)::BIGINT AS total_grams
+  FROM corp GROUP BY rid),
 hits AS (
-  SELECT c.doc_id, count(*)::BIGINT AS overlap_grams
-  FROM corp c JOIN bench USING (gram) GROUP BY c.doc_id)
+  SELECT c.rid, count(*)::BIGINT AS overlap_grams
+  FROM corp c JOIN bench USING (gram) GROUP BY c.rid)
 SELECT b.doc_id, coalesce(t.total_grams, 0)::BIGINT AS total_grams,
   coalesce(h.overlap_grams, 0)::BIGINT AS overlap_grams,
   coalesce(h.overlap_grams, 0) > 0 AS contaminated
 FROM b
-LEFT JOIN totals t ON b.doc_id = t.doc_id
-LEFT JOIN hits h ON b.doc_id = h.doc_id
+LEFT JOIN totals t ON b.rid = t.rid
+LEFT JOIN hits h ON b.rid = h.rid
 WHERE b.bucket >= 100000
 """
 
@@ -2764,8 +2799,12 @@ kept AS (
     ON p.fp = w.fp AND p.doc_id = w.doc_id AND p.pidx = w.pidx),
 stats AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
 reb AS (
+  -- conflicting-copy contract (r10): copies of one id merge their
+  -- paragraph multisets per LOGICAL doc; the reassembly order pins
+  -- the (pidx) tie two divergent copies create with the paragraph
+  -- text itself (Spark sorts struct(pidx, para))
   SELECT doc_id, count(*) AS n_kept,
-    string_agg(para, chr(10) ORDER BY pidx) AS clean_text
+    string_agg(para, chr(10) ORDER BY pidx, para) AS clean_text
   FROM kept GROUP BY doc_id)
 SELECT d.doc_id,
   coalesce(r.clean_text, '') AS clean_text,
@@ -3046,22 +3085,25 @@ def q_token_budget_fill(spark, sf):
 
 ORACLE_TOKEN_BUDGET_FILL = f"""
 WITH s AS (
-  -- duplicate-id contract (token_budget_fill): a duplicated id charges
-  -- the budget ONCE — verbatim copies collapse (DISTINCT here = the
-  -- Spark side's adjacent-tie lag guard inside the fill window)
-  SELECT DISTINCT doc_id, source, quality FROM ({_QUALITY_STATS_SQL})),
-tok AS (
-  SELECT DISTINCT doc_id,
+  -- duplicate-id contract (token_budget_fill, r10): a fill decision is
+  -- per distinct VERSION (id, priority, n_tokens) — verbatim copies
+  -- charge the budget ONCE, divergent-content copies each charge
+  -- (DISTINCT here = the Spark side's full-version lag guard inside
+  -- the fill window); quality and token count come from the SAME
+  -- physical row (the r9 two-relation join cross-paired versions)
+  SELECT DISTINCT doc_id, source, quality,
     len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                     x -> x <> ''))::BIGINT AS n_tokens
-  FROM documents),
+  FROM ({_QUALITY_STATS_SQL})
+  -- NULL contract: NULL id = unaddressable, excluded (Spark filter)
+  WHERE doc_id IS NOT NULL),
 c AS (
-  SELECT s.doc_id, s.source, s.quality, tok.n_tokens,
-    sum(tok.n_tokens) OVER (PARTITION BY s.source
-                            ORDER BY s.quality DESC, s.doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS cum_tokens
-  FROM s JOIN tok USING (doc_id))
+  SELECT doc_id, source, quality, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY quality DESC, doc_id, n_tokens
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_tokens
+  FROM s)
 SELECT doc_id, source, round(quality, 6) AS quality, n_tokens,
   cum_tokens::BIGINT AS cum_tokens
 FROM c WHERE cum_tokens <= 1500
@@ -3231,17 +3273,19 @@ WITH d AS (
   -- NULL contract: quota ranks addressable docs of a known host
   -- (Spark's URL synthesis null-propagates doc_id into the host)
   FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
--- duplicate-id contract (domain_quota): a quota slot is per LOGICAL
--- doc — verbatim copies share one rank (rank over DISTINCT candidate
--- rows, attached back to every physical row)
+-- duplicate-id contract (domain_quota, r10): a quota slot is per
+-- distinct VERSION (host, priority, id) — verbatim copies share one
+-- rank, divergent-priority copies rank separately, and the attach
+-- back to physical rows is keyed by the full version
 dd AS (SELECT DISTINCT doc_id, n_chars, host FROM d),
 r AS (
-  SELECT doc_id, host,
+  SELECT doc_id, n_chars, host,
     (row_number() OVER (PARTITION BY host
        ORDER BY n_chars DESC, doc_id ASC))::INT AS rn
   FROM dd)
 SELECT d.doc_id, d.host, r.rn AS host_rank, r.rn <= 10 AS keep
-FROM d JOIN r USING (doc_id, host)
+FROM d JOIN r ON d.doc_id = r.doc_id AND d.host = r.host
+  AND d.n_chars IS NOT DISTINCT FROM r.n_chars
 """
 
 
@@ -3270,18 +3314,20 @@ WITH d AS (
   SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
   -- NULL contract: same addressability filter as ORACLE_DOMAIN_QUOTA
   FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
--- duplicate-id contract: same per-logical-doc slot rule as
--- ORACLE_DOMAIN_QUOTA (rank over DISTINCT candidates, per-row attach)
+-- duplicate-id contract: same per-VERSION slot rule as
+-- ORACLE_DOMAIN_QUOTA (rank over DISTINCT (host, priority, id)
+-- versions, attach keyed by the full version)
 dd AS (SELECT DISTINCT doc_id, n_chars, host FROM d),
 r AS (
-  SELECT doc_id, host,
+  SELECT doc_id, n_chars, host,
     (row_number() OVER (PARTITION BY host
        ORDER BY n_chars DESC, doc_id ASC))::INT AS rn
   FROM dd)
 SELECT d.doc_id, d.host,
   CASE WHEN r.rn <= 10 THEN r.rn END AS host_rank,
   r.rn <= 10 AS keep
-FROM d JOIN r USING (doc_id, host)
+FROM d JOIN r ON d.doc_id = r.doc_id AND d.host = r.host
+  AND d.n_chars IS NOT DISTINCT FROM r.n_chars
 """
 
 

@@ -250,13 +250,17 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     benchmark) and ``contaminated`` (overlap > 0). Documents shorter
     than ``n`` tokens have 0/0/false.
 
-    Duplicate-id contract (r9 contract fuzz): gram statistics are per
-    LOGICAL document — ``overlap_grams`` counts DISTINCT matched grams
-    per id, so verbatim physical copies of one id carry identical
-    panels (one output row each) instead of double-counted overlaps.
-    Dedup stays free: the distinct folds into the overlap aggregation
-    the plan already pays; the corpus-width totals projection never
-    shuffles.
+    Duplicate-id contract (r9 contract fuzz, tightened for r10's
+    conflicting-content clones): EVERY statistic is per PHYSICAL row's
+    own text — ``overlap_grams`` groups matched grams by (id, content
+    hash) and attaches back on the same key, so verbatim copies of one
+    id carry identical panels (one output row each, no double-counted
+    overlaps) while copies with DIVERGENT text are scored each on
+    their own grams (the r9 per-id merge attached the UNION of both
+    versions' grams to both rows — ``overlap_grams`` could exceed a
+    row's own ``total_grams``). Dedup stays free: the content hash
+    only widens the key of the overlap aggregation the plan already
+    pays; the corpus-width totals projection never shuffles.
 
     Scale shape: benchmarks are tiny next to a training corpus, so the
     distinct benchmark gram set is broadcast (flip
@@ -281,11 +285,12 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     # sf0.1). The null rows explode_outer emits for gram-less docs
     # vanish in the inner gram join.
     corpus_w = corpus.select(F.col(id_col),
+                             F.xxhash64(F.col(text_col)).alias("__k"),
                              _word_array(text_col).alias("__w"))
     per_doc = corpus_w.select(
-        F.col(id_col), _gram_array(F.col("__w"), n).alias("__grams"))
+        F.col(id_col), "__k", _gram_array(F.col("__w"), n).alias("__grams"))
     totals = per_doc.select(
-        id_col, F.size("__grams").cast("bigint").alias("total_grams"))
+        id_col, "__k", F.size("__grams").cast("bigint").alias("total_grams"))
     bench_w = benchmark.select(_word_array(text_col).alias("__w"))
     bench_grams = (bench_w
                    .select(F.explode_outer(_gram_array(F.col("__w"), n))
@@ -293,12 +298,12 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
                    .distinct())
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    corpus_grams = per_doc.select(id_col,
+    corpus_grams = per_doc.select(id_col, "__k",
                                   F.explode_outer("__grams").alias("gram"))
     overlaps = (corpus_grams.join(bench_grams, "gram")
-                .groupBy(id_col)
+                .groupBy(id_col, "__k")
                 .agg(F.countDistinct("gram").alias("overlap_grams")))
-    return (totals.join(overlaps, id_col, "left")
+    return (totals.join(overlaps, [id_col, "__k"], "left")
             .select(id_col, "total_grams",
                     F.coalesce("overlap_grams", F.lit(0)).cast("bigint")
                     .alias("overlap_grams"))
@@ -506,14 +511,20 @@ def token_budget_fill(df: DataFrame, strata_col: str, text_col: str,
     NULLs sort ascending, and an unaddressable row silently consuming
     budget would shift every later row's cum_tokens (contract fuzz).
 
-    Duplicate-id contract (r9 contract fuzz): a duplicated id must not
-    consume budget twice — verbatim physical copies (same id ⇒ same
-    priority, so they tie adjacent in the sort) collapse to one charged
-    row via a ``lag(id)`` guard over the same window spec, inside the
-    exchange the cumulative sum already pays; no extra shuffle.
-    Same-id rows in *different* strata, or with different priorities
-    (divergent content), are distinct fill decisions and each charge —
-    true logical dedup is ``dedup_exact``'s job upstream.
+    Duplicate-id contract (r9 contract fuzz, tightened r10): a fill
+    decision is per distinct VERSION ``(id, priority, n_tokens)`` —
+    verbatim physical copies must not consume budget twice, so rows
+    identical in all three collapse via a ``lag(struct)`` guard over
+    the same window spec (they are guaranteed adjacent: the window
+    ORDERS by exactly those keys), inside the exchange the cumulative
+    sum already pays; no extra shuffle. Copies with different
+    priorities or token counts (divergent content), or the same id in
+    different strata, are distinct fill decisions and each charge —
+    the r9 ``lag(id)``-only guard collapsed same-priority DIVERGENT
+    copies by a nondeterministic window tie (r9 ADVICE). ``n_tokens``
+    joins the window order as the final tie-break so two divergent
+    copies fill in a deterministic, twin-mirrorable order. True
+    logical dedup is ``dedup_exact``'s job upstream.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -521,15 +532,16 @@ def token_budget_fill(df: DataFrame, strata_col: str, text_col: str,
     df = df.filter(F.col(id_col).isNotNull())
     nt = (token_count if token_count is not None
           else F.size(_word_array(text_col)))
+    df = df.withColumn("n_tokens", nt.cast("bigint"))
     w_ord = (Window.partitionBy(strata_col)
-             .orderBy(F.col(order_col).desc(), F.col(id_col).asc()))
+             .orderBy(F.col(order_col).desc(), F.col(id_col).asc(),
+                      F.col("n_tokens").asc()))
     w = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df = (df.withColumn("__prev_id", F.lag(id_col).over(w_ord))
-          .filter(F.col("__prev_id").isNull()
-                  | (F.col("__prev_id") != F.col(id_col)))
-          .drop("__prev_id"))
+    ver = F.struct(F.col(order_col), F.col(id_col), F.col("n_tokens"))
+    df = (df.withColumn("__prev", F.lag(ver).over(w_ord))
+          .filter(F.col("__prev").isNull() | (F.col("__prev") != ver))
+          .drop("__prev"))
     return (df
-            .withColumn("n_tokens", nt.cast("bigint"))
             .withColumn("cum_tokens", F.sum("n_tokens").over(w))
             .filter(F.col("cum_tokens") <= budget))
 
@@ -856,13 +868,19 @@ def domain_quota(df: DataFrame, host_col: str, id_col: str,
     in ``tests/test_skew_sweep.py``: a 50%-hot-domain corpus shows no
     straggler task >4× the stage median on this path.
 
-    Duplicate-id contract (r9 contract fuzz): a quota slot is PER
-    LOGICAL DOC — verbatim physical copies of one id tie adjacent in
-    the rank order and SHARE one rank/slot (rank = running count of
-    first-copies inside the same window; same shuffle as row_number),
-    so a duplicated id cannot eat the host's quota twice nor
-    mismultiply through the skew path's id-equi attach. Copies with
-    different priorities are distinct candidates and rank separately.
+    Duplicate-id contract (r9 contract fuzz, tightened r10): a quota
+    slot is per distinct VERSION ``(host, priority, id)`` — verbatim
+    physical copies SHARE one rank/slot (rank = running count of
+    first-VERSIONS inside the same window: a ``lag(struct)`` guard
+    over exactly the keys the window orders by, so equal versions are
+    guaranteed adjacent; same shuffle as row_number), while copies
+    with different priorities (divergent content) are distinct
+    candidates and rank separately. The skew path's attach back to
+    the corpus is keyed by the full version — the r9 id-only attach
+    cross-multiplied every rank of an id onto every physical copy
+    when a conflicting clone landed the same id on two hosts
+    (r9 ADVICE). Null-safe equality keeps NULL-priority rows attached
+    to their own version's rank.
     """
     if max_per_host < 1:
         raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
@@ -870,10 +888,12 @@ def domain_quota(df: DataFrame, host_col: str, id_col: str,
 
     order = ([F.desc(priority_col)] if priority_col else []) + \
         [F.asc(id_col)]
+    ver_cols = ([priority_col] if priority_col else []) + [id_col]
 
     def lrank(w_spec) -> F.Column:
-        prev = F.lag(id_col).over(w_spec)
-        first = (prev.isNull() | (prev != F.col(id_col))).cast("int")
+        ver = F.struct(*[F.col(c) for c in ver_cols])
+        prev = F.lag(ver).over(w_spec)
+        first = (prev.isNull() | (prev != ver)).cast("int")
         return F.sum(first).over(
             w_spec.rowsBetween(Window.unboundedPreceding,
                                Window.currentRow)).cast("int")
@@ -884,6 +904,7 @@ def domain_quota(df: DataFrame, host_col: str, id_col: str,
                 .withColumn("keep", F.col("host_rank") <= max_per_host))
     w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
     w2 = Window.partitionBy(host_col).orderBy(*order)
+    attach_cols = [host_col, *ver_cols]
     kept = (df
             .withColumn("__salt",
                         F.pmod(F.xxhash64(F.col(id_col)),
@@ -892,12 +913,18 @@ def domain_quota(df: DataFrame, host_col: str, id_col: str,
             .filter(F.col("__lr") <= max_per_host)
             .withColumn("__r", lrank(w2))
             .filter(F.col("__r") <= max_per_host)
-            .select(F.col(id_col).alias("__kid"),
+            .select(*[F.col(c).alias(f"__k_{i}")
+                      for i, c in enumerate(attach_cols)],
                     F.col("__r").alias("host_rank"))
-            # copies carry identical (id, rank): one attach row per id
+            # copies of one version carry identical ranks: one attach
+            # row per (host, priority, id) version
             .distinct())
-    return (df.join(kept, df[id_col] == kept["__kid"], "left")
-            .drop("__kid")
+    cond = None
+    for i, c in enumerate(attach_cols):
+        eq = df[c].eqNullSafe(kept[f"__k_{i}"])
+        cond = eq if cond is None else (cond & eq)
+    return (df.join(kept, cond, "left")
+            .drop(*[f"__k_{i}" for i in range(len(attach_cols))])
             .withColumn("keep", F.col("host_rank").isNotNull()))
 
 

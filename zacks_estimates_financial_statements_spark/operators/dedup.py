@@ -733,6 +733,16 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     joined with newlines, '' when everything was dropped), ``n_paras``
     (non-empty paragraphs before dedup) and ``n_kept``.
 
+    Duplicate-id contract (r9/r10 contract fuzz): reassembly is per
+    LOGICAL doc — physical copies of one id merge their paragraph
+    multisets (stats and clean_text aggregate by id; every physical
+    row carries the merged panel via the join-back). Two DIVERGENT
+    copies put two different paragraphs at one (id, pidx) address, so
+    the reassembly sort breaks the pidx tie with the paragraph text
+    itself (``array_sort`` over struct(pidx, para)) — deterministic
+    and twin-mirrorable; true version resolution is ``dedup_exact`` /
+    the writer's last-write-wins upstream.
+
     Plan shape: paragraphs explode once (``posexplode_outer`` — plain
     explode would re-inline the split into an inferred pushed filter),
     winners come from ``groupBy(fingerprint).min(struct(id, idx))`` —
