@@ -1954,11 +1954,17 @@ WITH toks AS (
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t
   FROM documents),
--- duplicate-id contract (cdc_chunks): output keyed (id, chunk_idx);
--- physical copies of one doc collapse (DISTINCT here = the Spark
--- side's bounds-distinct + collect_set membership dedup)
-pos AS (SELECT DISTINCT doc_id, t, len(t) AS n FROM toks
-        WHERE len(t) >= 1),
+-- duplicate-id contract (cdc_chunks, r10): output keyed
+-- (id, chunk_idx); verbatim physical copies collapse (DISTINCT =
+-- the Spark side's bounds-distinct + collect_set membership dedup),
+-- and CONFLICTING copies resolve to the min-md5(token-string)
+-- version per id — a keyed chunk relation cannot represent two
+-- versions' boundary sets
+vers AS (SELECT doc_id, t, md5(array_to_string(t, ' ')) AS fp
+         FROM toks WHERE len(t) >= 1),
+win AS (SELECT doc_id, min(fp) AS fp FROM vers GROUP BY doc_id),
+pos AS (SELECT DISTINCT doc_id, t, len(t) AS n
+        FROM vers JOIN win USING (doc_id, fp)),
 cuts AS (
   SELECT doc_id, r.e FROM pos, unnest(range(3, n + 1)) AS r(e)
   WHERE ('0x' || substr(md5(array_to_string(t[r.e - 2:r.e], ' ')),
@@ -5880,16 +5886,29 @@ def _oracle_train_classifier(n_iter: int) -> str:
     """Chained-CTE GD replay: each iteration's margins / residuals /
     gradients / weights as AS MATERIALIZED stages (the bpe_train
     lesson — DuckDB inlines plain CTEs at every reference)."""
-    ctes = ["""toks AS MATERIALIZED (
-  -- duplicate-id contract (train_quality_classifier): the training
-  -- multiset is of DISTINCT (id, tokens, label) examples
-  SELECT DISTINCT doc_id,
-    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
-                x -> x <> '') AS t,
-    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-  FROM documents)""", """labels AS MATERIALIZED (
+    ctes = ["""toks0 AS MATERIALIZED (
+  -- duplicate-id contract (train_quality_classifier, r10): ONE
+  -- training example per id — verbatim copies collapse via DISTINCT,
+  -- divergent-content copies resolve to the min-md5(token-string)
+  -- version (label is the tie-break), mirroring the Spark winner
+  SELECT DISTINCT * FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                  x -> x <> '') AS t,
+      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM documents) WHERE len(t) > 0)""", """toks AS MATERIALIZED (
+  SELECT doc_id, t, y FROM (
+    SELECT doc_id, t, y, row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY md5(array_to_string(t, ' ')), y) AS rn
+    FROM toks0) WHERE rn = 1)""", """labels AS MATERIALIZED (
   SELECT doc_id, y FROM toks WHERE len(t) > 0)""", """feats AS MATERIALIZED (
-  SELECT doc_id, bucket, round(count(*)::DOUBLE / any_value(n), 6) AS x
+  -- _r6 (floor-form rounding): round(double, 6) resolves exact
+  -- 7-digit halves differently across engines; floor(x*1e6 + 0.5) is
+  -- pure IEEE, bit-identical (operator docstring, r10)
+  SELECT doc_id, bucket,
+    floor((count(*)::DOUBLE / any_value(n)) * 1000000 + 0.5)
+      / 1000000.0 AS x
   FROM (
     SELECT doc_id, len(t) AS n,
       ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
@@ -5901,7 +5920,7 @@ def _oracle_train_classifier(n_iter: int) -> str:
     for i in range(1, n_iter + 1):
         ctes.append(f"""m{i} AS MATERIALIZED (
   SELECT f.doc_id,
-    sum(round(f.x * w.weight, 6)::DECIMAL(38,6)) AS m
+    sum(round(f.x * w.weight, 12)::DECIMAL(38,12)) AS m
   FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.doc_id)""")
         ctes.append(f"""r{i} AS MATERIALIZED (
   SELECT l.doc_id,
@@ -5909,12 +5928,14 @@ def _oracle_train_classifier(n_iter: int) -> str:
   FROM m{i} m JOIN labels l USING (doc_id))""")
         ctes.append(f"""g{i} AS MATERIALIZED (
   SELECT f.bucket,
-    round(sum(round(f.x * r.r, 6)::DECIMAL(38,6))::DOUBLE
-          / (SELECT n_docs FROM consts), 6) AS g
+    floor((sum(round(f.x * r.r, 12)::DECIMAL(38,12))::DOUBLE
+           / (SELECT n_docs FROM consts)) * 1000000 + 0.5)
+      / 1000000.0 AS g
   FROM feats f JOIN r{i} r USING (doc_id) GROUP BY f.bucket)""")
         ctes.append(f"""w{i} AS MATERIALIZED (
-  SELECT w.bucket, round(w.weight - 0.5 * coalesce(g.g, 0.0), 6)
-    AS weight
+  SELECT w.bucket,
+    floor((w.weight - 0.5 * coalesce(g.g, 0.0)) * 1000000 + 0.5)
+      / 1000000.0 AS weight
   FROM {prev} w LEFT JOIN g{i} g USING (bucket))""")
         prev = f"w{i}"
     return ("WITH " + ",\n".join(ctes)

@@ -218,6 +218,17 @@ def token_frequencies(df: DataFrame, id_col: str, text_col: str,
             .drop("__k", "__n"))
 
 
+def _r6(c: Column) -> Column:
+    """Cross-engine-deterministic 6-digit rounding for CHAINED iterate
+    math: ``floor(x·1e6 + 0.5)/1e6`` is pure IEEE double arithmetic,
+    bit-identical in any engine, where ``round(double, 6)`` resolves
+    EXACT 7-digit halves differently across engines (Spark rounds the
+    shortest decimal re-read half-up, DuckDB rounds the scaled double;
+    measured 1.3 % divergence on exact-half draws). Only for values
+    |x| < ~9e12 (bigint floor headroom) — fine for scores/weights."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def _word_array(text_col: str) -> Column:
     """Token array matching ``functions.text.word_tokens`` (lowercase,
     split on ``[^a-z0-9_]+``, empties dropped)."""
@@ -1583,11 +1594,19 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
     Labels are 0/1 (``label_col`` is cast to double). Documents with
     no tokens carry no evidence and drop out of N.
 
-    Cross-engine determinism (the pagerank/bpe_train recipe): features
-    and sigmoids round to 6 digits, every per-row product rounds to 6
-    and sums as ``decimal(38,6)`` (re-association-proof), weights
-    round to 6 each step — an ANSI chained-CTE twin reproduces every
-    iterate bit-for-bit.
+    Cross-engine determinism (the pagerank/bpe_train recipe, hardened
+    r10): per-row products round to 12 digits and sum as
+    ``decimal(38,12)`` (re-association-proof; a product of two 6-digit
+    values IS 12-digit, so that round is exact), sigmoids round to 6
+    (transcendental — never an exact decimal half), and every CHAINED
+    6-digit quantity (features, gradients, weights) rounds via
+    ``floor(x·1e6 + 0.5)/1e6`` — pure IEEE double ops that are
+    bit-identical across engines. Plain ``round(double, 6)`` diverges
+    cross-engine on EXACT 7-digit halves (Spark re-reads the shortest
+    decimal string and rounds half-up; DuckDB rounds the scaled
+    double) — measured 1.3 % of exact-half draws, and ``w − lr·g``
+    lands on one whenever a gradient's 6th digit is odd (the r10
+    conflict fuzz flipped one bucket exactly this way).
 
     Scale: the (doc, bucket, x) feature relation is built ONCE,
     hash-partitioned on the document id and PERSISTED — the margin
@@ -1609,18 +1628,28 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
         return d.checkpoint(eager=True) if reliable else \
             d.localCheckpoint(eager=True)
 
-    # Duplicate-id contract (r9 fuzz): the training multiset is of
-    # DISTINCT (id, tokens, label) examples — verbatim physical copies
-    # collapse (they would both double-count N/gradients AND corrupt
-    # the merged feature vector to x = 2c/n through the (id, bucket)
-    # group); rows that genuinely differ remain distinct examples. One
-    # extra exchange, directly upstream of the id-repartition the
-    # persisted relations pay anyway.
+    # Duplicate-id contract (r9 fuzz, tightened r10): ONE training
+    # example per id. Verbatim physical copies collapse (they would
+    # double-count N/gradients AND corrupt the merged feature vector
+    # to x = 2c/n through the (id, bucket) group); copies with
+    # DIVERGENT content resolve to the min-md5(token-string) version —
+    # a per-id margin/label/feature panel cannot represent two
+    # versions, so a deterministic winner is the only twin-mirrorable
+    # semantic (label joins the fingerprint as the tie-break for the
+    # same-text-different-label corner). One groupBy(id) exchange,
+    # directly upstream of the id-repartition the persisted relations
+    # pay anyway.
     base = (df.select(F.col(id_col),
                       _word_array(text_col).alias("__t"),
                       F.col(label_col).cast("double").alias("__y"))
             .filter(F.size("__t") > 0)
             .distinct())
+    fp = F.md5(F.encode(F.concat_ws(" ", "__t"), "UTF-8"))
+    base = (base.withColumn("__fp", fp)
+            .groupBy(id_col)
+            .agg(F.min(F.struct("__fp", "__y", "__t")).alias("__m"))
+            .select(F.col(id_col), F.col("__m.__t").alias("__t"),
+                    F.col("__m.__y").alias("__y")))
     labels = (base.select(id_col, "__y")
               .repartition(F.col(id_col))
               .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1632,7 +1661,7 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
              .groupBy(id_col, "bucket", "__n")
              .agg(F.count("*").alias("__c"))
              .select(F.col(id_col), "bucket",
-                     F.round(F.col("__c") / F.col("__n"), 6).alias("__x"))
+                     _r6(F.col("__c") / F.col("__n")).alias("__x"))
              .repartition(F.col(id_col))
              .persist(StorageLevel.MEMORY_AND_DISK))
     n_docs = labels.count()
@@ -1644,11 +1673,11 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
             [], "bucket bigint, weight double")
     w = mat(feats.select("bucket").distinct()
             .withColumn("weight", F.lit(0.0)))
-    dec = "decimal(38,6)"
+    dec = "decimal(38,12)"
     for _ in range(n_iter):
         margins = (feats.join(F.broadcast(w), "bucket")
                    .groupBy(id_col)
-                   .agg(F.sum(F.round(F.col("__x") * F.col("weight"), 6)
+                   .agg(F.sum(F.round(F.col("__x") * F.col("weight"), 12)
                               .cast(dec)).alias("__m")))
         resid = (margins.join(labels, id_col)
                  .select(F.col(id_col),
@@ -1659,14 +1688,14 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
                                   6) - F.col("__y")).alias("__r")))
         grads = (feats.join(resid, id_col)
                  .groupBy("bucket")
-                 .agg(F.round(
-                     F.sum(F.round(F.col("__x") * F.col("__r"), 6)
-                           .cast(dec)).cast("double") / n_docs,
-                     6).alias("__g")))
+                 .agg(_r6(
+                     F.sum(F.round(F.col("__x") * F.col("__r"), 12)
+                           .cast(dec)).cast("double") / n_docs)
+                     .alias("__g")))
         w = mat(w.join(grads, "bucket", "left")
                 .select("bucket",
-                        F.round(F.col("weight")
-                                - lr * F.coalesce("__g", F.lit(0.0)), 6)
+                        _r6(F.col("weight")
+                            - lr * F.coalesce("__g", F.lit(0.0)))
                         .alias("weight")))
     # The final eager localCheckpoint means the returned weights no
     # longer reference the training caches — release them NOW rather

@@ -899,14 +899,19 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
     one chunk — zero amplification) + one ordered-reassembly
     groupBy. Everything shuffled is token-linear or smaller.
 
-    Duplicate-id contract (r9 contract fuzz): output is KEYED —
-    one row per ``(id, chunk_idx)``; duplicate physical rows of one
-    id are the same logical document and collapse. Free by
-    construction: boundary rows dedup in the existing ``bounds``
-    distinct, and the doubled ``(pos, word)`` membership rows dedup
-    via ``collect_set`` inside the reassembly shuffle the plan
-    already pays — no extra exchange. (Without this, two verbatim
-    copies interleaved into one "dup dup"-doubled token stream.)
+    Duplicate-id contract (r9 contract fuzz, tightened r10): output is
+    KEYED — one row per ``(id, chunk_idx)``. Verbatim physical copies
+    of one id collapse free by construction: boundary rows dedup in
+    the existing ``bounds`` distinct, and the doubled ``(pos, word)``
+    membership rows dedup via ``collect_set`` inside the reassembly
+    shuffle the plan already pays. CONFLICTING copies (same id,
+    different text) resolve to the min-md5(token-string) version
+    BEFORE chunking — a keyed chunk relation cannot represent two
+    versions' boundary sets, and merging them (the r9 behavior)
+    produced incoherent cross-version cut positions. The winner
+    filter costs one narrow map-side-combined ``groupBy(id).min(fp)``
+    plus an id-equi join of the token relation — the same id-keyed
+    exchange class the membership join already pays.
     """
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
@@ -917,6 +922,10 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
             .select(F.col(id_col),
                     F.filter("__t0", lambda x: x != "").alias("__t"))
             .filter(F.size("__t") >= 1))
+    fp = F.md5(F.encode(F.concat_ws(" ", "__t"), "UTF-8"))
+    toks = toks.withColumn("__fp", fp)
+    winner = toks.groupBy(id_col).agg(F.min("__fp").alias("__fp"))
+    toks = toks.join(winner, [id_col, "__fp"]).drop("__fp")
     n = F.size("__t")
     grams = toks.select(
         F.col(id_col),
