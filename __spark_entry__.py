@@ -3762,15 +3762,16 @@ def q_corpus_diff(spark, sf):
 
 ORACLE_CORPUS_DIFF = """
 WITH fp AS (
-  -- duplicate-id contract (corpus_diff): one status per id per side —
-  -- verbatim physical copies collapse (DISTINCT = the operator's
-  -- per-side min-fp group)
-  SELECT DISTINCT doc_id,
-    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+  -- duplicate-id contract (corpus_diff, r10): one status per id per
+  -- side — each side reduces to its per-id MIN fingerprint over all
+  -- physical versions (the operator's groupBy(id).min(fp)); verbatim
+  -- copies collapse for free, conflicting copies deterministically
+  SELECT doc_id,
+    min(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
       AS f,
-    md5(trim(regexp_replace(lower(text || ' changed'),
-                            '[^a-z0-9]+', ' ', 'g'))) AS fc
-  FROM documents WHERE doc_id IS NOT NULL)
+    min(md5(trim(regexp_replace(lower(text || ' changed'),
+                                '[^a-z0-9]+', ' ', 'g')))) AS fc
+  FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id)
 SELECT doc_id,
   -- NULL-text survivors: appending ' changed' to NULL text yields the
   -- same NULL fingerprint, so the content is (absently) unchanged —
@@ -4256,20 +4257,30 @@ def q_novelty_score(spark, sf):
 
 
 ORACLE_NOVELTY_SCORE = """
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t
   -- NULL contract (novelty_score): NULL-id rows are unaddressable and
   -- excluded; NULL-text docs stay with n_grams 0 / NULL novelty
   FROM documents WHERE doc_id IS NOT NULL),
+-- duplicate-id contract (r10): the per-id panel scores the
+-- min-md5(token-string) WINNER version ('zz' sentinel keeps all-NULL
+-- docs addressable); the reference gram SET still unions every
+-- physical version (a gram "occurs in the reference" if any copy has
+-- it — mirrors the operator, whose reference side is never deduped)
+vers AS (SELECT DISTINCT doc_id, t,
+           coalesce(md5(array_to_string(t, ' ')), 'zz') AS fp
+         FROM toks0),
+win AS (SELECT doc_id, min(fp) AS fp FROM vers GROUP BY doc_id),
+toks AS (SELECT doc_id, t FROM vers JOIN win USING (doc_id, fp)),
 dg AS (
   SELECT DISTINCT doc_id, array_to_string(t[r.i:r.i + 2], ' ') AS g
   FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
   WHERE len(t) >= 3),
 refg AS (
   SELECT DISTINCT array_to_string(t[r.i:r.i + 2], ' ') AS g
-  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  FROM toks0, unnest(range(1, len(t) - 1)) AS r(i)
   WHERE len(t) >= 3 AND doc_id % 3 = 0),
 tot AS (
   SELECT doc_id, count(*)::BIGINT AS n_grams FROM dg GROUP BY doc_id),

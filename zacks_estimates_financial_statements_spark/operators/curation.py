@@ -2163,17 +2163,29 @@ def novelty_score(df: DataFrame, reference: DataFrame, id_col: str,
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    # duplicate-id contract (r9 fuzz): one row per LOGICAL doc with
-    # per-id distinct gram counts. Verbatim physical copies collapse
-    # HERE, on the doc-level (id, tokens) projection — one narrow
-    # |docs|-row exchange — NOT via countDistinct in the gram aggs,
-    # which re-shuffles the whole |grams| relation per aggregate
-    # (measured: 33.7k → 316k shuffled rows at sf0.01, a 9× ratio
-    # regression caught by the shuffle-audit gate). Within-row grams
-    # are already distinct (_gram_array), so plain counts stay exact.
-    docs = (df.filter(F.col(id_col).isNotNull())
+    # duplicate-id contract (r9 fuzz, tightened r10): one row per
+    # LOGICAL doc. Verbatim physical copies collapse on the doc-level
+    # (id, tokens) projection — one narrow |docs|-row exchange — NOT
+    # via countDistinct in the gram aggs, which re-shuffles the whole
+    # |grams| relation per aggregate (measured: 33.7k → 316k shuffled
+    # rows at sf0.01, a 9× ratio regression caught by the
+    # shuffle-audit gate). CONFLICTING copies resolve to the
+    # min-md5(token-string) version (the keyed-panel winner rule:
+    # summing both versions' gram counts into one id's panel — the r9
+    # behavior — double-counts content no single version has); the
+    # 'zz' sentinel sorts NULL-text versions after any real content
+    # and keeps all-NULL docs addressable (n_grams 0, NULL novelty).
+    # Within-row grams are already distinct (_gram_array), so plain
+    # counts stay exact.
+    vers = (df.filter(F.col(id_col).isNotNull())
             .select(F.col(id_col), _word_array(text_col).alias("__t"))
             .distinct())
+    fp = F.when(F.col("__t").isNotNull(),
+                F.md5(F.encode(F.concat_ws(" ", "__t"), "UTF-8"))) \
+        .otherwise(F.lit("zz"))
+    vers = vers.withColumn("__fp", fp)
+    winner = vers.groupBy(id_col).agg(F.min("__fp").alias("__fp"))
+    docs = vers.join(winner, [id_col, "__fp"]).drop("__fp")
     dg = (docs.select(F.col(id_col),
                       F.explode_outer(_gram_array(F.col("__t"), n))
                       .alias("__g")))
