@@ -57,6 +57,25 @@ gate (``tools/run_gates.py`` gate 6 passes all dials together):
   twins mirror with ``isfinite`` guards (``_decg``/``_fin_sql`` in
   ``__spark_entry__.py``); exact-percentile/robust-stats operators
   exclude non-finite values from the statistic (row kept, flag NULL).
+
+``--conflict-rate`` (r10, closed: 10/148 divergences found and fixed)
+appends clones that KEEP each table's key columns and MUTATE every
+other column (strings get a ``~c`` suffix, numerics shift, embeddings
+perturb element 0) — same id, different content, the fault every
+re-scrape of a changed page produces. Contracts settled
+(``tests/test_conflict_contracts.py``): KEYED single-version panels
+(cdc_chunks, novelty_score, train_classifier) resolve to the
+deterministic min-md5(content) WINNER version; per-VERSION decision
+operators (token_budget_fill, domain_quota) charge/rank each distinct
+(id, contributing-columns) version and attach by the FULL version,
+never id alone; per-PHYSICAL-ROW panels (benchmark_contamination)
+score each row on its own content; diff sides reduce to per-id MIN
+fingerprints (corpus_diff); order ties only divergent copies can
+create are pinned with content (paragraph_dedup). Two engine-behavior
+classes also surfaced: Spark's JSON functions are Jackson-prefix-
+LENIENT vs strict validators (json_extract now pins the flat-object
+common subset) and ``round(double, 6)`` diverges on exact 7-digit
+halves (chained GD iterates now use IEEE floor-form rounding).
 """
 
 from __future__ import annotations
