@@ -31,6 +31,19 @@ Two more honesty rules (round 8):
   ``host_factor`` — the instrument that separates co-tenancy noise
   from real regressions (the shared host swings ±30-60% under load).
 
+One more (protocol v3, round 10):
+
+- **Untimed warm pass.** Every tracked query runs once before the
+  timed passes: first execution of a lineage pays one-time costs
+  (Janino compile, C2 JIT, per-Python-worker import + FFT-plan warmup
+  on codec paths) that decay over SEVERAL passes — audio_near_dup
+  measured 7.2 → 1.95 → 1.2 s across eight — so an N=3 median
+  straddles the decay while an N=5 baseline median sits in the warm
+  tail, manufacturing phantom 1.3-1.6× "regressions" (the recurring
+  r8/r9 audio_near_dup flag). With the warm pass the median measures
+  steady state at any N. ``BENCH_BASELINE.json`` was re-recorded
+  under v3 (PERFORMANCE.md documents the per-query deltas).
+
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1, "n": 3}
@@ -198,6 +211,14 @@ TRACKED_NON_HEADLINE = [
     "schedule_fetches_stream",  # applyInPandasWithState politeness: 4
                                 # micro-batches, state across batches
                                 # (the repo's only stateful Python op)
+    # r9 verdict #3: the non-trivial queries whose walls exceeded ~1 s
+    # in SHUFFLE.md but had no tracked median — regressions in the
+    # token-fan-out pair path and the real-decode codec paths were
+    # invisible without these.
+    "ngram_jaccard_pairs",    # 367x token fan-out pair mining
+    "video_frames",           # real MJPEG demux + per-frame decode
+    "media_metadata",         # real container decode (PNG/GIF/BMP/WAV)
+    "quantile_gate",          # exact per-stratum percentile gate
 ]
 
 
@@ -261,6 +282,31 @@ def main() -> None:
 
     n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
     tracked = HEADLINE + [q for q in TRACKED_NON_HEADLINE if q in qs]
+    # Untimed WARM pass (protocol v3, r10): every tracked query runs
+    # once before the timed passes. First execution of a lineage pays
+    # one-time costs the steady-state metric must not include — Janino
+    # compile of its generated classes, C2 JIT, per-Python-worker
+    # import + FFT-plan warmup on the codec paths — and they decay over
+    # SEVERAL passes (audio_near_dup measured 7.2 → 1.95 → 1.2 s; the
+    # recurring r8/r9 "audio_near_dup 1.3-1.6x" flag was exactly this:
+    # the baseline's N>=5 median sits in the warm tail while the
+    # driver's N=3 median straddles the decay). The warm pass makes
+    # the median measure steady state at ANY N.
+    for name in tracked:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            release = getattr(df, "release_cache", None)
+            if release is not None:
+                release()
+        except Exception as exc:  # noqa: BLE001 — warm pass is best-effort
+            print(f"# warm {name}: FAILED {str(exc)[:120]}",
+                  file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+        print(f"# warm {name}: {time.time() - t0:.2f}s (untimed)",
+              file=sys.stderr)
     samples: dict[str, list[float]] = {name: [] for name in tracked}
     cal_per_pass: list[float] = []
     for it in range(n_iters):

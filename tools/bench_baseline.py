@@ -34,8 +34,9 @@ def main() -> int:
             datetime.timezone.utc).isoformat(timespec="seconds"),
         "n": bench["n"],
         "sf": bench["sf"],
-        "protocol": "noop-sink full evaluation, round-robin, "
-                    "median of n passes (see bench.py docstring)",
+        "protocol": "v3: untimed warm pass, then noop-sink full "
+                    "evaluation, round-robin, median of n passes "
+                    "(see bench.py docstring)",
         "headline_total_sec": bench["value"],
         "calibration_sec": bench.get("calibration_sec"),
         "queries": {**bench["queries"], **bench.get("non_headline", {})},
