@@ -6430,6 +6430,69 @@ UNION ALL SELECT doc_id, 2, 1, 2, 'b' FROM documents WHERE doc_id IS NOT NULL
 """
 
 
+def q_warc_roundtrip(spark, sf):
+    """WARC record-source attestation (sources/warc.py, the r9-verdict
+    sanctioned crawl-source extension): every addressable document
+    serializes into sharded multi-member ``.warc.gz`` bytes on the
+    executors (deterministic gzip, mtime=0) and the record scanner
+    parses them back — doc id from the target URI, payload byte-exact,
+    per-record byte lengths. The oracle derives the same relation
+    directly from ``documents``, so a gzip-framing, WARC-grammar, or
+    payload-slicing defect flips the value hash (the
+    ``synthesize_hashable_audio`` pattern applied to the container).
+    Duplicate/conflict contract: records are PER PHYSICAL ROW — every
+    copy becomes its own record and its own output row (multiset
+    amplification, both engines identically); NULL id = unaddressable
+    (no URI), NULL text serializes as the empty payload."""
+    from zacks_estimates_financial_statements_spark import util as _util
+    from zacks_estimates_financial_statements_spark.sources import warc as W
+
+    _util.ensure_package_on_executors(spark)
+    docs = _t(spark, sf, "documents")
+    rows = (docs.filter(F.col("doc_id").isNotNull())
+            .select("doc_id",
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                    F.pmod(F.col("doc_id"), F.lit(16)).alias("__shard")))
+
+    def build(key, pdf):
+        import pandas as pd
+
+        from zacks_estimates_financial_statements_spark.sources.warc import (
+            build_warc_bytes,
+        )
+
+        recs = [{"warc_type": "resource",
+                 "target_uri": f"https://ex.invalid/doc/{int(d)}",
+                 "record_id": f"<urn:doc:{int(d)}>",
+                 "content_type": "text/plain",
+                 "payload": t.encode("utf-8")}
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+        return pd.DataFrame(
+            [{"path": f"mem://{int(key[0])}.warc.gz",
+              "content": build_warc_bytes(recs)}])
+
+    blobs = rows.groupBy("__shard").applyInPandas(
+        build, "path string, content binary")
+    parsed = W.parse_warc_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .try_cast("bigint").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("content_length").alias("n_bytes"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"))
+
+
+ORACLE_WARC_ROUNDTRIP = """
+SELECT doc_id,
+  'https://ex.invalid/doc/' || doc_id AS url,
+  strlen(coalesce(text, ''))::BIGINT AS n_bytes,
+  coalesce(text, '') AS text
+-- NULL contract: NULL id = unaddressable; NULL text -> empty payload.
+-- Copies (verbatim or conflicting) are per-physical-row records.
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_predicates": q_filter_predicates,
     "scalar_subquery_latest": q_scalar_subquery_latest,
@@ -6579,6 +6642,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "novelty_score": q_novelty_score,
     "readability": q_readability,
     "embedding_diversity": q_embedding_diversity,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 _ORACLE: dict[str, str] = {
@@ -6732,6 +6796,7 @@ _ORACLE: dict[str, str] = {
     "novelty_score": ORACLE_NOVELTY_SCORE,
     "readability": ORACLE_READABILITY,
     "embedding_diversity": ORACLE_EMBEDDING_DIVERSITY,
+    "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
 }
 
 
