@@ -11,7 +11,7 @@ in this repo: make it ONE deterministic program.
 Order (each regenerates its committed artifact as a side effect):
 
 1. ``ansi_audit``      — static lint, fails fast, costs nothing
-2. ``oracle_check``    — 148-query Spark-vs-DuckDB attestation at
+2. ``oracle_check``    — full-registry Spark-vs-DuckDB attestation at
                          sf0.01; REWRITES ``CORRECTNESS_local.json``
 3. ``plan_audit``      — executes every plan; regenerates ``PLANS.md``
 4. ``shuffle_audit``   — REST-measured amplification; ``SHUFFLE.md``
