@@ -72,8 +72,19 @@ def main() -> int:
     for c in copies[1:]:
         out = out.unionByName(c)
     dst = os.path.join(args.out, "documents.parquet")
-    (out.repartition(32)
-        .write.mode("overwrite").parquet(dst))
+    # ONE physical file, not a part-file directory: the DuckDB side of
+    # oracle_check reads read_parquet('<dir>/documents.parquet') and a
+    # directory does not match (the corpus is ~50k rows — fine in one
+    # file; this synth tool is a test-scale generator, not a writer)
+    stage = os.path.join(args.out, "__stage_documents")
+    (out.coalesce(1).write.mode("overwrite").parquet(stage))
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    if os.path.isdir(dst):
+        import shutil
+        shutil.rmtree(dst)
+    os.replace(os.path.join(stage, part), dst)
+    import shutil
+    shutil.rmtree(stage, ignore_errors=True)
     n = spark.read.parquet(dst).count()
     print(f"wrote {dst}: {n} docs ({args.mult}x)")
     spark.stop()

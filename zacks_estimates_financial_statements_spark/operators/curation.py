@@ -2180,9 +2180,16 @@ def novelty_score(df: DataFrame, reference: DataFrame, id_col: str,
     vers = (df.filter(F.col(id_col).isNotNull())
             .select(F.col(id_col), _word_array(text_col).alias("__t"))
             .distinct())
-    fp = F.when(F.col("__t").isNotNull(),
-                F.md5(F.encode(F.concat_ws(" ", "__t"), "UTF-8"))) \
-        .otherwise(F.lit("zz"))
+    # The outer coalesce never fires (the CASE always yields a value):
+    # it marks __fp NON-NULLABLE so Catalyst does not infer an
+    # isnotnull(__fp) join filter and push it below the projection with
+    # the whole tokenize lambda inlined (the inferred-filter recompute
+    # class — plan_audit's LAMBDA-FILTER flag caught exactly this).
+    fp = F.coalesce(
+        F.when(F.col("__t").isNotNull(),
+               F.md5(F.encode(F.concat_ws(" ", "__t"), "UTF-8")))
+        .otherwise(F.lit("zz")),
+        F.lit("zz"))
     vers = vers.withColumn("__fp", fp)
     winner = vers.groupBy(id_col).agg(F.min("__fp").alias("__fp"))
     docs = vers.join(winner, [id_col, "__fp"]).drop("__fp")
