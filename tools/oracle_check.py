@@ -104,9 +104,15 @@ def main() -> int:
     spec.loader.exec_module(mod)
 
     from zacks_estimates_financial_statements_spark.session import get_spark
+    extra = {"spark.ui.enabled": "false",
+             "spark.ui.showConsoleProgress": "false"}
+    # Honored for oversized runs only (the synth-sf1 attestation OOMs
+    # the measured-faster 1g default heap at tfidf_pairs); same env
+    # contract as tools/scale_study.py.
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        extra["spark.driver.memory"] = os.environ["SPARK_GRAFT_DRIVER_MEM"]
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
-                      extra_conf={"spark.ui.enabled": "false",
-                                  "spark.ui.showConsoleProgress": "false"})
+                      extra_conf=extra)
 
     con = duckdb.connect()
     for t in TABLES:
