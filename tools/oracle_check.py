@@ -111,6 +111,12 @@ def main() -> int:
     # contract as tools/scale_study.py.
     if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
         extra["spark.driver.memory"] = os.environ["SPARK_GRAFT_DRIVER_MEM"]
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        # more, smaller tasks for oversized runs (AQE re-coalesces, so
+        # a high number only bounds per-task memory, not small-query
+        # speed) — the sf1-synth pair stages OOM per-task otherwise
+        extra["spark.sql.shuffle.partitions"] = \
+            os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"]
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
                       extra_conf=extra)
 
