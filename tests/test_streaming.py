@@ -659,3 +659,79 @@ def test_estimates_stream_mid_batch_crash_recovery(spark, tmp_path):
                                tables_b, ck_b)
     q.awaitTermination(120)
     assert _table_snapshot(spark, tables_b, list(ESTIMATE_TABLES)) == want
+
+
+def test_statements_stream_mid_batch_crash_recovery(spark, tmp_path):
+    """Kill the balance-sheet loader mid-fan-out — ONE of its three
+    destination tables written, the other two not (the tightest
+    coupling in the write path: one parsed document feeds
+    assets/liabilities/equity) — restart, and prove convergence to the
+    uninterrupted end-state."""
+    import pytest
+    from fixtures import balance_sheet_page
+    from pyspark.errors import StreamingQueryException
+
+    from zacks_estimates_financial_statements_spark.operators.writer import TableStore
+    from zacks_estimates_financial_statements_spark.schemas import (
+        BALANCE_SHEET_ASSETS_COLS,
+        BALANCE_SHEET_EQUITY_COLS,
+        BALANCE_SHEET_LIABILITIES_COLS,
+    )
+
+    fields = (list(BALANCE_SHEET_ASSETS_COLS)
+              + list(BALANCE_SHEET_LIABILITIES_COLS)
+              + list(BALANCE_SHEET_EQUITY_COLS))
+    av = {f: [str(100 + i * 100 + c) for c in range(5)]
+          for i, f in enumerate(fields)}
+    html = balance_sheet_page(
+        ["12/31/2023", "12/31/2022", "12/31/2021", "12/31/2020",
+         "12/31/2019"],
+        ["3/31/2024", "12/31/2023", "9/30/2023", "6/30/2023",
+         "3/31/2023"], av, av)
+    tables3 = ["balance_sheet_assets", "balance_sheet_liabilities",
+               "balance_sheet_equity"]
+
+    def drop(base):
+        d = base / "balance-sheet" / "2024-06-01"
+        d.mkdir(parents=True)
+        (d / "AAPL.balance-sheet.html").write_text(html)
+
+    drop(tmp_path / "raw_a")
+    for q in S.run_statements_stream(spark, str(tmp_path / "raw_a"),
+                                     str(tmp_path / "ta"),
+                                     str(tmp_path / "cka"),
+                                     kinds=["balance"]):
+        q.awaitTermination(120)
+    want = _table_snapshot(spark, str(tmp_path / "ta"), tables3)
+    assert all(want[t] for t in tables3)
+
+    drop(tmp_path / "raw_b")
+    tb, ckb = str(tmp_path / "tb"), str(tmp_path / "ckb")
+    real = TableStore.upsert_ignore
+    import threading
+    lock = threading.Lock()
+    calls = {"n": 0}
+
+    def faulty(self, *a, **kw):
+        with lock:
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise RuntimeError("injected mid-fan-out crash")
+            return real(self, *a, **kw)
+
+    TableStore.upsert_ignore = faulty
+    try:
+        qs = S.run_statements_stream(spark, str(tmp_path / "raw_b"),
+                                     tb, ckb, kinds=["balance"])
+        with pytest.raises(StreamingQueryException):
+            for q in qs:
+                q.awaitTermination(120)
+    finally:
+        TableStore.upsert_ignore = real
+    partial = _table_snapshot(spark, tb, tables3)
+    assert sum(1 for t in tables3 if partial[t]) == 1  # mid-fan-out
+
+    for q in S.run_statements_stream(spark, str(tmp_path / "raw_b"),
+                                     tb, ckb, kinds=["balance"]):
+        q.awaitTermination(120)
+    assert _table_snapshot(spark, tb, tables3) == want

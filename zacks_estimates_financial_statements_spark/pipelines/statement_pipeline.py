@@ -212,12 +212,23 @@ def load_statement(raw: DataFrame, kind: str,
 
     if kind == "balance":
         # stored compare state: join the three balance tables back into the
-        # page-shaped wide row on the shared PK
+        # page-shaped wide row on the shared PK. INNER joins, not outer
+        # (r10 crash-recovery find): a PK counts as "landed" (sni chain's
+        # ON CONFLICT DO NOTHING) only when ALL THREE tables carry it —
+        # a mid-fan-out crash leaves a PARTIAL row (e.g. assets written,
+        # liabilities/equity not), and an outer-joined wide row made the
+        # replay skip the candidate, stranding the row incomplete
+        # forever. With inner joins the partial PK is not "landed", the
+        # replay re-accepts the candidate, the already-written table's
+        # PK upsert is a no-op, and the missing tables complete — the
+        # module recovery contract tests/test_streaming.py pins. In
+        # crash-free operation the three tables always carry equal PK
+        # sets, so inner == outer there.
         a = stores["balance_sheet_assets"].read()
         li = stores["balance_sheet_liabilities"].read()
         eq = stores["balance_sheet_equity"].read()
         pk = ["act_symbol", "date", "period"]
-        stored = a.join(li, pk, "outer").join(eq, pk, "outer")
+        stored = a.join(li, pk).join(eq, pk)
         accepted = apply_sni_chain(candidates, stored, kind)
         accepted = accepted.persist()
         try:
