@@ -2657,7 +2657,11 @@ def q_bm25_search(spark, sf):
     from zacks_estimates_financial_statements_spark.operators.curation import _word_array
 
     docs = _t(spark, sf, "documents")
-    top = (docs.select(F.explode(_word_array("text")).alias("w"))
+    # NULL contract: the corpus is the ADDRESSABLE docs — the query-term
+    # derivation must use the same frame as the index (r10 high-rate
+    # fuzz: NULL-id rows' tokens flipped the rank-3 term at 5% nulls)
+    corpus = docs.filter(F.col("doc_id").isNotNull())
+    top = (corpus.select(F.explode(_word_array("text")).alias("w"))
            .groupBy("w").agg(F.count("*").alias("n"))
            .orderBy(F.desc("n"), F.asc("w")).limit(3).collect())
     out = retrieval.bm25_score(docs, "doc_id", "text",
@@ -2723,7 +2727,10 @@ def q_hybrid_search(spark, sf):
 
     docs = _t(spark, sf, "documents")
     emb = _emb(spark, sf)
-    top = (docs.select(F.explode(_word_array("text")).alias("w"))
+    # NULL contract: term derivation over ADDRESSABLE docs only (the
+    # bm25 index frame — see q_bm25_search, r10 high-rate fuzz)
+    top = (docs.filter(F.col("doc_id").isNotNull())
+           .select(F.explode(_word_array("text")).alias("w"))
            .groupBy("w").agg(F.count("*").alias("n"))
            .orderBy(F.desc("n"), F.asc("w")).limit(3).collect())
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding") \
@@ -2794,7 +2801,10 @@ WITH toks AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t
-  FROM documents),
+  -- NULL-id contract: unaddressable rows own/keep no paragraphs (the
+  -- engines order NULL ids oppositely in the winner sort); their
+  -- output rows stay via the final LEFT JOIN (0 paras, '' text)
+  FROM documents WHERE doc_id IS NOT NULL),
 paras AS (
   SELECT doc_id, g AS pidx,
     array_to_string(t[g * 8 + 1 : least((g + 1) * 8, len(t))], ' ')
@@ -3394,7 +3404,9 @@ WITH toks AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                 x -> x <> '') AS t
-  FROM documents),
+  -- NULL-id contract: unaddressable rows neither carry spans nor
+  -- count toward min_docs (dense_rank vs count-distinct NULL story)
+  FROM documents WHERE doc_id IS NOT NULL),
 spans AS (
   SELECT doc_id, i AS s, i + 3 AS e, array_to_string(t[i:i+3], ' ') AS g
   FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
@@ -3479,8 +3491,11 @@ WITH toks AS (
   FROM documents),
 spans AS (
   SELECT doc_id, i AS s, i + 3 AS e, array_to_string(t[i:i+3], ' ') AS g
+  -- NULL-id contract: span DETECTION runs over addressable docs only
+  -- (mirrors repeated_spans); NULL-id rows keep their degraded
+  -- reassembly row via the final LEFT JOIN
   FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
-  WHERE len(t) >= 4),
+  WHERE len(t) >= 4 AND doc_id IS NOT NULL),
 rep AS (
   SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
 hit AS (SELECT doc_id, s, e FROM spans WHERE g IN (SELECT g FROM rep)),

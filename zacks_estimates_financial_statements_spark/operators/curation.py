@@ -810,7 +810,14 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = (df.select(F.col(id_col), _word_array(text_col).alias("__t"))
+    # NULL-id contract (r10 high-rate fuzz): unaddressable rows are
+    # excluded from the span relation — a span cannot be attributed to
+    # them, and they must not count toward min_docs (Spark's
+    # dense_rank counts a NULL id as one distinct value where SQL's
+    # count(DISTINCT) ignores NULLs — the engines disagree on whether
+    # a NULL-doc occurrence pushes a span over the threshold).
+    toks = (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col), _word_array(text_col).alias("__t"))
             .filter(F.size("__t") >= k))
     # sequence() counts DOWN when end < start — the >= k filter above
     # guarantees at least one position

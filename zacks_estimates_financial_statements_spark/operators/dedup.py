@@ -754,9 +754,17 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     per-document reassembly aggregation. Everything is corpus-linear
     with three narrow shuffles.
     """
-    paras = (df.select(F.col(id_col),
-                       F.posexplode_outer(F.split(F.col(text_col), sep))
-                       .alias("__pidx", "__para"))
+    # NULL-id contract (r10 high-rate fuzz): an unaddressable row can
+    # neither OWN a fingerprint (Spark's min-struct sorts NULL ids
+    # FIRST, SQL's row_number sorts them LAST — a NULL-id winner
+    # absorbs paragraphs from real docs on one engine only) nor keep
+    # one (the (fp, id, pidx) equi-join never matches a NULL id), so
+    # NULL-id rows are excluded from the paragraph relation entirely;
+    # their output rows remain (n_paras 0, clean_text '').
+    paras = (df.filter(F.col(id_col).isNotNull())
+             .select(F.col(id_col),
+                     F.posexplode_outer(F.split(F.col(text_col), sep))
+                     .alias("__pidx", "__para"))
              .filter(F.col("__para").isNotNull()
                      & (F.trim(F.col("__para")) != ""))
              .withColumn("__fp", T.fingerprint(F.col("__para"))))
