@@ -3413,7 +3413,11 @@ spans AS (
   WHERE len(t) >= 4),
 rep AS (
   SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
-hit AS (SELECT doc_id, s, e FROM spans WHERE g IN (SELECT g FROM rep)),
+-- duplicate-copy contract: DISTINCT (id, position) hits (copies
+-- of one doc put one hit at one position twice; window ties then
+-- split islands differently across engines)
+hit AS (SELECT DISTINCT doc_id, s, e FROM spans
+        WHERE g IN (SELECT g FROM rep)),
 brk AS (
   SELECT doc_id, s, e,
     CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
@@ -3498,7 +3502,11 @@ spans AS (
   WHERE len(t) >= 4 AND doc_id IS NOT NULL),
 rep AS (
   SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
-hit AS (SELECT doc_id, s, e FROM spans WHERE g IN (SELECT g FROM rep)),
+-- duplicate-copy contract: DISTINCT (id, position) hits (copies
+-- of one doc put one hit at one position twice; window ties then
+-- split islands differently across engines)
+hit AS (SELECT DISTINCT doc_id, s, e FROM spans
+        WHERE g IN (SELECT g FROM rep)),
 brk AS (
   SELECT doc_id, s, e,
     CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s

@@ -831,12 +831,20 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
                 F.col("__g")))
     from pyspark.sql import Window
     wg = Window.partitionBy("__g")
+    # duplicate-copy contract (r10 high-rate fuzz): hits are DISTINCT
+    # (id, position) — physical copies of one doc put the same hit at
+    # the same position twice, and window-tie mechanics then split the
+    # island count differently across engines; a span interval is a
+    # POSITION-set property of the logical doc. The distinct runs on
+    # the already-filtered hit relation (repeated spans only), inside
+    # the per-doc exchange the island windows pay anyway.
     hit = (spans.withColumn("__dr",
                             F.dense_rank().over(wg.orderBy(id_col)))
            .withColumn("__df", F.max("__dr").over(wg))
            .filter(F.col("__df") >= min_docs)
            .select(F.col(id_col), "span_start",
-                   (F.col("span_start") + (k - 1)).alias("span_end")))
+                   (F.col("span_start") + (k - 1)).alias("span_end"))
+           .distinct())
     w = Window.partitionBy(id_col).orderBy("span_start")
     prev_end = F.max("span_end").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
