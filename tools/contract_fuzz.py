@@ -76,6 +76,19 @@ classes also surfaced: Spark's JSON functions are Jackson-prefix-
 LENIENT vs strict validators (json_extract now pins the flat-object
 common subset) and ``round(double, 6)`` diverges on exact 7-digit
 halves (chained GD iterates now use IEEE floor-form rounding).
+
+High-rate recon (r10): one pass with EVERY dial raised
+(``--null-rate 0.05 --empty-rate 0.03 --dup-rate 0.05 --nan-rate 0.05
+--conflict-rate 0.05``) found 5 more latent divergences the 2% gate's
+row draws had missed, all NULL-id/copy ORDERING stories now pinned:
+NULL-id rows could WIN paragraph fingerprints on one engine only
+(Spark min-struct sorts NULL first, SQL row_number last), count toward
+repeated-span min_docs on one engine only (dense_rank counts NULL as
+a distinct value, count-DISTINCT ignores it), and flip bm25/hybrid's
+corpus-derived rank-3 query term; copies of one doc put one span hit
+at one position twice and window ties split the islands differently.
+Re-run the high-rate pass whenever a new fault class lands — rates
+change which rows collide, so 2%-green does not imply 5%-green.
 """
 
 from __future__ import annotations
