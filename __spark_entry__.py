@@ -2398,7 +2398,7 @@ def q_decontaminate(spark, sf):
 
 
 ORACLE_DECONTAMINATE = """
-WITH b AS (
+WITH b AS MATERIALIZED (
   SELECT doc_id, text, row_number() OVER () AS rid,
     ('0x' || substr(md5('decontam|' || doc_id::VARCHAR), 1, 15))::BIGINT
       % 1000000 AS bucket

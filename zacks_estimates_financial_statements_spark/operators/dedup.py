@@ -243,11 +243,30 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str,
                     F.col("bb.bucket").alias("bucket")))
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """Parse ``spark.sql.autoBroadcastJoinThreshold`` to bytes (-1 =
+    broadcasting disabled). Spark accepts bare numbers or b/k/m/g
+    suffixes (case-insensitive, optional trailing 'b')."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    if raw.startswith("-"):
+        return -1
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    return int(raw) * mult
+
+
 def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
                               id_col: str, text_col: str,
                               k: int = 12, bands: int = 4,
                               shingle_k: int = 3,
-                              prune_index_scan: bool = False) -> DataFrame:
+                              prune_index_scan: bool = False,
+                              max_prune_keys: int = 100_000) -> DataFrame:
     """Incremental near-dup check: which stored corpus documents is
     each NEW batch document a likely near-dup of?
 
@@ -283,6 +302,19 @@ def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
     study's first cut measured the prune LOSING 13 s to 2 s at ×10
     batch); keep the full-scan broadcast join for symmetric sweeps.
 
+    Both fast-path assumptions are SIZE-GATED (the batch≪corpus regime
+    is the design point, not a precondition): the probe broadcast is
+    hinted only when its estimated footprint fits the session's
+    ``autoBroadcastJoinThreshold`` (an oversized admission batch would
+    otherwise OOM every executor's broadcast memory), and the
+    driver-side ``isin`` key list is collected only when the batch
+    probes ≤ ``max_prune_keys`` distinct buckets (past that the In
+    list itself is the driver bottleneck AND parquet can't usefully
+    row-group-prune a near-dense key set). Over either bound the
+    operator degrades to the un-hinted shuffle join — AQE picks the
+    physical strategy from runtime stats — which is exactly
+    ``minhash_near_dup_pairs``'s symmetric-sweep regime.
+
     Returns ``(batch_id, corpus_id, est_jaccard)``, distinct pairs.
     """
     probe = (minhash_index(batch, id_col, text_col, k=k, bands=bands,
@@ -290,18 +322,29 @@ def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
              .select(F.col(id_col).alias("__bid"),
                      F.col("sig").alias("__bsig"),
                      "band", "bucket"))
+    # one cheap count job sizes the batch (probe rows = batch × bands);
+    # per-row footprint ≈ k 64-bit mins + 32-char md5 bucket + id/band
+    n_batch = batch.count()
+    thr = _broadcast_threshold_bytes(batch.sparkSession)
+    est_probe_bytes = n_batch * bands * (k * 8 + 160)
+    probe_fits = 0 < thr and est_probe_bytes <= thr
     if prune_index_scan:
         # materialize the batch sketch once so the key collect and the
         # join don't each replay the shingle/hash lineage
         probe = probe.localCheckpoint()
-        keys = [r["bucket"] for r in
-                probe.select("bucket").distinct().collect()]
-        index = index.filter(F.col("bucket").isin(keys))
+        if (probe.select("bucket").distinct().count()
+                <= max(0, max_prune_keys)):
+            keys = [r["bucket"] for r in
+                    probe.select("bucket").distinct().collect()]
+            index = index.filter(F.col("bucket").isin(keys))
+        # else: key set too large to ship/prune — full index scan, the
+        # join's bucket equi-keys still bound the matching work
     est = (F.aggregate(
         F.zip_with(F.col("sig"), F.col("__bsig"),
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v) / F.lit(float(k)))
-    return (index.join(F.broadcast(probe), ["band", "bucket"])
+    probe_side = F.broadcast(probe) if probe_fits else probe
+    return (index.join(probe_side, ["band", "bucket"])
             .filter(F.col(id_col) != F.col("__bid"))
             .select(F.col("__bid").alias("batch_id"),
                     F.col(id_col).alias("corpus_id"),

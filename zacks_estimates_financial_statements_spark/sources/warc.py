@@ -73,11 +73,6 @@ def _split_gzip_members(blob: bytes) -> Iterator[bytes]:
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
         out = d.decompress(blob[pos:])
-        while not d.eof and not d.unused_data:
-            chunk = d.decompress(b"")
-            if not chunk:
-                break
-            out += chunk
         if not d.eof:
             raise ValueError(f"truncated gzip member at offset {pos}")
         consumed = len(blob) - pos - len(d.unused_data)
