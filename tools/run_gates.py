@@ -22,6 +22,11 @@ Order (each regenerates its committed artifact as a side effect):
                          cross-engine contract gate; the r8 recon dials
                          were closed in r9, the conflict dial in r10,
                          all run combined in one pass
+6b. ``contract_fuzz_hi`` — the same battery at the HIGH rates
+                         (0.05/0.03/0.05/0.05/0.05): demonstrably a
+                         different detector (the r10 5% recon found 5
+                         divergences the 2% run missed), stamped
+                         since r11
 7. ``scale_study``     — sf0.01→sf0.1 scaling exponents
 8. ``pytest``          — the full unit/pipeline/property suite
 9. ``stamp_round N``   — byte-copies the canonical attestation to
@@ -38,9 +43,15 @@ sf0.1 leg automatically and refuses to stamp without it green (r9
 verdict #5: the sf0.1 first run caught three real divergences; a gate
 that has caught bugs must not be skippable on the round stamp).
 
-``bench.py`` is deliberately NOT here: it needs an idle host and the
-driver runs it independently; use ``tools/bench_baseline.py`` for
-deliberate baseline updates.
+``--bench`` appends ``tools/bench_gate.py`` as the LAST gate: it runs
+bench.py, sanity-checks ``host_factor``, refuses on any
+host-normalized per-query ratio > 1.5x, and writes
+``BENCH_local.json``. It is opt-in because it needs an idle host —
+but STAMPING requires it: ``--round N`` refuses unless the bench gate
+ran green or an explicit ``--bench-waiver REASON`` is recorded (r10
+verdict #4: a timing regression must be able to block a stamp).
+``tools/bench_baseline.py`` remains the tool for deliberate baseline
+updates.
 
 All gates run even after a failure (one pass diagnoses everything);
 the stamp step alone is withheld unless everything is green. Per-gate
@@ -69,6 +80,15 @@ GATES = [
     ("contract_fuzz", [sys.executable, "tools/contract_fuzz.py",
                        "--dup-rate", "0.02", "--nan-rate", "0.02",
                        "--conflict-rate", "0.02"]),
+    # 6b — the HIGH-RATE leg (r11): the r10 ad-hoc 5% recon found 5
+    # latent divergences the committed 2% dials had missed — rates
+    # change which rows collide, so 2%-green does not imply 5%-green.
+    # Promoted into the stamped battery per the r10 verdict's #1 ask.
+    ("contract_fuzz_hi", [sys.executable, "tools/contract_fuzz.py",
+                          "--null-rate", "0.05", "--empty-rate", "0.03",
+                          "--dup-rate", "0.05", "--nan-rate", "0.05",
+                          "--conflict-rate", "0.05",
+                          "--out", "/tmp/fuzz_sf_hi"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
 ]
@@ -99,6 +119,14 @@ def main() -> int:
     ap.add_argument("--sf01", action="store_true",
                     help="also attest the full registry at sf0.1 "
                          "(writes CORRECTNESS_sf01.json)")
+    ap.add_argument("--bench", action="store_true",
+                    help="run tools/bench_gate.py as the last gate "
+                         "(needs an idle host; writes BENCH_local.json)")
+    ap.add_argument("--bench-waiver", default=None, metavar="REASON",
+                    help="stamp without the bench gate, recording REASON "
+                         "(e.g. 'no idle window; driver benches r11') — "
+                         "the documented alternative the r10 verdict asks "
+                         "for, not a silent skip")
     args = ap.parse_args()
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
 
@@ -108,6 +136,9 @@ def main() -> int:
                          [sys.executable, "tools/oracle_check.py",
                           "/root/testdata/sf0.1",
                           "--json", "CORRECTNESS_sf01.json"]))
+    if args.bench:
+        # last: it wants the quietest host the battery can give it
+        gates.append(("bench", [sys.executable, "tools/bench_gate.py"]))
     results: dict[str, bool] = {}
     for name, cmd in gates:
         if name in skip:
@@ -129,6 +160,17 @@ def main() -> int:
             print(f"NOT stamping round {args.round}: skipped gates "
                   f"{missing} — stamping requires the full battery")
             return 1
+        # …and a perf leg: either the bench gate ran green above, or
+        # an explicit recorded waiver (r10 verdict #4 — a timing
+        # regression must be able to block a stamp)
+        if "bench" not in ran:
+            if not args.bench_waiver:
+                print(f"NOT stamping round {args.round}: no bench gate "
+                      "— rerun with --bench (idle host) or record a "
+                      "--bench-waiver REASON")
+                return 1
+            print(f"bench waived for round {args.round}: "
+                  f"{args.bench_waiver}")
         if not all_green:
             print(f"NOT stamping round {args.round}: red gates "
                   f"{[n for n, ok in results.items() if not ok]}")
