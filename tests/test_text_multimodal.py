@@ -695,3 +695,89 @@ def test_hashable_corpora_closed_form_hashes(spark):
             pred = (pred << 1) | int(rank[b + 1] > rank[b])
         assert r["fp"] == signed(pred), \
             f"audio {r['media_id']} window {t}"
+
+
+# -- external video decoder hook (r11) ---------------------------------
+
+def _avc1_mp4(colors):
+    """An MP4 whose stsd fourcc claims 'avc1' but whose samples are the
+    JPEG bytes encode_mjpeg_mp4 wrote — enough to prove the DISPATCH:
+    without a registered decoder the payload quarantines; with one, the
+    plugin's frames flow through the validated interface."""
+    import numpy as np
+
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    src = [np.full((16, 24, 3), c, dtype=np.uint8) for c in colors]
+    mp4 = C.encode_mjpeg_mp4(src, fps=2)
+    i = mp4.index(b"stsd")
+    # stsd layout: type(4) + version/flags(4) + count(4) + entry size(4)
+    # then the sample-entry fourcc
+    assert mp4[i + 16:i + 20] == b"jpeg"
+    return mp4[:i + 16] + b"avc1" + mp4[i + 20:]
+
+
+def test_external_video_decoder_hook(spark):
+    from zacks_estimates_financial_statements_spark.functions import codecs as C
+
+    # nested defs: cloudpickle serializes them BY VALUE into the
+    # operator's registry snapshot — a module-level test function would
+    # pickle by reference and the executor worker can't import tests
+    def _demux_passthrough_decoder(payload):
+        # stand-in for a real plugin (PyAV/ffmpeg): demux the sample
+        # table and return the samples — which in the avc1-relabeled
+        # fixture ARE baseline JPEGs, so validation passes
+        from zacks_estimates_financial_statements_spark.functions import codecs as CC
+
+        tr = [t for t in CC.parse_mp4_samples(payload)
+              if t["handler"] == b"vide" and t["samples"]][0]
+        return [(ts, payload[off:off + size])
+                for off, size, ts in tr["samples"]]
+
+    def _garbage_decoder(payload):
+        return [(0, b"not a jpeg at all")]
+
+    colors = [20, 60, 100, 140]
+    mp4 = _avc1_mp4(colors)
+    media = spark.createDataFrame(
+        [(40, "video", bytearray(mp4), "video/mp4", None, None, None)],
+        M.MEDIA_SCHEMA)
+
+    # 1. unregistered codec: the quarantine contract is unchanged
+    rows = M.sample_video_frames(media, every_ms=1000).collect()
+    assert rows and all(r["source"].startswith("stub:") for r in rows)
+    assert any("avc1" in r["source"] for r in rows)
+
+    # 2. registered decoder: real frames, provenance-tagged 'ext:avc1'
+    C.register_video_decoder("avc1", _demux_passthrough_decoder)
+    try:
+        rows = (M.sample_video_frames(media, every_ms=1000)
+                .orderBy("frame_idx").collect())
+        assert [r["source"] for r in rows] == ["ext:avc1"] * 2
+        # ticks 0/1000 ms at 2 fps land on samples 0 and 2
+        for r, want in zip(rows, (colors[0], colors[2])):
+            arr = C.decode_jpeg(bytes(r["frame_bytes"]))
+            assert arr.shape == (16, 24, 3) and int(arr[8, 12, 0]) == want
+        # the near-dup tier hashes ext frames like mjpeg ones
+        fp = M.video_fingerprints(media, every_ms=1000).collect()
+        assert any(r["decode_error"] is None for r in fp)
+    finally:
+        C.unregister_video_decoder("avc1")
+
+    # 3. a misbehaving plugin degrades to quarantine, never bad frames
+    C.register_video_decoder("avc1", _garbage_decoder)
+    try:
+        rows = M.sample_video_frames(media, every_ms=1000).collect()
+        assert rows and all(r["source"].startswith("stub:") for r in rows)
+        assert any("invalid frames" in r["source"] for r in rows)
+    finally:
+        C.unregister_video_decoder("avc1")
+
+    # 4. direct-interface checks: snapshot dict drives dispatch, and a
+    # bad fourcc is rejected at registration time
+    tag, frames = C.extract_video_frames(
+        mp4, {b"avc1": _demux_passthrough_decoder})
+    assert tag == "ext:avc1" and len(frames) == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fourcc"):
+        C.register_video_decoder("h264x", _demux_passthrough_decoder)

@@ -251,17 +251,24 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
     tables are demuxed (``codecs.parse_mp4_samples``) and each sampled
     tick emits the actual JPEG sample nearest-at-or-before it
     (``source = 'mjpeg'``; the bytes feed ``codecs.decode_jpeg``
-    directly). Payloads whose video codec has no in-container decoder
-    (H.264/HEVC …) fall back to a clearly-flagged deterministic stub
-    marker (``source = 'stub:…'``) or raise in ``strict`` mode; the
-    sampling schedule stays real either way — when the ``duration_ms``
-    metadata column is null the duration comes from the payload's
-    actual ``mvhd`` box."""
+    directly) and for any codec with a REGISTERED external decoder
+    (``codecs.register_video_decoder``; ``source = 'ext:<fourcc>'`` —
+    the registry is snapshotted at plan build and shipped in the
+    closure, since Python workers don't share driver module state).
+    Payloads whose video codec has neither (H.264/HEVC … with no
+    plugin) fall back to a clearly-flagged deterministic stub marker
+    (``source = 'stub:…'``) or raise in ``strict`` mode; the sampling
+    schedule stays real either way — when the ``duration_ms`` metadata
+    column is null the duration comes from the payload's actual
+    ``mvhd`` box."""
     import pandas as pd
 
     from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
 
     ensure_package_on_executors(media.sparkSession)
+
+    from zacks_estimates_financial_statements_spark.functions import codecs as _c
+    decoders = _c.video_decoder_snapshot()
 
     cols = ["media_id", "frame_idx", "ts_ms", "frame_bytes", "source"]
 
@@ -274,7 +281,8 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                                          pdf["duration_ms"]):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    frames = codecs.extract_mjpeg_frames(payload)
+                    src_tag, frames = codecs.extract_video_frames(
+                        payload, decoders)
                     # schedule end: metadata duration, else up to the
                     # last demuxed frame (same ticks the container
                     # duration would give)
@@ -295,7 +303,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                         rows.append({"media_id": mid, "frame_idx": i,
                                      "ts_ms": tick,
                                      "frame_bytes": frames[fi][1],
-                                     "source": "mjpeg"})
+                                     "source": src_tag})
                     continue
                 except (ValueError, NotImplementedError) as exc:
                     if strict:
@@ -643,17 +651,17 @@ def video_fingerprints(media: DataFrame, every_ms: int = 1000,
                        hash_size: int = 8) -> DataFrame:
     """Per-video perceptual fingerprint: the sampled-frame sequence
     hashed frame-by-frame with the same dHash the image tier uses.
-    Only REAL decoded frames are hashed (``source = 'mjpeg'``) — stub
-    frames from codecs this container cannot decode are excluded, never
-    silently hashed from byte slices. Failed frame decodes quarantine
-    with ``decode_error``. One bounded ``mapInPandas`` over the demuxed
-    frames; upstream sampling bounds rows at duration/every_ms per
-    video."""
+    Only REAL decoded frames are hashed (``source = 'mjpeg'`` or an
+    external-decoder ``'ext:<fourcc>'``) — stub frames from codecs this
+    process cannot decode are excluded, never silently hashed from byte
+    slices. Failed frame decodes quarantine with ``decode_error``. One
+    bounded ``mapInPandas`` over the demuxed frames; upstream sampling
+    bounds rows at duration/every_ms per video."""
     from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
 
     ensure_package_on_executors(media.sparkSession)
     frames = (sample_video_frames(media, every_ms)
-              .filter(F.col("source") == "mjpeg"))
+              .filter(~F.col("source").startswith("stub:")))
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
