@@ -29,8 +29,16 @@ machines, so a failure reproduces exactly.
 
 Usage: python tools/contract_fuzz.py [--src /root/testdata/sf0.001]
            [--out /tmp/fuzz_sf] [--null-rate 0.02] [--empty-rate 0.01]
-           [--dup-rate 0] [--nan-rate 0] [--conflict-rate 0] [query ...]
+           [--dup-rate 0] [--nan-rate 0] [--conflict-rate 0]
+           [--permute-rows] [query ...]
 Exit = oracle_check's exit (1 on any divergence).
+
+``--permute-rows`` (r11) is the scan-ORDER fault class: a seeded
+physical row shuffle applied after every value-level dial, so clones
+stop sitting appended-after their originals and any contract that
+implicitly consumes parquet row order (rid-tagging twins, window-tie
+stories) is exercised with an adversarial order. Order-insensitive
+hashing means any red here is genuine order DEPENDENCE.
 
 Extra fault classes: ``--dup-rate`` appends verbatim clones of ~that
 fraction of rows (duplicate ids with identical content — stresses
@@ -155,7 +163,8 @@ def _mask(table: str, col: str, n: int, rate: float, salt: str = "") -> np.ndarr
 def fuzz_table(path: str, table: str, null_rate: float,
                empty_rate: float, dup_rate: float = 0.0,
                nan_rate: float = 0.0,
-               conflict_rate: float = 0.0) -> pa.Table:
+               conflict_rate: float = 0.0,
+               permute_rows: bool = False) -> pa.Table:
     t = pq.read_table(path)
     n = t.num_rows
     for idx, name in enumerate(t.schema.names):
@@ -199,6 +208,22 @@ def fuzz_table(path: str, table: str, null_rate: float,
                 clone = clone.set_column(
                     idx, field, _mutate_column(field, clone.column(name)))
             t = pa.concat_tables([t, clone])
+    if permute_rows:
+        # LAST, over everything including appended clones: a seeded
+        # physical row-order shuffle. Parquet row order is the one
+        # degree of freedom the value-level dials never move — and the
+        # rid-tagging twins (row_number() OVER () as the physical-row
+        # handle) plus every window-tie contract implicitly consume it.
+        # Both engines read the same permuted bytes, and the oracle
+        # hash is order-insensitive, so ANY divergence here is genuine
+        # scan-order DEPENDENCE (a tie broken by input order on one
+        # engine only), not cosmetic output ordering. It also unsticks
+        # a hidden invariant of the dup/conflict dials: clones always
+        # sat APPENDED AFTER their originals, so rid-window contracts
+        # were only ever tested with original-before-copy adjacency.
+        seed = zlib.crc32(f"{table}|permute".encode())
+        perm = np.random.default_rng(seed).permutation(t.num_rows)
+        t = t.take(pa.array(perm))
     return t
 
 
@@ -211,6 +236,10 @@ def main() -> int:
     ap.add_argument("--dup-rate", type=float, default=0.0)
     ap.add_argument("--nan-rate", type=float, default=0.0)
     ap.add_argument("--conflict-rate", type=float, default=0.0)
+    ap.add_argument("--permute-rows", action="store_true",
+                    help="seeded physical row-order shuffle, applied "
+                         "after every other fault (scan-order "
+                         "dependence detector)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -219,7 +248,7 @@ def main() -> int:
         src = os.path.join(args.src, f"{table}.parquet")
         fuzzed = fuzz_table(src, table, args.null_rate, args.empty_rate,
                             args.dup_rate, args.nan_rate,
-                            args.conflict_rate)
+                            args.conflict_rate, args.permute_rows)
         pq.write_table(fuzzed, os.path.join(args.out, f"{table}.parquet"))
         injected = sum(fuzzed.column(c).null_count
                        for c in fuzzed.schema.names)
