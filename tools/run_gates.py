@@ -79,7 +79,7 @@ GATES = [
     ("skew_sweep", [sys.executable, "tools/skew_sweep.py", "--json"]),
     ("contract_fuzz", [sys.executable, "tools/contract_fuzz.py",
                        "--dup-rate", "0.02", "--nan-rate", "0.02",
-                       "--conflict-rate", "0.02"]),
+                       "--conflict-rate", "0.02", "--permute-rows"]),
     # 6b — the HIGH-RATE leg (r11): the r10 ad-hoc 5% recon found 5
     # latent divergences the committed 2% dials had missed — rates
     # change which rows collide, so 2%-green does not imply 5%-green.
@@ -87,7 +87,7 @@ GATES = [
     ("contract_fuzz_hi", [sys.executable, "tools/contract_fuzz.py",
                           "--null-rate", "0.05", "--empty-rate", "0.03",
                           "--dup-rate", "0.05", "--nan-rate", "0.05",
-                          "--conflict-rate", "0.05",
+                          "--conflict-rate", "0.05", "--permute-rows",
                           "--out", "/tmp/fuzz_sf_hi"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
