@@ -87,6 +87,35 @@ def test_delete_where_equi_and_condition(spark, store):
                             ("MSFT", D(2024, 5, 2), None)]
 
 
+def test_delete_where_size_gated_broadcast(spark, store):
+    """The condemned-key broadcast hint is size-gated: with
+    broadcasting disabled (the stand-in for a key set too large to
+    ship) delete_where degrades to an un-hinted join with identical
+    results — the forced-broadcast OOM class closed repo-wide in r11."""
+    from zacks_estimates_financial_statements_spark.util import maybe_broadcast
+
+    store.upsert_ignore(spark.createDataFrame(
+        [("AAPL", D(2024, 5, 1), None), ("MSFT", D(2024, 5, 2), None)],
+        "act_symbol string, date date, `when` string"))
+    condemned = spark.createDataFrame([("AAPL", D(2024, 5, 1))],
+                                      "act_symbol string, date date")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # direct helper check: no hint when broadcasting is disabled
+        probe = maybe_broadcast(condemned)
+        assert "UnresolvedHint" not in \
+            probe._jdf.queryExecution().logical().toString()
+        store.delete_where(condemned, on=["act_symbol", "date"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert _rows(store) == [("MSFT", D(2024, 5, 2), None)]
+    # and under the normal regime the hint IS applied
+    hinted = maybe_broadcast(condemned)
+    assert "UnresolvedHint broadcast" in \
+        hinted._jdf.queryExecution().logical().toString()
+
+
 def test_split_valid_enum_and_not_null(spark):
     df = spark.createDataFrame(
         [("AAPL", D(2024, 5, 1), "After market close"),   # valid

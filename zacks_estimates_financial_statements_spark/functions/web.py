@@ -167,9 +167,15 @@ def url_filter(df: DataFrame, id_col: str, url_col: str,
         lambda i: F.array_join(
             F.slice(F.col("__labels"), i,
                     F.size("__labels") - i + 1), "."))
+    # the blocklist is a user-supplied relation (UT1-class lists run
+    # ~4M domains): size-gate the broadcast hint so a pathologically
+    # large list degrades to an AQE-planned equi-join instead of a
+    # forced executor-wide broadcast
+    from zacks_estimates_financial_statements_spark.util import maybe_broadcast
+
     cand = (base.select(F.col(id_col),
                         F.explode_outer(suffixes).alias("__cand"))
-            .join(F.broadcast(blocked_domains.select(
+            .join(maybe_broadcast(blocked_domains.select(
                 F.col(blocked_domains.columns[0]).alias("__cand"))),
                 "__cand"))
     hits = (cand.groupBy(id_col)

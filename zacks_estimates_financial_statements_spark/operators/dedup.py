@@ -244,21 +244,8 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str,
 
 
 def _broadcast_threshold_bytes(spark) -> int:
-    """Parse ``spark.sql.autoBroadcastJoinThreshold`` to bytes (-1 =
-    broadcasting disabled). Spark accepts bare numbers or b/k/m/g
-    suffixes (case-insensitive, optional trailing 'b')."""
-    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
-                             "10485760")).strip().lower()
-    if raw.startswith("-"):
-        return -1
-    mult = 1
-    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-                   ("b", 1)):
-        if raw.endswith(suf):
-            raw, mult = raw[: -len(suf)], m
-            break
-    return int(raw) * mult
+    from zacks_estimates_financial_statements_spark.util import broadcast_threshold_bytes
+    return broadcast_threshold_bytes(spark)
 
 
 def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,

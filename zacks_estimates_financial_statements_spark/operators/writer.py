@@ -715,15 +715,22 @@ class TableStore:
                      on: list[str] | None = None, condition=None) -> None:
         """W6/J3 — delete-via-join: remove stored rows matching
         ``condemned_keys`` (equi on ``on`` plus optional extra
-        ``condition``), via left_anti + rewrite."""
+        ``condition``), via left_anti + rewrite.
+
+        The condemned set is small by design (stale calendar keys, a
+        purge list) but arrives from OUTSIDE this plan, so the
+        broadcast hint is size-gated (``util.maybe_broadcast``): an
+        oversized key set degrades to an un-hinted join AQE can plan,
+        instead of OOMing every executor through a forced broadcast."""
+        from zacks_estimates_financial_statements_spark.util import maybe_broadcast
+
         with self.write_lock():
             existing = self.read()
+            keys = maybe_broadcast(condemned_keys)
             if on is not None and condition is None:
-                kept = existing.join(F.broadcast(condemned_keys), on=on,
-                                     how="left_anti")
+                kept = existing.join(keys, on=on, how="left_anti")
             else:
-                kept = existing.join(F.broadcast(condemned_keys), on=condition,
-                                     how="left_anti")
+                kept = existing.join(keys, on=condition, how="left_anti")
             self._overwrite_locked(kept)
 
 

