@@ -60,6 +60,84 @@ def _decg(expr: str) -> str:
     return f"CAST({_fin_sql(expr)} AS DECIMAL(38,6))"
 
 
+# --- URL casefold + parse mirrors (r11 Unicode contract fuzz) --------------
+# Hostname/scheme case-insensitivity is ASCII-only (RFC 3986 §3.1,
+# RFC 4343), and full-Unicode lower() is cross-engine divergent anyway
+# (Java full mapping vs utf8proc simple — ~70 codepoints), so the
+# package lowers URL parts with text.ascii_lower (a 1:1 A-Z translate)
+# and every twin embeds the same table:
+def _alow(expr: str) -> str:
+    return (f"translate({expr}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            f"'abcdefghijklmnopqrstuvwxyz')")
+
+
+def _url_host_sql(rest: str) -> str:
+    """Twin of functions/web.url_host over an already-scheme-stripped
+    string: hostport up to the first [/?#] (a REAL parse — fuzzed
+    values can carry '/' inside what the closed-form twins used to
+    splice in whole), ASCII-lowered, www. and port stripped."""
+    hp = _alow(f"regexp_extract({rest}, '^([^/?#]*)', 1)")
+    return (f"regexp_replace(regexp_replace({hp}, '^www\\.', ''), "
+            f"':[0-9]+$', '')")
+
+
+def _lkey_sql(expr: str) -> str:
+    """Twin of operators/linkage.linkage_key: ascii_fold (the shared
+    162-pair translate table) then strip every codepoint outside
+    printable ASCII — the projection cross-engine edit distance is
+    defined over (Spark levenshtein is codepoint-based, DuckDB's
+    byte-based; they agree only on ASCII)."""
+    from zacks_estimates_financial_statements_spark.functions import text as _t
+    frm = _t.ASCII_FOLD_FROM.replace("'", "''")
+    return (f"regexp_replace(translate({expr}, '{frm}', "
+            f"'{_t.ASCII_FOLD_TO}'), '[^ -~]+', '', 'g')")
+
+
+def _canon_url_ctes(src_rel: str, keys: str) -> str:
+    """Twin of functions/web.canonical_url as a CTE chain over
+    ``{src_rel}(keys…, u)`` — emits CTEs ``__cu1..__cu3`` where
+    ``__cu3(keys…, u, canon)`` holds the canonical form. A real parse
+    mirroring the Spark expression step for step (fragment strip,
+    ASCII-lowered scheme/hostport, www./default-port strip, trailing
+    path slashes, tracking-param removal, sorted query)."""
+    from zacks_estimates_financial_statements_spark.functions import web as _w
+    strip = _w.TRACKING_PARAM_RE.replace("'", "''")
+    scheme_re = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+    scheme_strip = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+    return f"""
+__cu1 AS (
+  SELECT {keys}, u, regexp_replace(u, '#.*$', '') AS u0,
+    regexp_replace(regexp_replace(u, '#.*$', ''),
+                   '{scheme_strip}', '') AS rest
+  FROM {src_rel}),
+__cu2 AS (
+  SELECT {keys}, u,
+    {_alow(f"regexp_extract(u0, '{scheme_re}', 1)")} AS scheme,
+    regexp_replace({_alow("regexp_extract(rest, '^([^/?#]*)', 1)")},
+                   '^www\\.', '') AS host0,
+    regexp_replace(regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+                                  '^([^?]*)', 1), '/+$', '') AS path0,
+    regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+                   '\\?(.*)$', 1) AS q
+  FROM __cu1),
+__cu3 AS (
+  SELECT {keys}, u,
+    CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END
+    || (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END)
+    || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon
+  FROM (SELECT {keys}, u, scheme, host0, path0,
+          -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+          -- array_join([]) is '' — but keep NULL inputs NULL
+          CASE WHEN q IS NOT NULL THEN coalesce(
+            array_to_string(list_sort(list_filter(string_split(q, '&'),
+              p -> p <> '' AND NOT regexp_matches(p, '{strip}'))), '&'),
+            '') END AS qs
+        FROM __cu2))"""
+
+
 def _finite(c: F.Column) -> F.Column:
     """Spark-side twin of `_fin_sql` for paths that do NOT route through
     a decimal cast (exact percentiles, double->text rendering): NaN and
@@ -1459,7 +1537,7 @@ def q_json_extract(spark, sf):
     DuckDB casts 100); this pipeline's serializers render integers."""
     ev = _t(spark, sf, "events")
     flat = (F.col("props").rlike(r"^\{[^{}']*\}$")
-            & ~F.col("props").rlike(r",\s*\}$"))
+            & ~F.col("props").rlike(r",[ \t\n\x0b\f\r]*\}$"))
     k = F.when(flat, F.get_json_object(F.col("props"), "$.k")) \
         .try_cast("bigint")
     return (ev.withColumn("k", k)
@@ -1483,7 +1561,7 @@ FROM (
   -- Jackson rejects and DuckDB would throw on
   SELECT event_type,
     TRY_CAST(CASE WHEN regexp_matches(props, '^\\{[^{}'']*\\}$')
-                   AND NOT regexp_matches(props, ',\\s*\\}$')
+                   AND NOT regexp_matches(props, ',[ \t\n\x0b\f\r]*\\}$')
                    AND json_valid(props)
                   THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
   FROM events)
@@ -1648,15 +1726,15 @@ ORACLE_TEXT_STATS = r"""
 WITH s AS (
   SELECT doc_id, text,
     CASE WHEN trim(text) = '' THEN 0
-      ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS rx_tokens,
+      ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS ws_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS rx_tokens,
     CASE WHEN len(text) = 0 THEN 0.0
       ELSE len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]'))::DOUBLE
            / len(text) END AS pr,
-    CASE WHEN trim(text) = '' OR len(string_split_regex(trim(text), '\s+')) = 0
+    CASE WHEN trim(text) = '' OR len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) = 0
       THEN 0.0
-      ELSE len(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
-           / len(string_split_regex(trim(text), '\s+')) END AS mwl,
+      ELSE len(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', '', 'g'))::DOUBLE
+           / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS mwl,
     (SELECT sum(len(regexp_extract_all(lower(text), '\b' || w || '\b')))
      FROM (SELECT unnest(['the','a','an','and','or','of','to','in','is','are',
                           'was','for','on','with','as','by','at','it','this',
@@ -1927,18 +2005,18 @@ JOIN (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp) k
 _QUALITY_STATS_SQL = r"""
     SELECT doc_id, source, text,
       CASE WHEN trim(text) = '' THEN 0
-        ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS ws_tokens,
       CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+            ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END) = 0 THEN 0.0
         ELSE (least(1.0, (CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END) / 100.0)
+                ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END) / 100.0)
           + least(1.0, ((SELECT sum(len(regexp_extract_all(lower(text),
               '\b' || w || '\b')))
              FROM (SELECT unnest(['the','a','an','and','or','of','to','in',
                  'is','are','was','for','on','with','as','by','at','it',
                  'this','that']) AS w))::DOUBLE
             / (CASE WHEN trim(text) = '' THEN 1
-               ELSE len(string_split_regex(trim(text), '\s+')) END)) * 4.0)
+               ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END)) * 4.0)
           + (1.0 - least(1.0, (CASE WHEN len(text) = 0 THEN 0.0
               ELSE len(regexp_extract_all(text,
                   '[.,;:!?''"()\[\]{}-]'))::DOUBLE / len(text) END) * 5.0)))
@@ -2894,8 +2972,8 @@ SELECT doc_id,
     regexp_replace(
     regexp_replace(
     regexp_replace(h,
-      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
-      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+      '{script_re}', ' ', 'g'),
+      '{style_re}', ' ', 'g'),
       '(?s)<!--.*?-->', ' ', 'g'),
       '(?s)<[^>]*>', ' ', 'g'),
       '&lt;', '<', 'g'),
@@ -2904,9 +2982,20 @@ SELECT doc_id,
       '&#39;', CHR(39), 'g'),
       '&nbsp;', ' ', 'g'),
       '&amp;', '&', 'g'),
-    '\\s+', ' ', 'g')) AS clean_text
+    '[ \t\n\x0b\f\r]+', ' ', 'g')) AS clean_text
 FROM raw
 """
+
+# Interpolate the shared cross-engine HTML block patterns (see
+# operators/extraction.py: ASCII-pinned case classes instead of (?i) —
+# RE2 folds U+017F into [sS] where Java does not; explicit ASCII-
+# non-word name boundary instead of \b — Java's \b is Unicode-aware,
+# RE2's is ASCII; explicit whitespace class instead of \s).
+from zacks_estimates_financial_statements_spark.operators import extraction as _X  # noqa: E402
+ORACLE_HTML_TO_TEXT = (
+    ORACLE_HTML_TO_TEXT
+    .replace("{script_re}", _X.SCRIPT_BLOCK_RE.replace("'", "''"))
+    .replace("{style_re}", _X.STYLE_BLOCK_RE.replace("'", "''")))
 
 
 def q_classifier_score(spark, sf):
@@ -3232,17 +3321,30 @@ def q_url_dedup(spark, sf):
     return out.select("doc_id", "canonical_url", "n_variants", "keep")
 
 
-ORACLE_URL_DEDUP = """
+# r11 Unicode contract: the twin now MIRRORS the canonicalizer (real
+# parse via _canon_url_ctes) instead of deriving the closed form — a
+# fuzzed `source` can carry '/', '?' or uppercase-İ content that moves
+# the host/path boundary, and hostname lowering is pinned ASCII-only
+# (RFC 4343), which no closed form over lower(source) can express.
+ORACLE_URL_DEDUP = f"""
 WITH syn AS (
   SELECT doc_id,
-    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
-      || '://' || lower(source) || '.example.com/Docs/' || (doc_id // 25)
-      || '?a=1&b=' || (doc_id % 2) AS canonical_url
-  FROM documents)
-SELECT doc_id, canonical_url,
-  count(*) OVER (PARTITION BY canonical_url) AS n_variants,
-  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
-FROM syn
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || source || '.Example.COM'
+    || (CASE WHEN doc_id % 4 = 0 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        ELSE '' END)
+    || '/Docs/' || (doc_id // 25)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=0&a=1'
+        ELSE '?a=1&b=1' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS u
+  FROM documents),{_canon_url_ctes("syn", "doc_id")}
+SELECT doc_id, canon AS canonical_url,
+  count(*) OVER (PARTITION BY canon) AS n_variants,
+  doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
+FROM __cu3
 """
 
 
@@ -3295,7 +3397,8 @@ def q_domain_quota(spark, sf):
 
 ORACLE_DOMAIN_QUOTA = """
 WITH d AS (
-  SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
+  SELECT doc_id, n_chars,
+    {host_expr} AS host
   -- NULL contract: quota ranks addressable docs of a known host
   -- (Spark's URL synthesis null-propagates doc_id into the host)
   FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
@@ -3337,7 +3440,8 @@ def q_domain_quota_skewsafe(spark, sf):
 
 ORACLE_DOMAIN_QUOTA_SKEWSAFE = """
 WITH d AS (
-  SELECT doc_id, n_chars, lower(source) || '.example.com' AS host
+  SELECT doc_id, n_chars,
+    {host_expr} AS host
   -- NULL contract: same addressability filter as ORACLE_DOMAIN_QUOTA
   FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
 -- duplicate-id contract: same per-VERSION slot rule as
@@ -3355,6 +3459,16 @@ SELECT d.doc_id, d.host,
 FROM d JOIN r ON d.doc_id = r.doc_id AND d.host = r.host
   AND d.n_chars IS NOT DISTINCT FROM r.n_chars
 """
+
+# r11 Unicode contract: the host derivation mirrors web.url_host (real
+# parse, ASCII-only lowering per RFC 4343) — fuzzed `source` values can
+# carry '/' (moves the host boundary) or İ (full-vs-simple lower).
+_DQ_HOST = _url_host_sql(
+    "regexp_replace('www.' || source || '.Example.COM/p/' || doc_id, "
+    "'#.*$', '')")
+ORACLE_DOMAIN_QUOTA = ORACLE_DOMAIN_QUOTA.replace("{host_expr}", _DQ_HOST)
+ORACLE_DOMAIN_QUOTA_SKEWSAFE = ORACLE_DOMAIN_QUOTA_SKEWSAFE.replace(
+    "{host_expr}", _DQ_HOST)
 
 
 def q_time_rollup(spark, sf):
@@ -3842,7 +3956,7 @@ WITH base AS (
   FROM documents),
 marked AS (
   SELECT doc_id,
-    string_split(regexp_replace(t, '([.!?]+)\\s+',
+    string_split(regexp_replace(t, '([.!?]+)[ \t\n\x0b\f\r]+',
                                 '\\1' || chr(9247), 'g'),
                  chr(9247)) AS parts
   FROM base),
@@ -5408,24 +5522,36 @@ def q_fuzzy_match(spark, sf):
     return linkage.best_match(pairs, "dirty_id", "p_partkey")
 
 
-ORACLE_FUZZY_MATCH = """
-WITH dirty AS (
+# r11 Unicode contract: Spark levenshtein counts CODEPOINT edits,
+# DuckDB's counts BYTES — cross-engine distance is only defined on
+# pure ASCII, so linkage.fuzzy_join blocks and measures over
+# linkage_key (ascii_fold -> printable-ASCII projection; empty
+# projection = unlinkable). The twin states the same normalization.
+ORACLE_FUZZY_MATCH = f"""
+WITH dirty0 AS (
   SELECT p_partkey AS dirty_id,
     substr(p_name, 1, p_partkey % length(p_name))
       || substr(p_name, p_partkey % length(p_name) + 2) AS dirty_name
   FROM part WHERE p_partkey % 10 = 0),
+dirty AS (
+  SELECT dirty_id, dirty_name,
+    {_lkey_sql('dirty_name')} AS dn FROM dirty0
+  WHERE {_lkey_sql('dirty_name')} IS NOT NULL
+    AND {_lkey_sql('dirty_name')} <> ''),
+cat AS (
+  SELECT p_partkey, p_name, {_lkey_sql('p_name')} AS pn FROM part
+  WHERE {_lkey_sql('p_name')} IS NOT NULL
+    AND {_lkey_sql('p_name')} <> ''),
 cand AS (
-  SELECT d.dirty_id, d.dirty_name, p.p_partkey, p.p_name
-  FROM dirty d JOIN part p
-    ON substr(d.dirty_name, 1, 3) = substr(p.p_name, 1, 3)
+  SELECT d.dirty_id, d.dn, p.p_partkey, p.pn
+  FROM dirty d JOIN cat p ON substr(d.dn, 1, 3) = substr(p.pn, 1, 3)
   UNION
-  SELECT d.dirty_id, d.dirty_name, p.p_partkey, p.p_name
-  FROM dirty d JOIN part p
-    ON right(d.dirty_name, 3) = right(p.p_name, 3)),
+  SELECT d.dirty_id, d.dn, p.p_partkey, p.pn
+  FROM dirty d JOIN cat p ON right(d.dn, 3) = right(p.pn, 3)),
 pairs AS (
   SELECT dirty_id, p_partkey,
-    levenshtein(dirty_name, p_name) AS dist
-  FROM cand WHERE levenshtein(dirty_name, p_name) <= 1),
+    levenshtein(dn, pn) AS dist
+  FROM cand WHERE levenshtein(dn, pn) <= 1),
 ranked AS (
   SELECT dirty_id, p_partkey, dist,
     row_number() OVER (PARTITION BY dirty_id
@@ -6077,23 +6203,27 @@ def q_link_extract(spark, sf):
         docs.select("doc_id", html.alias("page")), "doc_id", "page")
 
 
-ORACLE_LINK_EXTRACT = """
-SELECT doc_id, CAST(1 AS INT) AS link_pos,
-  'HTTPS://WWW.' || source || '.Example.COM:443/Art/' || (doc_id // 10)
-    || '?utm_campaign=z&z=2&a=1#top' AS url,
-  'https://' || source || '.example.com/Art/' || (doc_id // 10)
-    || '?a=1&z=2' AS canonical_url
--- NULL contract: a NULL doc_id or source null-propagates through the
--- Spark-side page concat, so the whole synthesized page is NULL and
--- extract_links emits nothing for that doc
-FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
-UNION ALL
-SELECT doc_id, CAST(3 AS INT) AS link_pos,
-  'http://h' || (doc_id % 7) || '.test.org:80/p/' || (doc_id % 13)
-    || '/' AS url,
-  'http://h' || (doc_id % 7) || '.test.org/p/' || (doc_id % 13)
-    AS canonical_url
-FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+# r11 Unicode contract: the canonical side now MIRRORS
+# web.canonical_url (real parse via _canon_url_ctes) instead of the
+# closed form — a fuzzed `source` can carry '/', which moves the
+# host/path boundary, and hostname lowering is ASCII-only (RFC 4343).
+# The RAW url and the position arithmetic stay independently derived.
+ORACLE_LINK_EXTRACT = f"""
+WITH links AS (
+  -- NULL contract: a NULL doc_id or source null-propagates through the
+  -- Spark-side page concat, so the whole synthesized page is NULL and
+  -- extract_links emits nothing for that doc
+  SELECT doc_id, CAST(1 AS INT) AS link_pos,
+    'HTTPS://WWW.' || source || '.Example.COM:443/Art/' || (doc_id // 10)
+      || '?utm_campaign=z&z=2&a=1#top' AS u
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CAST(3 AS INT) AS link_pos,
+    'http://h' || (doc_id % 7) || '.test.org:80/p/' || (doc_id % 13)
+      || '/' AS u
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),{_canon_url_ctes("links", "doc_id, link_pos")}
+SELECT doc_id, link_pos, u AS url, canon AS canonical_url
+FROM __cu3
 """
 
 

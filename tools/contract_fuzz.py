@@ -97,6 +97,34 @@ corpus-derived rank-3 query term; copies of one doc put one span hit
 at one position twice and window ties split the islands differently.
 Re-run the high-rate pass whenever a new fault class lands — rates
 change which rows collide, so 2%-green does not imply 5%-green.
+
+``--unicode-rate`` (r11, closed: 41/149 divergences found at the 5 %
+sizing recon — the largest class since round 8 — all fixed) splices a
+rotating adversarial Unicode snippet into string values (prefix /
+mid / suffix). Each snippet targets a MEASURED engine divergence (see
+UNICODE_SNIPPETS below); the repo-wide contracts the fixes pinned,
+enforced by ``tests/test_unicode_contracts.py``:
+
+- CASEFOLD: token grammars lower via ``text.simple_lower`` (İ→i
+  translate first — U+0130 is the single codepoint whose Java FULL
+  lowercase projects into [a-z0-9_] differently from utf8proc's
+  SIMPLE mapping); URL schemes/hostnames lower via ``text.ascii_lower``
+  (RFC 3986/4343: case-insensitivity is ASCII-only), twins via
+  ``translate(x, 'A..Z', 'a..z')``.
+- WHITESPACE: ``\\s`` never appears in a shared pattern (Java includes
+  U+000B, RE2 does not); both sides embed ``text.WS_CHARS``.
+- (?i)/\\b: RE2 case-folds the full Unicode fold set ((?i) makes ſ
+  match [sS]) and Java's \\b is Unicode-aware — HTML tag and scheme
+  patterns use per-letter ASCII classes and explicit ASCII-non-word
+  boundaries (``extraction.SCRIPT_BLOCK_RE`` etc.), shared verbatim
+  with the twins.
+- EDIT DISTANCE: Spark levenshtein counts codepoints, DuckDB bytes —
+  linkage blocks/measures over ``linkage.linkage_key`` (ascii_fold →
+  printable-ASCII projection; empty projection = unlinkable).
+- Closed-form URL twins became REAL SQL parses (``_canon_url_ctes``/
+  ``_url_host_sql`` in ``__spark_entry__``): a fuzzed value can carry
+  '/' and move the host/path boundary, which no closed form over the
+  spliced-in column can express.
 """
 
 from __future__ import annotations
@@ -160,11 +188,78 @@ def _mask(table: str, col: str, n: int, rate: float, salt: str = "") -> np.ndarr
     return np.random.default_rng(seed).random(n) < rate
 
 
+# --unicode-rate snippets (r11): one per divergence class the round-11
+# engine probes measured (exhaustive per-codepoint lower/upper diff +
+# function-level probes), rotated per (table, column, row). Each is a
+# REAL cross-engine hazard, not decoration:
+#   0 U+0130 İ — the ONE codepoint whose Java FULL lowercase ('i'+U+0307)
+#     projects into [a-z0-9_] differently from utf8proc's SIMPLE 'i'
+#   1 U+000B VT — in Java's \s, NOT in DuckDB/RE2's \s
+#   2 U+017F ſ — RE2 (?i) case-folds it into [sS]; Java (?i) does not
+#     (script/style/https patterns), embedded in a fake closing tag
+#   3 final sigma — Java lower() is context-sensitive (ς at word end),
+#     utf8proc always σ
+#   4 ß + fi-ligature — full vs simple UPPER mapping (SS/FI vs ẞ/ﬁ)
+#   5 NFD combining sequence — grapheme-vs-codepoint surfaces (reverse,
+#     levenshtein), NFC/NFD inequality under byte comparison
+#   6 astral plane — 4-byte UTF-8 / surrogate pairs (byte-based
+#     levenshtein, length/substr arithmetic)
+#   7 NBSP + ZWSP + ZWJ — whitespace-lookalikes no \s should match
+#   8 bidi controls — RLO/PDF sandwich
+#   9 U+2C2F Ⱟ + U+10570 𐕰 — Unicode-version skew: Java knows these
+#     case pairs, utf8proc does not (raw lower() output divergence)
+#  10 fullwidth digits — [0-9] must not match them on either engine
+#  11 KELVIN + ANGSTROM signs — simple fold into k/å
+#  12 CJK + NEL — non-Latin script ranges, U+0085 (in neither \s)
+UNICODE_SNIPPETS = [
+    "İstanbul",
+    "a\x0bb",
+    "x<ſcript>y</ſcript>z",
+    "ΛΟΓΟΣ",
+    "straße ofﬁce",
+    "éclair café",
+    "\U0001F600\U0001D49Cq",
+    "a b​c‍d",
+    "ab‮cd‬ef",
+    "Ⱟ\U00010570w",
+    "１２３",
+    "KÅm",
+    "中文t",
+]
+
+
+def _inject_unicode(col: pa.ChunkedArray, field: pa.Field,
+                    mask: np.ndarray, table: str, name: str):
+    """Splice a rotating adversarial snippet into masked string values:
+    position rotates prefix/middle/suffix so the snippet lands at token
+    starts, token interiors, and token ends. NULLs stay NULL; prior
+    dials (empty strings) compose — an emptied value becomes just the
+    snippet."""
+    base = zlib.crc32(f"{table}|{name}|uni".encode())
+    vals = col.to_pylist()
+    out = []
+    for i, v in enumerate(vals):
+        if v is None or not mask[i]:
+            out.append(v)
+            continue
+        snip = UNICODE_SNIPPETS[(base + i) % len(UNICODE_SNIPPETS)]
+        mode = (base + i) % 3
+        if mode == 0:
+            out.append(snip + v)
+        elif mode == 1:
+            mid = len(v) // 2
+            out.append(v[:mid] + snip + v[mid:])
+        else:
+            out.append(v + snip)
+    return pa.chunked_array([pa.array(out, type=field.type)])
+
+
 def fuzz_table(path: str, table: str, null_rate: float,
                empty_rate: float, dup_rate: float = 0.0,
                nan_rate: float = 0.0,
                conflict_rate: float = 0.0,
-               permute_rows: bool = False) -> pa.Table:
+               permute_rows: bool = False,
+               unicode_rate: float = 0.0) -> pa.Table:
     t = pq.read_table(path)
     n = t.num_rows
     for idx, name in enumerate(t.schema.names):
@@ -179,6 +274,10 @@ def fuzz_table(path: str, table: str, null_rate: float,
             if empties.any():
                 col = pc.if_else(pa.array(~empties), col,
                                  pa.scalar("", type=field.type))
+            if unicode_rate:
+                unis = _mask(table, name, n, unicode_rate, salt="uni")
+                if unis.any():
+                    col = _inject_unicode(col, field, unis, table, name)
         if nan_rate and pa.types.is_floating(field.type):
             nans = _mask(table, name, n, nan_rate, salt="nan")
             if nans.any():
@@ -240,6 +339,11 @@ def main() -> int:
                     help="seeded physical row-order shuffle, applied "
                          "after every other fault (scan-order "
                          "dependence detector)")
+    ap.add_argument("--unicode-rate", type=float, default=0.0,
+                    help="fraction of string values spliced with a "
+                         "rotating adversarial Unicode snippet (full-vs-"
+                         "simple case mapping, \\s membership, RE2 (?i) "
+                         "folding, byte-vs-codepoint distances)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -248,7 +352,8 @@ def main() -> int:
         src = os.path.join(args.src, f"{table}.parquet")
         fuzzed = fuzz_table(src, table, args.null_rate, args.empty_rate,
                             args.dup_rate, args.nan_rate,
-                            args.conflict_rate, args.permute_rows)
+                            args.conflict_rate, args.permute_rows,
+                            args.unicode_rate)
         pq.write_table(fuzzed, os.path.join(args.out, f"{table}.parquet"))
         injected = sum(fuzzed.column(c).null_count
                        for c in fuzzed.schema.names)

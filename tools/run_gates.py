@@ -79,15 +79,22 @@ GATES = [
     ("skew_sweep", [sys.executable, "tools/skew_sweep.py", "--json"]),
     ("contract_fuzz", [sys.executable, "tools/contract_fuzz.py",
                        "--dup-rate", "0.02", "--nan-rate", "0.02",
-                       "--conflict-rate", "0.02", "--permute-rows"]),
+                       "--conflict-rate", "0.02", "--permute-rows",
+                       "--unicode-rate", "0.02"]),
     # 6b — the HIGH-RATE leg (r11): the r10 ad-hoc 5% recon found 5
     # latent divergences the committed 2% dials had missed — rates
     # change which rows collide, so 2%-green does not imply 5%-green.
     # Promoted into the stamped battery per the r10 verdict's #1 ask.
+    # --unicode-rate (r11b) splices adversarial Unicode into string
+    # values: full-vs-simple case mapping (U+0130), \s membership
+    # (U+000B), RE2-vs-Java (?i) folding (U+017F), byte-vs-codepoint
+    # levenshtein — the sizing recon found 41 divergent queries, the
+    # largest fault class since r8's NULL recon.
     ("contract_fuzz_hi", [sys.executable, "tools/contract_fuzz.py",
                           "--null-rate", "0.05", "--empty-rate", "0.03",
                           "--dup-rate", "0.05", "--nan-rate", "0.05",
                           "--conflict-rate", "0.05", "--permute-rows",
+                          "--unicode-rate", "0.05",
                           "--out", "/tmp/fuzz_sf_hi"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),

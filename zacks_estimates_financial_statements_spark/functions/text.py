@@ -14,9 +14,50 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Cross-engine whitespace class (r11 Unicode contract fuzz): Java's
+# ``\s`` is ``[ \t\n\x0B\f\r]`` while DuckDB/RE2's omits U+000B (VT),
+# so ``\s`` must NEVER appear in a pattern both engines run — every
+# pattern embeds this explicit class instead, on BOTH sides. VT counts
+# as whitespace (Unicode WSpace, POSIX isspace and Python str.split all
+# agree); NEL/NBSP/ZWSP do NOT (neither engine's ``\s`` matches them).
+# Pinned by tests/test_unicode_contracts.py.
+WS_CHARS = r" \t\n\x0b\f\r"   # splice inside a [...] class
+WS_RUN = f"[{WS_CHARS}]+"
+
 # A BPE-ish word/number/symbol tokenizer: letter runs, digit runs, or a
 # single non-alnum non-space symbol each count as one token.
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_REGEX = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
+
+
+def simple_lower(col: Column) -> Column:
+    """Lowercase pinned to the Unicode SIMPLE mapping for ASCII token
+    grammars. U+0130 (İ) is the only codepoint whose Java FULL
+    lowercase ('i' + combining U+0307) differs from utf8proc's SIMPLE
+    'i' in its ``[a-z0-9_]`` projection (exhaustive per-codepoint
+    engine diff, round 11) — Java's mapping splits 'İstanbul' into
+    tokens ('i', 'stanbul') where DuckDB keeps 'istanbul'. Translating
+    İ→i first makes every downstream a-z projection engine-identical;
+    DuckDB's ``lower()`` is already the simple mapping, so SQL twins
+    stay plain ``lower()``. (The other 70 codepoints where the engines'
+    lower() disagree — Unicode-version skew, context-sensitive final
+    sigma — map non-ASCII to non-ASCII on both sides, so ASCII
+    projections and substring/containment checks agree without help.)"""
+    return F.lower(F.translate(col, "İ", "i"))
+
+ASCII_UPPERCASE = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWERCASE = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    """Lowercase ONLY the ASCII letters — the RFC contract for URL
+    schemes and hostnames (RFC 3986 §3.1, RFC 4343: case-insensitivity
+    is ASCII-only; internationalized hostnames travel punycoded, and
+    full-Unicode lowering of a host is both wrong and cross-engine
+    divergent — Java and utf8proc disagree on ~70 codepoints). A pure
+    1:1 translate, bit-identical in any engine; SQL twins embed the
+    same table via ``translate(x, 'A..Z', 'a..z')``."""
+    return F.translate(col, ASCII_UPPERCASE, ASCII_LOWERCASE)
+
 
 # Tiny per-language stopword panels for the n-gram/stopword language
 # heuristic. Chosen to be discriminative and regex-safe.
@@ -39,7 +80,7 @@ def whitespace_token_count(col: Column) -> Column:
     """Token count by whitespace split; empty/blank text counts 0."""
     t = F.trim(col)
     return F.when(t == "", F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+        F.size(F.split(t, WS_RUN))
     ).cast("bigint")
 
 
@@ -62,8 +103,10 @@ def word_tokens(col: Column) -> Column:
     regexp scan per panel word. (Java regex ``\\b`` is Unicode-aware, so
     a java-side ``\\bthe\\b`` would MISS "the" in "éthe" while RE2 and
     this split both count it; the split form is the one that matches the
-    documented SQL-twin semantics. Pinned by a cross-engine unit test.)"""
-    return F.split(F.lower(col), r"[^a-z0-9_]+")
+    documented SQL-twin semantics. Pinned by a cross-engine unit test.)
+
+    Casefold is ``simple_lower`` (U+0130 contract, r11)."""
+    return F.split(simple_lower(col), r"[^a-z0-9_]+")
 
 
 def let_once(bindings: dict[str, Column], body) -> Column:
@@ -139,7 +182,7 @@ def mean_word_length(col: Column) -> Column:
     """Mean length of whitespace tokens (0 for empty text)."""
     t = F.trim(col)
     toks = whitespace_token_count(col)
-    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    nonspace = F.length(F.regexp_replace(t, WS_RUN, ""))
     return F.when(toks == 0, F.lit(0.0)).otherwise(
         nonspace.cast("double") / toks.cast("double")
     )
@@ -172,7 +215,7 @@ def quality_score(col: Column) -> Column:
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, collapse all
     non-alphanumeric runs to single spaces, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+    return F.trim(F.regexp_replace(simple_lower(col), r"[^a-z0-9]+", " "))
 
 
 def fingerprint(col: Column) -> Column:
@@ -231,7 +274,7 @@ def readability_scores(text: Column) -> list[Column]:
     documents with no words yield NULL scores. A pure zero-shuffle
     projection at any corpus size.
     """
-    lo = F.lower(text)
+    lo = simple_lower(text)
     n_w = F.regexp_count(lo, F.lit("[a-z0-9_]+")).cast("bigint")
     n_s = F.when(n_w > 0,
                  F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")),
@@ -360,7 +403,7 @@ def split_sentences(df: DataFrame, id_col: str,
     mark-and-split + posexplode projection — zero shuffles at any
     corpus size.
     """
-    marked = F.regexp_replace(F.col(text_col), r"([.!?]+)\s+",
+    marked = F.regexp_replace(F.col(text_col), rf"([.!?]+){WS_RUN}",
                               "$1" + _SENT_SEP)
     parts = F.split(marked, _SENT_SEP)
     out = (df.select(F.col(id_col),
@@ -373,7 +416,7 @@ def split_sentences(df: DataFrame, id_col: str,
                        .alias("sent_idx"), "sentence")
             .withColumn(
                 "n_words",
-                F.regexp_count(F.lower("sentence"),
+                F.regexp_count(simple_lower(F.col("sentence")),
                                F.lit("[a-z0-9_]+")).cast("bigint")))
 
 
@@ -452,7 +495,7 @@ def code_score(text: Column) -> list[Column]:
           "|class|void|int|public")
     n_braces = F.regexp_count(text, F.lit(r"[{};]")).cast("bigint")
     n_kw = F.regexp_count(
-        F.lower(text),
+        simple_lower(text),
         F.lit(r"(^|[^a-z0-9_])(" + kw + r")($|[^a-z0-9_])"))\
         .cast("bigint")
     n_indent = F.regexp_count(text, F.lit(r"(?m)^(  |\t)"))\

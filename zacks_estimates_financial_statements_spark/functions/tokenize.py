@@ -34,6 +34,8 @@ import re
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from zacks_estimates_financial_statements_spark.functions.text import simple_lower
+
 UNK = "<unk>"
 
 _WORD_SPLIT_RE = re.compile(r"[^a-z0-9_]+")
@@ -62,7 +64,7 @@ def wordpiece_vocab(df: DataFrame, text_col: str, top_k: int = 50,
     if max_piece_len < 1:
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     words = df.select(F.explode(
-        F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+        F.filter(F.split(simple_lower(F.col(text_col)), r"[^a-z0-9_]+"),
                  lambda x: x != "")).alias("word"))
     top = (words.groupBy("word").agg(F.count("*").alias("__n"))
            .orderBy(F.desc("__n"), F.asc("word")).limit(top_k))
@@ -203,7 +205,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 6,
 def _words(text: F.Column) -> F.Column:
     """The shared word split (lowercase, ``[^a-z0-9_]+``, no empties) —
     must stay identical to ``curation._word_array``."""
-    return F.array_remove(F.split(F.lower(text), r"[^a-z0-9_]+"), "")
+    return F.array_remove(F.split(simple_lower(text), r"[^a-z0-9_]+"), "")
 
 
 def bpe_encode(df: DataFrame, id_col: str, text_col: str,
@@ -540,7 +542,7 @@ def tokenizer_fertility(docs: DataFrame, encoded: DataFrame,
     base = docs.select(
         F.col(id_col), F.col(strata_col).alias("stratum"),
         F.size(_words(F.col(text_col))).cast("bigint").alias("__nw"),
-        F.length(F.regexp_replace(F.lower(F.col(text_col)),
+        F.length(F.regexp_replace(simple_lower(F.col(text_col)),
                                   r"[^a-z0-9_]", ""))
         .cast("bigint").alias("__nc"))
     enc = encoded.select(F.col(id_col),

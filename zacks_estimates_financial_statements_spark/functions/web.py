@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from zacks_estimates_financial_statements_spark.functions.text import ascii_lower
+
 #: default strip set: parameters that are UNAMBIGUOUSLY analytics/click
 #: tracking. Deliberately excludes bare ``ref``/``source``-style names —
 #: on plenty of sites (code hosts' ``?ref=branch``, docs sites'
@@ -64,9 +66,9 @@ def canonical_url(url: Column,
     empty scheme.
     """
     u = F.regexp_replace(url, "#.*$", "")
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    scheme = ascii_lower(F.regexp_extract(u, _SCHEME_RE, 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    hostport = ascii_lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
     host = F.regexp_replace(hostport, r"^www\.", "")
     host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
             .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
@@ -95,7 +97,7 @@ def url_host(url: Column) -> Column:
     grouping key for per-site quotas/blocklists."""
     rest = F.regexp_replace(F.regexp_replace(url, "#.*$", ""),
                             _SCHEME_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    hostport = ascii_lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
     return F.regexp_replace(F.regexp_replace(hostport, r"^www\.", ""),
                             r":[0-9]+$", "")
 
@@ -296,7 +298,7 @@ def registrable_domain(df: DataFrame, id_col: str, url_col: str,
                         lambda i: F.concat_ws(
                             ".", F.slice(labels, i, n - i + 1))))
                     .alias("__i0", "__cand")))
-    sfx = suffixes.select(F.lower(F.col(suffix_col)).alias("__cand"))
+    sfx = suffixes.select(ascii_lower(F.col(suffix_col)).alias("__cand"))
     best = (cand.join(F.broadcast(sfx), "__cand")
             .groupBy(id_col)
             .agg((F.min("__i0") + 1).alias("__s")))
@@ -349,7 +351,7 @@ def parse_robots(df: DataFrame, host_col: str,
              .filter(F.col("__l") != ""))
     kv = lines.select(
         "host", "__i",
-        F.lower(F.trim(F.regexp_extract("__l", r"^([^:]+):", 1)))
+        ascii_lower(F.trim(F.regexp_extract("__l", r"^([^:]+):", 1)))
         .alias("__k"),
         F.trim(F.regexp_extract("__l", r"^[^:]+:(.*)$", 1))
         .alias("__v"))
@@ -366,7 +368,7 @@ def parse_robots(df: DataFrame, host_col: str,
                                 Window.currentRow))))
     agents = (marked.filter(F.col("__ua"))
               .select("host", "__grp",
-                      F.lower("__v").alias("agent")))
+                      ascii_lower(F.col("__v")).alias("agent")))
     rules = (marked.filter(~F.col("__ua") & (F.col("__v") != ""))
              .select("host", "__grp",
                      (F.col("__k") == "allow").alias("allow"),

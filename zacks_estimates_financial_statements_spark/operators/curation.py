@@ -29,6 +29,7 @@ from typing import Iterable, Mapping
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from zacks_estimates_financial_statements_spark.functions.text import simple_lower
 from zacks_estimates_financial_statements_spark.operators.dedup import hash60
 
 #: bucket resolution for hash-based assignment: the keyed 60-bit hash is
@@ -202,7 +203,7 @@ def token_frequencies(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"min_tf must be >= 1, got {min_tf}")
     n_docs = (df.agg(F.count("*").cast("double").alias("__n"))
               .withColumn("__k", F.lit(1)))
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+    words = F.filter(F.split(simple_lower(F.col(text_col)), r"[^a-z0-9_]+"),
                      lambda x: x != "")
     toks = (df.select(F.col(id_col), F.explode(words).alias("token")))
     per_doc = toks.groupBy("token", id_col).agg(F.count("*").alias("__c"))
@@ -232,7 +233,7 @@ def _r6(c: Column) -> Column:
 def _word_array(text_col: str) -> Column:
     """Token array matching ``functions.text.word_tokens`` (lowercase,
     split on ``[^a-z0-9_]+``, empties dropped)."""
-    return F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+    return F.filter(F.split(simple_lower(F.col(text_col)), r"[^a-z0-9_]+"),
                     lambda x: x != "")
 
 
@@ -722,7 +723,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     ns = sorted(set(int(n) for n in ns))
     if not ns or ns[0] < 1:
         raise ValueError(f"n-gram lengths must be >= 1, got {ns}")
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+    words = F.filter(F.split(simple_lower(F.col(text_col)), r"[^a-z0-9_]+"),
                      lambda x: x != "")
     base = df.select(F.col(id_col), words.alias("__w"))
 
@@ -1945,7 +1946,7 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str, *,
         raise ValueError("terminal_punct must name at least one char")
 
     base = df.select(F.col(id_col), F.col(text_col).alias("__txt"))
-    lo = F.lower(F.col("__txt"))
+    lo = simple_lower(F.col("__txt"))
     has_bad = F.lit(False)
     if badwords:
         has_bad = F.arrays_overlap(
@@ -1966,11 +1967,11 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str, *,
                          .alias("__p", "__l"))
              .withColumn("__t", F.trim("__l")))
     ends_ok = F.right(F.col("__t"), F.lit(1)).isin(*terminal_punct)
-    words_ok = (F.regexp_count(F.lower("__t"), F.lit("[a-z0-9_]+"))
+    words_ok = (F.regexp_count(simple_lower(F.col("__t")), F.lit("[a-z0-9_]+"))
                 >= min_line_words)
     phrase_ok = F.lit(True)
     for p in drop_line_phrases:
-        phrase_ok = phrase_ok & ~F.contains(F.lower("__t"),
+        phrase_ok = phrase_ok & ~F.contains(simple_lower(F.col("__t")),
                                             F.lit(p.lower()))
     # duplicate-id contract (r9 fuzz): the reassembly is keyed on the
     # id, so verbatim physical copies contribute identical (pos, line)

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from zacks_estimates_financial_statements_spark.functions import text as T
+from zacks_estimates_financial_statements_spark.functions.text import simple_lower
 from zacks_estimates_financial_statements_spark.functions import vectors as V
 
 
@@ -847,7 +848,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Returns ``(id_a, id_b, cosine)`` ≥ ``min_cosine``.
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"),
+    words = F.filter(F.split(simple_lower(F.col(text_col)), r"[^a-z0-9_]+"),
                      lambda x: x != "")
     toks = (df.select(F.col(id_col), F.explode(words).alias("token"))
             .groupBy(id_col, "token").agg(F.count("*").alias("tf")))

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from zacks_estimates_financial_statements_spark.functions.text import WS_CHARS, WS_RUN
+
 #: block-level containers that are navigation/boilerplate chrome, not
 #: content — dropped wholesale by the DOM tier
 CHROME_TAGS = ("script", "style", "nav", "header", "footer", "aside",
@@ -41,18 +43,62 @@ _ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
              ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
 
 
+
+#: Cross-engine HTML pattern pieces (r11 Unicode contract fuzz).
+#: Three Java-vs-RE2 hazards force the tag patterns to be spelled
+#: explicitly on BOTH engines:
+#:   - ``(?i)`` — RE2 case-folds the FULL Unicode simple-fold set
+#:     (U+017F ſ matches [sS], so RE2 strips a smuggled <ſcript> block
+#:     where Java leaves it), so tag-name case-insensitivity is pinned
+#:     to per-letter ASCII classes, which is also the HTML spec's rule;
+#:   - ``\b`` — Java's word boundary is Unicode-aware while RE2's is
+#:     ASCII (``<scripté src=..>`` has a boundary after "script" only
+#:     in RE2), so the name boundary is the explicit ASCII-non-word
+#:     class;
+#:   - ``\s`` — Java includes U+000B, RE2 does not (``text.WS_CHARS``).
+_WSC = f"[{WS_CHARS}]"
+
+
+def _ci(word: str) -> str:
+    """Per-letter ASCII case-insensitive class: 'ab1' -> '[aA][bB]1'."""
+    return "".join(f"[{c}{c.upper()}]" if c.isalpha() else c
+                   for c in word.lower())
+
+
+def _tag_block_re(tag: str) -> str:
+    """Dotall pattern for an entire <tag ...>...</tag> block with
+    ASCII-pinned case-insensitivity and name boundary (see above)."""
+    t = _ci(tag)
+    return (rf"(?s)<{t}(>|[^>A-Za-z0-9_][^>]*>)"
+            rf".*?</{t}{_WSC}*>")
+
+
+SCRIPT_BLOCK_RE = _tag_block_re("script")
+STYLE_BLOCK_RE = _tag_block_re("style")
+
+#: absolute http(s) URL gate, ASCII-pinned (RE2's (?i) would also
+#: accept "httpſ://" — ſ case-folds to s — where Java would not)
+HTTP_SCHEME_RE = rf"^{_ci('http')}{_ci('s')}?://"
+
+#: <a ... href="..."> matchers, double- and single-quoted
+HREF_DQ_RE = (rf"<{_ci('a')}{_WSC}(?:[^>]*[{WS_CHARS}'\"])?"
+              rf"{_ci('href')}{_WSC}*={_WSC}*\"([^\"]+)\"")
+HREF_SQ_RE = (rf"<{_ci('a')}{_WSC}(?:[^>]*[{WS_CHARS}'\"])?"
+              rf"{_ci('href')}{_WSC}*={_WSC}*'([^']+)'")
+
+
 def strip_html_tags(col: Column) -> Column:
     """Markup-free text of an HTML string: script/style/comment blocks
     removed, every tag replaced by a space, common entities decoded,
     whitespace collapsed and trimmed. Pure expression — compose inside
     any projection."""
-    x = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
-    x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    x = F.regexp_replace(col, SCRIPT_BLOCK_RE, " ")
+    x = F.regexp_replace(x, STYLE_BLOCK_RE, " ")
     x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
     x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
     for ent, ch in _ENTITIES:
         x = F.regexp_replace(x, ent, ch)
-    return F.trim(F.regexp_replace(x, r"\s+", " "))
+    return F.trim(F.regexp_replace(x, WS_RUN, " "))
 
 
 def extract_main_text(df: DataFrame, id_col: str, html_col: str,
@@ -169,17 +215,16 @@ def extract_links(df: DataFrame, id_col: str, html_col: str,
     # whitespace / a closing quote of the previous attribute value.
     dq = F.regexp_extract_all(
         F.col(html_col),
-        F.lit(r'(?i)<a\s(?:[^>]*[\s' + "'" + r'"])?href\s*=\s*"([^"]+)"'),
+        F.lit(HREF_DQ_RE),
         F.lit(1))
     sq = F.regexp_extract_all(
         F.col(html_col),
-        F.lit(r'(?i)<a\s(?:[^>]*[\s' + "'" + r'"])?href\s*=\s*' +
-              r"'([^']+)'"),
+        F.lit(HREF_SQ_RE),
         F.lit(1))
     exploded = (df.select(F.col(id_col),
                           F.posexplode_outer(F.concat(dq, sq))
                           .alias("__p", "url"))
-                .filter(F.col("url").rlike("(?i)^https?://"))
+                .filter(F.col("url").rlike(HTTP_SCHEME_RE))
                 .select(F.col(id_col),
                         (F.col("__p") + 1).alias("link_pos"),
                         "url"))

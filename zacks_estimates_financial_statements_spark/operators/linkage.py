@@ -26,7 +26,25 @@ expression.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+from zacks_estimates_financial_statements_spark.functions.text import ascii_fold
+
+
+def linkage_key(col: Column) -> Column:
+    """The normalized key edit distances are computed over: ascii_fold
+    (the shared 162-pair diacritic translate table) then strip every
+    codepoint outside printable ASCII ``[ -~]``.
+
+    Pinned (r11 Unicode contract fuzz) because Spark's ``levenshtein``
+    counts CODEPOINT edits while DuckDB's counts BYTE edits — deleting
+    one 2-byte character is distance 1 vs 2 — so cross-engine distance
+    is only well-defined on pure-ASCII strings. Folding first keeps
+    Latin-diacritic letters contributing as their base letter
+    (standard record-linkage normalization, Christen 2012 ch. 2);
+    whatever remains non-ASCII carries no stable distance and is
+    dropped from the metric on BOTH engines."""
+    return F.regexp_replace(ascii_fold(col), "[^ -~]", "")
 
 
 def fuzzy_join(left: DataFrame, right: DataFrame,
@@ -48,6 +66,14 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     distance-filtered, usually tiny) then join back to both row sets —
     row-level fan-out only for actual matches.
 
+    Unicode contract (r11): blocking and distance run over
+    ``linkage_key`` (fold → printable-ASCII projection); ``dist`` IS
+    the normalized-key distance. Keys whose projection is EMPTY are
+    unlinkable and excluded (mirrors the NULL-key contract) — besides
+    carrying no distance signal, an "every empty matches every empty
+    at distance 0" block would be a quadratic hot bucket at corpus
+    scale.
+
     Duplicate-row contract (r9 contract fuzz): output pairs are
     DISTINCT rows — verbatim physical copies on either side would
     otherwise multiply every pair they touch (m×n per candidate)
@@ -60,18 +86,25 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     (ADVICE r9: the earlier plan distinct'd the final join).
     """
     lk, rk = F.col(left_key), F.col(right_key)
-    lkeys = left.select(lk).distinct()
-    rkeys = right.select(rk).distinct()
-    l = lkeys.withColumn("__lpre", F.substring(lk, 1, block_chars)) \
-             .withColumn("__lsuf", F.substring(lk, -block_chars, block_chars))
-    r = rkeys.withColumn("__rpre", F.substring(rk, 1, block_chars)) \
-             .withColumn("__rsuf", F.substring(rk, -block_chars, block_chars))
+    ln, rn = F.col("__lnorm"), F.col("__rnorm")
+    lkeys = (left.select(lk).distinct()
+             .withColumn("__lnorm", linkage_key(lk))
+             .filter(ln.isNotNull() & (ln != "")))
+    rkeys = (right.select(rk).distinct()
+             .withColumn("__rnorm", linkage_key(rk))
+             .filter(rn.isNotNull() & (rn != "")))
+    l = lkeys.withColumn("__lpre", F.substring(ln, 1, block_chars)) \
+             .withColumn("__lsuf", F.substring(ln, -block_chars, block_chars))
+    r = rkeys.withColumn("__rpre", F.substring(rn, 1, block_chars)) \
+             .withColumn("__rsuf", F.substring(rn, -block_chars, block_chars))
     pre = l.join(r, F.col("__lpre") == F.col("__rpre"))
     suf = l.join(r, F.col("__lsuf") == F.col("__rsuf"))
-    cand = pre.unionByName(suf).select(left_key, right_key).distinct()
+    cand = (pre.unionByName(suf)
+            .select(left_key, "__lnorm", right_key, "__rnorm").distinct())
     matched = (cand
-               .withColumn("dist", F.levenshtein(lk, rk))
-               .filter(F.col("dist") <= max_dist))
+               .withColumn("dist", F.levenshtein(ln, rn))
+               .filter(F.col("dist") <= max_dist)
+               .drop("__lnorm", "__rnorm"))
     lrows = (left.join(matched.select(left_key).distinct(),
                        left_key, "semi").distinct())
     rrows = (right.join(matched.select(right_key).distinct(),
