@@ -3147,13 +3147,16 @@ t AS (
   SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
     CAST(CASE {branches} ELSE 0.0 END AS DOUBLE) AS tgt
   FROM per),
-r AS (SELECT *, tgt * total / n_tokens AS rf FROM t),
+-- zero-token contract (r11): a token-free stratum has NULL
+-- repeat_factor/sample_rate; a token-free corpus has NULL shares
+r AS (SELECT *, CASE WHEN n_tokens > 0
+                     THEN tgt * total / n_tokens END AS rf FROM t),
 m AS (SELECT *, max(rf) OVER () AS rfmax FROM r)
 SELECT source, n_docs, n_tokens,
-  round(n_tokens / total, 6) AS current_share,
+  round(CASE WHEN total > 0 THEN n_tokens / total END, 6) AS current_share,
   round(tgt, 6) AS target_share,
   round(rf, 6) AS repeat_factor,
-  round(rf / rfmax, 6) AS sample_rate
+  round(CASE WHEN rfmax > 0 THEN rf / rfmax END, 6) AS sample_rate
 FROM m
 """
 

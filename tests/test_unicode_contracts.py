@@ -148,6 +148,22 @@ def test_fuzzy_join_multibyte_edit_counts_once(spark):
     assert len(out) == 1 and out[0]["dist"] == 0
 
 
+def test_mixture_plan_zero_token_stratum_is_null_not_crash(spark):
+    # high-rate dial interaction (r11): a fuzzed `source` mints
+    # singleton strata; combined with an emptied text the stratum holds
+    # 0 tokens — repeat_factor/sample_rate are NULL, not an ANSI
+    # divide-by-zero abort
+    from zacks_estimates_financial_statements_spark.operators import curation
+    df = spark.createDataFrame(
+        [(1, "a", "three words here"), (2, "İb", "")],
+        "id bigint, source string, text string")
+    rows = {r["source"]: r for r in curation.mixture_plan(
+        df, "source", "text", {"a": 1.0}).collect()}
+    assert rows["İb"]["repeat_factor"] is None
+    assert rows["İb"]["sample_rate"] is None
+    assert rows["a"]["sample_rate"] == 1.0
+
+
 def test_fuzzy_join_empty_projection_is_unlinkable(spark):
     left = spark.createDataFrame([("中文",), ("abc",)], "k string")
     right = spark.createDataFrame([("中文",), ("abc",)], "r string")

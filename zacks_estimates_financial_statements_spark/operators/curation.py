@@ -608,20 +608,30 @@ def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
     # unpartitioned window over this |strata|-row frame, without the
     # WindowExec "no partition defined" log noise
     everything = Window.partitionBy(F.lit(0))
+    # zero-token contract (r11 high-rate fuzz interaction: a fuzzed
+    # `source` mints singleton strata whose only doc can be token-free):
+    # a stratum with no tokens has NO defined repeat factor or sample
+    # rate (NULL, not a division crash under ANSI); likewise a corpus
+    # with zero total tokens has no shares. The SQL twin states the
+    # same CASE guards.
     raw = (per
            .withColumn("__total", F.sum("n_tokens").over(everything))
            .withColumn("__tgt", tgt)
            .withColumn("__rf",
-                       F.col("__tgt") * F.col("__total")
-                       / F.col("n_tokens"))
+                       F.when(F.col("n_tokens") > 0,
+                              F.col("__tgt") * F.col("__total")
+                              / F.col("n_tokens")))
            .withColumn("__rfmax", F.max("__rf").over(everything)))
     return raw.select(
         strata_col, "n_docs", "n_tokens",
-        F.round(F.col("n_tokens") / F.col("__total"), 6)
+        F.round(F.when(F.col("__total") > 0,
+                       F.col("n_tokens") / F.col("__total")), 6)
         .alias("current_share"),
         F.round("__tgt", 6).alias("target_share"),
         F.round("__rf", 6).alias("repeat_factor"),
-        F.round(F.col("__rf") / F.col("__rfmax"), 6).alias("sample_rate"))
+        F.round(F.when(F.col("__rfmax") > 0,
+                       F.col("__rf") / F.col("__rfmax")), 6)
+        .alias("sample_rate"))
 
 
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
