@@ -44,12 +44,16 @@ verdict #5: the sf0.1 first run caught three real divergences; a gate
 that has caught bugs must not be skippable on the round stamp).
 
 ``--bench`` appends ``tools/bench_gate.py`` as the LAST gate: it runs
-bench.py, sanity-checks ``host_factor``, refuses on any
-host-normalized per-query ratio > 1.5x, and writes
-``BENCH_local.json``. It is opt-in because it needs an idle host —
-but STAMPING requires it: ``--round N`` refuses unless the bench gate
-ran green or an explicit ``--bench-waiver REASON`` is recorded (r10
-verdict #4: a timing regression must be able to block a stamp).
+bench.py, sanity-checks ``host_factor``, judges per-query ratios
+QUERY-RELATIVELY (v2: fail at > 1.5x the run's median — round
+boundaries land on heterogeneous VMs and a uniform fleet-wide shift
+is host class, not code; a genuine code regression is query-specific),
+refuses a median shift > 1.25x unless ``--bench-evidence`` records the
+worktree A/B proving host-neutrality, and writes ``BENCH_local.json``.
+It is opt-in because it needs an idle host — but STAMPING requires
+it: ``--round N`` refuses unless the bench gate ran green or an
+explicit ``--bench-waiver REASON`` is recorded (r10 verdict #4: a
+timing regression must be able to block a stamp).
 ``tools/bench_baseline.py`` remains the tool for deliberate baseline
 updates.
 
@@ -129,6 +133,11 @@ def main() -> int:
     ap.add_argument("--bench", action="store_true",
                     help="run tools/bench_gate.py as the last gate "
                          "(needs an idle host; writes BENCH_local.json)")
+    ap.add_argument("--bench-evidence", default=None, metavar="TEXT",
+                    help="passed to the bench gate as "
+                         "--uniform-shift-evidence: the A/B result that "
+                         "proves a fleet-wide timing shift is the host "
+                         "class, not the code (see tools/bench_gate.py)")
     ap.add_argument("--bench-waiver", default=None, metavar="REASON",
                     help="stamp without the bench gate, recording REASON "
                          "(e.g. 'no idle window; driver benches r11') — "
@@ -145,7 +154,10 @@ def main() -> int:
                           "--json", "CORRECTNESS_sf01.json"]))
     if args.bench:
         # last: it wants the quietest host the battery can give it
-        gates.append(("bench", [sys.executable, "tools/bench_gate.py"]))
+        cmd = [sys.executable, "tools/bench_gate.py"]
+        if args.bench_evidence:
+            cmd += ["--uniform-shift-evidence", args.bench_evidence]
+        gates.append(("bench", cmd))
     results: dict[str, bool] = {}
     for name, cmd in gates:
         if name in skip:
