@@ -3300,10 +3300,13 @@ def q_url_dedup(spark, sf):
     URLs synthesized from documents with every messy variant the
     canonicalizer must fix — upper-case scheme/host, www., default
     ports, trailing slashes, tracking params, unsorted query params,
-    fragments. The oracle derives the expected canonical form
-    independently from the synthesis arithmetic (not by re-running the
-    regex pipeline), so the two sides agree only if canonicalization
-    implements the spec, not merely deterministically."""
+    fragments. Since r11 the oracle MIRRORS web.canonical_url
+    step-for-step (_canon_url_ctes — a fuzzed `source` can carry '/',
+    moving the host/path boundary, so a closed form can't survive the
+    unicode dial); the spec itself is verified against hand-computed
+    expected values by the clean-input probe that oracle_check /
+    contract_fuzz run before every battery (tools/spec_probe.py) and
+    by tests/test_web.py."""
     docs = _t(spark, sf, "documents")
     d = F.col("doc_id")
     raw = F.concat(
@@ -5528,23 +5531,26 @@ def q_fuzzy_match(spark, sf):
 # r11 Unicode contract: Spark levenshtein counts CODEPOINT edits,
 # DuckDB's counts BYTES — cross-engine distance is only defined on
 # pure ASCII, so linkage.fuzzy_join blocks and measures over
-# linkage_key (ascii_fold -> printable-ASCII projection; empty
-# projection = unlinkable). The twin states the same normalization.
+# linkage_key (ascii_fold -> printable-ASCII projection). r12: keys
+# whose projection is EMPTY never enter the distance tier, but two
+# exactly-equal raw keys (e.g. identical CJK strings) still link at
+# distance 0 via a raw-equality equi-join — exact equality is
+# engine-agnostic. The twin states the same two tiers.
 ORACLE_FUZZY_MATCH = f"""
 WITH dirty0 AS (
   SELECT p_partkey AS dirty_id,
     substr(p_name, 1, p_partkey % length(p_name))
       || substr(p_name, p_partkey % length(p_name) + 2) AS dirty_name
   FROM part WHERE p_partkey % 10 = 0),
-dirty AS (
+dirtyk AS (
   SELECT dirty_id, dirty_name,
     {_lkey_sql('dirty_name')} AS dn FROM dirty0
-  WHERE {_lkey_sql('dirty_name')} IS NOT NULL
-    AND {_lkey_sql('dirty_name')} <> ''),
-cat AS (
+  WHERE dirty_name IS NOT NULL),
+catk AS (
   SELECT p_partkey, p_name, {_lkey_sql('p_name')} AS pn FROM part
-  WHERE {_lkey_sql('p_name')} IS NOT NULL
-    AND {_lkey_sql('p_name')} <> ''),
+  WHERE p_name IS NOT NULL),
+dirty AS (SELECT * FROM dirtyk WHERE dn <> ''),
+cat AS (SELECT * FROM catk WHERE pn <> ''),
 cand AS (
   SELECT d.dirty_id, d.dn, p.p_partkey, p.pn
   FROM dirty d JOIN cat p ON substr(d.dn, 1, 3) = substr(p.pn, 1, 3)
@@ -5554,7 +5560,13 @@ cand AS (
 pairs AS (
   SELECT dirty_id, p_partkey,
     levenshtein(dn, pn) AS dist
-  FROM cand WHERE levenshtein(dn, pn) <= 1),
+  FROM cand WHERE levenshtein(dn, pn) <= 1
+  UNION ALL
+  SELECT dirty_id, p_partkey, 0 AS dist FROM (
+    SELECT DISTINCT d.dirty_id, d.dirty_name, p.p_partkey, p.p_name
+    FROM dirtyk d JOIN catk p ON d.dirty_name = p.p_name
+    WHERE d.dn = '' AND d.dirty_name <> ''
+      AND p.pn = '' AND p.p_name <> '')),
 ranked AS (
   SELECT dirty_id, p_partkey, dist,
     row_number() OVER (PARTITION BY dirty_id
@@ -6185,10 +6197,12 @@ def q_link_extract(spark, sf):
     double-quoted link (upper-case scheme/host/www, default port,
     tracking param, unsorted query, fragment), a mailto, an upper-case
     single-quoted link (port 80, trailing slash) and a relative href.
-    The oracle derives the surviving (pos, raw, canonical) rows
-    INDEPENDENTLY from the synthesis arithmetic — extraction, the
-    http(s) gate, position semantics and canonicalization must all
-    implement the spec to match."""
+    The oracle derives the surviving (pos, raw) rows INDEPENDENTLY
+    from the synthesis arithmetic — extraction, the http(s) gate and
+    position semantics must implement the spec to match. The CANONICAL
+    column mirrors web.canonical_url since r11 (_canon_url_ctes; see
+    q_url_dedup) — the canonicalizer spec is covered by the clean-input
+    probe (tools/spec_probe.py) and tests/test_web.py."""
     from zacks_estimates_financial_statements_spark.operators import extraction
 
     docs = _t(spark, sf, "documents")

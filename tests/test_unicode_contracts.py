@@ -164,11 +164,27 @@ def test_mixture_plan_zero_token_stratum_is_null_not_crash(spark):
     assert rows["a"]["sample_rate"] == 1.0
 
 
-def test_fuzzy_join_empty_projection_is_unlinkable(spark):
-    left = spark.createDataFrame([("中文",), ("abc",)], "k string")
-    right = spark.createDataFrame([("中文",), ("abc",)], "r string")
+def test_fuzzy_join_empty_projection_exact_tier(spark):
+    # r12 (ADVICE): all-non-ASCII keys carry no cross-engine DISTANCE,
+    # but exact raw equality is engine-agnostic — identical CJK keys
+    # link at dist 0; near-but-unequal CJK keys still do not link.
+    left = spark.createDataFrame(
+        [("中文",), ("中文字",), ("abc",)], "k string")
+    right = spark.createDataFrame(
+        [("中文",), ("кирил",), ("abc",)], "r string")
     out = linkage.fuzzy_join(left, right, "k", "r",
                              max_dist=2, block_chars=1).collect()
-    # the all-non-ASCII key projects to '' → excluded on both sides;
-    # only the ASCII pair links
-    assert [(r["k"], r["r"]) for r in out] == [("abc", "abc")]
+    got = sorted((r["k"], r["r"], r["dist"]) for r in out)
+    # 中文字 is one edit from 中文 but has no ASCII projection → no
+    # distance tier for it; кирил matches nothing
+    assert got == [("abc", "abc", 0), ("中文", "中文", 0)]
+
+
+def test_fuzzy_join_empty_raw_key_stays_unlinkable(spark):
+    # the NULL/empty-key contract survives the r12 exact tier: raw ''
+    # on both sides must NOT self-link (a corpus-scale '' bucket would
+    # be quadratic and '' is "no key", like NULL)
+    left = spark.createDataFrame([("",), (None,)], "k string")
+    right = spark.createDataFrame([("",), (None,)], "r string")
+    assert linkage.fuzzy_join(left, right, "k", "r",
+                              max_dist=2, block_chars=1).count() == 0

@@ -120,6 +120,18 @@ def main() -> int:
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
                       extra_conf=extra)
 
+    # Spec leg for the mirrored twins (r12, ADVICE): the URL/HTML
+    # oracles re-state the Spark pipeline, so the pipeline itself is
+    # checked against hand-computed expected values on clean input
+    # before every battery — a shared spec bug fails HERE, loudly.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import spec_probe
+    probe_fails = spec_probe.run(spark)
+    if probe_fails:
+        for f in probe_fails:
+            print("SPEC FAIL", f)
+        return 1
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "

@@ -60,8 +60,14 @@ _WSC = f"[{WS_CHARS}]"
 
 
 def _ci(word: str) -> str:
-    """Per-letter ASCII case-insensitive class: 'ab1' -> '[aA][bB]1'."""
-    return "".join(f"[{c}{c.upper()}]" if c.isalpha() else c
+    """Per-letter ASCII case-insensitive class: 'ab1' -> '[aA][bB]1'.
+
+    Non-alpha characters are regex-escaped (r12, ADVICE): Python's
+    ``re.escape`` only escapes ASCII punctuation, and the escaped form
+    of every ASCII metachar is identical in Java and RE2, so the
+    helper is safe for arbitrary literal words, not just ``[a-z]+``."""
+    import re as _re
+    return "".join(f"[{c}{c.upper()}]" if c.isalpha() else _re.escape(c)
                    for c in word.lower())
 
 

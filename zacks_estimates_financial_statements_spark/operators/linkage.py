@@ -66,13 +66,18 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     distance-filtered, usually tiny) then join back to both row sets —
     row-level fan-out only for actual matches.
 
-    Unicode contract (r11): blocking and distance run over
-    ``linkage_key`` (fold → printable-ASCII projection); ``dist`` IS
-    the normalized-key distance. Keys whose projection is EMPTY are
-    unlinkable and excluded (mirrors the NULL-key contract) — besides
-    carrying no distance signal, an "every empty matches every empty
-    at distance 0" block would be a quadratic hot bucket at corpus
-    scale.
+    Unicode contract (r11, amended r12): blocking and distance run
+    over ``linkage_key`` (fold → printable-ASCII projection); ``dist``
+    IS the normalized-key distance. Keys whose projection is EMPTY
+    carry no cross-engine distance signal, so they never enter the
+    blocked/levenshtein tier — but two such keys that are EXACTLY
+    equal as raw strings still link at distance 0 (r12, ADVICE:
+    identical CJK/Cyrillic/Greek keys must match; exact equality is
+    engine-agnostic and needs no distance metric). The exact tier is
+    one equi-join on the raw key over the (distinct, non-empty-raw)
+    empty-projection keys of each side — bounded fan-out, no
+    quadratic "every empty matches every empty" bucket because raw
+    empty strings remain unlinkable (the NULL/empty-key contract).
 
     Duplicate-row contract (r9 contract fuzz): output pairs are
     DISTINCT rows — verbatim physical copies on either side would
@@ -87,12 +92,10 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     """
     lk, rk = F.col(left_key), F.col(right_key)
     ln, rn = F.col("__lnorm"), F.col("__rnorm")
-    lkeys = (left.select(lk).distinct()
-             .withColumn("__lnorm", linkage_key(lk))
-             .filter(ln.isNotNull() & (ln != "")))
-    rkeys = (right.select(rk).distinct()
-             .withColumn("__rnorm", linkage_key(rk))
-             .filter(rn.isNotNull() & (rn != "")))
+    lall = left.select(lk).distinct().withColumn("__lnorm", linkage_key(lk))
+    rall = right.select(rk).distinct().withColumn("__rnorm", linkage_key(rk))
+    lkeys = lall.filter(ln.isNotNull() & (ln != ""))
+    rkeys = rall.filter(rn.isNotNull() & (rn != ""))
     l = lkeys.withColumn("__lpre", F.substring(ln, 1, block_chars)) \
              .withColumn("__lsuf", F.substring(ln, -block_chars, block_chars))
     r = rkeys.withColumn("__rpre", F.substring(rn, 1, block_chars)) \
@@ -105,6 +108,14 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                .withColumn("dist", F.levenshtein(ln, rn))
                .filter(F.col("dist") <= max_dist)
                .drop("__lnorm", "__rnorm"))
+    # exact tier (r12): empty-projection keys link only by raw equality
+    lempty = lall.filter(lk.isNotNull() & (lk != "") & (ln == "")) \
+                 .select(left_key)
+    rempty = rall.filter(rk.isNotNull() & (rk != "") & (rn == "")) \
+                 .select(right_key)
+    exact = (lempty.join(rempty, lk == rk)
+             .withColumn("dist", F.lit(0)))
+    matched = matched.unionByName(exact)
     lrows = (left.join(matched.select(left_key).distinct(),
                        left_key, "semi").distinct())
     rrows = (right.join(matched.select(right_key).distinct(),
