@@ -668,6 +668,10 @@ def test_bpe_train_matches_reference_implementation(spark):
     got = TK.bpe_train(df, "text", n_merges=8)
     want = ref_bpe(" ".join(corpus).split(), 8)
     assert got == want and len(got) == 8
+    # r12: the two execution tiers (single-task mapInPandas loop vs
+    # distributed per-merge argmax) must be bit-identical — force the
+    # distributed fallback by zeroing the local-vocab bound
+    assert TK.bpe_train(df, "text", n_merges=8, max_local_vocab=0) == want
 
 
 def test_char_entropy_and_compression_ratio_rank_garbage(spark):

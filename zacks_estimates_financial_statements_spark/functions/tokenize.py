@@ -141,28 +141,47 @@ def wordpiece_encode(df: DataFrame, id_col: str, text_col: str,
 
 
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 6,
-              min_word_count: int = 1) -> list[tuple[str, str]]:
+              min_word_count: int = 1,
+              max_local_vocab: int = 2_000_000) -> list[tuple[str, str]]:
     """Distributed BPE merge learning (Sennrich, Haddow, Birch, ACL
     2016 §3.2): learn ``n_merges`` symbol-pair merges from the corpus.
 
     Scale shape — the one real BPE trainers use: the corpus is touched
-    by exactly ONE shuffle (word → count); every merge iteration then
-    runs on the VOCABULARY-sized (word, count, segmentation) relation,
-    so k merges cost k small jobs, not k corpus passes. Per iteration:
-    a bigram explode over the segmentation arrays + one count-weighted
-    aggregation ranks candidate pairs, the winner (ties broken
-    lexicographically — fully deterministic) comes back as a single
-    bounded driver row via TakeOrdered, and the merge applies as one
-    plain string ``replace`` projection. The segmentation relation is
-    checkpointed per round so round ``k`` never replays rounds
-    ``1..k-1``.
+    by exactly ONE shuffle (word → count); merge learning then runs on
+    the VOCABULARY-sized (word, count, segmentation) relation. Merge
+    selection is inherently sequential (merge ``k`` changes the pair
+    counts merge ``k+1`` ranks), so the per-merge work cannot fan out —
+    the question is only WHERE the sequential loop runs:
+
+    - **executor-side, one job** (vocab ≤ ``max_local_vocab``): the
+      checkpointed segmentation relation coalesces to one task and a
+      ``mapInPandas`` loop learns all ``n_merges`` merges in a single
+      pass — the same move Sennrich's reference ``learn_bpe`` makes
+      (the trainer operates on the aggregated word-count table, never
+      the corpus). Total driver-synchronous jobs: 2, independent of
+      ``n_merges`` — r11's shape was 2 jobs PER merge and BENCH_r11
+      measured it job-launch-latency-bound on a slow VM (the argmax
+      was a 2-stage distributed job over a 31-row relation).
+    - **distributed fallback** (oversized vocab): per merge, a bigram
+      explode + count-weighted aggregation ranks candidate pairs and
+      the winner comes back as one bounded TakeOrdered row; the merge
+      applies as a string ``replace`` projection and the relation is
+      re-checkpointed so round ``k`` never replays rounds ``1..k-1``.
+
+    Both paths implement the identical algorithm on the identical
+    representation, so the learned list is bit-for-bit the same: pair
+    counts sum ``cnt`` over ALL adjacencies (overlaps included), the
+    winner is ``(count desc, left asc, right asc)`` — deterministic,
+    and Python tuple compare on ``str`` matches Spark's UTF8-binary
+    ordering because UTF-8 byte order preserves codepoint order — and
+    the merge is a plain left-to-right global replace.
 
     Segmentations are strings with a TWO-space separator and two-space
     padding; the merge replacement ``" a  b " -> " ab "`` consumes one
     boundary space from each side, which keeps chained occurrences
     (``a b a b``) all mergeable under plain left-to-right global
-    replace — no lookaround regex needed, so the identical operation
-    exists in ANSI SQL for the oracle twin.
+    replace (``str.replace`` ≡ Spark ``F.replace`` ≡ ANSI SQL
+    ``replace`` — the oracle twin runs the same operation).
 
     Returns the ordered merge list ``[(left, right), ...]`` (may be
     shorter than ``n_merges`` if the pair space is exhausted). Feed
@@ -172,11 +191,16 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 6,
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
              .filter(F.col("cnt") >= min_word_count))
     seg = (words.select(
-        "w", "cnt",
+        "cnt",
         F.concat(F.lit("  "),
                  F.regexp_replace(F.col("w"), r"(.)", "$1  "))
         .alias("seg"))
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
+    # job 1: corpus shuffle + checkpoint materialization + vocab size
+    n_vocab = seg.count()
+    if n_vocab <= max_local_vocab:
+        return _bpe_merge_single_task(seg, n_merges)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         arr = F.array_remove(F.split(F.col("seg"), "  "), "")
@@ -200,6 +224,49 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 6,
                              F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")))
             .localCheckpoint(eager=True))
     return merges
+
+
+def _bpe_merge_single_task(seg: DataFrame,
+                           n_merges: int) -> list[tuple[str, str]]:
+    """The executor-side merge loop: one ``mapInPandas`` task over the
+    coalesced (cnt, seg) relation learns every merge; the driver
+    collects only the bounded ``n_merges``-row result. The closure is
+    self-contained (no repo imports), so it needs no executor package
+    shipping. Per-merge recount is O(total symbols) — fine for the
+    tens-of-merges tier; a heap + pair→word index (the classic
+    incremental trainer) drops it to O(changed words) if a caller ever
+    needs 50k merges."""
+    def run(batches):
+        import pandas as pd
+
+        rows: list[tuple[int, str]] = []
+        for pdf in batches:
+            rows.extend(zip((int(c) for c in pdf["cnt"]),
+                            (str(s) for s in pdf["seg"])))
+        merges: list[tuple[str, str]] = []
+        for _ in range(int(n_merges)):
+            counts: dict[tuple[str, str], int] = {}
+            for cnt, s in rows:
+                syms = [t for t in s.split("  ") if t]
+                for pair in zip(syms, syms[1:]):
+                    counts[pair] = counts.get(pair, 0) + cnt
+            if not counts:
+                break
+            (x, y), _c = min(counts.items(),
+                             key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((x, y))
+            old, new = f" {x}  {y} ", f" {x}{y} "
+            rows = [(cnt, s.replace(old, new)) for cnt, s in rows]
+        yield pd.DataFrame(
+            {"merge_rank": pd.Series(range(1, len(merges) + 1),
+                                     dtype="int32"),
+             "lhs": pd.Series([m[0] for m in merges], dtype="object"),
+             "rhs": pd.Series([m[1] for m in merges], dtype="object")})
+
+    out = (seg.coalesce(1)
+           .mapInPandas(run, "merge_rank int, lhs string, rhs string"))
+    return [(r["lhs"], r["rhs"])
+            for r in sorted(out.collect(), key=lambda r: r["merge_rank"])]
 
 
 def _words(text: F.Column) -> F.Column:
