@@ -1066,17 +1066,33 @@ FROM b
 
 
 def q_ngram_jaccard_pairs(spark, sf):
+    """Exact-Jaccard verification over the banded MinHash candidate
+    tier (r12, the corpus-scale shape): candidates come from
+    ``minhash_near_dup_pairs``' band-bucket equi-join, exact measures
+    from per-doc distinct-shingle arrays — the pair×shingle fan-out
+    (367 shuffle rows per row scanned, SHUFFLE.md r11) is gone; recall
+    is the banding's, the measure is exact. The twin mirrors the same
+    two tiers (the shared _LSH_CAND_CTES banding + exact counts on
+    candidate pairs)."""
     docs = _t(spark, sf, "documents")
+    cands = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                         k=12, bands=4)
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
-                                     min_jaccard=0.2)
+                                     min_jaccard=0.2, candidates=cands)
 
 
 def q_containment_pairs(spark, sf):
     """Asymmetric containment near-dup (operators/dedup.py
     ``containment_pairs``): |A∩B|/|A| per direction over distinct word
     shingles — catches the quote/inclusion shape Jaccard misses (a doc
-    embedded in a longer one). Same single-lineage grouped pair
-    generation as the Jaccard verify stage."""
+    embedded in a longer one). Stays on the EXACT tier deliberately
+    (r12): routing it through symmetric MinHash banding was measured to
+    drop 20/276 pairs at sf0.1 — precisely the low-Jaccard inclusion
+    pairs this operator exists to find (a jaccard-LSH candidate tier is
+    semantically wrong for one-sided containment; LSH-Ensemble-style
+    size-partitioned banding would be the scale tier). The exact tier's
+    plan was restructured instead (one shingle shuffle, not three —
+    see _shared_shingle_counts)."""
     docs = _t(spark, sf, "documents")
     out = dedup.containment_pairs(docs, "doc_id", "text", shingle_k=3,
                                   min_containment=0.3)
@@ -1084,6 +1100,18 @@ def q_containment_pairs(spark, sf):
                       F.round("containment_a", 6).alias("containment_a"),
                       F.round("containment_b", 6).alias("containment_b"))
 
+
+# exact shared-shingle counts restricted to the banded candidate pairs —
+# the twin of dedup._candidate_shingle_counts over _LSH_CAND_CTES' cand
+_CAND_SHARED_CTES = f"""
+sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b)"""
 
 ORACLE_CONTAINMENT = f"""
 WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
@@ -1165,12 +1193,10 @@ WHERE round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
 
 
 ORACLE_NGRAM_JACCARD = f"""
-WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+{_MINHASH_SIGS_CTE},
+{_LSH_CAND_CTES},
+{_CAND_SHARED_CTES}
 SELECT id_a, id_b, shared / (na.n + nb.n - shared) AS jaccard
 FROM shared
 JOIN sizes na ON na.doc_id = id_a

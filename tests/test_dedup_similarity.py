@@ -647,6 +647,40 @@ def test_containment_pairs_catch_quote_inclusion(spark):
     assert jac.count() == 0
 
 
+def test_pair_measures_on_candidate_tier(spark):
+    """r12 ``candidates=`` contract: measures stay EXACT (identical to
+    the full shared-shingle tier for admitted pairs), recall becomes
+    the candidate tier's — pairs outside the given relation are never
+    measured, pairs sharing no shingle drop, duplicate candidate rows
+    collapse."""
+    from zacks_estimates_financial_statements_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, base.replace("beta", "b")),
+         (4, "wholly disjoint text with different tokens entirely")],
+        "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, "doc_id", "text", shingle_k=3,
+                 min_jaccard=0.01).collect()}
+    assert (1, 2) in exact and (1, 3) in exact
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 4), (2, 9)],   # dup row, no-overlap, ghost
+        "id_a long, id_b long")
+    got = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                                    min_jaccard=0.01,
+                                    candidates=cands).collect()
+    # only the admitted overlapping pair, measured exactly, once
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == \
+        [(1, 2, exact[(1, 2)])]
+    ct = dedup.containment_pairs(docs, "doc_id", "text", shingle_k=3,
+                                 min_containment=0.5,
+                                 candidates=cands).collect()
+    assert [(r["id_a"], r["id_b"]) for r in ct] == [(1, 2)]
+    assert ct[0]["containment_a"] == 1.0   # doc 1 wholly inside doc 2
+
+
 def test_tfidf_cosine_pairs_ranking_and_df_cap(spark):
     """Docs sharing informative tokens score high; docs sharing only a
     stopword-class token are excluded from the join by the df cap; the

@@ -500,20 +500,39 @@ def hamming_near_dup_pairs(sketches: DataFrame, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3,
                         min_jaccard: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
-    """Exact Jaccard over distinct word shingles for documents sharing at
-    least one shingle. Returns (id_a, id_b, jaccard) ≥ min_jaccard.
+                        max_shingle_df: int | None = None,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over distinct word shingles. Returns
+    (id_a, id_b, jaccard) ≥ min_jaccard.
 
-    ``max_shingle_df`` is the scale knob: shingles occurring in more than
-    that many documents are excluded from the *join* (a boilerplate
-    shingle shared by 10⁶ docs alone creates 10¹² candidate rows) while
-    per-doc sizes still count every shingle — so the reported Jaccard is
-    a LOWER bound for pairs whose overlap survives only through hot
-    shingles, and exact for everything else. ``None`` (default) keeps
-    the operator fully exact — appropriate for its role as the LSH
-    verification stage, where candidates are already bucketed."""
-    shared = _shared_shingle_counts(df, id_col, text_col, shingle_k,
-                                    max_shingle_df)
+    Two admission tiers (r12; the same ``candidates=`` contract as
+    ``curation.semantic_contamination``):
+
+    - ``candidates=None`` (default): every pair sharing ≥1 shingle is
+      measured — fully exact, appropriate when the operator IS the
+      verification stage on an already-bucketed relation, but the
+      shared-shingle join shuffles one row per (pair, shared shingle)
+      (SHUFFLE.md measured 367 rows/row scanned — the network bill at
+      100 TB).
+    - ``candidates=<(id_a, id_b) relation>``: exact Jaccard is computed
+      ONLY for the given pairs, via per-doc distinct-shingle ARRAYS
+      (one map-side-combined row per doc) + ``array_intersect`` — no
+      pair×shingle fan-out at all. Recall is then the candidate tier's
+      (e.g. ``minhash_near_dup_pairs``' banding); the measures are
+      still exact. This is the corpus-scale shape.
+
+    ``max_shingle_df`` (exact tier only) is the hot-shingle knob:
+    shingles occurring in more than that many documents are excluded
+    from the *join* (a boilerplate shingle shared by 10⁶ docs alone
+    creates 10¹² candidate rows) while per-doc sizes still count every
+    shingle — so the reported Jaccard is a LOWER bound for pairs whose
+    overlap survives only through hot shingles, and exact otherwise."""
+    if candidates is not None:
+        shared = _candidate_shingle_counts(df, id_col, text_col,
+                                           shingle_k, candidates)
+    else:
+        shared = _shared_shingle_counts(df, id_col, text_col, shingle_k,
+                                        max_shingle_df)
     return (shared
             .withColumn("jaccard",
                         F.col("shared")
@@ -525,7 +544,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_k: int = 3,
                       min_containment: float = 0.5,
-                      max_shingle_df: int | None = None) -> DataFrame:
+                      max_shingle_df: int | None = None,
+                      candidates: DataFrame | None = None) -> DataFrame:
     """ASYMMETRIC near-dup detection: exact shingle containment
     ``|A∩B| / |A|`` per direction (Broder 1997's second resemblance
     measure). Jaccard misses the quote/inclusion case — a short document
@@ -533,14 +553,19 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     containment 1.0 on the short side — which is exactly the
     quote-farm / aggregator-page shape corpus dedup needs to see.
 
-    Same single-lineage grouped pair generation (and the same
-    ``max_shingle_df`` hot-shingle knob) as ``ngram_jaccard_pairs``.
+    Same two admission tiers (``candidates=`` / exact shared-shingle
+    join), the same ``max_shingle_df`` hot-shingle knob, and the same
+    single-lineage grouped pair generation as ``ngram_jaccard_pairs``.
     Returns ``(id_a, id_b, containment_a, containment_b)`` — the share
     of a's (resp. b's) shingles present in the other — for pairs where
     EITHER direction ≥ ``min_containment``.
     """
-    shared = _shared_shingle_counts(df, id_col, text_col, shingle_k,
-                                    max_shingle_df)
+    if candidates is not None:
+        shared = _candidate_shingle_counts(df, id_col, text_col,
+                                           shingle_k, candidates)
+    else:
+        shared = _shared_shingle_counts(df, id_col, text_col, shingle_k,
+                                        max_shingle_df)
     return (shared
             .withColumn("containment_a", F.col("shared") / F.col("n_a"))
             .withColumn("containment_b", F.col("shared") / F.col("n_b"))
@@ -549,24 +574,79 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "containment_a", "containment_b"))
 
 
+def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                      shingle_k: int) -> DataFrame:
+    """``(id, __sh array<string>, __n)`` — each addressable document's
+    DISTINCT word-shingle set as one array row. The array builds in a
+    plain projection (words materialized first — the lambda-CSE rule)
+    and collapses to one row per id in a single map-side-combined
+    aggregation; duplicate/conflicting copies of one id contribute the
+    UNION of their shingles (≡ the ``(id, shingle) DISTINCT`` the SQL
+    twins state), NULL ids are unaddressable, shingle-less docs (NULL
+    text) drop."""
+    words = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.split(T.normalize_text(F.col(text_col)), " ").alias("__words"))
+    return (words.select(
+        F.col(id_col),
+        F.array_distinct(T.shingles_from_words(F.col("__words"),
+                                               shingle_k)).alias("__sh"))
+        .groupBy(id_col)
+        .agg(F.array_distinct(F.flatten(F.collect_list("__sh")))
+             .alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+        .filter(F.col("__n") >= 1))
+
+
+def _candidate_shingle_counts(df: DataFrame, id_col: str, text_col: str,
+                              shingle_k: int,
+                              candidates: DataFrame) -> DataFrame:
+    """(id_a, id_b, shared, n_a, n_b) for the GIVEN candidate pairs —
+    the verify-only core of the exact measures (r12).
+
+    Plan shape: per-doc distinct-shingle ARRAYS are built as a plain
+    projection and collapse to one row per id in a single
+    map-side-combined aggregation (duplicate-id contract: verbatim and
+    conflicting copies of one id contribute the UNION of their
+    shingles, exactly as the exact tier's ``(id, shingle) DISTINCT``
+    does); the candidate relation then joins the array relation twice
+    and ``shared`` is an ``array_intersect`` size — the shuffle carries
+    ~1 row/doc + the candidate pairs, never a pair×shingle fan-out.
+    Arrays hold distinct shingle STRINGS (not hashes): exact, and
+    bit-comparable with the SQL twins. Pairs sharing no shingle drop,
+    mirroring the exact tier (which never generates them)."""
+    sets = _doc_shingle_sets(df, id_col, text_col, shingle_k)
+    a = sets.select(F.col(id_col).alias("id_a"),
+                    F.col("__sh").alias("__sa"), F.col("__n").alias("n_a"))
+    b = sets.select(F.col(id_col).alias("id_b"),
+                    F.col("__sh").alias("__sb"), F.col("__n").alias("n_b"))
+    return (candidates.select("id_a", "id_b").distinct()
+            .join(a, "id_a").join(b, "id_b")
+            .withColumn("shared",
+                        F.size(F.array_intersect("__sa", "__sb")))
+            .filter(F.col("shared") >= 1)
+            .select("id_a", "id_b", "shared", "n_a", "n_b"))
+
+
 def _shared_shingle_counts(df: DataFrame, id_col: str, text_col: str,
                            shingle_k: int,
                            max_shingle_df: int | None) -> DataFrame:
     """(id_a, id_b, shared, n_a, n_b) for documents sharing ≥ 1 distinct
-    word shingle — the common core of the exact verify stages."""
-    words = df.select(
-        F.col(id_col),
-        F.split(T.normalize_text(F.col(text_col)), " ").alias("__words"))
-    sh = (words.select(F.col(id_col),
-                       F.explode(T.shingles_from_words(F.col("__words"),
-                                                       shingle_k))
-                       .alias("shingle"))
-          .distinct())
-    # per-doc shingle count attached via window so the (regex-heavy)
-    # shingle relation is derived once per join side instead of a third
-    # time for a separate sizes aggregate + two extra joins
-    sh = sh.withColumn("n", F.count("*").over(
-        Window.partitionBy(id_col)))
+    word shingle — the common core of the exact verify stages.
+
+    Plan shape (r12): the per-doc distinct shingle set is built as the
+    same grouped-array relation ``_candidate_shingle_counts`` uses —
+    ``array_distinct`` in a projection, then ONE map-side-combined
+    ``groupBy(id)`` union (≈1 shuffled row/doc) that also yields ``n``
+    — and only THEN explodes into the per-shingle cohabitant groupBy.
+    r11's shape shuffled the exploded shingle relation three times
+    (``distinct``, a ``count() OVER (PARTITION BY id)`` window, the
+    shingle groupBy: 367 shuffle rows/row scanned, SHUFFLE.md); this
+    one shuffles it once (+1 row/doc), same rows out, and the window's
+    unsplittable hot-id task is gone with it."""
+    sets = _doc_shingle_sets(df, id_col, text_col, shingle_k)
+    sh = sets.select(F.col(id_col), F.col("__n").alias("n"),
+                     F.explode("__sh").alias("shingle"))
     # group cohabitants per shingle and explode the i<j pairs (instead of
     # a shared-shingle self-join, whose two aliased sides would each
     # re-run the regex-heavy shingle lineage — no exchange reuse); the
