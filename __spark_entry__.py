@@ -3595,10 +3595,10 @@ def q_url_filter(spark, sf):
     url = F.concat(F.lit("https://h"), (d % 7).cast("string"),
                    F.lit(".test"), (d % 3).cast("string"),
                    F.lit(".org/p/"), d.cast("string"))
-    bd = spark.createDataFrame([("test0.org",), ("h3.test1.org",)],
-                               "domain string")
+    # sequence form -> the zero-join literal tier (r12); the DataFrame
+    # join tier is pinned equivalent by test_url_filter_tier_parity
     return web.url_filter(docs.select("doc_id", url.alias("u")),
-                          "doc_id", "u", bd,
+                          "doc_id", "u", ("test0.org", "h3.test1.org"),
                           blocked_patterns=(r"/p/\d*7$",))
 
 
@@ -4952,7 +4952,10 @@ def q_media_curate(spark, sf):
           None, None, None)],
         multimodal.MEDIA_SCHEMA)
     media = media.unionByName(corrupt)
-    hashes = multimodal.perceptual_hashes(media).localCheckpoint()
+    # lazy: the decode runs once inside the first downstream action
+    # (the CC edge signature), not as its own driver-synchronous job
+    hashes = multimodal.perceptual_hashes(media).localCheckpoint(
+        eager=False)
     # duplicate-id contract: the label relation is KEYED (one row per
     # id) so the per-row attach below cannot go quadratic on copies
     good = (hashes.filter(F.col("dhash").isNotNull())

@@ -30,8 +30,16 @@ def _uf_labels(edges):
 
 def _spark_labels(spark, edges):
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    return {r["node"]: r["component"]
-            for r in graph.connected_components(df).collect()}
+    # r12 tier parity: the size-gated driver union-find (default — these
+    # graphs are tiny) and the distributed large-star/small-star loop
+    # (forced via max_local_edges=0) must label identically
+    local = {r["node"]: r["component"]
+             for r in graph.connected_components(df).collect()}
+    dist = {r["node"]: r["component"]
+            for r in graph.connected_components(
+                df, max_local_edges=0).collect()}
+    assert local == dist
+    return local
 
 
 def test_matches_union_find_on_random_graphs(spark):
@@ -62,7 +70,9 @@ def test_duplicate_and_reversed_edges_collapse(spark):
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a: long, id_b: long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(df, max_iter=0)
+        # max_local_edges=0 forces the distributed loop (the driver
+        # tier has no iteration budget to exhaust)
+        graph.connected_components(df, max_iter=0, max_local_edges=0)
 
 
 def test_resolve_duplicate_clusters_marks_one_keeper(spark):

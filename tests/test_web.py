@@ -135,6 +135,14 @@ def test_url_filter_suffix_semantics_and_patterns(spark):
     assert out[5]["matched_domain"] == "sub.evil.com"  # longest suffix
     assert out[6]["keep"]
     assert not any(out[d]["keep"] for d in (1, 2, 4, 5))
+    # r12 tier parity: the sequence form (literal when-chain, zero
+    # joins) and the DataFrame form (broadcast suffix join) must agree
+    # row-for-row
+    lit = {r["doc_id"]: r for r in web.url_filter(
+        df, "doc_id", "url", ("evil.com", "sub.evil.com"),
+        blocked_patterns=(r"/casino/", r"/slots")).collect()}
+    for d in out:
+        assert tuple(out[d]) == tuple(lit[d]), d
 
 
 def test_url_filter_domains_optional(spark):

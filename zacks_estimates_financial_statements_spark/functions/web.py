@@ -126,7 +126,7 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str,
 
 
 def url_filter(df: DataFrame, id_col: str, url_col: str,
-               blocked_domains: DataFrame | None = None,
+               blocked_domains=None,
                blocked_patterns: tuple[str, ...] = ()) -> DataFrame:
     """URL blocklist gate — the UT1/RefinedWeb-style crawl filter:
     flag rows whose host falls under a blocked domain (suffix match on
@@ -134,22 +134,35 @@ def url_filter(df: DataFrame, id_col: str, url_col: str,
     ``notevil.com``) or whose URL matches a blocked regex (adult /
     gambling / tracker path patterns).
 
-    ``blocked_domains``: a 1-column DataFrame ``(domain)`` — list
-    files are relations, so they stay out of the driver except the
-    broadcast. ``blocked_patterns``: Java∩RE2-safe regexes, tried in
-    order; the FIRST match is reported.
+    ``blocked_domains``: either a plain SEQUENCE of domain strings
+    (hand-maintained lists — like ``blocked_patterns``) or a 1-column
+    DataFrame ``(domain)`` (list FILES are relations, so they stay out
+    of the driver except the broadcast). ``blocked_patterns``:
+    Java∩RE2-safe regexes, tried in order; the FIRST match is reported.
 
     Output: ``(id, url, host, matched_domain, matched_pattern, keep)``
     — one row per input, annotate-don't-drop (the gopher_gate
     convention); ``matched_domain`` is the LONGEST blocked suffix.
 
-    Scale shape: the host's dot-suffix chain (≤ label count) explodes
-    and equi-joins the BROADCAST blocklist in codegen — the corpus
-    never shuffles for the filter; only MATCHED rows aggregate
-    (max_by suffix length) and join back by id (AQE broadcasts the
-    matched relation while small — a pervasively-blocked corpus
-    degrades to one skew-splittable equi-join, never a regex scan per
-    blocklist entry). Pattern flags are a zero-shuffle projection.
+    Scale shape, by blocklist form (r12):
+
+    - sequence: the longest-suffix match compiles into ONE codegen
+      when-chain projection, longest domain first — zero joins, zero
+      shuffles, no extra jobs, no second pass over the input lineage.
+      (BENCH_r11 flagged the join tier's 3 extra stages + double
+      base-lineage pass as url_filter's residual; a driver-side
+      size-gate ``limit().collect()`` was measured at ~1 s of pure
+      job overhead on an idle local[32], so the fast tier is chosen
+      by INPUT TYPE, not by a hidden sizing job.)
+    - DataFrame (UT1-class lists run ~4M domains): the host's
+      dot-suffix chain (≤ label count) explodes and equi-joins the
+      size-gated BROADCAST blocklist in codegen — the corpus never
+      shuffles for the filter; only MATCHED rows aggregate (max_by
+      suffix length) and join back by id (AQE broadcasts the matched
+      relation while small — a pervasively-blocked corpus degrades to
+      one skew-splittable equi-join, never a regex scan per entry).
+
+    Pattern flags are a zero-shuffle projection in both tiers.
     """
     base = (df.select(F.col(id_col), F.col(url_col).alias("url"))
             .withColumn("host", url_host(F.col("url")))
@@ -164,6 +177,20 @@ def url_filter(df: DataFrame, id_col: str, url_col: str,
             F.lit(None).cast("string").alias("matched_domain"),
             pat_col.alias("matched_pattern")).withColumn(
                 "keep", F.col("matched_pattern").isNull())
+    if not isinstance(blocked_domains, DataFrame):
+        doms = sorted({d for d in blocked_domains if d is not None},
+                      key=lambda d: (len(d), d))
+        md = F.lit(None).cast("string")
+        for dom in doms:   # ascending → the LAST wrap (longest) wins
+            md = F.when((F.col("host") == dom)
+                        | F.col("host").endswith("." + dom),
+                        F.lit(dom)).otherwise(md)
+        return (base.select(id_col, "url", "host",
+                            md.alias("matched_domain"),
+                            pat_col.alias("matched_pattern"))
+                .withColumn("keep", F.col("matched_domain").isNull()
+                            & F.col("matched_pattern").isNull()))
+    dom_col = blocked_domains.columns[0]
     suffixes = F.transform(
         F.sequence(F.lit(1), F.size("__labels")),
         lambda i: F.array_join(
@@ -178,7 +205,7 @@ def url_filter(df: DataFrame, id_col: str, url_col: str,
     cand = (base.select(F.col(id_col),
                         F.explode_outer(suffixes).alias("__cand"))
             .join(maybe_broadcast(blocked_domains.select(
-                F.col(blocked_domains.columns[0]).alias("__cand"))),
+                F.col(dom_col).alias("__cand"))),
                 "__cand"))
     hits = (cand.groupBy(id_col)
             .agg(F.max_by("__cand", F.length("__cand"))

@@ -22,20 +22,28 @@ Scale notes:
   partial-aggregating ``groupBy.min`` and edges are re-emitted by a
   join, so per-row state is O(1) regardless of node degree (a 10⁷-way
   hub never builds a 10⁷-element list).
-- Every round ends in an eager checkpoint. This is not optional
-  hygiene: one round references its input 4-5 times (symmetric union,
-  neighborhood aggregation, re-emission join), so without lineage
-  truncation the logical plan grows ~5× PER ROUND — exponential plan
-  size that stalls the analyzer long before any data is large
-  (observed locally by round ~6). ``localCheckpoint`` (cache-backed)
-  is the default; pass ``reliable=True`` after
-  ``spark.sparkContext.setCheckpointDir`` for fault-tolerant
-  checkpoints on a real cluster, where a lost executor invalidates a
-  local checkpoint.
+- Every round ends in a checkpoint. This is not optional hygiene: one
+  round references its input 4-5 times (symmetric union, neighborhood
+  aggregation, re-emission join), so without lineage truncation the
+  logical plan grows ~5× PER ROUND — exponential plan size that stalls
+  the analyzer long before any data is large (observed locally by
+  round ~6). ``localCheckpoint`` (cache-backed) is the default; pass
+  ``reliable=True`` after ``spark.sparkContext.setCheckpointDir`` for
+  fault-tolerant checkpoints on a real cluster, where a lost executor
+  invalidates a local checkpoint.
 - Convergence is a (count, order-insensitive checksum) signature read
-  off the checkpointed set — one cheap action over cached data per
-  round. The edge set only ever rewires toward smaller minima, so a
-  stable signature means a fixed point (star forest).
+  off the checkpointed set. The edge set only ever rewires toward
+  smaller minima, so a stable signature means a fixed point (star
+  forest).
+- Driver-latency shape (r12): checkpoints are LAZY — each round's
+  signature action materializes that round's checkpoint as a side
+  effect, so a round is ONE driver-synchronous job, not two (BENCH_r11
+  measured the iterative composites job-launch-latency-bound on a
+  slow VM). And a graph whose canonical edge set is small
+  (``max_local_edges``, default 50k) resolves by driver union-find
+  instead of the distributed loop — label-identical, bounded by the
+  gate, and the common case for near-dup graphs, which are tiny next
+  to the corpus that produced them.
 """
 
 from __future__ import annotations
@@ -102,7 +110,8 @@ def _signature(e: DataFrame) -> tuple[int, int]:
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 25,
-                         reliable: bool = False) -> DataFrame:
+                         reliable: bool = False,
+                         max_local_edges: int = 50_000) -> DataFrame:
     """Component label (minimum member id) per node appearing in ``edges``.
 
     Returns ``(node, component)``. Isolated nodes never appear in an
@@ -112,15 +121,29 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     Ids may be any orderable type; the minimum id of a component is its
     label, matching the keep-first-by-id convention of
-    ``dedup.exact_dup_groups``.
+    ``dedup.exact_dup_groups``. (For the driver tier below, Python
+    tuple/str comparison agrees with Spark's ordering on the id types
+    that reach this operator — integers exactly, strings because UTF-8
+    byte order preserves codepoint order.)
+
+    Execution tiers (r12): the canonical edge set's first signature
+    action returns its size; ``≤ max_local_edges`` resolves by driver
+    union-find — O(E α(E)) in microseconds, zero iterative jobs, the
+    collect bounded by the gate — which is the common case for
+    near-dup graphs (edges ≪ corpus). Larger graphs run the
+    large-star/small-star loop, one driver-synchronous job per round
+    (the signature materializes that round's lazy checkpoint).
     """
     def mat(df: DataFrame) -> DataFrame:
-        # Eager lineage truncation every round — see module docstring.
-        return df.checkpoint(eager=True) if reliable \
-            else df.localCheckpoint(eager=True)
+        # Lazy lineage truncation every round (see module docstring);
+        # the signature action right after is what materializes it.
+        return df.checkpoint(eager=False) if reliable \
+            else df.localCheckpoint(eager=False)
 
     e = mat(_canon_edges(edges, src, dst))
     sig = _signature(e)
+    if sig[0] <= max_local_edges:
+        return _local_components(e)
     for _ in range(max_iter):
         nxt = mat(_small_star(_large_star(e)))
         nxt_sig = _signature(nxt)
@@ -140,6 +163,45 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     roots = e.select(F.col("u").alias("node")).distinct() \
         .withColumn("component", F.col("node"))
     return members.union(roots)
+
+
+def _local_components(e: DataFrame) -> DataFrame:
+    """Driver union-find over a small (size-gated) canonical edge set —
+    label-identical to the distributed loop: component = min member id.
+    Output schema matches (``node``, ``component``) with the edge id
+    type preserved."""
+    rows = e.collect()   # bounded by the max_local_edges gate
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:    # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    out = [(node, comp_min[find(node)]) for node in parent]
+    id_type = e.schema["u"].dataType
+    spark = e.sparkSession
+    from pyspark.sql.types import StructField, StructType
+    schema = StructType([StructField("node", id_type),
+                         StructField("component", id_type)])
+    return spark.createDataFrame(out, schema)
 
 
 def resolve_duplicate_clusters(df: DataFrame, pairs: DataFrame,
