@@ -39,17 +39,33 @@ of queries measured in the same run). So:
   (default 1.5) fails — catches the real signature of a code
   regression on any host class;
 - uniform rule: median host-normalized ratio > --uniform-threshold
-  (default 1.25) fails UNLESS ``--uniform-shift-evidence`` supplies
-  the A/B result proving host-neutrality (bench the previous round's
-  commit in a ``git worktree`` on the SAME host; near-identical totals
-  = host shift, a gap = real global regression). The evidence text is
-  recorded verbatim in the artifact for the judge to read — it is an
-  attestation, not a bypass: providing it without running the A/B is
-  falsifying a record.
+  (default 1.25) fails UNLESS evidence supplies the A/B result proving
+  host-neutrality (bench the previous round's commit in a ``git
+  worktree`` on the SAME host; near-identical totals = host shift, a
+  gap = real global regression). Evidence is either
+  ``--uniform-shift-evidence-file`` — ``tools/bench_ab.py``'s
+  machine-generated JSON, validated here (neutral ratio, matching HEAD)
+  — or the legacy ``--uniform-shift-evidence`` free text. Either form
+  is recorded verbatim in the artifact for the judge to read — it is
+  an attestation, not a bypass: providing it without running the A/B
+  is falsifying a record.
+
+Evidence limits (v3, r12 ADVICE): evidence is only accepted up to
+``--evidence-median-cap`` (default 1.6) — beyond that the baseline
+itself is stale for this host class and must be refreshed via
+``tools/bench_baseline.py``, not waived per-round. And once evidence
+is in play, the per-query bar STOPS widening with the shift: queries
+are judged against ``min(median, uniform_threshold) × max_ratio``
+host-normalized, so the A/B attestation cannot simultaneously relax
+the query-specific rule (r11's accepted median 1.488 would otherwise
+have passed a ~2.2× host-normalized single-query regression; under v3
+the three queries the r11 verdict flagged — bpe_train 2.1, url_filter
+1.96, media_curate 1.89 — would all have failed the gate).
 
 Usage: python tools/bench_gate.py [--max-ratio 1.5]
-           [--uniform-threshold 1.25] [--uniform-shift-evidence TEXT]
-           [--skip-run]
+           [--uniform-threshold 1.25] [--evidence-median-cap 1.6]
+           [--uniform-shift-evidence TEXT]
+           [--uniform-shift-evidence-file BENCH_AB.json] [--skip-run]
 ``--skip-run`` re-judges the newest existing bench JSON on disk
 (BENCH_local.json) without re-running bench — for re-adjudicating a
 finished run, never for dodging one.
@@ -72,7 +88,8 @@ HOST_FACTOR_WINDOW = (0.5, 1.25)
 
 
 def _judge(doc: dict, max_ratio: float, uniform_threshold: float,
-           evidence: str | None) -> tuple[list[str], dict]:
+           evidence: str | None,
+           evidence_median_cap: float = 1.6) -> tuple[list[str], dict]:
     fails: list[str] = []
     hf = doc.get("host_factor")
     if hf is None:
@@ -93,17 +110,18 @@ def _judge(doc: dict, max_ratio: float, uniform_threshold: float,
     norm = {name: r / divisor for name, r in vb.items()}
     med = statistics.median(norm.values())
     stats = {"median_normalized_ratio": round(med, 3)}
-    # query-relative rule: a code regression is query-specific
-    rel_base = max(med, 1.0)  # a FAST fleet must not hide a slow query
-    for name, r in sorted(norm.items(), key=lambda kv: -kv[1]):
-        if r / rel_base > max_ratio:
-            fails.append(
-                f"{name}: {vb[name]:.2f}x baseline ({r:.2f}x "
-                f"host-normalized, {r / rel_base:.2f}x the run median "
-                f"{med:.2f}) > {max_ratio}x median")
-    # uniform rule: a fleet-wide shift needs an A/B attestation
+    # uniform rule first — its outcome pins the per-query bar (v3)
+    evidence_active = False
     if med > uniform_threshold:
-        if evidence:
+        if med > evidence_median_cap:
+            fails.append(
+                f"median host-normalized ratio {med:.2f} > evidence cap "
+                f"{evidence_median_cap} — no A/B attestation can waive a "
+                "shift this large: refresh BENCH_BASELINE via "
+                "tools/bench_baseline.py on a representative idle host "
+                "(or fix the global regression)")
+        elif evidence:
+            evidence_active = True
             stats["uniform_shift_evidence"] = evidence
             print(f"# uniform shift median {med:.2f} accepted on "
                   f"recorded A/B evidence")
@@ -112,22 +130,84 @@ def _judge(doc: dict, max_ratio: float, uniform_threshold: float,
                 f"median host-normalized ratio {med:.2f} > "
                 f"{uniform_threshold} — uniform shift: either the host "
                 "class changed or the code regressed globally. Run the "
-                "A/B (bench the previous round's commit in a git "
-                "worktree on THIS host) and re-judge with "
-                "--uniform-shift-evidence, or fix the regression")
+                "A/B (tools/bench_ab.py <prev-round-commit> on THIS "
+                "host) and re-judge with --uniform-shift-evidence-file, "
+                "or fix the regression")
+    # query-relative rule: a code regression is query-specific. A FAST
+    # fleet must not hide a slow query (floor 1.0); an evidence-waived
+    # shift must not WIDEN the bar (cap at uniform_threshold — v3).
+    rel_base = max(min(med, uniform_threshold) if evidence_active
+                   else med, 1.0)
+    for name, r in sorted(norm.items(), key=lambda kv: -kv[1]):
+        if r / rel_base > max_ratio:
+            fails.append(
+                f"{name}: {vb[name]:.2f}x baseline ({r:.2f}x "
+                f"host-normalized, {r / rel_base:.2f}x the judging base "
+                f"{rel_base:.2f}) > {max_ratio}x")
     return fails, stats
+
+
+def _load_evidence_file(path: str) -> tuple[list[str], str]:
+    """Validate a ``tools/bench_ab.py`` artifact: the A/B must be
+    neutral (ratio within its own recorded neutrality window), run
+    against the CURRENT HEAD, and fresh enough that 'same host' is
+    plausible. Returns (failures, compact-evidence-string)."""
+    fails: list[str] = []
+    try:
+        ab = json.load(open(path))
+    except (OSError, ValueError) as exc:
+        return [f"unreadable: {exc}"], ""
+    ratio = ab.get("head_over_ref_ratio")
+    window = ab.get("neutrality_window", [0.9, 1.1])
+    if ratio is None or not (window[0] <= ratio <= window[1]):
+        fails.append(f"A/B ratio {ratio} outside neutral window "
+                     f"{window} — the A/B itself shows a regression")
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
+                          capture_output=True, text=True).stdout.strip()
+    if ab.get("head_commit") not in (None, head):
+        fails.append(f"A/B head_commit {ab.get('head_commit')[:12]} is "
+                     f"not the current HEAD {head[:12]} — rerun "
+                     "tools/bench_ab.py")
+    when = ab.get("recorded_utc", "")
+    try:
+        age_h = (_dt.datetime.now(_dt.timezone.utc)
+                 - _dt.datetime.fromisoformat(when)).total_seconds() / 3600
+    except ValueError:
+        age_h = None
+    if age_h is None or age_h > 48:
+        fails.append(f"A/B recorded_utc {when!r} missing or older than "
+                     "48h — same-host comparability is stale")
+    text = (f"bench_ab.py A/B on this host: ref {ab.get('ref_commit', '')[:12]} "
+            f"{ab.get('ref_total_sec')}s vs HEAD {ab.get('head_total_sec')}s "
+            f"(ratio {ratio}), recorded {when}")
+    return fails, text
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-ratio", type=float, default=1.5)
     ap.add_argument("--uniform-threshold", type=float, default=1.25)
+    ap.add_argument("--evidence-median-cap", type=float, default=1.6,
+                    help="largest median shift any A/B evidence can "
+                         "waive; beyond it refresh the baseline")
     ap.add_argument("--uniform-shift-evidence", default=None, metavar="TEXT",
                     help="A/B result proving a uniform shift is the host, "
                          "not the code (recorded verbatim in the artifact)")
+    ap.add_argument("--uniform-shift-evidence-file", default=None,
+                    metavar="JSON",
+                    help="tools/bench_ab.py output; validated (neutral "
+                         "ratio, HEAD match) then recorded as evidence")
     ap.add_argument("--skip-run", action="store_true",
                     help="re-judge the existing BENCH_local.json")
     args = ap.parse_args()
+    if args.uniform_shift_evidence_file:
+        ev_fails, ev_text = _load_evidence_file(
+            args.uniform_shift_evidence_file)
+        if ev_fails:
+            for f_ in ev_fails:
+                print(f"bench_gate: evidence file rejected: {f_}")
+            return 1
+        args.uniform_shift_evidence = ev_text
 
     if args.skip_run:
         if not os.path.exists(ARTIFACT):
@@ -148,12 +228,14 @@ def main() -> int:
         doc = json.loads(json_lines[-1])
 
     fails, stats = _judge(doc, args.max_ratio, args.uniform_threshold,
-                          args.uniform_shift_evidence)
+                          args.uniform_shift_evidence,
+                          args.evidence_median_cap)
     doc["gate"] = {
         "verdict": "pass" if not fails else "fail",
         "fails": fails,
         "max_ratio": args.max_ratio,
         "uniform_threshold": args.uniform_threshold,
+        "evidence_median_cap": args.evidence_median_cap,
         "host_factor_window": list(HOST_FACTOR_WINDOW),
         "judged_utc": _dt.datetime.now(_dt.timezone.utc)
         .isoformat(timespec="seconds"),

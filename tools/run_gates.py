@@ -138,6 +138,11 @@ def main() -> int:
                          "--uniform-shift-evidence: the A/B result that "
                          "proves a fleet-wide timing shift is the host "
                          "class, not the code (see tools/bench_gate.py)")
+    ap.add_argument("--bench-evidence-file", default=None, metavar="JSON",
+                    help="passed to the bench gate as "
+                         "--uniform-shift-evidence-file: a "
+                         "tools/bench_ab.py artifact (machine-generated "
+                         "A/B; preferred over --bench-evidence prose)")
     ap.add_argument("--bench-waiver", default=None, metavar="REASON",
                     help="stamp without the bench gate, recording REASON "
                          "(e.g. 'no idle window; driver benches r11') — "
@@ -157,6 +162,9 @@ def main() -> int:
         cmd = [sys.executable, "tools/bench_gate.py"]
         if args.bench_evidence:
             cmd += ["--uniform-shift-evidence", args.bench_evidence]
+        if args.bench_evidence_file:
+            cmd += ["--uniform-shift-evidence-file",
+                    args.bench_evidence_file]
         gates.append(("bench", cmd))
     results: dict[str, bool] = {}
     for name, cmd in gates:
