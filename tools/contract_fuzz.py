@@ -30,8 +30,16 @@ machines, so a failure reproduces exactly.
 Usage: python tools/contract_fuzz.py [--src /root/testdata/sf0.001]
            [--out /tmp/fuzz_sf] [--null-rate 0.02] [--empty-rate 0.01]
            [--dup-rate 0] [--nan-rate 0] [--conflict-rate 0]
-           [--permute-rows] [query ...]
+           [--permute-rows] [--unicode-rate 0] [--extreme-rate 0]
+           [query ...]
 Exit = oracle_check's exit (1 on any divergence).
+
+``--extreme-rate`` (r12) is the numeric-boundary fault class: masked
+numeric values are replaced with rotating extremes (±1e±30 doubles,
+subnormals, ±DBL_MAX, ±1e32 just over the decimal(38,6) max,
+LONG_MIN/LONG_MAX/negative ids, float32 values whose square is inf) —
+overflow/saturation behavior across Spark ANSI vs DuckDB was the
+largest untested class after r11's Unicode dial.
 
 ``--permute-rows`` (r11) is the scan-ORDER fault class: a seeded
 physical row shuffle applied after every value-level dial, so clones
@@ -254,12 +262,63 @@ def _inject_unicode(col: pa.ChunkedArray, field: pa.Field,
     return pa.chunked_array([pa.array(out, type=field.type)])
 
 
+# --extreme-rate value pools (r12): numeric boundary values rotated per
+# (table, column, row). Each is a REAL cross-engine hazard class:
+#   doubles — ±1e30/±1e-30 (magnitude stress through round/sum chains),
+#   5e-324 (subnormal), ±DBL_MAX (any *2 or square → ±inf), ±1e32
+#   (just ABOVE decimal(38,6)'s ~9.99e31 max: ANSI cast aborts vs
+#   DuckDB behavior), 9.9e31 (just below — must survive).
+#   int64 — LONG_MIN (abs/negate aborts under ANSI), LONG_MIN+1,
+#   LONG_MAX (any +1 wraps/aborts), -1 and a -1e18 mid-range negative
+#   (sign behavior of % and substr arithmetic in synthesized inputs).
+#   float32 (embedding lists) — 3e38 (square → inf in float32 math),
+#   ±1e30, 1e-30, 6e-39 (float32 subnormal).
+EXTREME_DOUBLES = [1e30, -1e30, 1e-30, -1e-30, 5e-324,
+                   1.7976931348623157e308, -1.7976931348623157e308,
+                   1e32, -1e32, 9.9e31]
+EXTREME_INT64 = [-9223372036854775808, -9223372036854775807,
+                 9223372036854775807, -1, -1_000_000_000_000_000_000]
+EXTREME_INT32 = [-2147483648, -2147483647, 2147483647, -1]
+EXTREME_FLOAT32 = [3e38, 1e30, -1e30, 1e-30, 6e-39]
+
+
+def _inject_extremes(col: pa.ChunkedArray, field: pa.Field,
+                     mask: np.ndarray, table: str, name: str):
+    """Replace masked numeric values with rotating boundary values;
+    NULLs stay NULL (the dials compose). List<float> columns get the
+    extreme spliced into element 0 of non-empty lists."""
+    base = zlib.crc32(f"{table}|{name}|extreme".encode())
+    if pa.types.is_list(field.type):
+        vals = col.to_pylist()
+        out = []
+        for i, v in enumerate(vals):
+            if v is None or not mask[i] or not v:
+                out.append(v)
+                continue
+            ex = EXTREME_FLOAT32[(base + i) % len(EXTREME_FLOAT32)]
+            out.append([ex] + v[1:])
+        return pa.chunked_array([pa.array(out, type=field.type)])
+    if pa.types.is_floating(field.type):
+        pool = EXTREME_DOUBLES
+    elif pa.types.is_integer(field.type):
+        pool = EXTREME_INT64 if field.type.bit_width == 64 \
+            else EXTREME_INT32
+    else:
+        return col
+    vals = col.to_pylist()
+    out = [v if (v is None or not mask[i])
+           else pool[(base + i) % len(pool)]
+           for i, v in enumerate(vals)]
+    return pa.chunked_array([pa.array(out, type=field.type)])
+
+
 def fuzz_table(path: str, table: str, null_rate: float,
                empty_rate: float, dup_rate: float = 0.0,
                nan_rate: float = 0.0,
                conflict_rate: float = 0.0,
                permute_rows: bool = False,
-               unicode_rate: float = 0.0) -> pa.Table:
+               unicode_rate: float = 0.0,
+               extreme_rate: float = 0.0) -> pa.Table:
     t = pq.read_table(path)
     n = t.num_rows
     for idx, name in enumerate(t.schema.names):
@@ -269,6 +328,12 @@ def fuzz_table(path: str, table: str, null_rate: float,
         if nulls.any():
             col = pc.if_else(pa.array(~nulls), col,
                              pa.scalar(None, type=field.type))
+        if extreme_rate and (pa.types.is_floating(field.type)
+                             or pa.types.is_integer(field.type)
+                             or pa.types.is_list(field.type)):
+            exts = _mask(table, name, n, extreme_rate, salt="extreme")
+            if exts.any():
+                col = _inject_extremes(col, field, exts, table, name)
         if pa.types.is_string(field.type):
             empties = _mask(table, name, n, empty_rate, salt="empty")
             if empties.any():
@@ -344,6 +409,11 @@ def main() -> int:
                          "rotating adversarial Unicode snippet (full-vs-"
                          "simple case mapping, \\s membership, RE2 (?i) "
                          "folding, byte-vs-codepoint distances)")
+    ap.add_argument("--extreme-rate", type=float, default=0.0,
+                    help="fraction of numeric values replaced with "
+                         "rotating boundary values (±1e±30, subnormals, "
+                         "±DBL_MAX, decimal(38,6) overflow edge, "
+                         "LONG_MIN/MAX ids, float32-inf squares)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -353,7 +423,7 @@ def main() -> int:
         fuzzed = fuzz_table(src, table, args.null_rate, args.empty_rate,
                             args.dup_rate, args.nan_rate,
                             args.conflict_rate, args.permute_rows,
-                            args.unicode_rate)
+                            args.unicode_rate, args.extreme_rate)
         pq.write_table(fuzzed, os.path.join(args.out, f"{table}.parquet"))
         injected = sum(fuzzed.column(c).null_count
                        for c in fuzzed.schema.names)

@@ -28,6 +28,11 @@ Order (each regenerates its committed artifact as a side effect):
                          divergences the 2% run missed), stamped
                          since r11
 7. ``scale_study``     — sf0.01→sf0.1 scaling exponents
+7b. ``scale_study_sf1`` — third decade (r12): top-10 bench queries by
+                         baseline seconds, sf0.1 → synthesized sf1
+                         (``--synth-big`` builds /tmp/sf1_synth when
+                         missing); super-linear onset is only visible
+                         here (the r10 tfidf OOM proof)
 8. ``pytest``          — the full unit/pipeline/property suite
 9. ``stamp_round N``   — byte-copies the canonical attestation to
                          ``CORRECTNESS_local_r{NN}.json`` (only with
@@ -101,6 +106,14 @@ GATES = [
                           "--unicode-rate", "0.05",
                           "--out", "/tmp/fuzz_sf_hi"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
+    # third decade (r12): the 10 most expensive bench queries measured
+    # sf0.1 → synthesized sf1 (fixture built on demand). The narrow
+    # two-decade window cannot see super-linear onset — the r10 tfidf
+    # df-cap OOM was only visible here.
+    ("scale_study_sf1", [sys.executable, "tools/scale_study.py",
+                         "--small", "/root/testdata/sf0.1",
+                         "--big", "/tmp/sf1_synth", "--synth-big",
+                         "--top-bench", "10"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
 ]
 

@@ -6,11 +6,23 @@ This is the harness behind PERFORMANCE.md's two-scale table — run it
 after operator changes so the table never drifts from measurement.
 
 Usage:
-  python tools/scale_study.py [--small DIR] [--big DIR] [--n 3] [query ...]
+  python tools/scale_study.py [--small DIR] [--big DIR] [--n 3]
+      [--top-bench N] [--synth-big] [query ...]
 
 Defaults: sf0.01 -> sf0.1, median of 3, all bench HEADLINE queries.
 Emits a markdown table on stdout (paste-ready) and one JSON line on
 stderr for tooling.
+
+Third decade (r12, VERDICT r11 #4): the sf0.01→sf0.1 window is too
+narrow to see super-linear onset (the r10 tfidf df-cap OOM was only
+visible at the synthesized third decade), so ``run_gates`` now also
+runs ``--small /root/testdata/sf0.1 --big /tmp/sf1_synth --synth-big
+--top-bench 10``: the 10 most expensive bench queries (by
+BENCH_BASELINE seconds) measured sf0.1 → synth-sf1. ``--synth-big``
+builds the fixture via ``tools/synth_scale.py`` when the dir is
+missing; ``--top-bench N`` selects the N largest-baseline tracked
+queries. The exponent gate (exit 1 when any window goes super-linear)
+applies unchanged.
 """
 
 from __future__ import annotations
@@ -32,10 +44,23 @@ def main() -> int:
     ap.add_argument("--small", default="/root/testdata/sf0.01")
     ap.add_argument("--big", default="/root/testdata/sf0.1")
     ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("--top-bench", type=int, default=None, metavar="N",
+                    help="run the N most expensive tracked queries by "
+                         "BENCH_BASELINE.json seconds (third-decade set)")
+    ap.add_argument("--synth-big", action="store_true",
+                    help="build --big via tools/synth_scale.py if the "
+                         "directory is missing")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.synth_big and not os.path.isdir(args.big):
+        import subprocess
+        print(f"# building synthetic fixture {args.big} "
+              f"(tools/synth_scale.py)", flush=True)
+        subprocess.run([sys.executable,
+                        os.path.join(root, "tools", "synth_scale.py"),
+                        "--out", args.big], check=True, cwd=root)
     spec = importlib.util.spec_from_file_location(
         "entry", os.path.join(root, "__spark_entry__.py"))
     mod = importlib.util.module_from_spec(spec)
@@ -46,18 +71,33 @@ def main() -> int:
     bench_spec.loader.exec_module(bench)
 
     from zacks_estimates_financial_statements_spark.session import get_spark
+    extra = {"spark.ui.enabled": "false",
+             "spark.ui.showConsoleProgress": "false",
+             # headroom for the synthesized-sf1 decade; the
+             # session factory deliberately keeps the bench
+             # default at 1g (see session.py measurement note)
+             "spark.driver.memory":
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")}
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        # more, smaller tasks for oversized runs — same env contract as
+        # tools/oracle_check.py (AQE re-coalesces, so this only bounds
+        # per-task memory)
+        extra["spark.sql.shuffle.partitions"] = \
+            os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"]
     spark = get_spark(
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        extra_conf={"spark.ui.enabled": "false",
-                    "spark.ui.showConsoleProgress": "false",
-                    # headroom for the synthesized-sf1 decade; the
-                    # session factory deliberately keeps the bench
-                    # default at 1g (see session.py measurement note)
-                    "spark.driver.memory":
-                        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")})
+        extra_conf=extra)
 
     qs = mod.queries()
-    names = args.queries or [q for q in bench.HEADLINE if q in qs]
+    if args.top_bench:
+        base = json.load(open(os.path.join(root, "BENCH_BASELINE.json")))
+        secs = dict(base.get("queries", {}))
+        secs.update(base.get("non_headline", {}))
+        names = [q for q, _ in
+                 sorted(secs.items(), key=lambda kv: -kv[1])
+                 if q in qs][:args.top_bench]
+    else:
+        names = args.queries or [q for q in bench.HEADLINE if q in qs]
     out = {}
     print("| query | small s | big s | ratio | exp |")
     print("|---|---|---|---|---|")
