@@ -46,18 +46,28 @@ def _dt_sql(expr: str) -> str:
             " AS VARCHAR), '(\\.\\d*?)0+$', '\\1'), '\\.$', '')")
 
 
-# --- non-finite measure contract (r9 contract fuzz, --nan-rate) -----------
-# Spark's ANSI double->decimal CAST yields NULL for NaN/±Inf, so every
-# decimal-routed aggregate already degrades a non-finite measure to NULL
-# per row. DuckDB's CAST hard-aborts instead — twins must state the same
-# contract explicitly. `_fin_sql` is the raw guard, `_decg` the guarded
-# decimal cast (the twin of the package's `_dec`/`.cast(DEC)` idiom).
+# --- unrepresentable-measure contract (r9 --nan-rate; r12 --extreme-rate) --
+# Spark's ANSI double->decimal CAST yields NULL for NaN/±Inf but ABORTS
+# for finite values beyond decimal(38,6)'s ~9.99e31 max (r12 recon:
+# NUMERIC_VALUE_OUT_OF_RANGE across 9 queries); DuckDB's CAST
+# hard-aborts for both. Pinned contract: decimal(38,6) is the declared
+# exact-aggregation domain, and a measure OUTSIDE it (non-finite OR
+# |x| >= 1e32) degrades to NULL per row — Spark via try_cast (the
+# package's `_dec` idiom), twins via the explicit guard below. The
+# 1e32 bound is exact for doubles: the largest double below 1e32 is
+# ~6e15 under it, so no representable value straddles the boundary.
+# `_fin_sql` (non-finite only) remains the guard for NON-decimal
+# statistics (exact percentiles etc.), where huge finite values are
+# legitimate and must participate.
 def _fin_sql(expr: str) -> str:
     return f"CASE WHEN isfinite({expr}) THEN {expr} END"
 
 
 def _decg(expr: str) -> str:
-    return f"CAST({_fin_sql(expr)} AS DECIMAL(38,6))"
+    # domain bound mirrored from util.DEC6_DOMAIN (1e26): see that
+    # constant's docstring for the sum-headroom argument
+    return (f"CAST(CASE WHEN isfinite({expr}) AND abs({expr}) < 1e26 "
+            f"THEN {expr} END AS DECIMAL(38,6))")
 
 
 # --- URL casefold + parse mirrors (r11 Unicode contract fuzz) --------------
@@ -189,7 +199,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dec(c) -> F.Column:
-    return c.cast(DEC)
+    # a measure outside the exact-aggregation domain (non-finite or
+    # |x| >= util.DEC6_DOMAIN) is NULL per row, never an ANSI abort
+    # (r12 extreme-rate contract; _decg is the SQL twin)
+    from zacks_estimates_financial_statements_spark.util import dec6
+    return dec6(c)
 
 
 # ---------------------------------------------------------------------------
@@ -386,10 +400,13 @@ def q_symbol_universe(spark, sf):
 ORACLE_SYMBOL_UNIVERSE = """
 WITH dim AS (
   SELECT
-    chr(CAST(65 + CAST(floor(c_custkey / 456976) AS INT) % 26 AS INT))
-    || chr(CAST(65 + CAST(floor(c_custkey / 17576) AS INT) % 26 AS INT))
-    || chr(CAST(65 + CAST(floor(c_custkey / 676) AS INT) % 26 AS INT))
-    || chr(CAST(65 + CAST(floor(c_custkey / 26) AS INT) % 26 AS INT))
+    -- r12 extreme dial: BIGINT (an extreme key / 456976 overflows
+    -- INT32) and trunc-toward-zero (Spark's cast("long"); DuckDB's
+    -- floor() would round a negative quotient DOWN instead)
+    chr(CAST(65 + trunc(c_custkey / 456976)::BIGINT % 26 AS INT))
+    || chr(CAST(65 + trunc(c_custkey / 17576)::BIGINT % 26 AS INT))
+    || chr(CAST(65 + trunc(c_custkey / 676)::BIGINT % 26 AS INT))
+    || chr(CAST(65 + trunc(c_custkey / 26)::BIGINT % 26 AS INT))
     || chr(CAST(65 + c_custkey % 26 AS INT)) AS act_symbol,
     c_custkey % 11 = 0 AS has_dollar,
     CASE WHEN c_custkey % 13 = 0 THEN 'Acme ETN Note'
@@ -661,8 +678,11 @@ def q_upsert_ignore(spark, sf):
     """W1: first-write-wins upsert — after-state of inserting a batch
     (order keys shifted by 7, carrying new payloads) into orders."""
     orders = _t(spark, sf, "orders")
-    batch = orders.select((F.col("o_orderkey") + 7).alias("o_orderkey"),
-                          F.lit("BATCH").alias("src"))
+    # overflow contract (r12 extreme dial): a key within 7 of the int64
+    # ceiling has no shifted twin — excluded from the batch on both sides
+    batch = (orders.filter(F.col("o_orderkey") <= 9223372036854775800)
+             .select((F.col("o_orderkey") + 7).alias("o_orderkey"),
+                     F.lit("BATCH").alias("src")))
     existing = orders.select("o_orderkey", F.lit("EXISTING").alias("src"))
     fresh = batch.join(existing.select("o_orderkey"), "o_orderkey",
                        "left_anti")
@@ -673,7 +693,8 @@ ORACLE_UPSERT_IGNORE = """
 SELECT o_orderkey, 'EXISTING' AS src FROM orders
 UNION ALL
 SELECT b.o_orderkey, 'BATCH' AS src FROM (
-  SELECT o_orderkey + 7 AS o_orderkey FROM orders) b
+  SELECT o_orderkey + 7 AS o_orderkey FROM orders
+  WHERE o_orderkey <= 9223372036854775800) b
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = b.o_orderkey)
 """
 
@@ -1327,10 +1348,15 @@ def q_hard_negatives(spark, sf):
     anchors = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("anchor_id"),
                        F.col("embedding").alias("anchor_vec")))
+    # overflow contract (r12): Catalyst may reassociate the chain as
+    # (a + a%3) + 250, so LONG_MIN underflows before the +250 — a
+    # planted positive exists only for range-safe anchors (NULL
+    # otherwise: NULL never equi-joins, i.e. "no positive")
+    a = F.col("anchor_id")
+    safe = (a > -9223372036854775556) & (a < 9223372036854775556)
     positives = anchors.select(
         "anchor_id",
-        (F.col("anchor_id") + 250 + F.col("anchor_id") % 3)
-        .alias("vec_id"))
+        F.when(safe, a + 250 + a % 3).alias("vec_id"))
     out = similarity.mine_hard_negatives(emb, anchors, positives,
                                          n_negatives=5, candidate_k=20)
     return out.select("anchor_id", "vec_id",
@@ -1343,7 +1369,12 @@ WITH a AS (
   SELECT vec_id AS anchor_id, embedding AS avec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
   ORDER BY vec_id LIMIT 5),
 pos AS (
-  SELECT anchor_id, anchor_id + 250 + anchor_id % 3 AS vec_id FROM a
+  -- overflow contract (r12): planted positive only for range-safe
+  -- anchors (mirror of the Spark-side guard; NULL = no positive)
+  SELECT anchor_id,
+    CASE WHEN anchor_id > -9223372036854775556
+          AND anchor_id < 9223372036854775556
+         THEN anchor_id + 250 + anchor_id % 3 END AS vec_id FROM a
   UNION ALL SELECT anchor_id, anchor_id FROM a),
 scored AS (
   SELECT a.anchor_id, e.vec_id,
@@ -1748,9 +1779,13 @@ def q_text_stats(spark, sf):
         F.round(T.quality_score(F.col("text")), 6).alias("quality"))
 
 
-ORACLE_TEXT_STATS = r"""
+# parametrized so per-row consumers (corpus_report) can carry extra
+# columns through WITHOUT a join-back by doc_id — id collisions
+# (extreme-dial LONG_MAX ids, conflict clones) would amplify any
+# such join while the Spark side is one inline per-row agg (r12)
+_TEXT_STATS_TEMPLATE = r"""
 WITH s AS (
-  SELECT doc_id, text,
+  SELECT __EXTRA__ doc_id, text,
     CASE WHEN trim(text) = '' THEN 0
       ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS ws_tokens,
     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS rx_tokens,
@@ -1766,7 +1801,7 @@ WITH s AS (
                           'was','for','on','with','as','by','at','it','this',
                           'that']) AS w)) AS stop_hits
   FROM documents)
-SELECT doc_id, ws_tokens, rx_tokens,
+SELECT __EXTRA__ doc_id, ws_tokens, rx_tokens,
   round(pr, 6) AS punct_ratio,
   round(mwl, 6) AS mean_word_len,
   round(CASE WHEN ws_tokens = 0 THEN 0.0 ELSE
@@ -1775,6 +1810,13 @@ SELECT doc_id, ws_tokens, rx_tokens,
      + (1.0 - least(1.0, pr * 5.0))) / 3.0 END, 6) AS quality
 FROM s
 """
+
+
+def _text_stats_sql(extra: str = "") -> str:
+    return _TEXT_STATS_TEMPLATE.replace("__EXTRA__", extra)
+
+
+ORACLE_TEXT_STATS = _text_stats_sql()
 
 
 def q_heavy_hitters(spark, sf):
@@ -1906,24 +1948,21 @@ def q_corpus_report(spark, sf):
                                   "source", "text")
 
 
+# duplicate-id contract (corpus_report): volume accounting is over
+# PHYSICAL rows (a duplicated row is real extra volume — the Spark side
+# is one inline agg, no join). r12: per-row stats ride THROUGH the
+# stats CTE via the __EXTRA__ columns instead of a join-back by doc_id
+# — colliding ids (extreme-dial LONG_MAX keys, conflict clones with
+# distinct texts) amplified that join while Spark's inline agg did not.
 ORACLE_CORPUS_REPORT = f"""
-WITH ts AS ({ORACLE_TEXT_STATS}),
-j AS (
-  -- duplicate-id contract (corpus_report): volume accounting is over
-  -- PHYSICAL rows (a duplicated row is real extra volume — the Spark
-  -- side is one inline agg, no join); the DISTINCT keeps the per-doc
-  -- stats join from amplifying copies 2x2
-  SELECT d.source, d.text, ts.ws_tokens, ts.quality
-  FROM documents d JOIN (
-    SELECT DISTINCT doc_id, ws_tokens, quality FROM ts) ts
-    ON d.doc_id = ts.doc_id)
+WITH j AS ({_text_stats_sql("source, text,")})
 SELECT source, count(*)::BIGINT AS n_docs,
   sum(len(text))::BIGINT AS total_chars,
   sum(ws_tokens)::BIGINT AS total_ws_tokens,
-  round(sum(quality::DECIMAL(38,6))::DOUBLE / count(*), 6) AS avg_quality,
+  round(sum({_decg('quality')})::DOUBLE / count(*), 6) AS avg_quality,
   round(sum(CASE WHEN ws_tokens < 30 THEN 1 ELSE 0 END)::DOUBLE
         / count(*), 6) AS pct_short
-FROM j GROUP BY source
+FROM j WHERE doc_id IS NOT NULL GROUP BY source
 """
 
 
@@ -1939,10 +1978,13 @@ def _lang_score_sql(words: list[str]) -> str:
     return f"({parts})"
 
 
-def _lang_oracle_sql() -> str:
+def _lang_oracle_sql(extra: str = "") -> str:
     """DuckDB twin of ``T.detect_language`` GENERATED from the same
     marker table and the same first-wins-over-sorted-codes tie-break, so
-    the two can never drift when languages are added."""
+    the two can never drift when languages are added. ``extra`` columns
+    ride through per physical row (r12: composite twins join versions
+    by the FULL row, never doc_id alone — colliding extreme-dial ids
+    cross-match otherwise)."""
     langs = sorted(T.LANG_MARKERS)
     score_cols = ",\n    ".join(
         f"{_lang_score_sql(T.LANG_MARKERS[lang])} AS s_{lang}"
@@ -1959,10 +2001,10 @@ def _lang_oracle_sql() -> str:
             "    WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
     return (f"""
 WITH scores AS (
-  SELECT doc_id,
+  SELECT {extra} doc_id,
     {score_cols}
   FROM documents)
-SELECT doc_id,
+SELECT {extra} doc_id,
   CASE
 {chr(10).join(branches)}
     ELSE 'und' END AS lang_pred
@@ -2000,25 +2042,25 @@ def q_clean_corpus(spark, sf):
 
 
 ORACLE_CLEAN_CORPUS = f"""
-WITH lang AS ({ORACLE_LANGUAGE_ID.replace('FROM documents',
-                                          'FROM documents', 1)}),
+WITH lang AS ({_lang_oracle_sql('text,')}),
 stats AS (
-  SELECT doc_id, ws_tokens AS toks, quality AS q FROM (
+  -- fp computed from the SAME physical row as the stats (r12: joining
+  -- a separate fp relation by doc_id alone cross-matched colliding
+  -- extreme-dial ids' versions; conflict contract: join by the FULL
+  -- version)
+  SELECT doc_id, text, ws_tokens AS toks, quality AS q,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM (
     {{text_stats}}
   )),
-fp AS (
-  SELECT doc_id,
-    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-  FROM documents),
 gated AS (
   -- duplicate-id contract (clean_corpus): the keep-first window emits
   -- ONE row per surviving fingerprint — physical copies of one doc are
   -- the same logical doc (identical content ⇒ identical score row), so
-  -- DISTINCT collapses them before the winner join (which would
-  -- otherwise amplify 2×2×2 through the three doc_id equi-joins)
-  SELECT DISTINCT s.doc_id, s.toks, s.q, f.fp
-  FROM stats s JOIN lang l ON s.doc_id = l.doc_id
-  JOIN fp f ON f.doc_id = s.doc_id
+  -- DISTINCT collapses them before the winner join
+  SELECT DISTINCT s.doc_id, s.toks, s.q, s.fp
+  FROM stats s JOIN lang l
+    ON s.doc_id = l.doc_id AND s.text IS NOT DISTINCT FROM l.text
   WHERE l.lang_pred = 'en' AND s.toks >= 20 AND s.q >= 0.5)
 SELECT g.doc_id, g.toks, round(g.q, 6) AS quality
 FROM gated g
@@ -2597,7 +2639,7 @@ kept AS (
   WHERE NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = p.doc_id
                     AND p.p BETWEEN iv.s AND iv.e)),
 agg AS (
-  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+  SELECT doc_id, string_agg(w, ' ' ORDER BY p, w) AS clean_text,
          count(*)::BIGINT AS n_kept
   FROM kept GROUP BY doc_id)
 SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
@@ -3675,7 +3717,7 @@ kept AS (
   WHERE NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = p.doc_id
                     AND p.p BETWEEN iv.s AND iv.e)),
 agg AS (
-  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+  SELECT doc_id, string_agg(w, ' ' ORDER BY p, w) AS clean_text,
          count(*)::BIGINT AS n_kept
   FROM kept GROUP BY doc_id)
 SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
@@ -3908,9 +3950,13 @@ WITH base AS (
   -- NULL contract: NULL doc_id null-propagates the synthesized URL
   FROM documents WHERE doc_id IS NOT NULL)
 SELECT doc_id, url, host,
-  CASE WHEN doc_id % 3 = 0 THEN 'org'
-       ELSE 'ex' || (doc_id % 3) || '.org' END AS public_suffix,
-  CASE WHEN doc_id % 3 = 0 THEN 'ex0.org'
+  -- r12 extreme dial: a NEGATIVE id mints 'ex-1.org'/'ex-2.org'
+  -- labels that are NOT in the 3-entry suffix list, so the match
+  -- falls back to 'org' exactly like the d%3=0 branch
+  CASE WHEN doc_id % 3 IN (1, 2) THEN 'ex' || (doc_id % 3) || '.org'
+       ELSE 'org' END AS public_suffix,
+  CASE WHEN doc_id % 3 NOT IN (1, 2)
+         THEN 'ex' || (doc_id % 3) || '.org'
        WHEN doc_id % 2 = 0 THEN 'site.ex' || (doc_id % 3) || '.org'
        ELSE 'h' || (doc_id % 7) || '.ex' || (doc_id % 3) || '.org'
   END AS registrable
@@ -4044,9 +4090,15 @@ SELECT doc_id,
   'https://h' || k || '.org' ||
     CASE WHEN p = 3 THEN '/' ELSE path END AS url,
   'h' || k || '.org' AS host, path,
-  CASE WHEN k % 2 = 0 THEN (p = 2)
-       ELSE (p = 1 OR p = 2 OR p = 3) END AS allowed,
-  CASE WHEN k % 2 = 0 THEN
+  -- r12 extreme dial: a negative id mints host 'h-1.org' etc., which
+  -- has NO robots file (rules cover h0..h4 only) → default-allow with
+  -- NULL matched_prefix, same as the Spark no-rules path. Negative p
+  -- (path '/') on a rule-carrying host matches like p=3.
+  CASE WHEN k NOT BETWEEN 0 AND 4 THEN true
+       WHEN k % 2 = 0 THEN (p = 2)
+       ELSE (p = 1 OR p = 2 OR NOT p BETWEEN 0 AND 2) END AS allowed,
+  CASE WHEN k NOT BETWEEN 0 AND 4 THEN NULL
+       WHEN k % 2 = 0 THEN
          CASE WHEN p = 2 THEN '/pub' ELSE '/' END
        ELSE CASE WHEN p = 0 THEN '/private'
                  WHEN p = 1 THEN '/private/ok' END
@@ -4374,8 +4426,10 @@ def q_k_anonymity(spark, sf):
         "doc_id",
         F.when(F.col("doc_id") % 17 != 0, F.col("lang")).alias("lang2"),
         "source",
-        F.floor(F.col("n_chars") / 100).cast("bigint")
-        .alias("len_bucket"))
+        # integer DIV, not floor(x/100.0): double division loses
+        # precision above 2^53 and floors negatives differently than
+        # DuckDB's trunc-toward-zero // (r12 extreme dial)
+        F.expr("n_chars DIV 100").alias("len_bucket"))
     return profiling.k_anonymity(base, ["lang2", "source", "len_bucket"],
                                  k=5)
 
@@ -4550,7 +4604,9 @@ def q_embedding_diversity(spark, sf):
     return profiling.embedding_diversity(base, "embedding", "g")
 
 
-ORACLE_EMBEDDING_DIVERSITY = """
+# exact-aggregation domain guards (r12 extreme dial): mirror of
+# profiling's dec6 on the per-dim sums and the squared-centroid term
+ORACLE_EMBEDDING_DIVERSITY = f"""
 WITH base AS (
   SELECT (vec_id % 5)::VARCHAR AS stratum, embedding FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings),
 counts AS (
@@ -4560,14 +4616,13 @@ ex AS (
     round(embedding[u.i]::DOUBLE, 6) AS x6
   FROM base, unnest(range(1, len(embedding) + 1)) AS u(i)),
 per_dim AS (
-  SELECT stratum, d, sum(x6::DECIMAL(38,6)) AS s1,
-    sum(round(x6 * x6, 6)::DECIMAL(38,6)) AS s2
+  SELECT stratum, d, sum({_decg('x6')}) AS s1,
+    sum({_decg('round(x6 * x6, 6)')}) AS s2
   FROM ex GROUP BY stratum, d),
 rolled AS (
   SELECT p.stratum, c.n,
     round(sum(p.s2)::DOUBLE / c.n, 6) AS mean_norm_sq,
-    round(sum(round(pow(round(p.s1::DOUBLE / c.n, 6), 2),
-                    6)::DECIMAL(38,6))::DOUBLE, 6) AS centroid_norm_sq
+    round(sum({_decg('round(pow(round(p.s1::DOUBLE / c.n, 6), 2), 6)')})::DOUBLE, 6) AS centroid_norm_sq
   FROM per_dim p JOIN counts c USING (stratum)
   GROUP BY p.stratum, c.n)
 SELECT stratum, n, mean_norm_sq, centroid_norm_sq,
@@ -4587,17 +4642,21 @@ def q_calibration_bins(spark, sf):
     # NULL contract: a NULL id has no synthesized score/label -- excluded
     docs = docs.filter(F.col("doc_id").isNotNull())
     d = F.col("doc_id")
+    # overflow contract (r12): pmod-reduce before *37 (same values for
+    # canonical non-negative ids, no LONG_MAX*37 abort)
     scored = docs.select(
-        (((d * 37) % 101).cast("double") / 100.0).alias("score"),
-        (d % 3 == 0).alias("label"))
+        ((F.pmod(d, F.lit(101)) * 37 % 101).cast("double") / 100.0)
+        .alias("score"),
+        (F.pmod(d, F.lit(3)) == 0).alias("label"))
     return curation.calibration_bins(scored, "score", "label",
                                      n_bins=10)
 
 
 ORACLE_CALIBRATION_BINS = """
 WITH scored AS (
-  SELECT ((doc_id * 37) % 101)::DOUBLE / 100.0 AS s,
-    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  -- pmod-reduced mixing, mirror of the Spark side (r12 overflow)
+  SELECT (((doc_id % 101 + 101) % 101) * 37 % 101)::DOUBLE / 100.0 AS s,
+    CASE WHEN (doc_id % 3 + 3) % 3 = 0 THEN 1 ELSE 0 END AS y
   -- NULL contract: a NULL id synthesizes a NULL score, which cannot be
   -- binned (DuckDB's least() would otherwise dump it into bin 9 while
   -- Spark's label stays NULL) -- excluded on both engines
@@ -4799,8 +4858,9 @@ def q_video_near_dup(spark, sf):
     and the containment aggregation closed-form — a mis-parsed sample
     table, wrong frame for a tick, or decoder defect flips the value
     hash."""
-    ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 30)
-           .select("doc_id"))
+    ids = (_t(spark, sf, "documents")
+           .filter((F.col("doc_id") >= 0) & (F.col("doc_id") < 30))
+           .select("doc_id"))  # r12: see q_video_frames
     keyed = ids.select(F.col("doc_id").alias("media_id"),
                        (F.col("doc_id") % 15).alias("content_key"))
     media = multimodal.synthesize_hashable_videos(keyed)
@@ -4841,7 +4901,7 @@ SELECT * FROM ov WHERE overlap >= 0.5
 ORACLE_VIDEO_NEAR_DUP = f"""
 WITH ids AS (
   SELECT doc_id AS media_id, doc_id % 15 AS key
-  FROM documents WHERE doc_id < 30),
+  FROM documents WHERE doc_id >= 0 AND doc_id < 30),
 -- per-(key, frame) block values: (md5 byte % 128) * 2, with the frame
 -- count 2 + key % 3 at 2 fps so every_ms=500 samples each frame once
 kframes AS (
@@ -4883,8 +4943,9 @@ def q_audio_near_dup(spark, sf):
     fingerprint from the rank permutation (volume invariance is what
     makes the different-volume plants land), so a decode or FFT-band
     defect flips the value hash."""
-    ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 30)
-           .select("doc_id"))
+    ids = (_t(spark, sf, "documents")
+           .filter((F.col("doc_id") >= 0) & (F.col("doc_id") < 30))
+           .select("doc_id"))  # r12: see q_video_frames
     keyed = ids.select(F.col("doc_id").alias("media_id"),
                        (F.col("doc_id") % 15).alias("content_key"))
     media = multimodal.synthesize_hashable_audio(keyed)
@@ -4897,7 +4958,7 @@ def q_audio_near_dup(spark, sf):
 ORACLE_AUDIO_NEAR_DUP = f"""
 WITH ids AS (
   SELECT doc_id AS media_id, doc_id % 15 AS key
-  FROM documents WHERE doc_id < 30),
+  FROM documents WHERE doc_id >= 0 AND doc_id < 30),
 -- per-(key, window, band) md5 byte; rank = position in the (byte,
 -- band)-ordered permutation; Haitsma-Kalker sign bit b is exactly
 -- rank[b+1] > rank[b] (tone amplitudes are 2 + rank at exact FFT bins)
@@ -4940,8 +5001,9 @@ def q_media_curate(spark, sf):
     components with a recursive transitive closure — so the decode
     gate, the banding, AND the large-star/small-star convergence are
     all value-checked."""
-    ids = (_t(spark, sf, "documents").filter(F.col("doc_id") < 40)
-           .select("doc_id"))
+    ids = (_t(spark, sf, "documents")
+           .filter((F.col("doc_id") >= 0) & (F.col("doc_id") < 40))
+           .select("doc_id"))  # r12: see q_video_frames
     keyed = ids.select(F.col("doc_id").alias("media_id"),
                        (F.col("doc_id") % 25).alias("content_key"))
     media = multimodal.synthesize_hashable_images(keyed)
@@ -4975,7 +5037,7 @@ def q_media_curate(spark, sf):
 ORACLE_MEDIA_CURATE = f"""
 WITH ids AS (
   SELECT doc_id AS media_id, doc_id % 25 AS key
-  FROM documents WHERE doc_id < 40),
+  FROM documents WHERE doc_id >= 0 AND doc_id < 40),
 {_SQL_IMAGE_HASHES},
 sk AS (SELECT i.media_id, h.dhash FROM ids i JOIN hashes h USING (key)),
 -- symmetric edge set of the banding's exact-recall pair join
@@ -5011,12 +5073,13 @@ def q_media_metadata(spark, sf):
     md5 of the decoded content as lowercase hex. The DuckDB twin
     computes every column in closed form, so a wrong sniff, mis-parsed
     header, or single wrong decoded byte flips the value hash."""
-    ids = _t(spark, sf, "documents").filter(F.col("doc_id") < 24)
+    ids = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < 24))  # r12: see q_video_frames
     return multimodal.synthesize_decode_invariants(ids, id_col="doc_id")
 
 
 ORACLE_MEDIA_METADATA = """
-WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 24),
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id >= 0 AND doc_id < 24),
 base AS (
   SELECT media_id,
     CASE media_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
@@ -5067,14 +5130,18 @@ def q_video_frames(spark, sf):
     and emit the recovered schedule, dimensions, and pixel value — all
     closed-form in the DuckDB twin. A mis-parsed sample table, wrong
     frame picked for a tick, or decoder defect flips the hash."""
-    ids = _t(spark, sf, "documents").filter(F.col("doc_id") < 12)
+    # media synthesis addresses the corpus slice [0, N): negative
+    # (extreme-dial) ids are outside it — they would overflow frame-id
+    # packing and flip %-sign arithmetic in the synth content (r12)
+    ids = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < 12))
     media = multimodal.synthesize_mjpeg_media(ids, id_col="doc_id")
     frames = multimodal.sample_video_frames(media, every_ms=500)
     return multimodal.frame_decode_invariants(frames)
 
 
 ORACLE_VIDEO_FRAMES = """
-WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 12),
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id >= 0 AND doc_id < 12),
 base AS (
   SELECT media_id, 16 + (media_id % 3) * 8 AS w,
          16 + (media_id % 2) * 8 AS h, 2 + media_id % 4 AS nf
@@ -5112,6 +5179,22 @@ def q_curate_pipeline(spark, sf):
     cluster scale the checkpoint materializes 4 narrow columns per
     surviving doc — the standard mid-composite cut point."""
     docs = _t(spark, sf, "documents")
+    # keyed single-version panel (r10 winner rule, applied at the
+    # pipeline head in r12): a curated corpus is keyed by doc_id, so
+    # multi-version ids (conflict clones; extreme-dial id collisions)
+    # resolve to ONE version — min md5(text), ties by (source, text) —
+    # before any pipeline stage. Verbatim copies collapse via the
+    # distinct; unique-id corpora (the canonical testdata) pass
+    # through bit-unchanged.
+    from pyspark.sql import Window as _W
+    vw = _W.partitionBy("doc_id").orderBy(
+        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+        .asc_nulls_last(),
+        F.col("source").asc_nulls_last(), F.col("text").asc_nulls_last())
+    docs = (docs.filter(F.col("doc_id").isNotNull())
+            .select("doc_id", "source", "text").distinct()
+            .withColumn("__rn", F.row_number().over(vw))
+            .filter(F.col("__rn") == 1).drop("__rn"))
     split = curation.hash_split(docs, "doc_id", {"bench": 1, "corpus": 9},
                                 seed="decontam")
     bench = split.filter("split = 'bench'")
@@ -5139,11 +5222,21 @@ _CORPUS_SHINGLE_SQL = _SHINGLE_SQL.format(km1=2).replace(
     "FROM documents", "FROM corpus_docs")
 
 ORACLE_CURATE_PIPELINE = f"""
-WITH RECURSIVE split AS (
+WITH RECURSIVE vers AS (
+  -- keyed single-version resolution (r12, see q_curate_pipeline)
+  SELECT DISTINCT doc_id, source, text,
+    md5(coalesce(text, '')) AS fp
+  FROM documents WHERE doc_id IS NOT NULL),
+winner AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY fp, source NULLS LAST, text NULLS LAST) AS rn
+    FROM vers) WHERE rn = 1),
+split AS (
   SELECT *,
     ('0x' || substr(md5('decontam|' || doc_id::VARCHAR), 1, 15))::BIGINT
       % 1000000 AS bucket
-  FROM documents),
+  FROM winner),
 corpus_docs AS (SELECT * FROM split WHERE bucket >= 100000),
 bench_docs AS (SELECT * FROM split WHERE bucket < 100000),
 shingled AS ({_CORPUS_SHINGLE_SQL}),
@@ -5187,7 +5280,9 @@ clean AS (
   WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)),
 scored AS (
   SELECT c.doc_id, c.component, c.source, q.quality
-  FROM clean c JOIN ({_QUALITY_STATS_SQL}) q ON c.doc_id = q.doc_id),
+  FROM clean c
+  JOIN ({_QUALITY_STATS_SQL.replace("FROM documents", "FROM winner")}) q
+    ON c.doc_id = q.doc_id),
 th AS (
   SELECT source, quantile_cont(quality, 0.5) AS threshold
   FROM scored GROUP BY source)
@@ -5307,7 +5402,11 @@ docw AS (
   FROM wls, generate_series(1, 256) g(i)
   WHERE g.i <= len(wl)),
 agg AS (
-  SELECT d.doc_id, flatten(list(e.p ORDER BY d.wp)) AS pieces
+  -- ORDER BY (wp, p): Spark reassembles via array_sort over
+  -- (position, pieces) structs, so position TIES across colliding-id
+  -- versions (r12 extreme dial mints several rows per id) break by
+  -- the piece list, not by physical row order
+  SELECT d.doc_id, flatten(list(e.p ORDER BY d.wp, e.p)) AS pieces
   FROM docw d JOIN enc e USING (w) GROUP BY d.doc_id)
 SELECT w.doc_id, coalesce(a.pieces, []::VARCHAR[]) AS pieces,
   coalesce(len(a.pieces), 0)::INT AS n_pieces
@@ -5433,19 +5532,21 @@ def q_bloom_semi_join(spark, sf):
     large = li.select(F.col("l_orderkey").alias("o_orderkey"),
                       "l_quantity", "l_linenumber")
     out = SK.bloom_semi_join(large, od, "o_orderkey", "inner")
-    # non-finite contract: the double->text render (no decimal cast on
-    # this path) NULLs NaN/±Inf — Spark writes "NaN"/"Infinity" where
-    # DuckDB writes "nan"/"inf" (twin mirrors)
+    # unrepresentable-measure contract (r12): the text render routes
+    # through the guarded decimal — NaN/±Inf AND out-of-domain finite
+    # doubles (|x| >= 1e26, e.g. DBL_MAX) render NULL; a raw double
+    # cast would hit engine-specific float formatting ("1.79E308" vs
+    # "1.79e+308")
     return out.select(
         "o_orderkey", "l_linenumber",
-        decimal_text(_finite(F.col("l_quantity"))).alias("qty_text"),
-        decimal_text(_finite(F.col("o_totalprice"))).alias("total_text"))
+        decimal_text(_dec(F.col("l_quantity"))).alias("qty_text"),
+        decimal_text(_dec(F.col("o_totalprice"))).alias("total_text"))
 
 
 ORACLE_BLOOM_SEMI_JOIN = f"""
 SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
-  {_dt_sql(_fin_sql('l.l_quantity'))} AS qty_text,
-  {_dt_sql(_fin_sql('o.o_totalprice'))} AS total_text
+  {_dt_sql(_decg('l.l_quantity'))} AS qty_text,
+  {_dt_sql(_decg('o.o_totalprice'))} AS total_text
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 """
@@ -5458,17 +5559,22 @@ def q_label_propagation(spark, sf):
     to the smallest label — each round replayed as a MATERIALIZED
     CTE in the twin."""
     docs = _t(spark, sf, "documents")
+    # overflow contract (r12 extreme dial): pmod-reduce the id BEFORE
+    # mixing (LONG_MAX*31 aborts); identical to the old %-form for the
+    # canonical non-negative ids, and sign-stable for fuzzed negatives
+    h = F.pmod(F.col("doc_id"), F.lit(97))
     edges = (docs.select(
-        (F.col("doc_id") % 97).alias("src"),
-        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"))
+        h.alias("src"),
+        ((h * 31 + 7) % 97).alias("dst"))
         .filter(F.col("src") != F.col("dst")))
     return graph.label_propagation(edges, n_iter=4)
 
 
 def _oracle_label_propagation(n_iter: int = 4) -> str:
     parts = ["""WITH e AS (
-  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
-  FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97),
+  SELECT DISTINCT h AS src, (h * 31 + 7) % 97 AS dst FROM (
+    SELECT (doc_id % 97 + 97) % 97 AS h FROM documents)
+  WHERE h <> (h * 31 + 7) % 97),
 sym AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
     SELECT src AS a, dst AS b FROM e
@@ -5497,9 +5603,13 @@ def q_pagerank(spark, sf):
     iterations, decimal-summed contributions, per-iteration rank
     rounding — bit-equal to the chained-CTE ANSI twin."""
     docs = _t(spark, sf, "documents")
+    # overflow contract (r12 extreme dial): pmod-reduce the id BEFORE
+    # mixing (LONG_MAX*31 aborts); identical to the old %-form for the
+    # canonical non-negative ids, and sign-stable for fuzzed negatives
+    h = F.pmod(F.col("doc_id"), F.lit(97))
     edges = (docs.select(
-        (F.col("doc_id") % 97).alias("src"),
-        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"))
+        h.alias("src"),
+        ((h * 31 + 7) % 97).alias("dst"))
         .filter(F.col("src") != F.col("dst")))
     return graph.pagerank(edges, n_iter=5)
 
@@ -5507,8 +5617,9 @@ def q_pagerank(spark, sf):
 def _oracle_pagerank(n_iter: int = 5) -> str:
     one_minus_d = "(1.0::DOUBLE - 0.85::DOUBLE)"
     parts = ["""WITH e AS (
-  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
-  FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97),
+  SELECT DISTINCT h AS src, (h * 31 + 7) % 97 AS dst FROM (
+    SELECT (doc_id % 97 + 97) % 97 AS h FROM documents)
+  WHERE h <> (h * 31 + 7) % 97),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 outdeg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
 base AS (SELECT n.node, d.deg FROM nodes n LEFT JOIN outdeg d USING (node)),
@@ -6549,7 +6660,11 @@ docw AS (
   FROM wls, generate_series(1, 256) g(i)
   WHERE g.i <= len(wl)),
 agg AS (
-  SELECT d.doc_id, flatten(list(e.p ORDER BY d.wp)) AS pieces
+  -- ORDER BY (wp, p): Spark reassembles via array_sort over
+  -- (position, pieces) structs, so position TIES across colliding-id
+  -- versions (r12 extreme dial mints several rows per id) break by
+  -- the piece list, not by physical row order
+  SELECT d.doc_id, flatten(list(e.p ORDER BY d.wp, e.p)) AS pieces
   FROM docw d JOIN enc e USING (w) GROUP BY d.doc_id)
 SELECT w.doc_id, coalesce(a.pieces, []::VARCHAR[]) AS pieces,
   coalesce(len(a.pieces), 0)::INT AS n_pieces
@@ -6613,7 +6728,7 @@ def q_table_extract(spark, sf):
     page = F.concat(
         F.lit("<html><body><table><thead><tr><th>metric</th>"
               "<th>value</th></tr></thead><tbody><tr><td>rev</td><td>"),
-        (d * 3).cast("string"),
+        (F.pmod(d, F.lit(1_000_000_000_000)) * 3).cast("string"),
         F.lit("</td></tr><tr><td> eps </td><td><b>"),
         (d % 7).cast("string"), F.lit("</b>."), (d % 10).cast("string"),
         F.lit("</td></tr></tbody></table><table><tr><td>a"),
@@ -6629,7 +6744,9 @@ SELECT doc_id, 1::INT AS table_idx, 1::INT AS row_idx, 1::INT AS col_idx,
        'metric' AS cell FROM documents WHERE doc_id IS NOT NULL
 UNION ALL SELECT doc_id, 1, 1, 2, 'value' FROM documents WHERE doc_id IS NOT NULL
 UNION ALL SELECT doc_id, 1, 2, 1, 'rev' FROM documents WHERE doc_id IS NOT NULL
-UNION ALL SELECT doc_id, 1, 2, 2, (doc_id * 3)::VARCHAR FROM documents WHERE doc_id IS NOT NULL
+UNION ALL SELECT doc_id, 1, 2, 2,
+  (((doc_id % 1000000000000 + 1000000000000) % 1000000000000) * 3)::VARCHAR
+  FROM documents WHERE doc_id IS NOT NULL
 UNION ALL SELECT doc_id, 1, 3, 1, 'eps' FROM documents WHERE doc_id IS NOT NULL
 UNION ALL SELECT doc_id, 1, 3, 2,
   (doc_id % 7)::VARCHAR || '.' || (doc_id % 10)::VARCHAR FROM documents WHERE doc_id IS NOT NULL
@@ -6683,8 +6800,10 @@ def q_warc_roundtrip(spark, sf):
     blobs = rows.groupBy("__shard").applyInPandas(
         build, "path string, content binary")
     parsed = W.parse_warc_blobs(blobs)
+    # -? in the id recovery (r12 extreme dial): negative ids are
+    # addressable and must survive the URI roundtrip
     return parsed.select(
-        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        F.regexp_extract("target_uri", r"/doc/(-?\d+)$", 1)
         .try_cast("bigint").alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("content_length").alias("n_bytes"),

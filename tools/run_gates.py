@@ -89,7 +89,8 @@ GATES = [
     ("contract_fuzz", [sys.executable, "tools/contract_fuzz.py",
                        "--dup-rate", "0.02", "--nan-rate", "0.02",
                        "--conflict-rate", "0.02", "--permute-rows",
-                       "--unicode-rate", "0.02"]),
+                       "--unicode-rate", "0.02",
+                       "--extreme-rate", "0.02"]),
     # 6b — the HIGH-RATE leg (r11): the r10 ad-hoc 5% recon found 5
     # latent divergences the committed 2% dials had missed — rates
     # change which rows collide, so 2%-green does not imply 5%-green.
@@ -99,11 +100,16 @@ GATES = [
     # (U+000B), RE2-vs-Java (?i) folding (U+017F), byte-vs-codepoint
     # levenshtein — the sizing recon found 41 divergent queries, the
     # largest fault class since r8's NULL recon.
+    # --extreme-rate (r12) rotates numeric boundary values (±1e±30,
+    # subnormals, ±DBL_MAX, decimal(38,6)-overflow edges,
+    # LONG_MIN/MAX ids): the sizing recon found 33 divergent queries
+    # — see tests/test_extreme_contracts.py for the pinned contracts.
     ("contract_fuzz_hi", [sys.executable, "tools/contract_fuzz.py",
                           "--null-rate", "0.05", "--empty-rate", "0.03",
                           "--dup-rate", "0.05", "--nan-rate", "0.05",
                           "--conflict-rate", "0.05", "--permute-rows",
                           "--unicode-rate", "0.05",
+                          "--extreme-rate", "0.05",
                           "--out", "/tmp/fuzz_sf_hi"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
     # third decade (r12): the 10 most expensive bench queries measured

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as Ty
 
 from zacks_estimates_financial_statements_spark.export import decimal_text
+from zacks_estimates_financial_statements_spark.util import dec6
 
 #: types whose min/max/distinct are well-defined and text-renderable
 _ORDERED = (Ty.StringType, Ty.ByteType, Ty.ShortType, Ty.IntegerType,
@@ -45,7 +46,7 @@ _ORDERED = (Ty.StringType, Ty.ByteType, Ty.ShortType, Ty.IntegerType,
 def _render(col: F.Column, dt: Ty.DataType) -> F.Column:
     """Canonical text form of a value: stable across engines."""
     if isinstance(dt, (Ty.FloatType, Ty.DoubleType, Ty.DecimalType)):
-        return decimal_text(col.cast("decimal(38,6)"))
+        return decimal_text(dec6(col))
     if isinstance(dt, Ty.TimestampType):
         return F.unix_micros(col).cast("string")
     return col.cast("string")
@@ -244,6 +245,14 @@ def robust_outliers(df: DataFrame, ts_col: str, group_cols: list[str],
          > F.lit(k) * F.lit(MAD_SIGMA) * F.col("mad")).alias("is_outlier"))
 
 
+def _mcast(col: F.Column, dec: str) -> F.Column:
+    """Moment-accumulator cast: domain-guarded decimal on the exact
+    path (r12 extreme-rate contract — see util.DEC6_DOMAIN), plain
+    double on the fast path (inf/NaN propagate, as the _fast twins
+    state)."""
+    return dec6(col) if dec.startswith("decimal") else col.cast("double")
+
+
 def correlation_matrix(df: DataFrame, cols: list[str],
                        exact: bool = True) -> DataFrame:
     """Pairwise Pearson correlation over numeric columns in ONE
@@ -277,11 +286,12 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         x = F.col(c)
-        aggs.append(F.sum(x.cast(dec)).alias(f"{c}__s"))
-        aggs.append(F.sum(F.round(x * x, 6).cast(dec)).alias(f"{c}__ss"))
+        aggs.append(F.sum(_mcast(x, dec)).alias(f"{c}__s"))
+        aggs.append(F.sum(_mcast(F.round(x * x, 6), dec))
+                    .alias(f"{c}__ss"))
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     for a, b in pairs:
-        aggs.append(F.sum(F.round(F.col(a) * F.col(b), 6).cast(dec))
+        aggs.append(F.sum(_mcast(F.round(F.col(a) * F.col(b), 6), dec))
                     .alias(f"{a}__{b}__sp"))
     row = df.agg(*aggs)
     n = F.col("__n").cast("double")
@@ -327,8 +337,9 @@ def standardize(df: DataFrame, cols: list[str],
     for c in cols:
         x = F.col(c)
         if method == "zscore":
-            aggs += [F.sum(x.cast(dec)).alias(f"{c}__s"),
-                     F.sum(F.round(x * x, 6).cast(dec)).alias(f"{c}__ss")]
+            aggs += [F.sum(_mcast(x, dec)).alias(f"{c}__s"),
+                     F.sum(_mcast(F.round(x * x, 6), dec))
+                     .alias(f"{c}__ss")]
         else:
             aggs += [F.min(x).alias(f"{c}__mn"),
                      F.max(x).alias(f"{c}__mx")]
@@ -428,17 +439,16 @@ def embedding_diversity(df: DataFrame, vec_col: str,
           .select("stratum", "__d",
                   F.round("__x", 6).alias("__x6")))
     per_dim = (ex.groupBy("stratum", "__d")
-               .agg(F.sum(F.col("__x6").cast("decimal(38,6)"))
+               .agg(F.sum(dec6(F.col("__x6")))
                     .alias("__s1"),
-                    F.sum(F.round(F.col("__x6") * F.col("__x6"), 6)
-                          .cast("decimal(38,6)")).alias("__s2")))
+                    F.sum(dec6(F.round(F.col("__x6") * F.col("__x6"), 6)))
+                    .alias("__s2")))
     rolled = (per_dim.join(counts, "stratum")
               .select("stratum", "n",
                       F.col("__s2"),
-                      F.round(F.pow(
+                      dec6(F.round(F.pow(
                           F.round(F.col("__s1").cast("double")
-                                  / F.col("n"), 6), 2), 6)
-                      .cast("decimal(38,6)").alias("__musq"))
+                                  / F.col("n"), 6), 2), 6)).alias("__musq"))
               .groupBy("stratum", "n")
               .agg(F.round(F.sum("__s2").cast("double") / F.col("n"), 6)
                    .alias("mean_norm_sq"),

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from zacks_estimates_financial_statements_spark.util import dec6
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -182,7 +183,7 @@ def hierarchical_rollup(df: DataFrame, ts_col: str,
         raise ValueError("week boundaries align with no coarser "
                          "granularity — 'week' may only appear last")
 
-    dec = F.col(value_col).cast("decimal(38,6)")
+    dec = dec6(F.col(value_col))
     level = (df.groupBy(*key_cols,
                         F.date_trunc(gs[0], F.col(ts_col)).alias("bucket"))
              .agg(F.count("*").alias("n_events"),

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from zacks_estimates_financial_statements_spark.parse.calendars import clean_payload
+from zacks_estimates_financial_statements_spark.util import dec6
 
 CAL_PAYLOAD_SCHEMA = "struct<data: array<array<string>>>"
 
@@ -201,7 +202,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
+                 F.sum(dec6(F.col("value"))).alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n", "sum_value"))

@@ -1,4 +1,4 @@
-"""Deployment helpers."""
+"""Deployment helpers + shared numeric-domain guards."""
 
 from __future__ import annotations
 
@@ -6,9 +6,33 @@ import os
 import tempfile
 import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession, functions as F
 
 _SHIPPED_ATTR = "_zacks_estimates_financial_statements_spark_pyfiles_shipped"
+
+#: Exact-aggregation domain bound (r12, --extreme-rate contract fuzz).
+#: The engine routes exact double aggregation through decimal(38,6)
+#: (max ~9.99e31). Under ANSI a per-row cast of a finite value beyond
+#: that ABORTS, and even representable garbage (1e30-class values)
+#: aborts the decimal SUM on both engines once a few rows land in one
+#: aggregate. Pinned contract: a measure with |x| >= 1e26 (or
+#: non-finite) is outside the exact-aggregation domain and degrades to
+#: NULL per row. Real measures (currency, counts, scores) sit at
+#: <= ~1e15, so the bound leaves >= 1e17 rows of worst-case summation
+#: headroom — ample at 100 TB — while anything past 1e26 is sensor
+#: garbage whose exact decimal total is meaningless anyway. The SQL
+#: oracle twins state the identical guard (``_decg`` in
+#: ``__spark_entry__``).
+DEC6_DOMAIN = 1e26
+
+
+def dec6(col: Column) -> Column:
+    """Guarded exact-aggregation cast: ``decimal(38,6)`` inside the
+    declared domain, NULL outside it (non-finite included — abs(NaN)
+    and abs(±inf) fail the comparison). ``try_cast`` is belt and
+    braces against any residual representability edge."""
+    return (F.when(F.abs(col) < F.lit(DEC6_DOMAIN), col)
+            .try_cast("decimal(38,6)"))
 
 
 def ensure_package_on_executors(spark: SparkSession) -> None:
