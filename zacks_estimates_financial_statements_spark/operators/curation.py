@@ -31,6 +31,7 @@ from pyspark.storagelevel import StorageLevel
 
 from zacks_estimates_financial_statements_spark.functions.text import simple_lower
 from zacks_estimates_financial_statements_spark.operators.dedup import hash60
+from zacks_estimates_financial_statements_spark.util import dec6
 
 #: bucket resolution for hash-based assignment: the keyed 60-bit hash is
 #: reduced mod 1e6, so split weights / sample fractions are honored to
@@ -1198,9 +1199,11 @@ def classifier_quality_score(df: DataFrame, id_col: str, text_col: str,
                      F.explode(_word_array(text_col)).alias("__tok"))
     feat = toks.select(F.col(id_col),
                        (hash60(F.col("__tok")) % F.lit(dim)).alias("bucket"))
+    # user-supplied weights are unbounded -> exact-aggregation domain
+    # guard (r12; util.DEC6_DOMAIN)
     w = weights.select(
         F.col("bucket"),
-        F.round(F.col("weight"), 6).cast("decimal(38,6)").alias("__w"))
+        dec6(F.round(F.col("weight"), 6)).alias("__w"))
     scored = (feat.join(F.broadcast(w), "bucket", "left")
               .groupBy(id_col)
               .agg(F.sum(F.coalesce(F.col("__w"),

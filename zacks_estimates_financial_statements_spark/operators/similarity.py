@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from zacks_estimates_financial_statements_spark.functions import vectors as V
+from zacks_estimates_financial_statements_spark.util import dec6
 
 
 def _scorable(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -513,8 +514,11 @@ def topk_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ).select(query_id_col, "p.subspace", "p.qv")
     tables = (qparts.join(F.broadcast(book), "subspace")
               .select(query_id_col, "subspace", "code_id",
-                      F.round(V.sq_l2(F.col("qv"), F.col("code_vec")), 6)
-                      .cast("decimal(38,6)").alias("__d")))
+                      # sq_l2 of user vectors can square to inf /
+                      # beyond the decimal domain (r12 extreme dial)
+                      dec6(F.round(V.sq_l2(F.col("qv"),
+                                           F.col("code_vec")), 6))
+                      .alias("__d")))
     probe = (codes.select(id_col,
                           F.posexplode("codes").alias("__m", "__c"))
              .withColumn("subspace", F.col("__m").cast("int"))
