@@ -5191,8 +5191,14 @@ def q_curate_pipeline(spark, sf):
         F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
         .asc_nulls_last(),
         F.col("source").asc_nulls_last(), F.col("text").asc_nulls_last())
+    # no separate distinct: row_number == 1 already collapses every
+    # version (ties among verbatim copies are value-identical), and the
+    # dropped exchange is a full fat-row corpus shuffle. The window's
+    # hashpartitioning(doc_id) is then REUSED by the minhash signature
+    # groupBy downstream (same key), so resolution costs one exchange —
+    # the inherent floor for a keyed decision.
     docs = (docs.filter(F.col("doc_id").isNotNull())
-            .select("doc_id", "source", "text").distinct()
+            .select("doc_id", "source", "text")
             .withColumn("__rn", F.row_number().over(vw))
             .filter(F.col("__rn") == 1).drop("__rn"))
     split = curation.hash_split(docs, "doc_id", {"bench": 1, "corpus": 9},
