@@ -179,6 +179,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(F.col("vec_id").isNotNull()
                     & F.col("embedding").isNotNull())
 
+
+def _emb1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNAMBIGUOUS-id embeddings sub-relation for query/anchor/seed
+    SELECTION (r12 extreme dial): `ORDER BY vec_id LIMIT k` over a
+    relation where one id carries several versions (conflict clones;
+    extreme-dial id collisions at the very bottom of the sort order)
+    cuts mid-group, and WHICH physical copy survives the cut is engine
+    scan order — an anchor with two embeddings is not a well-defined
+    query anyway. Ids with more than one row are excluded from
+    selection (the corpus side keeps every row). Twins read the
+    matching `count(*) OVER (PARTITION BY vec_id) = 1` subquery."""
+    e = _emb(spark, sf_dir)
+    from pyspark.sql import Window as _W
+    return (e.withColumn("__nv", F.count("*").over(
+        _W.partitionBy("vec_id")))
+        .filter(F.col("__nv") == 1).drop("__nv"))
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table's ``ts`` physical parquet type has drifted across
     driver testdata regenerations (INT64 TIMESTAMP(NANOS) ↔ TIMESTAMP
@@ -1248,7 +1265,7 @@ _SIGNBITS_SQL = """
 
 def q_topk_cosine(spark, sf):
     emb = _emb(spark, sf)
-    queries = (emb.orderBy("vec_id").limit(5)
+    queries = (_emb1(spark, sf).orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     out = similarity.topk_bruteforce(emb, queries, k=10)
@@ -1258,7 +1275,10 @@ def q_topk_cosine(spark, sf):
 
 ORACLE_TOPK_COSINE = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 5),
 scored AS (
   SELECT q.query_id, e.vec_id,
@@ -1281,7 +1301,7 @@ def q_margin_topk(spark, sf):
     Exact candidate tiers here (oracle-checkable); ivf/lsh swap in at
     corpus×corpus scale with the same contract."""
     emb = _emb(spark, sf)
-    queries = (emb.orderBy("vec_id").limit(5)
+    queries = (_emb1(spark, sf).orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     return similarity.margin_topk(emb, queries, k=_MARGIN_K)
@@ -1295,7 +1315,10 @@ _MARGIN_K = 4
 
 ORACLE_MARGIN_TOPK = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 5),
 fs AS (
   SELECT q.query_id, e.vec_id,
@@ -1345,7 +1368,7 @@ def q_hard_negatives(spark, sf):
     default); lsh/ivf swap in for the 100 TB path with the same
     contract."""
     emb = _emb(spark, sf)
-    anchors = (emb.orderBy("vec_id").limit(5)
+    anchors = (_emb1(spark, sf).orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("anchor_id"),
                        F.col("embedding").alias("anchor_vec")))
     # overflow contract (r12): Catalyst may reassociate the chain as
@@ -1366,7 +1389,10 @@ def q_hard_negatives(spark, sf):
 
 ORACLE_HARD_NEGATIVES = f"""
 WITH a AS (
-  SELECT vec_id AS anchor_id, embedding AS avec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS anchor_id, embedding AS avec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 5),
 pos AS (
   -- overflow contract (r12): planted positive only for range-safe
@@ -1437,7 +1463,10 @@ def q_semantic_dedup(spark, sf):
 
 ORACLE_SEMANTIC_DEDUP = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 16),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -1516,7 +1545,7 @@ def q_ann_lsh_topk(spark, sf):
     cosine re-rank (the scale path; `topk_cosine` is its exact
     baseline)."""
     emb = _emb(spark, sf)
-    queries = (emb.orderBy("vec_id").limit(5)
+    queries = (_emb1(spark, sf).orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     out = similarity.topk_lsh(emb, queries, k=5, bucket_bits=6,
@@ -1527,7 +1556,10 @@ def q_ann_lsh_topk(spark, sf):
 
 ORACLE_ANN_LSH_TOPK = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS query_id, embedding AS query_vec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 5),
 cb AS (SELECT vec_id, embedding, {_SIGNBITS_SQL.format(v='embedding')} AS b
        FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings),
@@ -1717,7 +1749,7 @@ def q_ann_ivf_topk(spark, sf):
     nprobe nearest lists, exact re-rank (the other scale path next to
     the LSH variant)."""
     emb = _emb(spark, sf)
-    queries = (emb.orderBy("vec_id").limit(5)
+    queries = (_emb1(spark, sf).orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     out = similarity.topk_ivf(emb, queries, k=3, n_centroids=16, nprobe=4)
@@ -1727,7 +1759,10 @@ def q_ann_ivf_topk(spark, sf):
 
 ORACLE_ANN_IVF_TOPK = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 16),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -1738,7 +1773,10 @@ assign AS (
     FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e CROSS JOIN cent c)
   WHERE rn = 1),
 q AS (
-  SELECT vec_id AS query_id, embedding AS qvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS query_id, embedding AS qvec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 5),
 probes AS (
   SELECT query_id, qvec, centroid_id FROM (
@@ -2752,7 +2790,10 @@ def q_topic_summaries(spark, sf):
 
 ORACLE_TOPIC_SUMMARIES = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 16),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -5463,7 +5504,7 @@ def q_pq_adc_topk(spark, sf):
     codebook slicing, argmin encoding, table build, and the
     decimal-summed ADC ranking."""
     emb = _emb(spark, sf)
-    queries = (emb.orderBy("vec_id").limit(5)
+    queries = (_emb1(spark, sf).orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     return similarity.topk_pq_adc(emb, queries, k=3, dims=64,
@@ -5480,7 +5521,10 @@ ORACLE_PQ_ADC_TOPK = f"""
 WITH seeds AS (
   SELECT vec_id, embedding,
     (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code_id
-  FROM (SELECT * FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings ORDER BY vec_id LIMIT 16)),
+  FROM (SELECT * FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings ORDER BY vec_id LIMIT 16)),
 book AS (
   SELECT m.m::INT AS subspace, s.code_id,
     s.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS code_vec
@@ -5500,12 +5544,17 @@ enc AS (
 qparts AS (
   SELECT q.vec_id AS query_id, m.m::INT AS subspace,
     q.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS qv
-  FROM (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  FROM (SELECT vec_id, embedding FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
         ORDER BY vec_id LIMIT 5) q,
        generate_series(0, 3) m(m)),
 tbl AS (
+  -- dec6 twin (r12): a fuzzed 3e38 float32 element squares to inf —
+  -- outside the exact-aggregation domain -> NULL on both engines
   SELECT qp.query_id, qp.subspace, b.code_id,
-    round({_SQ_SQL.format(a='qp.qv', b='b.code_vec')}, 6)::DECIMAL(38,6)
+    {_decg(f"round({_SQ_SQL.format(a='qp.qv', b='b.code_vec')}, 6)")}
       AS d
   FROM qparts qp JOIN book b USING (subspace)),
 scored AS (
@@ -5838,9 +5887,11 @@ def _std_sql(c: str) -> str:
     mu = f"({s} / {n})"
     sigma = f"sqrt(greatest(({ss} / {n}) - {mu} * {mu}, 0.0))"
     # + 0 folds IEEE -0.0 to 0.0 (DuckDB round keeps the sign of a
-    # tiny negative rounding to zero; Spark's drops it — sf0.1 find)
-    return (f"round(({c}::DOUBLE - {mu}) / nullif({sigma}, 0.0), 6) + 0 "
-            f"AS {c}__scaled")
+    # tiny negative rounding to zero; Spark's drops it — sf0.1 find).
+    # Out-of-domain x -> NULL scaled (r12; see profiling.standardize)
+    return (f"CASE WHEN isfinite({c}) AND abs({c}) < 1e26 THEN "
+            f"round(({c}::DOUBLE - {mu}) / nullif({sigma}, 0.0), 6) + 0 "
+            f"END AS {c}__scaled")
 
 
 ORACLE_STANDARDIZE = f"""
@@ -6398,14 +6449,17 @@ def q_semantic_decontaminate(spark, sf):
     0.35 (the empirical p95 of this corpus — non-vacuous on synthetic
     embeddings). Broadcast-bench cross scoring + ONE map-side max_by."""
     emb = _emb(spark, sf)
-    bench = emb.orderBy("vec_id").limit(20)
+    bench = _emb1(spark, sf).orderBy("vec_id").limit(20)
     return curation.semantic_contamination(
         emb, bench, "vec_id", "embedding", threshold=0.35)
 
 
 ORACLE_SEMANTIC_DECONTAMINATE = f"""
 WITH b AS (
-  SELECT vec_id AS bid, embedding AS bvec FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) embeddings
+  SELECT vec_id AS bid, embedding AS bvec FROM (SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, count(*) OVER (PARTITION BY vec_id) AS nv
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+   WHERE nv = 1) embeddings
   ORDER BY vec_id LIMIT 20),
 scored AS (
   SELECT e.vec_id, b.bid,

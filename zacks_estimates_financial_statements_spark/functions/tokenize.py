@@ -105,7 +105,9 @@ def wordpiece_encode(df: DataFrame, id_col: str, text_col: str,
     from zacks_estimates_financial_statements_spark import util
     util.ensure_package_on_executors(spark)
 
-    id_type = dict(df.dtypes)[id_col]
+    # integral ids ride as strings (util.pandas_safe_id: pandas's
+    # float64 nullable-int representation corrupts extreme ids)
+    df, id_type, restore = util.pandas_safe_id(df, id_col)
     schema = f"{id_col} {id_type}, tokens array<string>, n_tokens bigint"
     plen = int(max_piece_len)
 
@@ -137,7 +139,8 @@ def wordpiece_encode(df: DataFrame, id_col: str, text_col: str,
             yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks_out,
                                 "n_tokens": counts})
 
-    return df.select(id_col, text_col).mapInPandas(encode_batches, schema)
+    return restore(
+        df.select(id_col, text_col).mapInPandas(encode_batches, schema))
 
 
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 6,

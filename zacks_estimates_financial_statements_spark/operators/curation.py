@@ -1268,8 +1268,11 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str,
     """
     from zacks_estimates_financial_statements_spark.util import ensure_package_on_executors
 
+    from zacks_estimates_financial_statements_spark.util import pandas_safe_id
+
     ensure_package_on_executors(df.sparkSession)
-    id_type = df.schema[id_col].dataType.simpleString()
+    # integral ids ride as strings (util.pandas_safe_id, r12)
+    df, id_type, restore = pandas_safe_id(df, id_col)
     out_schema = (f"{id_col} {id_type}, raw_bytes bigint, "
                   "compressed_bytes bigint, ratio double")
 
@@ -1289,7 +1292,8 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str,
                 "ratio": (cb / rb.where(rb > 0)).round(6),
             })
 
-    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+    return restore(
+        df.select(id_col, text_col).mapInPandas(batches, out_schema))
 
 
 def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,

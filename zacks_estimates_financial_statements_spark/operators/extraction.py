@@ -129,7 +129,8 @@ def extract_main_text(df: DataFrame, id_col: str, html_col: str,
 
     spark = df.sparkSession
     util.ensure_package_on_executors(spark)
-    id_type = dict(df.dtypes)[id_col]
+    # integral ids ride as strings (util.pandas_safe_id, r12)
+    df, id_type, restore = util.pandas_safe_id(df, id_col)
     schema = (f"{id_col} {id_type}, main_text string, n_blocks bigint, "
               f"total_chars bigint, extract_error string")
     min_chars = int(min_block_chars)
@@ -187,7 +188,8 @@ def extract_main_text(df: DataFrame, id_col: str, html_col: str,
                                 "n_blocks": nblocks, "total_chars": chars,
                                 "extract_error": errs})
 
-    return df.select(id_col, html_col).mapInPandas(extract_batches, schema)
+    return restore(df.select(id_col, html_col)
+                   .mapInPandas(extract_batches, schema))
 
 
 def extract_links(df: DataFrame, id_col: str, html_col: str,
@@ -269,7 +271,8 @@ def extract_tables(df: DataFrame, id_col: str,
 
     spark = df.sparkSession
     util.ensure_package_on_executors(spark)
-    id_type = dict(df.dtypes)[id_col]
+    # integral ids ride as strings (util.pandas_safe_id, r12)
+    df, id_type, restore = util.pandas_safe_id(df, id_col)
     schema = (f"{id_col} {id_type}, table_idx int, row_idx int, "
               f"col_idx int, cell string")
 
@@ -315,5 +318,5 @@ def extract_tables(df: DataFrame, id_col: str,
                                 "row_idx": r_i, "col_idx": c_i,
                                 "cell": cells})
 
-    return df.select(id_col, html_col).mapInPandas(extract_batches,
-                                                   schema)
+    return restore(df.select(id_col, html_col)
+                   .mapInPandas(extract_batches, schema))

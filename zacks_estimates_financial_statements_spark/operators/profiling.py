@@ -360,6 +360,11 @@ def standardize(df: DataFrame, cols: list[str],
             mn = F.col(f"{c}__mn").cast("double")
             mx = F.col(f"{c}__mx").cast("double")
             scaled = F.round((x - mn) / F.nullif(mx - mn, F.lit(0.0)), 6)
+        # out-of-domain x receives no scaled value (r12 extreme dial):
+        # it carries no exact statistics — and round-to-6 of a 1e30
+        # z-score differs between engines in the last ulp anyway
+        from zacks_estimates_financial_statements_spark.util import DEC6_DOMAIN
+        scaled = F.when(F.abs(x) < F.lit(DEC6_DOMAIN), scaled)
         out = out.withColumn(f"{c}__scaled", scaled)
     drop = ["__n"] + [f"{c}__{suf}" for c in cols
                       for suf in ("s", "ss", "mn", "mx")]

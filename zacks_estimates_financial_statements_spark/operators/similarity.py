@@ -43,6 +43,18 @@ def _scorable(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
 
 
+def _unambiguous(df: DataFrame, id_col: str) -> DataFrame:
+    """Selection-grade sub-relation (r12): ids carrying more than one
+    physical row are excluded from deterministic seed/centroid
+    SELECTION — `ORDER BY id LIMIT k` over a multi-version id cuts
+    mid-group and which copy survives is engine scan order (the corpus
+    side of every operator keeps all rows). Twins mirror with
+    `count(*) OVER (PARTITION BY id) = 1`."""
+    w = Window.partitionBy(id_col)
+    return (df.withColumn("__nv", F.count("*").over(w))
+            .filter(F.col("__nv") == 1).drop("__nv"))
+
+
 def _rank_topk(scored: DataFrame, query_id: str, k: int,
                order_cols: list) -> DataFrame:
     w = Window.partitionBy(query_id).orderBy(*order_cols)
@@ -159,7 +171,8 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
     ``_scorable``) — a NULL id would otherwise be picked as a seed
     centroid first under Spark's NULLS-FIRST ascending sort."""
     corpus = _scorable(corpus, id_col, vec_col)
-    centroids = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
+    centroids = (_unambiguous(corpus, id_col)
+                 .orderBy(F.col(id_col)).limit(n_centroids)
                  .select(F.col(id_col).alias("centroid_id"),
                          F.col(vec_col).alias("centroid_vec")))
     for _ in range(kmeans_iters):
@@ -404,7 +417,8 @@ def pq_codebook(corpus: DataFrame, dims: int, n_subspaces: int = 4,
         raise ValueError(f"dims={dims} not divisible by {n_subspaces}")
     sub = dims // n_subspaces
     w = Window.orderBy(F.col(id_col))
-    seeds = (corpus.orderBy(F.col(id_col)).limit(n_codes)
+    seeds = (_unambiguous(_scorable(corpus, id_col, vec_col), id_col)
+             .orderBy(F.col(id_col)).limit(n_codes)
              .withColumn("code_id",
                          (F.row_number().over(w) - 1).cast("int")))
     parts = F.array(*[

@@ -26,6 +26,34 @@ _SHIPPED_ATTR = "_zacks_estimates_financial_statements_spark_pyfiles_shipped"
 DEC6_DOMAIN = 1e26
 
 
+#: integral Spark types whose nullable pandas representation is
+#: float64 — see pandas_safe_id
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def pandas_safe_id(df, id_col: str):
+    """Ship an integral id column through a Python worker as a STRING.
+
+    ``mapInPandas`` converts a nullable int64 column to pandas float64:
+    ids beyond 2^53 silently lose precision on the way IN, and Arrow
+    refuses the float64→int64 conversion on the way OUT (r12
+    extreme×null dial interaction — LONG_MIN-class ids plus one NULL in
+    the batch). Strings round-trip losslessly and NULL stays None.
+
+    Returns ``(df_with_id_as_string, id_sql_type_for_schema, restore)``
+    where ``restore(out_df)`` casts the output id back to the original
+    type. Non-integral ids (strings, doubles, dates) pass through
+    untouched."""
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes)[id_col]
+    if t not in _INTEGRAL_TYPES:
+        return df, t, (lambda out: out)
+    return (df.withColumn(id_col, F.col(id_col).cast("string")),
+            "string",
+            lambda out: out.withColumn(id_col, F.col(id_col).cast(t)))
+
+
 def dec6(col: Column) -> Column:
     """Guarded exact-aggregation cast: ``decimal(38,6)`` inside the
     declared domain, NULL outside it (non-finite included — abs(NaN)
