@@ -189,12 +189,16 @@ def _emb1(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan order — an anchor with two embeddings is not a well-defined
     query anyway. Ids with more than one row are excluded from
     selection (the corpus side keeps every row). Twins read the
-    matching `count(*) OVER (PARTITION BY vec_id) = 1` subquery."""
+    matching `count(*) OVER (PARTITION BY vec_id) = 1` subquery.
+
+    Plan (r13): dup-id set from the id column alone (map-side-combined
+    groupBy, 8-byte rows) + broadcast LEFT ANTI — the vectors never
+    shuffle; the old corpus-wide Window.partitionBy(vec_id) shuffled
+    every embedding and was one unsplittable task per hot id."""
     e = _emb(spark, sf_dir)
-    from pyspark.sql import Window as _W
-    return (e.withColumn("__nv", F.count("*").over(
-        _W.partitionBy("vec_id")))
-        .filter(F.col("__nv") == 1).drop("__nv"))
+    dup = (e.select("vec_id").groupBy("vec_id").count()
+           .filter(F.col("count") > 1).select("vec_id"))
+    return e.join(F.broadcast(dup), on="vec_id", how="left_anti")
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table's ``ts`` physical parquet type has drifted across

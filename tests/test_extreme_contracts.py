@@ -63,6 +63,24 @@ def test_dec6_domain_guard(spark):
     assert got[7] is None and got[8] is None and got[9] is None
 
 
+def test_dec6_integral_long_min(spark):
+    # r13 (ADVICE): dec6 over a BIGINT measure column — abs(LONG_MIN)
+    # itself ANSI-aborts (ARITHMETIC_OVERFLOW) if the guard compares on
+    # the raw column, so the guard must compare on a double projection.
+    # LONG_MIN ≈ -9.2e18 is INSIDE the 1e26 domain and must survive
+    # exactly (the value cast reads the original integral column).
+    df = spark.createDataFrame(
+        [(LONG_MIN,), (LONG_MAX,), (42,), (None,)], "x bigint")
+    got = {r["x"]: r["d"] for r in
+           df.select("x", util.dec6(F.col("x")).alias("d")).collect()}
+    assert int(got[LONG_MIN]) == LONG_MIN
+    assert int(got[LONG_MAX]) == LONG_MAX
+    assert int(got[42]) == 42
+    assert got[None] is None
+    row = df.agg(F.sum(util.dec6(F.col("x"))).alias("s")).collect()[0]
+    assert int(row["s"]) == 41  # LONG_MIN + LONG_MAX + 42 = 41
+
+
 def test_dec6_sum_never_aborts(spark):
     # the r12 recon's killer shape: a few representable-but-huge values
     # in one aggregate overflow the decimal SUM itself under ANSI; the

@@ -145,6 +145,24 @@ def test_url_filter_suffix_semantics_and_patterns(spark):
         assert tuple(out[d]) == tuple(lit[d]), d
 
 
+def test_url_filter_literal_tier_size_cap(spark, monkeypatch):
+    # r13 (ADVICE): a sequence larger than the literal-tier cap must
+    # auto-convert to the relation tier instead of building a
+    # million-node when-chain. Shrink the cap so the test exercises
+    # the reroute without a huge list.
+    from zacks_estimates_financial_statements_spark.functions import web
+
+    monkeypatch.setattr(web, "_URL_FILTER_LITERAL_MAX", 3)
+    df = spark.createDataFrame([(1, "https://sub.evil.com/x"),
+                                (2, "https://fine.org/page")],
+                               "doc_id bigint, url string")
+    big = ("evil.com", "a.com", "b.com", "c.com", "d.com")
+    out = {r["doc_id"]: r for r in
+           web.url_filter(df, "doc_id", "url", big).collect()}
+    assert out[1]["matched_domain"] == "evil.com" and not out[1]["keep"]
+    assert out[2]["keep"]
+
+
 def test_url_filter_domains_optional(spark):
     from zacks_estimates_financial_statements_spark.functions import web
 

@@ -158,15 +158,26 @@ def _load_evidence_file(path: str) -> tuple[list[str], str]:
     except (OSError, ValueError) as exc:
         return [f"unreadable: {exc}"], ""
     ratio = ab.get("head_over_ref_ratio")
+    # the window is the artifact's self-recorded claim — clamp it to the
+    # gate's own accepted bounds so a hand-widened JSON can't waive a
+    # real regression (r13, ADVICE)
     window = ab.get("neutrality_window", [0.9, 1.1])
+    if (not isinstance(window, (list, tuple)) or len(window) != 2
+            or not (0.8 <= window[0] <= window[1] <= 1.25)):
+        fails.append(f"A/B neutrality_window {window} outside the gate's "
+                     "accepted bounds [0.8, 1.25] — regenerate with "
+                     "tools/bench_ab.py")
+        window = [0.9, 1.1]
     if ratio is None or not (window[0] <= ratio <= window[1]):
         fails.append(f"A/B ratio {ratio} outside neutral window "
                      f"{window} — the A/B itself shows a regression")
     head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
                           capture_output=True, text=True).stdout.strip()
-    if ab.get("head_commit") not in (None, head):
-        fails.append(f"A/B head_commit {ab.get('head_commit')[:12]} is "
-                     f"not the current HEAD {head[:12]} — rerun "
+    # a missing head_commit is a truncated/hand-made artifact, not a
+    # valid one — an attestation must bind to the tree it attests
+    if ab.get("head_commit") != head:
+        fails.append(f"A/B head_commit {str(ab.get('head_commit'))[:12]} "
+                     f"is not the current HEAD {head[:12]} — rerun "
                      "tools/bench_ab.py")
     when = ab.get("recorded_utc", "")
     try:

@@ -125,8 +125,17 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str,
     return out
 
 
+#: literal-tier bound: each blocked domain adds one when-chain node,
+#: and every node is a py4j round-trip at build time plus an analyzer
+#: term — a multi-million-entry UT1 list as a Python sequence would
+#: build an unusable expression tree (the repo's generated-wide-
+#: expression rule). Larger sequences auto-convert to the relation
+#: tier (r13, ADVICE).
+_URL_FILTER_LITERAL_MAX = 1000
+
+
 def url_filter(df: DataFrame, id_col: str, url_col: str,
-               blocked_domains=None,
+               blocked_domains: "DataFrame | Sequence[str] | None" = None,
                blocked_patterns: tuple[str, ...] = ()) -> DataFrame:
     """URL blocklist gate — the UT1/RefinedWeb-style crawl filter:
     flag rows whose host falls under a blocked domain (suffix match on
@@ -180,6 +189,13 @@ def url_filter(df: DataFrame, id_col: str, url_col: str,
     if not isinstance(blocked_domains, DataFrame):
         doms = sorted({d for d in blocked_domains if d is not None},
                       key=lambda d: (len(d), d))
+        if len(doms) > _URL_FILTER_LITERAL_MAX:
+            # too big for an expression tree: route through the
+            # relation tier instead of building a 4M-node when-chain
+            blocked_domains = df.sparkSession.createDataFrame(
+                [(d,) for d in doms], "domain string")
+            return url_filter(df, id_col, url_col, blocked_domains,
+                              blocked_patterns)
         md = F.lit(None).cast("string")
         for dom in doms:   # ascending → the LAST wrap (longest) wins
             md = F.when((F.col("host") == dom)

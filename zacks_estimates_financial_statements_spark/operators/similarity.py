@@ -49,10 +49,20 @@ def _unambiguous(df: DataFrame, id_col: str) -> DataFrame:
     SELECTION — `ORDER BY id LIMIT k` over a multi-version id cuts
     mid-group and which copy survives is engine scan order (the corpus
     side of every operator keeps all rows). Twins mirror with
-    `count(*) OVER (PARTITION BY id) = 1`."""
-    w = Window.partitionBy(id_col)
-    return (df.withColumn("__nv", F.count("*").over(w))
-            .filter(F.col("__nv") == 1).drop("__nv"))
+    `count(*) OVER (PARTITION BY id) = 1`.
+
+    Plan shape (r13): dup-id set via ``groupBy(id).count()`` on the id
+    column ALONE (8-byte shuffle rows, map-side combined, AQE-skew
+    splittable) + broadcast LEFT ANTI back against the full relation —
+    the vectors never shuffle. The previous
+    ``Window.partitionBy(id)`` form shuffled every 64-float vector and
+    made a hot duplicated id one unsplittable straggler task (the exact
+    shape CLAUDE.md's groupBy-plus-join-back rule bans). The dup-id set
+    is bounded by the conflict rate, not the corpus (≈0 in clean data),
+    so the broadcast is safe by construction."""
+    dup = (df.select(id_col).groupBy(id_col).count()
+           .filter(F.col("count") > 1).select(id_col))
+    return df.join(F.broadcast(dup), on=id_col, how="left_anti")
 
 
 def _rank_topk(scored: DataFrame, query_id: str, k: int,

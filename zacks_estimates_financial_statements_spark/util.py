@@ -57,9 +57,16 @@ def pandas_safe_id(df, id_col: str):
 def dec6(col: Column) -> Column:
     """Guarded exact-aggregation cast: ``decimal(38,6)`` inside the
     declared domain, NULL outside it (non-finite included — abs(NaN)
-    and abs(±inf) fail the comparison). ``try_cast`` is belt and
-    braces against any residual representability edge."""
-    return (F.when(F.abs(col) < F.lit(DEC6_DOMAIN), col)
+    and abs(±inf) fail the comparison). The guard compares on a DOUBLE
+    projection of the column: for an integral input, ``abs(LONG_MIN)``
+    itself ANSI-aborts (ARITHMETIC_OVERFLOW) before the when-guard can
+    degrade the row, while ``abs(cast(LONG_MIN as double))`` ≈ 9.2e18 is
+    well-defined and inside the domain (r13, ADVICE). The double cast is
+    lossless for the comparison's purpose (the bound is 1e26; no 53-bit
+    rounding crosses it) and the value cast to decimal still reads the
+    ORIGINAL column, so integral precision is preserved. ``try_cast`` is
+    belt and braces against any residual representability edge."""
+    return (F.when(F.abs(col.cast("double")) < F.lit(DEC6_DOMAIN), col)
             .try_cast("decimal(38,6)"))
 
 
