@@ -3874,16 +3874,21 @@ def q_schedule_fetches_stream(spark, sf):
     """STATEFUL STREAMING politeness scheduler end-to-end
     (streaming/raw_zone_stream.py ``schedule_fetches`` — the repo's
     only ``applyInPandasWithState`` operator): the same 50-key fetch
-    request feed as ``politeness_schedule``, split into four
+    request feed as ``politeness_schedule``, split into TWO
     arrival-time-range parquet files and replayed one file per
     micro-batch (``maxFilesPerTrigger=1`` + ``availableNow``), so the
     (last_sched_us, position) state must carry the politeness contract
-    ACROSS four micro-batches. The time-range split makes arrivals
-    batch-monotone per key, which is exactly the regime where the
-    streaming recurrence equals the batch closed form — hence the SQL
-    twin is the same running-max window as ``politeness_schedule``'s,
-    and a state-handling bug (dropped position, stale last_sched)
-    breaks the hash, not just a unit test.
+    ACROSS the micro-batch boundary. ONE boundary proves the
+    cross-batch property — the r12 bench showed the 4-batch replay was
+    job-launch-latency-bound (driver ratio 2.98), pure micro-batch
+    startup overhead, so r13 halves it; the multi-boundary regime
+    stays covered by ``tests/test_streaming.py``'s 3-batch unit
+    fixture. The time-range split makes arrivals batch-monotone per
+    key, which is exactly the regime where the streaming recurrence
+    equals the batch closed form — hence the SQL twin is the same
+    running-max window as ``politeness_schedule``'s, and a
+    state-handling bug (dropped position, stale last_sched) breaks
+    the hash, not just a unit test.
 
     Harness note (r8 verdict #2): the stream lands in a per-run
     PARQUET sink read back distributed — rows never route through the
@@ -3905,20 +3910,19 @@ def q_schedule_fetches_stream(spark, sf):
     ev = _t(spark, sf, "events")
     req = ev.select((F.col("user_id") % 50).alias("host"),
                     "event_id", F.col("ts").cast("string").alias("ts"))
-    # quartile boundaries via ONE bounded agg (no global-sort window);
+    # the median boundary via ONE bounded agg (no global-sort window);
     # half-open ranges keep equal arrivals in one batch file
     qs = req.select(F.unix_micros(F.col("ts").try_cast("timestamp"))
                     .alias("us"))
-    b1, b2, b3 = qs.agg(
-        F.percentile_approx("us", [0.25, 0.5, 0.75], 10000)
-        .alias("b")).collect()[0]["b"]
+    b1 = qs.agg(F.percentile_approx("us", 0.5, 10000)
+                .alias("b")).collect()[0]["b"]
     root = tempfile.mkdtemp(prefix="sched_stream_")
     try:
         src = os.path.join(root, "src")
         os.makedirs(src)
         us = F.unix_micros(F.col("ts").try_cast("timestamp"))
-        cuts = [None, b1, b2, b3, None]
-        for i in range(4):
+        cuts = [None, b1, None]
+        for i in range(2):
             part = req
             if cuts[i] is not None:
                 part = part.filter(us >= cuts[i])
