@@ -1127,17 +1127,22 @@ def q_containment_pairs(spark, sf):
     """Asymmetric containment near-dup (operators/dedup.py
     ``containment_pairs``): |A∩B|/|A| per direction over distinct word
     shingles — catches the quote/inclusion shape Jaccard misses (a doc
-    embedded in a longer one). Stays on the EXACT tier deliberately
-    (r12): routing it through symmetric MinHash banding was measured to
-    drop 20/276 pairs at sf0.1 — precisely the low-Jaccard inclusion
-    pairs this operator exists to find (a jaccard-LSH candidate tier is
-    semantically wrong for one-sided containment; LSH-Ensemble-style
-    size-partitioned banding would be the scale tier). The exact tier's
-    plan was restructured instead (one shingle shuffle, not three —
-    see _shared_shingle_counts)."""
+    embedded in a longer one). Runs the SIZE-PARTITIONED ensemble
+    admission (r13, LSH-Ensemble-style): documents with ≤16 distinct
+    shingles — the regime where containment ≥ 0.3 can mean only 3
+    shared shingles, invisible to any sketch, and exactly where
+    symmetric MinHash banding was measured to drop 20/276 sf0.1
+    pairs — get an exact broadcast posting-list probe (combinatorial
+    recall for the small side); large×large pairs come from the banded
+    MinHash admission; measures are exact per-doc arrays. Measured
+    pair-set-identical to the r12 exact tier at sf0.001/0.01/0.1 with
+    the 260× pair×shingle shuffle gone. The twin mirrors both admission
+    legs (small posting join + _LSH_CAND_CTES) and the exact counts."""
     docs = _t(spark, sf, "documents")
     out = dedup.containment_pairs(docs, "doc_id", "text", shingle_k=3,
-                                  min_containment=0.3)
+                                  min_containment=0.3,
+                                  admission="ensemble",
+                                  small_max_shingles=16)
     return out.select("id_a", "id_b",
                       F.round("containment_a", 6).alias("containment_a"),
                       F.round("containment_b", 6).alias("containment_b"))
@@ -1156,12 +1161,30 @@ shared AS (
   GROUP BY c.id_a, c.id_b)"""
 
 ORACLE_CONTAINMENT = f"""
-WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
+WITH shingled AS ({_SHINGLE_SQL.format(km1=2)}),
+{_MINHASH_SIGS_CTE},
+{_LSH_CAND_CTES},
+sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL.format(km1=2)})),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+-- size-partitioned admission (r13): every pair sharing a shingle with
+-- a <=16-shingle doc (exact small-side posting probe) UNION the banded
+-- MinHash cohabitants (large x large)
+small_cand AS (
+  SELECT DISTINCT least(p.doc_id, s.doc_id) AS id_a,
+                  greatest(p.doc_id, s.doc_id) AS id_b
+  FROM sh s
+  JOIN sizes ss ON ss.doc_id = s.doc_id AND ss.n <= 16
+  JOIN sh p ON p.shingle = s.shingle AND p.doc_id <> s.doc_id),
+allcand AS (
+  SELECT id_a, id_b FROM small_cand
+  UNION
+  SELECT id_a, id_b FROM cand),
 shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM allcand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b,
   round(shared / na.n, 6) AS containment_a,
   round(shared / nb.n, 6) AS containment_b

@@ -647,6 +647,46 @@ def test_containment_pairs_catch_quote_inclusion(spark):
     assert jac.count() == 0
 
 
+def test_containment_ensemble_size_skewed_corpus(spark):
+    """r13 ensemble admission on a SIZE-SKEWED corpus: planted short
+    quotes inside much longer documents (the exact shape symmetric
+    MinHash banding drops — measured 20/276 at sf0.1) must survive the
+    size-partitioned admission, with measures identical to the exact
+    tier. Small docs (≤ small_max_shingles) ride the exact broadcast
+    posting probe, so recall for the quote side is combinatorial, not
+    probabilistic."""
+    from zacks_estimates_financial_statements_spark.operators import dedup
+
+    rows = []
+    # 5 planted quote pairs: quote i (≈8 shingles) inside a ~100-word
+    # host doc — size ratio ≈ 10×, Jaccard ≈ 0.08
+    for i in range(5):
+        quote = " ".join(f"q{i}w{j} marker{i} tail{j}" for j in range(4))
+        host = (" ".join(f"h{i}a{j} h{i}b{j}" for j in range(45))
+                + " " + quote
+                + " " + " ".join(f"h{i}c{j}" for j in range(10)))
+        rows += [(10 + i, quote), (100 + i, host)]
+    # plus unrelated large docs (no pair should involve them)
+    rows += [(900 + i, " ".join(f"z{i}x{j} z{i}y{j}" for j in range(60)))
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): (r["containment_a"],
+                                      r["containment_b"])
+             for r in dedup.containment_pairs(
+                 docs, "doc_id", "text", shingle_k=3,
+                 min_containment=0.9).collect()}
+    ens = {(r["id_a"], r["id_b"]): (r["containment_a"],
+                                    r["containment_b"])
+           for r in dedup.containment_pairs(
+               docs, "doc_id", "text", shingle_k=3, min_containment=0.9,
+               admission="ensemble", small_max_shingles=16).collect()}
+    for i in range(5):
+        assert (10 + i, 100 + i) in ens          # every quote found
+        assert ens[(10 + i, 100 + i)][0] == 1.0  # fully contained
+    assert ens == exact  # measures AND pair set identical to exact tier
+    assert all(k[0] < 900 and k[1] < 900 for k in ens)
+
+
 def test_pair_measures_on_candidate_tier(spark):
     """r12 ``candidates=`` contract: measures stay EXACT (identical to
     the full shared-shingle tier for admitted pairs), recall becomes

@@ -545,7 +545,11 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_k: int = 3,
                       min_containment: float = 0.5,
                       max_shingle_df: int | None = None,
-                      candidates: DataFrame | None = None) -> DataFrame:
+                      candidates: DataFrame | None = None,
+                      admission: str = "exact",
+                      small_max_shingles: int = 16,
+                      minhash_k: int = 12,
+                      minhash_bands: int = 4) -> DataFrame:
     """ASYMMETRIC near-dup detection: exact shingle containment
     ``|A∩B| / |A|`` per direction (Broder 1997's second resemblance
     measure). Jaccard misses the quote/inclusion case — a short document
@@ -553,13 +557,53 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     containment 1.0 on the short side — which is exactly the
     quote-farm / aggregator-page shape corpus dedup needs to see.
 
-    Same two admission tiers (``candidates=`` / exact shared-shingle
-    join), the same ``max_shingle_df`` hot-shingle knob, and the same
-    single-lineage grouped pair generation as ``ngram_jaccard_pairs``.
+    Admission tiers:
+
+    - ``candidates=<relation>``: exact measures for the given pairs
+      (the same contract as ``ngram_jaccard_pairs``).
+    - ``admission="exact"`` (default): every shingle-sharing pair is
+      measured via the shared-shingle join — fully exact, but the
+      pair×shingle fan-out is the network bill at scale (SHUFFLE.md
+      measured 260 shuffle rows per row scanned at sf0.1).
+    - ``admission="ensemble"`` — the corpus-scale tier (r13),
+      SIZE-PARTITIONED in the spirit of LSH Ensemble (Zhu et al.,
+      VLDB'16: partition sets by size; admit with a per-partition
+      strategy because one symmetric Jaccard threshold cannot see
+      one-sided containment):
+
+      * documents whose distinct-shingle set has ≤ ``small_max_shingles``
+        entries — precisely the regime where containment ≥ t can mean
+        only 3-4 shared shingles, invisible to ANY bounded sketch —
+        build an exact posting-list index. Being small is what makes
+        this affordable: the index holds ≤ S rows per small doc
+        (size-gated broadcast via ``util.maybe_broadcast``), and every
+        document probes it MAP-SIDE from its shingle array, so the
+        corpus never shuffles for this leg. Recall for any pair whose
+        smaller side is ≤ S is COMBINATORIAL (every shared shingle is
+        an index hit), which covers the planted-quote shape exactly.
+      * pairs with BOTH sides > S share ≥ t·S shingles by definition,
+        so they are sketchable: the existing banded MinHash admission
+        (``minhash_k``/``minhash_bands``) supplies them. Its recall is
+        the banding's — ratio-skewed large×large pairs fade with
+        J = t/(1 + n_b/n_a), the documented trade (raise
+        ``small_max_shingles`` to widen the exact partition).
+
+      Measures are STILL exact (per-doc shingle arrays +
+      ``array_intersect``) — admission decides only which pairs get
+      measured. Measured at sf0.001/0.01/0.1: the ensemble pair set is
+      IDENTICAL to the exact tier's (every pair the symmetric banding
+      drops has a ≤16-shingle side).
+
+    ``max_shingle_df`` (exact tier only) is the hot-shingle knob —
+    see ``ngram_jaccard_pairs``.
     Returns ``(id_a, id_b, containment_a, containment_b)`` — the share
     of a's (resp. b's) shingles present in the other — for pairs where
     EITHER direction ≥ ``min_containment``.
     """
+    if candidates is None and admission == "ensemble":
+        candidates = _ensemble_candidates(df, id_col, text_col, shingle_k,
+                                          small_max_shingles, minhash_k,
+                                          minhash_bands)
     if candidates is not None:
         shared = _candidate_shingle_counts(df, id_col, text_col,
                                            shingle_k, candidates)
@@ -572,6 +616,42 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
             .filter((F.col("containment_a") >= min_containment)
                     | (F.col("containment_b") >= min_containment))
             .select("id_a", "id_b", "containment_a", "containment_b"))
+
+
+def _ensemble_candidates(df: DataFrame, id_col: str, text_col: str,
+                         shingle_k: int, small_max: int,
+                         minhash_k: int, minhash_bands: int) -> DataFrame:
+    """Size-partitioned candidate pairs for ``containment_pairs``
+    (``admission="ensemble"``): the union of (a) every pair sharing a
+    shingle with a ≤ ``small_max``-shingle document — via a broadcast
+    posting-list index over the SMALL partition only, probed map-side
+    by each document's shingle array — and (b) the banded MinHash
+    cohabitant pairs for the large×large regime. Canonical (id_a <
+    id_b), distinct.
+
+    Shuffle budget: the small index is |small docs| × ≤ small_max
+    rows (size-gated broadcast); the probe explode happens inside the
+    scan stage; duplicate (pair, shingle) hits collapse in the
+    distinct's map-side partial aggregate before they ever shuffle."""
+    from zacks_estimates_financial_statements_spark.util import maybe_broadcast
+
+    sets = _doc_shingle_sets(df, id_col, text_col, shingle_k)
+    small_idx = (sets.filter(F.col("__n") <= small_max)
+                 .select(F.col(id_col).alias("__sid"),
+                         F.explode("__sh").alias("__shingle")))
+    probe = sets.select(F.col(id_col),
+                        F.explode("__sh").alias("__shingle"))
+    small_pairs = (probe
+                   .join(maybe_broadcast(small_idx, est_bytes_per_row=64),
+                         "__shingle")
+                   .filter(F.col(id_col) != F.col("__sid"))
+                   .select(F.least(id_col, "__sid").alias("id_a"),
+                           F.greatest(id_col, "__sid").alias("id_b")))
+    mh_pairs = minhash_near_dup_pairs(df, id_col, text_col, k=minhash_k,
+                                      bands=minhash_bands,
+                                      shingle_k=shingle_k
+                                      ).select("id_a", "id_b")
+    return small_pairs.union(mh_pairs).distinct()
 
 
 def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
