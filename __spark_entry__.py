@@ -156,13 +156,42 @@ def _finite(c: F.Column) -> F.Column:
     return F.when((c > float("-inf")) & (c < float("inf")), c)
 
 
+#: Canonical column contract per table (r13, --drift-rate fuzz dial):
+#: every reader PROJECTS its declared columns by NAME, in declared
+#: order, so physical column-order permutation and trailing columns a
+#: producer appends are absorbed at the reader boundary instead of
+#: leaking into schema-dependent operators (profile_table would
+#: otherwise profile whatever the file happens to carry). The DuckDB
+#: oracle harness applies the identical projection to its views
+#: (tools/oracle_check.py imports this dict).
+TABLE_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value",
+               "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp->date casts follow the session timezone; DuckDB's are
     # timezone-free. Pin UTC so results don't depend on the harness TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return (spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            .select(*TABLE_COLUMNS[name]))
 
 
 
@@ -210,7 +239,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     type is used natively, cast to the session-UTC TIMESTAMP the queries
     and oracles both expect."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(*TABLE_COLUMNS["events"]))
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema["ts"].dataType, LongType):

@@ -312,13 +312,78 @@ def _inject_extremes(col: pa.ChunkedArray, field: pa.Field,
     return pa.chunked_array([pa.array(out, type=field.type)])
 
 
+def _drift_seedval(table: str, name: str, salt: str) -> float:
+    """Deterministic per-column draw in [0, 1) for schema-level drift
+    decisions (drift is per COLUMN, not per row)."""
+    return (zlib.crc32(f"{table}|{name}|{salt}".encode()) % 10**6) / 10**6
+
+
+#: rotation of value-preserving physical timestamp encodings for the
+#: drift dial — the events.ts fault class that has ALREADY bitten once
+#: (TESTDATA: INT64 nanos ↔ TIMESTAMP micros NTZ across driver rounds).
+#: 'us'/'ns' units are exact upcasts of micro-precision data; the tz
+#: flavor flips NTZ ↔ UTC-adjusted (Spark: TimestampNTZType ↔
+#: TimestampType under the pinned UTC session; DuckDB: TIMESTAMP ↔
+#: TIMESTAMPTZ — epoch_us is total on both).
+_TS_DRIFTS = [pa.timestamp("ns"),            # Spark nanosAsLong → BIGINT
+              pa.timestamp("us", tz="UTC"),
+              pa.timestamp("ns", tz="UTC")]
+
+
+def drift_table(t: pa.Table, table: str, rate: float) -> pa.Table:
+    """--drift-rate (r13): schema/physical-encoding drift with the
+    LOGICAL values unchanged — both engines still read the same bytes,
+    so any divergence is reader-schema DEPENDENCE (positional column
+    addressing, hard-coded physical types, schema-enumerating
+    operators). Faults, all seeded+deterministic:
+
+    - int64 → int32 downcast where every value fits (per-column draw
+      at ``min(1, rate × 25)`` — drift is schema-level, so the row-rate
+      dial scales per-column applicability: the 2 % gate drifts ~half
+      the eligible columns, the 5 % gate all of them);
+    - timestamp physical re-encoding (unit ns / tz-adjusted rotation,
+      variant chosen by the column's seed draw);
+    - one trailing ``__drift_pad`` column appended (readers must
+      project their contract, not ``SELECT *``);
+    - a seeded physical column-order permutation.
+    """
+    if rate <= 0:
+        return t
+    p_col = min(1.0, rate * 25)
+    for idx, name in enumerate(t.schema.names):
+        field = t.schema.field(name)
+        col = t.column(name)
+        if (pa.types.is_int64(field.type)
+                and _drift_seedval(table, name, "drift-i32") < p_col):
+            mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            if (mn is not None and mx is not None
+                    and -2**31 <= mn and mx < 2**31):
+                t = t.set_column(idx, pa.field(name, pa.int32()),
+                                 col.cast(pa.int32()))
+        elif (pa.types.is_timestamp(field.type)
+                and _drift_seedval(table, name, "drift-ts") < p_col):
+            variant = _TS_DRIFTS[
+                zlib.crc32(f"{table}|{name}|tsvar".encode())
+                % len(_TS_DRIFTS)]
+            t = t.set_column(idx, pa.field(name, variant),
+                             col.cast(variant))
+    t = t.append_column(
+        "__drift_pad",
+        pa.chunked_array([pa.array(["pad"] * t.num_rows)]))
+    perm_seed = zlib.crc32(f"{table}|drift-colperm".encode())
+    order = np.random.default_rng(perm_seed).permutation(
+        len(t.schema.names))
+    return t.select([t.schema.names[i] for i in order])
+
+
 def fuzz_table(path: str, table: str, null_rate: float,
                empty_rate: float, dup_rate: float = 0.0,
                nan_rate: float = 0.0,
                conflict_rate: float = 0.0,
                permute_rows: bool = False,
                unicode_rate: float = 0.0,
-               extreme_rate: float = 0.0) -> pa.Table:
+               extreme_rate: float = 0.0,
+               drift_rate: float = 0.0) -> pa.Table:
     t = pq.read_table(path)
     n = t.num_rows
     for idx, name in enumerate(t.schema.names):
@@ -372,6 +437,11 @@ def fuzz_table(path: str, table: str, null_rate: float,
                 clone = clone.set_column(
                     idx, field, _mutate_column(field, clone.column(name)))
             t = pa.concat_tables([t, clone])
+    if drift_rate:
+        # schema-level drift AFTER the value dials (downcast eligibility
+        # must see injected extremes) and BEFORE the row permute
+        # (column drift is row-order-independent)
+        t = drift_table(t, table, drift_rate)
     if permute_rows:
         # LAST, over everything including appended clones: a seeded
         # physical row-order shuffle. Parquet row order is the one
@@ -414,6 +484,12 @@ def main() -> int:
                          "rotating boundary values (±1e±30, subnormals, "
                          "±DBL_MAX, decimal(38,6) overflow edge, "
                          "LONG_MIN/MAX ids, float32-inf squares)")
+    ap.add_argument("--drift-rate", type=float, default=0.0,
+                    help="schema/physical-encoding drift, values "
+                         "unchanged: int64→int32 where it fits, "
+                         "timestamp unit/tz re-encoding, a trailing pad "
+                         "column, column-order permutation (per-column "
+                         "probability = rate × 25)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -423,7 +499,8 @@ def main() -> int:
         fuzzed = fuzz_table(src, table, args.null_rate, args.empty_rate,
                             args.dup_rate, args.nan_rate,
                             args.conflict_rate, args.permute_rows,
-                            args.unicode_rate, args.extreme_rate)
+                            args.unicode_rate, args.extreme_rate,
+                            args.drift_rate)
         pq.write_table(fuzzed, os.path.join(args.out, f"{table}.parquet"))
         injected = sum(fuzzed.column(c).null_count
                        for c in fuzzed.schema.names)

@@ -134,7 +134,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+        # reader contract (r13, --drift-rate): project the table's
+        # canonical columns by NAME, mirroring the Spark-side _t()
+        # projection — physical column order and trailing columns a
+        # producer appended are absorbed at the reader boundary
+        cols = ", ".join(f'"{c}"' for c in mod.TABLE_COLUMNS[t])
+        con.execute(f"CREATE VIEW {t} AS SELECT {cols} FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, osql = mod.queries(), mod.oracle_sql()

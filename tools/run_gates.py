@@ -90,7 +90,8 @@ GATES = [
                        "--dup-rate", "0.02", "--nan-rate", "0.02",
                        "--conflict-rate", "0.02", "--permute-rows",
                        "--unicode-rate", "0.02",
-                       "--extreme-rate", "0.02"]),
+                       "--extreme-rate", "0.02",
+                       "--drift-rate", "0.02"]),
     # 6b — the HIGH-RATE leg (r11): the r10 ad-hoc 5% recon found 5
     # latent divergences the committed 2% dials had missed — rates
     # change which rows collide, so 2%-green does not imply 5%-green.
@@ -104,12 +105,18 @@ GATES = [
     # subnormals, ±DBL_MAX, decimal(38,6)-overflow edges,
     # LONG_MIN/MAX ids): the sizing recon found 33 divergent queries
     # — see tests/test_extreme_contracts.py for the pinned contracts.
+    # --drift-rate (r13) re-encodes the PHYSICAL schema with logical
+    # values unchanged (int64→int32 where it fits, timestamp unit/tz
+    # rotation, trailing pad column, column-order permutation): any
+    # divergence is reader-schema dependence — the events.ts
+    # INT64↔timestamp drift class that already bit once (TESTDATA).
     ("contract_fuzz_hi", [sys.executable, "tools/contract_fuzz.py",
                           "--null-rate", "0.05", "--empty-rate", "0.03",
                           "--dup-rate", "0.05", "--nan-rate", "0.05",
                           "--conflict-rate", "0.05", "--permute-rows",
                           "--unicode-rate", "0.05",
                           "--extreme-rate", "0.05",
+                          "--drift-rate", "0.05",
                           "--out", "/tmp/fuzz_sf_hi"]),
     ("scale_study", [sys.executable, "tools/scale_study.py"]),
     # third decade (r12): the 10 most expensive bench queries measured

@@ -24,9 +24,30 @@ import importlib.util
 import json
 import os
 import shutil
+import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def head_newer_than_artifact(src: str) -> str | None:
+    """r13 (the r12 ordering slip): a commit that lands AFTER the
+    canonical attestation was produced means the artifact attests a
+    pre-HEAD tree — 'stamped artifacts attest HEAD' would silently
+    break. Returns a description when HEAD is newer, None when fresh.
+    Merely-uncommitted changes are caught separately (dirty check)."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct %H"], cwd=ROOT,
+            capture_output=True, text=True, check=True).stdout.split()
+        head_time, head = int(out[0]), out[1]
+    except (subprocess.CalledProcessError, ValueError, IndexError):
+        return None  # not a git repo / detached oddity: don't block
+    art_time = os.path.getmtime(src)
+    if head_time > art_time:
+        return (f"HEAD {head[:12]} committed at {head_time} is NEWER "
+                f"than {os.path.basename(src)} (mtime {int(art_time)})")
+    return None
 
 
 def registry_keys() -> set[str]:
@@ -62,6 +83,22 @@ def main() -> int:
            or r.get("hash_match") is False]
     if red:
         print(f"refusing to stamp red attestation rows: {sorted(red)}",
+              file=sys.stderr)
+        return 1
+    stale = head_newer_than_artifact(src)
+    if stale:
+        print(f"refusing to stamp a pre-HEAD attestation: {stale} — "
+              "source was committed AFTER the gate battery ran (the r12 "
+              "ordering slip); re-run tools/run_gates.py on the quiesced "
+              "tree, then stamp", file=sys.stderr)
+        return 1
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--untracked-files=no"],
+        cwd=ROOT, capture_output=True, text=True).stdout.strip()
+    if any(line.split()[-1].endswith((".py",)) for line in
+           dirty.splitlines()):
+        print("refusing to stamp with uncommitted .py changes — the "
+              "attestation would bind to no commit:\n" + dirty,
               file=sys.stderr)
         return 1
     shutil.copyfile(src, dst)
