@@ -1115,16 +1115,15 @@ def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
 
     Plan shape — same skew discipline as ``bigram_lm_perplexity``
     (its docstring carries the full argument): C(w1 w2) is a
-    ``groupBy(w1, w2).count()`` joined back to the occurrence relation
-    (AQE-skew-splittable; a (w1, w2) window would make the top bigram
-    one unsplittable task — round-8 fix); C(w1 ·) is the
-    posexplode head-count model (groupBy, map-side combined — never a
-    w1 window); the three KN count models (N1+(w1 ·), N1+(· w2), and
-    the 1-row N1+(· ·)) all derive from the DISTINCT-bigram relation,
-    which is model-sized (bigram types, not occurrences), with
-    map-side combine collapsing the hot head token to #partitions
-    rows before each shuffle. Models attach by plain joins AQE
-    broadcasts while the vocabulary fits.
+    ``groupBy(w1, w2).count()`` (AQE-skew-splittable; a (w1, w2)
+    window would make the top bigram one unsplittable task — round-8
+    fix), and EVERY other KN count model derives from that TYPE
+    relation by exact identities (r13): C(w1 ·) = Σ_w2 C(w1 w2),
+    N1+(w1 ·)/N1+(· w2) are per-side type counts, N1+(· ·) = |types|.
+    The corpus lineage is scanned exactly twice — once into the type
+    aggregation, once as the probe the per-type NLL joins back to
+    (AQE broadcasts the model side while it fits); everything between
+    is model-sized.
     """
 
     if not 0.0 < discount < 1.0:
@@ -1139,30 +1138,45 @@ def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
             F.slice("__t", 2, n1).alias("w2"))).alias("__b"))
         .select(F.col(id_col), F.col("__b.w1").alias("w1"),
                 F.col("__b.w2").alias("w2")))
-    tokrel = toks.select((F.size("__t") - 1).alias("__h"),
-                         F.posexplode_outer("__t").alias("__p", "__tok"))
-    head_model = (tokrel.groupBy("__tok")
-                  .agg(F.sum(F.when(F.col("__p") < F.col("__h"), 1)
-                             .otherwise(0)).alias("__c1")))
-    dp = bi.select("w1", "w2").distinct()
-    r1 = dp.groupBy("w1").agg(F.count("*").alias("__n1r"))
-    r2 = dp.groupBy("w2").agg(F.count("*").alias("__n1l"))
-    nb = (dp.agg(F.count("*").cast("double").alias("__nb"))
-          .withColumn("__k", F.lit(1)))
+    # ONE corpus aggregation feeds every model (r13, third-decade
+    # exponent fix): the bigram-TYPE relation C(w1 w2) determines all
+    # four KN count models exactly — C(w1 ·) = Σ_w2 C(w1 w2) (a token
+    # heads a bigram iff it is non-final), N1+(w1 ·) = |{w2}| per w1,
+    # N1+(· w2) = |{w1}| per w2, N1+(· ·) = |types| — so the previous
+    # shape's three extra corpus-lineage passes (a posexplode head
+    # count, a distinct-bigram pass, per-occurrence model joins) all
+    # collapse into TYPE-scale aggregations over pair_model. The
+    # corpus is scanned exactly twice (once into pair_model, once as
+    # the probe), and the per-TYPE NLL — including the log/round/
+    # decimal conversion — attaches to occurrences by a single join
+    # AQE broadcasts while the type relation fits (measured 4 corpus
+    # passes ≈ 30 s → 2 ≈ 15 s at synth-sf1; values bit-identical).
     pair_model = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
-    annot = bi.join(pair_model, ["w1", "w2"])
+    h1 = (pair_model.groupBy("w1")
+          .agg(F.sum("__c12").alias("__c1"),
+               F.count("*").alias("__n1r")))
+    r2 = pair_model.groupBy("w2").agg(F.count("*").alias("__n1l"))
+    nb = (pair_model.agg(F.count("*").cast("double").alias("__nb"))
+          .withColumn("__k", F.lit(1)))
     d = F.lit(float(discount))
     p = (F.greatest(F.col("__c12") - d, F.lit(0.0)) / F.col("__c1")
          + d * F.col("__n1r") / F.col("__c1")
          * (F.col("__n1l") / F.col("__nb")))
     nll = F.round(-F.log(p), 6).cast("decimal(38,6)")
-    scored = (annot
-              .join(head_model.withColumnRenamed("__tok", "w1"), "w1")
-              .join(r1, "w1")
-              .join(r2, "w2")
-              .withColumn("__k", F.lit(1))
-              .join(F.broadcast(nb), "__k")
-              .select(F.col(id_col), nll.alias("__nll")))
+    type_nll = (pair_model
+                .join(h1, "w1")
+                .join(r2, "w2")
+                .withColumn("__k", F.lit(1))
+                .join(F.broadcast(nb), "__k")
+                .select("w1", "w2", nll.alias("__nll")))
+    # shuffle_hash hint on the model side: without it Catalyst plans a
+    # sort-merge join that shuffles AND SORTS every occurrence row
+    # (measured 48 s vs 26 s at synth-sf1); with it AQE still upgrades
+    # to broadcast while the type model fits, and the degraded mode at
+    # a genuinely huge model is a sort-free hash join — never an
+    # occurrence sort, never a forced broadcast.
+    scored = (bi.join(type_nll.hint("shuffle_hash"), ["w1", "w2"])
+              .select(F.col(id_col), F.col("__nll")))
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.exp(F.sum("__nll").cast("double")
