@@ -1169,13 +1169,19 @@ def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
                 .withColumn("__k", F.lit(1))
                 .join(F.broadcast(nb), "__k")
                 .select("w1", "w2", nll.alias("__nll")))
-    # shuffle_hash hint on the model side: without it Catalyst plans a
-    # sort-merge join that shuffles AND SORTS every occurrence row
-    # (measured 48 s vs 26 s at synth-sf1); with it AQE still upgrades
-    # to broadcast while the type model fits, and the degraded mode at
-    # a genuinely huge model is a sort-free hash join — never an
-    # occurrence sort, never a forced broadcast.
-    scored = (bi.join(type_nll.hint("shuffle_hash"), ["w1", "w2"])
+    # size-gated broadcast (util.maybe_broadcast): the probe join must
+    # never shuffle the occurrence relation to attach a model-sized
+    # table. Measured at synth-sf1: the plain join sort-merge-joins
+    # (shuffles AND SORTS every occurrence row, 48 s vs 26 s) and a
+    # shuffle_hash hint still shuffles the probe side (SHUFFLE.md flag:
+    # 0.29 → 11.38 rows/row — the 100 TB network bill); the broadcast
+    # keeps occurrences in their scan partitions. Beyond the session
+    # threshold (a genuinely corpus-scale type model) it degrades to
+    # the un-hinted AQE-planned join. The localCheckpoint inside
+    # doubles as the model materialization.
+    from zacks_estimates_financial_statements_spark.util import maybe_broadcast
+    scored = (bi.join(maybe_broadcast(type_nll, est_bytes_per_row=48),
+                      ["w1", "w2"])
               .select(F.col(id_col), F.col("__nll")))
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
