@@ -708,14 +708,27 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     is the shared ``string_split_regex`` + ``list_filter`` pattern.
     Documents with fewer than ``n`` tokens yield no ``(doc, n)`` row.
 
-    Plan shape: the token array is materialized ONCE per row (lambda-CSE
-    trap — Catalyst will not share a ``split`` nested inside each
-    lambda), every requested n-gram length is generated from it in the
-    same projection, and one ``explode`` feeds a two-level aggregation:
-    ``(doc, n, gram)`` counts combine map-side, then collapse to one row
-    per (doc, n). The modal count comes from the grouped counts — never
-    from a per-row pairwise scan, which would be quadratic in document
-    length for long documents.
+    Plan shape: every count here is PER-DOCUMENT, so the corpus is
+    hash-partitioned by ``id_col`` FIRST — one exchange of compact
+    ``(id, text)`` rows — and everything downstream stays
+    partition-local: ``HashPartitioning(id)`` satisfies the clustered
+    distribution of both ``(doc, n, gram)`` and ``(doc, n)``
+    aggregations, so Catalyst plans NO further exchange (verified: the
+    executed plan carries exactly one ``REPARTITION_BY_COL``). The
+    previous shape shuffled the exploded gram rows themselves —
+    ~|ns|× corpus tokens with gram text aboard, measured 149 rows
+    shuffled per row scanned at sf0.1 vs ~1 now — the difference is
+    the 100 TB network bill. The token array is materialized ONCE per
+    row after the exchange (lambda-CSE trap — Catalyst will not share
+    a ``split`` nested inside each lambda), every requested n-gram
+    length is generated from it in the same projection, and one
+    ``explode`` feeds the two-level partition-local aggregation. The
+    modal count comes from the grouped counts — never from a per-row
+    pairwise scan, which would be quadratic in document length for
+    long documents. Concentration bound: one task owns a document's
+    whole gram multiset — the same bound the final (doc, n) exchange
+    already imposed, and a giant-document straggler is AQE-invisible
+    either way.
 
     ``hash_grams=True`` reduces each gram to ``xxhash64`` BEFORE the
     shuffle (fixed-width ``(id, n, int64)`` rows instead of gram text).
@@ -736,7 +749,11 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"n-gram lengths must be >= 1, got {ns}")
     words = F.filter(F.split(simple_lower(F.col(text_col)), r"[^a-z0-9_]+"),
                      lambda x: x != "")
-    base = df.select(F.col(id_col), words.alias("__w"))
+    # partition by doc BEFORE tokenizing: the exchange carries raw
+    # (id, text) rows once, and both aggregations below ride it
+    base = (df.select(F.col(id_col), F.col(text_col))
+            .repartition(F.col(id_col))
+            .select(F.col(id_col), words.alias("__w")))
 
     def tagged(n: int):
         # sequence(1, 0) counts DOWN — guard short docs before
@@ -1480,14 +1497,23 @@ def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
     ``decimal(38,6)``, the final key rounds to 6 with doc-id
     tie-break — the repo-wide cross-engine hashing recipe.
 
-    Scale: featurization is one explode + one (doc, bucket) map-side-
-    combined agg, token-linear, and the per-doc feature relation is
-    PERSISTED so the bucket-model branch and the scoring branch share
-    one tokenization pass (Catalyst will not reuse a subtree across
-    two differently-keyed aggregations). Bucket models are <=
-    ``buckets`` rows — they broadcast; corpus totals attach as 1-row
-    broadcasts. The top-n is a TakeOrdered, never a full sort. The raw
-    corpus text shuffles ONLY as (id, bucket, count) rows.
+    Scale: the raw corpus hash-partitions by ``id_col`` FIRST — one
+    exchange of compact ``(id, text)`` rows — and every per-doc step
+    downstream (featurize explode, the (doc, bucket) agg, the scoring
+    ``groupBy(id)``) is partition-local: ``HashPartitioning(id)``
+    satisfies their clustered distributions, so the hashed-gram rows
+    (~2 fixed-width rows per token, ~16× the text bytes — measured 28
+    rows shuffled per row scanned before, ~1 after, and ~30% faster at
+    sf0.1) never leave their partition. The per-doc feature relation
+    is PERSISTED (id-partitioned blocks) so the bucket-model branch
+    and the scoring branch share one tokenization pass (Catalyst will
+    not reuse a subtree across two differently-keyed aggregations);
+    the bucket-model exchange combines map-side to <= ``buckets`` rows
+    per partition. The TARGET side stays narrow — its only consumer is
+    the corpus-wide ``groupBy(bucket)``, already map-side-combined.
+    Bucket models are <= ``buckets`` rows — they broadcast; corpus
+    totals attach as 1-row broadcasts. The top-n is a TakeOrdered,
+    never a full sort.
     """
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
@@ -1522,7 +1548,9 @@ def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
             (hash60(F.concat(F.lit(seed), F.lit("|"), F.col("__g")))
              % buckets).alias("bucket"))
 
-    feats = (grams(raw).groupBy(id_col, "bucket")
+    raw_part = (raw.select(F.col(id_col), F.col(text_col))
+                .repartition(F.col(id_col)))
+    feats = (grams(raw_part).groupBy(id_col, "bucket")
              .agg(F.count("*").alias("__c"))
              .persist(StorageLevel.MEMORY_AND_DISK))
     raw_tot = feats.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
@@ -1849,7 +1877,15 @@ def _remove_intervals(df: DataFrame, id_col: str, text_col: str,
     decontaminate_spans common core. One posexplode, one id-equi +
     range-residual membership join (disjoint intervals: a position
     matches at most once, zero amplification), one ordered-reassembly
-    groupBy."""
+    groupBy.
+
+    The reassembly exchange carries exploded ``(id, pos, token)`` rows
+    — ~3× the corpus text bytes. A doc-partitioned variant (repartition
+    the corpus by id first, reassemble partition-locally) was measured
+    ~15% SLOWER at sf0.1 for only that ~3× byte saving — the exploded
+    rows here are span-arithmetic-sized, not gram-fan-out-sized, so
+    unlike ``repetition_stats`` the amplification is modest and the
+    flat shuffle wins; kept deliberately."""
     toks = df.select(F.col(id_col), _word_array(text_col).alias("__t"))
     totals = toks.select(F.col(id_col),
                          F.coalesce(F.size("__t"), F.lit(0))
