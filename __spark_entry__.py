@@ -183,15 +183,45 @@ TABLE_COLUMNS = {
     "embeddings": ["vec_id", "embedding", "label"],
 }
 
+#: Declared LOGICAL type for every temporal contract column. Parquet
+#: producers re-encode timestamps across driver rounds (events.ts has
+#: ALREADY drifted INT64-nanos ↔ TIMESTAMP-micros once, TESTDATA.md;
+#: the r13 --drift-rate dial rotates ns / tz-adjusted variants onto
+#: o_orderdate and l_shipdate too), so the reader normalizes whatever
+#: physical encoding it finds to the declared type: LongType (a nanos
+#: file read under ``nanosAsLong``) converts via exact integer
+#: division, matching DuckDB's nanos→micros truncation; any
+#: timestamp-like type casts under the pinned UTC session (wall-clock
+#: preserving for UTC-adjusted variants). The DuckDB oracle views
+#: apply the identical normalization (tools/oracle_check.py imports
+#: this dict and CASTs to TIMESTAMP under ``SET TimeZone='UTC'``).
+TEMPORAL_COLUMNS = {
+    "orders": {"o_orderdate": "timestamp_ntz"},
+    "lineitem": {"l_shipdate": "timestamp_ntz"},
+    "events": {"ts": "timestamp"},
+}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp->date casts follow the session timezone; DuckDB's are
     # timezone-free. Pin UTC so results don't depend on the harness TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        return _events(spark, sf_dir)
-    return (spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-            .select(*TABLE_COLUMNS[name]))
+    # before the read: an INT64(TIMESTAMP(NANOS)) column is otherwise
+    # PARQUET_TYPE_ILLEGAL — with the conf it surfaces as LongType and
+    # the dispatch below owns the conversion
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+          .select(*TABLE_COLUMNS[name]))
+    from pyspark.sql.types import LongType
+
+    for col, target in TEMPORAL_COLUMNS.get(name, {}).items():
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(
+                    F.expr(f"{col} DIV 1000").cast("long")).cast(target))
+        else:
+            df = df.withColumn(col, F.col(col).cast(target))
+    return df
 
 
 
@@ -230,23 +260,10 @@ def _emb1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(dup), on="vec_id", how="left_anti")
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table's ``ts`` physical parquet type has drifted across
-    driver testdata regenerations (INT64 TIMESTAMP(NANOS) ↔ TIMESTAMP
-    micros), so never hard-code it: set the nanos-as-long legacy conf
-    *before* the read, then dispatch on the schema Spark actually
-    produced.  LongType means a nanos file (convert with exact integer
-    division, matching DuckDB's nanos→micros truncation); any timestamp
-    type is used natively, cast to the session-UTC TIMESTAMP the queries
-    and oracles both expect."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-          .select(*TABLE_COLUMNS["events"]))
-    from pyspark.sql.types import LongType
-
-    if isinstance(df.schema["ts"].dataType, LongType):
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long")))
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    """Events under the temporal reader contract — the ``ts`` dispatch
+    (the physical type has drifted across driver rounds, TESTDATA.md)
+    is the general ``TEMPORAL_COLUMNS`` normalization in ``_t``."""
+    return _t(spark, sf_dir, "events")
 
 
 def _dec(c) -> F.Column:

@@ -106,24 +106,37 @@ def test_reader_projection_absorbs_drift(spark, drifted_dir):
     assert got == want                        # values byte-identical
 
 
-def test_events_reader_handles_ts_reencodings(spark, tmp_path):
-    """The _events dispatch (LongType → nanos DIV 1000; timestamp-like
-    → cast) covers every variant the drift dial writes."""
+@pytest.mark.parametrize("table,col", [("events", "ts"),
+                                       ("orders", "o_orderdate"),
+                                       ("lineitem", "l_shipdate")])
+def test_temporal_reader_handles_ts_reencodings(spark, tmp_path,
+                                                table, col):
+    """The TEMPORAL_COLUMNS dispatch in _t (LongType → nanos DIV 1000;
+    timestamp-like → cast to the declared type) covers every variant
+    the drift dial writes, on EVERY temporal contract column — the r13
+    battery caught the dial rotating o_orderdate/l_shipdate to
+    INT64-nanos, which the then-events-only dispatch left unreadable
+    (PARQUET_TYPE_ILLEGAL) for 14 queries."""
     m = _entry()
-    base = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    base = pq.read_table(f"/root/testdata/sf0.001/{table}.parquet")
     fz = _fuzz()
-    want = None
+    key = m.TABLE_COLUMNS[table][0]
+    clean = m._t(spark, "/root/testdata/sf0.001", table)
+    want_type = clean.schema[col].dataType
+    want = sorted((r[key], r[col]) for r in
+                  clean.select(key, col).limit(50).collect()
+                  if r[key] is not None)
     for i, ty in enumerate(fz._TS_DRIFTS):
-        out = tmp_path / f"v{i}"
+        out = tmp_path / f"{table}_v{i}"
         out.mkdir()
-        idx = base.schema.names.index("ts")
-        t = base.set_column(idx, pa.field("ts", ty),
-                            base.column("ts").cast(ty))
-        pq.write_table(t, str(out / "events.parquet"))
-        df = m._t(spark, str(out), "events")
-        got = sorted((r["event_id"], r["ts"]) for r in
-                     df.select("event_id", "ts").limit(50).collect()
-                     if r["event_id"] is not None)
-        if want is None:
-            want = got
-        assert got == want, f"ts variant {ty} diverged"
+        idx = base.schema.names.index(col)
+        t = base.set_column(idx, pa.field(col, ty),
+                            base.column(col).cast(ty))
+        pq.write_table(t, str(out / f"{table}.parquet"))
+        df = m._t(spark, str(out), table)
+        assert df.schema[col].dataType == want_type, \
+            f"{ty}: normalized to {df.schema[col].dataType}"
+        got = sorted((r[key], r[col]) for r in
+                     df.select(key, col).limit(50).collect()
+                     if r[key] is not None)
+        assert got == want, f"{col} variant {ty} diverged"

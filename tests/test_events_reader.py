@@ -42,12 +42,18 @@ def _write_events(tmp_path, name: str, unit: str) -> str:
         ts = pa.array(
             [epoch + datetime.timedelta(microseconds=v) for v in _BASE_US],
             type=pa.timestamp("us"))
+    # the full TABLE_COLUMNS["events"] contract: since the r13 reader
+    # projection, _t() selects these by name, so the fixture must
+    # carry them all (the former minimal fixture stopped resolving)
     table = pa.table({
         "event_id": pa.array([1, 2, 3], type=pa.int64()),
         "user_id": pa.array([10, 10, 20], type=pa.int64()),
         "ts": ts,
-        "payload": pa.array(['{"a":1}', '{"a":2}', '{"a":3}'],
-                            type=pa.string()),
+        "event_type": pa.array(["view", "click", "view"],
+                               type=pa.string()),
+        "value": pa.array([1.0, 2.5, 3.25], type=pa.float64()),
+        "props": pa.array(['{"a":1}', '{"a":2}', '{"a":3}'],
+                          type=pa.string()),
     })
     # version 2.6 keeps TIMESTAMP(NANOS) as nanos instead of coercing
     pq.write_table(table, str(d / "events.parquet"), version="2.6")

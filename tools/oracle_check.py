@@ -133,12 +133,23 @@ def main() -> int:
         return 1
 
     con = duckdb.connect()
+    # temporal casts below convert TIMESTAMPTZ via the session zone —
+    # pin it so results don't depend on the harness TZ (mirrors the
+    # Spark session's UTC pin in _t())
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         # reader contract (r13, --drift-rate): project the table's
         # canonical columns by NAME, mirroring the Spark-side _t()
         # projection — physical column order and trailing columns a
-        # producer appended are absorbed at the reader boundary
-        cols = ", ".join(f'"{c}"' for c in mod.TABLE_COLUMNS[t])
+        # producer appended are absorbed at the reader boundary.
+        # Temporal contract columns additionally normalize to plain
+        # TIMESTAMP (micros, wall-clock UTC): TIMESTAMP_NS truncates
+        # exactly, TIMESTAMPTZ converts under the pinned zone — the
+        # same dispatch _t() applies Spark-side (TEMPORAL_COLUMNS).
+        temporal = mod.TEMPORAL_COLUMNS.get(t, {})
+        cols = ", ".join(
+            f'CAST("{c}" AS TIMESTAMP) AS "{c}"' if c in temporal
+            else f'"{c}"' for c in mod.TABLE_COLUMNS[t])
         con.execute(f"CREATE VIEW {t} AS SELECT {cols} FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
