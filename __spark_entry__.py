@@ -250,14 +250,14 @@ def _emb1(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection (the corpus side keeps every row). Twins read the
     matching `count(*) OVER (PARTITION BY vec_id) = 1` subquery.
 
-    Plan (r13): dup-id set from the id column alone (map-side-combined
-    groupBy, 8-byte rows) + broadcast LEFT ANTI — the vectors never
-    shuffle; the old corpus-wide Window.partitionBy(vec_id) shuffled
-    every embedding and was one unsplittable task per hot id."""
-    e = _emb(spark, sf_dir)
-    dup = (e.select("vec_id").groupBy("vec_id").count()
-           .filter(F.col("count") > 1).select("vec_id"))
-    return e.join(F.broadcast(dup), on="vec_id", how="left_anti")
+    Plan (r13): every consumer takes ``LIMIT k ≤ 20``, so the dup test
+    runs on a bounded sorted PREFIX (``similarity.unique_seed_prefix``:
+    TakeOrdered — no corpus shuffle, no extra scan, splittable) instead
+    of the r12 corpus-wide Window.partitionBy(vec_id) (vector shuffle +
+    one unsplittable task per hot id) or the first-r13 groupBy dup-set +
+    broadcast anti-join (scale-right but +0.4-0.8 s of extra-scan and
+    broadcast-barrier latency per query, measured at sf0.1)."""
+    return similarity.unique_seed_prefix(_emb(spark, sf_dir), "vec_id")
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events under the temporal reader contract — the ``ts`` dispatch

@@ -1030,3 +1030,39 @@ def test_cdc_chunks_deterministic_and_expected_len(spark):
     # 20 docs x 200 words at expected chunk len 8 -> ~500 chunks;
     # loose band only (geometric boundaries)
     assert 200 <= n_chunks <= 1200
+
+
+def test_unique_seed_prefix_matches_reference(spark):
+    """r13 seed-selection plan: the bounded-prefix form must equal the
+    reference full-corpus dedup (similarity._unambiguous) for every
+    limit-bounded consumer, including at the prefix boundary."""
+    import random
+    from zacks_estimates_financial_statements_spark.operators import (
+        similarity as sim)
+    rng = random.Random(7)
+    # 200 ids, ~15% duplicated (conflict-dial shape), shuffled physical
+    # order so scan order cannot mask a boundary bug
+    rows = [(i, [float(i % 7), 1.0]) for i in range(200)]
+    rows += [(i, [9.0, float(i)]) for i in range(200) if rng.random() < .15]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def ref(k):
+        return [r["vec_id"] for r in sim._unambiguous(df, "vec_id")
+                .orderBy("vec_id").limit(k).collect()]
+
+    def pre(k, prefetch):
+        return [r["vec_id"] for r in
+                sim.unique_seed_prefix(df, "vec_id", prefetch=prefetch)
+                .orderBy("vec_id").limit(k).collect()]
+
+    # normal regime: prefetch far above k
+    assert pre(20, 4096) == ref(20)
+    # prefix EXHAUSTS the relation (fewer rows than prefetch): the
+    # boundary id must be kept — full equality with the reference
+    assert pre(500, 4096) == ref(500)
+    # full prefix (prefetch < relation rows): exact for every k with
+    # headroom below the boundary
+    assert pre(20, 64) == ref(20)
+    # duplicated ids never surface even when adjacent to the boundary
+    assert all(ref(200).count(v) == 1 for v in pre(50, 128))

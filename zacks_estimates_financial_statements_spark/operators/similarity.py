@@ -51,18 +51,74 @@ def _unambiguous(df: DataFrame, id_col: str) -> DataFrame:
     side of every operator keeps all rows). Twins mirror with
     `count(*) OVER (PARTITION BY id) = 1`.
 
-    Plan shape (r13): dup-id set via ``groupBy(id).count()`` on the id
-    column ALONE (8-byte shuffle rows, map-side combined, AQE-skew
-    splittable) + broadcast LEFT ANTI back against the full relation —
-    the vectors never shuffle. The previous
-    ``Window.partitionBy(id)`` form shuffled every 64-float vector and
-    made a hot duplicated id one unsplittable straggler task (the exact
-    shape CLAUDE.md's groupBy-plus-join-back rule bans). The dup-id set
-    is bounded by the conflict rate, not the corpus (≈0 in clean data),
-    so the broadcast is safe by construction."""
+    This is the REFERENCE form (and the twins' shape) for a consumer
+    that needs the whole deduplicated relation: dup-id set via
+    ``groupBy(id).count()`` on the id column ALONE (8-byte shuffle
+    rows, map-side combined, AQE-skew splittable) + broadcast LEFT ANTI
+    back against the full relation — the vectors never shuffle, unlike
+    the banned ``Window.partitionBy(id)`` shape. Every CURRENT consumer
+    is a ``ORDER BY id LIMIT k`` selection, which uses
+    ``unique_seed_prefix`` below instead (r13): it skips even the
+    id-only scan by deduplicating a bounded sorted prefix."""
     dup = (df.select(id_col).groupBy(id_col).count()
            .filter(F.col("count") > 1).select(id_col))
     return df.join(F.broadcast(dup), on=id_col, how="left_anti")
+
+
+#: sorted-prefix size for ``unique_seed_prefix``: must exceed the
+#: largest seed ``limit`` (n_codes=256 is the registry max) by enough
+#: unique ids to absorb the duplicate-id dial (5%) and the one excluded
+#: boundary id. 4096 rows is a single TakeOrdered batch — trivial at
+#: any scale — while leaving >15x slack over the largest k.
+SEED_PREFIX = 4096
+
+
+def unique_seed_prefix(df: DataFrame, id_col: str,
+                       prefetch: int = SEED_PREFIX) -> DataFrame:
+    """The first ≤``prefetch`` rows of ``df`` by ``id_col`` whose id is
+    globally unambiguous — the selection-grade relation every
+    ``ORDER BY id LIMIT k`` seed/anchor consumer (k ≤ 256) draws from.
+
+    Equivalent to ``_unambiguous(df).orderBy(id).limit(prefetch)`` for
+    every consumer with ``k`` well under ``prefetch``, but WITHOUT
+    touching the corpus beyond a bounded sorted prefix (r13, third
+    iteration of this plan):
+
+    - r12 shipped ``Window.partitionBy(id)`` over the full relation —
+      shuffles every vector, one unsplittable task per hot id (banned
+      shape, r12 verdict #2);
+    - the first r13 form was groupBy(id) dup-set + broadcast LEFT ANTI —
+      scale-right (vectors never shuffle) but pays an extra corpus scan
+      plus a broadcast-build barrier PER QUERY, measured +0.4-0.8 s on
+      every embeddings-family query at sf0.1;
+    - this form: ``orderBy(id).limit(prefetch)`` compiles to
+      TakeOrderedAndProject (map-side top-``prefetch`` per task — no
+      exchange, splittable, hot ids cost nothing), and the dup test
+      runs on the ≤``prefetch``-row prefix where it is exact: the sort
+      is by id, so EVERY copy of an id strictly below the prefix
+      maximum lands inside the prefix. The boundary (maximum) id is the
+      one id whose copies could lie beyond — it is excluded unless the
+      prefix exhausted the relation (``__nr < prefetch`` — strictly
+      fewer rows than requested proves exhaustion; an exactly-full
+      prefix conservatively drops its boundary id, which can only
+      matter when fewer than k unique ids precede it: impossible with
+      prefetch/k ≥ 16).
+
+    Windows here are prefix-bounded (≤``prefetch`` rows above a Limit),
+    not corpus windows — the plan-audit-whitelisted shape. Twins keep
+    the full-corpus ``count(*) OVER (PARTITION BY id) = 1`` form; the
+    contract-fuzz batteries (duplicate/conflict dials + row permutation)
+    attest the equivalence empirically at all three scales."""
+    pre = df.orderBy(F.col(id_col)).limit(prefetch)
+    w_id = Window.partitionBy(id_col)
+    w_all = Window.partitionBy()
+    return (pre.withColumn("__nv", F.count("*").over(w_id))
+            .withColumn("__mx", F.max(id_col).over(w_all))
+            .withColumn("__nr", F.count("*").over(w_all))
+            .filter((F.col("__nv") == 1) &
+                    ((F.col(id_col) < F.col("__mx"))
+                     | (F.col("__nr") < F.lit(prefetch))))
+            .drop("__nv", "__mx", "__nr"))
 
 
 def _rank_topk(scored: DataFrame, query_id: str, k: int,
@@ -181,7 +237,7 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
     ``_scorable``) — a NULL id would otherwise be picked as a seed
     centroid first under Spark's NULLS-FIRST ascending sort."""
     corpus = _scorable(corpus, id_col, vec_col)
-    centroids = (_unambiguous(corpus, id_col)
+    centroids = (unique_seed_prefix(corpus, id_col)
                  .orderBy(F.col(id_col)).limit(n_centroids)
                  .select(F.col(id_col).alias("centroid_id"),
                          F.col(vec_col).alias("centroid_vec")))
@@ -427,7 +483,7 @@ def pq_codebook(corpus: DataFrame, dims: int, n_subspaces: int = 4,
         raise ValueError(f"dims={dims} not divisible by {n_subspaces}")
     sub = dims // n_subspaces
     w = Window.orderBy(F.col(id_col))
-    seeds = (_unambiguous(_scorable(corpus, id_col, vec_col), id_col)
+    seeds = (unique_seed_prefix(_scorable(corpus, id_col, vec_col), id_col)
              .orderBy(F.col(id_col)).limit(n_codes)
              .withColumn("code_id",
                          (F.row_number().over(w) - 1).cast("int")))
