@@ -2592,11 +2592,22 @@ def q_incremental_cc(spark, sf):
     relabel map touches merged components. The oracle is the full
     transitive closure over ALL documents — the driver thereby attests
     incremental == full recompute."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _t(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") >= 100)
     batch = docs.filter(F.col("doc_id") < 100)
-    cpairs = dedup.minhash_near_dup_pairs(corpus, "doc_id", "text",
-                                          k=12, bands=4)
+    # ONE corpus sketch (r13): the stored-corpus minhash index is
+    # consumed twice — the corpus-vs-itself pair sweep and the batch
+    # probe — and the two consumers are SEQUENTIAL (connected
+    # components materializes the pair edges in driver-synchronous
+    # jobs before the final probe job runs), so the duplicated
+    # shingle→hash→signature lineage was paid in full wall-clock,
+    # not parallel-hidden. Persist the index across both; released
+    # via the standard ``release_cache`` hook bench/gates call.
+    index = (dedup.minhash_index(corpus, "doc_id", "text", k=12, bands=4)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    cpairs = dedup.minhash_pairs_from_index(index, "doc_id", k=12)
     cc = graph.connected_components(cpairs)
     # duplicate-id contract: a CC label index is KEYED — one row per
     # node id (distinct rides the join's own node-key exchange)
@@ -2607,7 +2618,6 @@ def q_incremental_cc(spark, sf):
     bpairs = dedup.minhash_near_dup_pairs(batch, "doc_id", "text",
                                           k=12, bands=4) \
         .select("id_a", "id_b")
-    index = dedup.minhash_index(corpus, "doc_id", "text", k=12, bands=4)
     cross = dedup.incremental_minhash_pairs(index, batch, "doc_id",
                                             "text", k=12, bands=4) \
         .select(F.col("batch_id").alias("id_a"),
@@ -2619,8 +2629,10 @@ def q_incremental_cc(spark, sf):
                  .join(batch_labels, "node", "left")
                  .select("node", F.coalesce("component", "node")
                          .alias("component")))
-    return (merged.union(batch_all)
-            .select(F.col("node").alias("doc_id"), "component"))
+    out = (merged.union(batch_all)
+           .select(F.col("node").alias("doc_id"), "component"))
+    out.release_cache = index.unpersist
+    return out
 
 
 ORACLE_INCREMENTAL_CC = f"""

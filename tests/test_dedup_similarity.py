@@ -1066,3 +1066,31 @@ def test_unique_seed_prefix_matches_reference(spark):
     assert pre(20, 64) == ref(20)
     # duplicated ids never surface even when adjacent to the boundary
     assert all(ref(200).count(v) == 1 for v in pre(50, 128))
+
+
+def test_minhash_pairs_from_index_matches_sweep(docs):
+    """r13 incremental_cc fusion: the pair sweep derived from an
+    already-built minhash_index relation must equal the one-shot
+    corpus sweep row-for-row (same buckets, same Jaccard estimates)."""
+    direct = sorted(map(tuple, dedup.minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=12, bands=4).collect()))
+    index = dedup.minhash_index(docs, "doc_id", "text", k=12, bands=4)
+    derived = sorted(map(tuple, dedup.minhash_pairs_from_index(
+        index, "doc_id", k=12).collect()))
+    assert derived == direct
+
+
+def test_cdc_chunks_release_cache_hook(spark):
+    """r13 persist: cdc_chunks caches its tokenized relation across
+    the winner-resolution and chunking consumers and must expose the
+    standard release hook; rows are identical before and after
+    release (the hook only drops the cache, never the lineage)."""
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta epsilon zeta eta theta "
+             f"iota kappa lambda mu nu xi omicron pi rho")
+         for i in range(30)], "doc_id bigint, text string")
+    out = dedup.cdc_chunks(df, "doc_id", "text", w=3, avg_words=4)
+    assert callable(getattr(out, "release_cache", None))
+    cached_rows = sorted(map(tuple, out.collect()))
+    out.release_cache()
+    assert sorted(map(tuple, out.collect())) == cached_rows

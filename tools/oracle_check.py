@@ -169,6 +169,7 @@ def main() -> int:
 
     for name in names:
         t0 = time.time()
+        sdf = None
         try:
             sdf = qs[name](spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
@@ -178,6 +179,18 @@ def main() -> int:
             record(name, err=f"spark: {str(exc)[:200]}")
             failures += 1
             continue
+        finally:
+            # bench.py's honesty rule, applied to the battery too: a
+            # query must not leave its internal persist registered for
+            # a LATER query's canonically-equal subtree to silently
+            # reuse (CacheManager matches by canonicalized plan)
+            release = getattr(sdf, "release_cache", None)
+            if release is not None:
+                try:
+                    release()
+                except Exception:  # noqa: BLE001
+                    pass
+            spark.catalog.clearCache()
         if name not in osql:
             print(f"SKIP {name}: no oracle (rows={len(srows)})")
             record(name, rows_match=len(srows) >= 0,

@@ -271,6 +271,7 @@ def main() -> int:
     rows = []
     bad = 0
     for name, fn in mod.queries().items():
+        df = None
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -279,6 +280,17 @@ def main() -> int:
             a = {"bhj": "-", "smj": "-", "bnlj": "-", "exchanges": "-",
                  "reused": "-", "codegen": "-", "pushed": "-", "lam": "-",
                  "gw": "-", "flags": f"ERR:{str(exc)[:40]}"}
+        finally:
+            # drop per-query persist registrations so a later query's
+            # canonically-equal subtree is audited as its REAL plan,
+            # not as an InMemoryTableScan of this query's cache
+            release = getattr(df, "release_cache", None)
+            if release is not None:
+                try:
+                    release()
+                except Exception:  # noqa: BLE001
+                    pass
+            spark.catalog.clearCache()
         if a["flags"] != "-":
             bad += 1
         rows.append((name, a))

@@ -376,8 +376,28 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     # lineage would compute twice — the dominant linear cost at scale.
     # The grouped shape computes it once, and the hot-bucket cap becomes
     # a free size() filter instead of an extra window pass.
+    return minhash_pairs_from_index(buckets, id_col, k=k,
+                                    max_bucket_size=max_bucket_size)
+
+
+def minhash_pairs_from_index(index: DataFrame, id_col: str, k: int = 12,
+                             max_bucket_size: int | None = 10000
+                             ) -> DataFrame:
+    """``minhash_near_dup_pairs``' sweep over an ALREADY-BUILT
+    ``minhash_index`` relation — same output, no re-sketching.
+
+    Use when a caller holds the index anyway (incremental maintenance:
+    the corpus-vs-itself sweep AND the batch probe both need it —
+    ``q_incremental_cc``'s shape): building the index once and deriving
+    the pairs from it halves the corpus shingle→hash→signature lineage,
+    which is the dominant linear cost. The two consumers there are
+    SEQUENTIAL (connected components materializes the pair edges in
+    driver-synchronous jobs before the final probe job runs), so unlike
+    parallel-hidden duplicated subtrees this recompute is paid in full
+    wall-clock — persist the index across them (r13, the cdc_chunks
+    sequential-consumer pattern)."""
     return _bucket_pairs(
-        buckets, id_col, "sig", ["band", "bucket"], max_bucket_size,
+        index, id_col, "sig", ["band", "bucket"], max_bucket_size,
         lambda sa, sb: (F.aggregate(
             F.zip_with(sa, sb,
                        lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -1116,6 +1136,8 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"w must be >= 1, got {w}")
     if avg_words < 2:
         raise ValueError(f"avg_words must be >= 2, got {avg_words}")
+    from pyspark.storagelevel import StorageLevel
+
     toks = (df.select(F.col(id_col), T.word_tokens(F.col(text_col))
                       .alias("__t0"))
             .select(F.col(id_col),
@@ -1123,6 +1145,16 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
             .filter(F.size("__t") >= 1))
     fp = F.md5(F.encode(F.concat_ws(" ", "__t"), "UTF-8"))
     toks = toks.withColumn("__fp", fp)
+    # PERSIST the tokenized relation (r13): the winner resolution
+    # consumes it twice (groupBy + join-back) and three downstream
+    # lineages (gram cuts, the n-sized bound rows, the position
+    # explode) each replay it — Catalyst does not reuse a subtree
+    # across differently-shaped exchanges, so the corpus tokenize +
+    # full-text md5 ran ~6x per execution (6 scans in the committed
+    # plan). One MEMORY_AND_DISK cache of (id, tokens, fp) replaces
+    # all replays; released via the standard ``release_cache`` hook.
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    cached = toks
     winner = toks.groupBy(id_col).agg(F.min("__fp").alias("__fp"))
     toks = toks.join(winner, [id_col, "__fp"]).drop("__fp")
     n = F.size("__t")
@@ -1156,9 +1188,11 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
            .agg(F.concat_ws(" ", F.transform(
                F.array_sort(F.collect_set(F.struct("__p", "__w"))),
                lambda s: s["__w"])).alias("chunk_text")))
-    return agg.select(
+    out = agg.select(
         F.col(id_col), "chunk_idx",
         F.col("__s").cast("bigint").alias("start_word"),
         (F.col("__e") - F.col("__s") + 1).cast("bigint")
         .alias("n_words"),
         F.md5("chunk_text").alias("chunk_hash"), "chunk_text")
+    out.release_cache = cached.unpersist
+    return out
