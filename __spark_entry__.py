@@ -5810,7 +5810,10 @@ def q_fuzzy_match(spark, sf):
                      .alias("dirty_name")))
     pairs = linkage.fuzzy_join(dirty, part.select("p_partkey", "p_name"),
                                "dirty_name", "p_name", max_dist=1)
-    return linkage.best_match(pairs, "dirty_id", "p_partkey")
+    out = linkage.best_match(pairs, "dirty_id", "p_partkey")
+    # propagate fuzzy_join's cache-release hook (r13)
+    out.release_cache = pairs.release_cache
+    return out
 
 
 # r11 Unicode contract: Spark levenshtein counts CODEPOINT edits,
@@ -6725,9 +6728,11 @@ def q_unigram_encode(spark, sf):
     identical longest-piece tie-break."""
     docs = _t(spark, sf, "documents")
     vocab = tokenize.unigram_seed_vocab(docs, "text", vocab_size=20,
-                                        max_piece_len=4)
-    return tokenize.unigram_encode(docs, "doc_id", "text",
-                                   vocab.select("piece", "cost"))
+                                        max_piece_len=4,
+                                        cache_freqs=True)
+    # pass the seed relation itself (not a .select copy) so its
+    # release_cache hook chains through unigram_encode's (r13)
+    return tokenize.unigram_encode(docs, "doc_id", "text", vocab)
 
 
 _UNIGRAM_DW_CTES = """

@@ -1954,3 +1954,28 @@ def test_url_features_panel(spark):
     assert out[3]["path_len"] == 0 and out[3]["digit_frac"] is None \
         and out[3]["is_index"]
     assert out[4]["is_index"] and out[4]["digit_frac"] > 0.5
+
+
+def test_unigram_caches_match_uncached_and_release(spark):
+    """r13 persists: the opt-in freqs cache in unigram_seed_vocab and
+    the vocab cache in unigram_encode change no values, and the
+    chained release hook drops them without touching lineage."""
+    from zacks_estimates_financial_statements_spark.functions import tokenize as TK
+
+    df = spark.createDataFrame(
+        [(i, "abab cdcd abcd unk " * (1 + i % 3)) for i in range(12)],
+        "doc_id bigint, text string")
+    plain = sorted(map(tuple, TK.unigram_seed_vocab(
+        df, "text", vocab_size=4, max_piece_len=3).collect()))
+    seed = TK.unigram_seed_vocab(df, "text", vocab_size=4,
+                                 max_piece_len=3, cache_freqs=True)
+    assert sorted(map(tuple, seed.collect())) == plain
+    enc = TK.unigram_encode(df, "doc_id", "text", seed)
+    assert callable(getattr(enc, "release_cache", None))
+    cached_rows = sorted(map(tuple, enc.collect()))
+    enc.release_cache()  # chains: vocab + the seed's freqs
+    assert sorted(map(tuple, enc.collect())) == cached_rows
+    # the uncached seed carries no hook
+    assert getattr(TK.unigram_seed_vocab(
+        df, "text", vocab_size=4, max_piece_len=3),
+        "release_cache", None) is None

@@ -33,6 +33,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from zacks_estimates_financial_statements_spark.functions.text import simple_lower
 
@@ -328,7 +329,8 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
 
 def unigram_seed_vocab(df: DataFrame, text_col: str,
                        vocab_size: int = 200,
-                       max_piece_len: int = 4) -> DataFrame:
+                       max_piece_len: int = 4,
+                       cache_freqs: bool = False) -> DataFrame:
     """Seed vocabulary for a unigram-LM (SentencePiece-style)
     tokenizer (Kudo, ACL 2018 §3): every single character plus the
     ``vocab_size`` most frequent multi-character substrings (length <=
@@ -375,16 +377,33 @@ def unigram_seed_vocab(df: DataFrame, text_col: str,
             .select(F.substr(F.col("__w"), F.col("__i"), F.col("__l"))
                     .alias("piece"), "__wf"))
     freqs = subs.groupBy("piece").agg(F.sum("__wf").alias("freq"))
+    # ``cache_freqs`` (r13): chars, the multi cut and the total each
+    # re-derive freqs, so every evaluation of the returned vocab runs
+    # the corpus word pass ~4x (parallel legs of one job) — and a
+    # consumer that references the vocab repeatedly multiplies that
+    # (q_unigram_encode's committed plan scanned documents 13x).
+    # Persisting freqs (TYPE-scale — substrings of DISTINCT words,
+    # Heaps-law sub-corpus) collapses every replay to one corpus pass.
+    # OPT-IN because the standalone seed query is FASTER without it
+    # at sf0.1 (measured +0.5 s: the parallel replays hide behind
+    # local cores while the cache write/read cost is fixed) — callers
+    # that re-reference the vocab (unigram_encode, unigram_train)
+    # enable it and release via the standard ``release_cache`` hook.
+    if cache_freqs:
+        freqs = freqs.persist(StorageLevel.MEMORY_AND_DISK)
     chars = freqs.filter(F.length("piece") == 1)
     multi = (freqs.filter(F.length("piece") >= 2)
              .orderBy(F.col("freq").desc(), F.col("piece"))
              .limit(vocab_size))
     sel = chars.unionByName(multi)
     tot = sel.agg(F.sum("freq").cast("double").alias("__tot"))
-    return (sel.join(F.broadcast(tot))
-            .select("piece", "freq",
-                    F.round(-F.log(F.col("freq") / F.col("__tot")), 6)
-                    .alias("cost")))
+    out = (sel.join(F.broadcast(tot))
+           .select("piece", "freq",
+                   F.round(-F.log(F.col("freq") / F.col("__tot")), 6)
+                   .alias("cost")))
+    if cache_freqs:
+        out.release_cache = freqs.unpersist
+    return out
 
 
 def unigram_encode(df: DataFrame, id_col: str, text_col: str,
@@ -418,8 +437,20 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
     w = df.select(F.col(id_col),
                   F.posexplode(_words(F.col(text_col)))
                   .alias("__wp", "__w"))
+    # dw is deliberately NOT persisted (r13, measured): caching it
+    # freezes a pessimistic size estimate on the pieces subtree and
+    # flips the occurrence join from broadcast to sort-merge —
+    # shuffle rows rose 10.6k -> 100k at sf0.1. Its two replays are a
+    # corpus explode + a tiny distinct exchange each (the accepted
+    # two-pass shape); the multiplicative replay this function kills
+    # is the VOCAB lineage, cached below.
     dw = (w.select(F.col("__w").alias("w")).distinct()
           .withColumn("n", F.length("w")))
+    # the vocab relation is model-sized and referenced three times
+    # (max-piece-length probe + both candidate legs); cache it so its
+    # lineage — which may itself scan the corpus, e.g. a seed vocab —
+    # is evaluated exactly once, at the eager probe below (r13)
+    vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
     max_l = vocab.agg(F.max(F.length("piece"))).collect()[0][0] or 1
     pieces = _viterbi_pieces(dw, vocab, float(unk_cost), int(max_l))
     joined = w.join(pieces, w["__w"] == pieces["w"]).drop("w")
@@ -428,11 +459,20 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
                F.array_sort(F.collect_list(
                    F.struct("__wp", "__pieces"))),
                lambda s: s["__pieces"])).alias("pieces")))
-    return (df.select(id_col).join(agg, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("pieces", F.array().cast("array<string>"))
-                    .alias("pieces"))
-            .withColumn("n_pieces", F.size("pieces")))
+    out = (df.select(id_col).join(agg, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("pieces", F.array().cast("array<string>"))
+                   .alias("pieces"))
+           .withColumn("n_pieces", F.size("pieces")))
+    vocab_release = getattr(vocab, "release_cache", None)
+
+    def _release() -> None:
+        vocab.unpersist()
+        if vocab_release is not None:
+            vocab_release()
+
+    out.release_cache = _release
+    return out
 
 
 def _viterbi_pieces(dw: DataFrame, vocab: DataFrame, unk_cost: float,
@@ -557,9 +597,15 @@ def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 200,
     words = mat(w.groupBy("__w").agg(F.count("*").alias("__wf")))
     dw = (words.select(F.col("__w").alias("w"), F.col("__wf"))
           .withColumn("n", F.length("w")))
-    vocab = mat(unigram_seed_vocab(df, text_col, vocab_size,
-                                   max_piece_len)
-                .select("piece", F.col("freq").alias("count"), "cost"))
+    seed = unigram_seed_vocab(df, text_col, vocab_size, max_piece_len,
+                              cache_freqs=True)
+    vocab = mat(seed.select("piece", F.col("freq").alias("count"),
+                            "cost"))
+    seed_release = getattr(seed, "release_cache", None)
+    if seed_release is not None:
+        # the eager checkpoint above just evaluated the seed exactly
+        # once; its internal cache has no further consumer
+        seed_release()
     for _ in range(n_iters):
         segs = _viterbi_pieces(dw.select("w", "n"), vocab,
                                unk_cost=1e9, max_l=max_piece_len)

@@ -27,6 +27,7 @@ expression.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from zacks_estimates_financial_statements_spark.functions.text import ascii_fold
 
@@ -92,8 +93,23 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     """
     lk, rk = F.col(left_key), F.col(right_key)
     ln, rn = F.col("__lnorm"), F.col("__rnorm")
-    lall = left.select(lk).distinct().withColumn("__lnorm", linkage_key(lk))
-    rall = right.select(rk).distinct().withColumn("__rnorm", linkage_key(rk))
+    # PERSIST the distinct-key relations and the matched pair set
+    # (r13): the committed plan scanned each input 10x — the prefix
+    # and suffix blocks each re-derive the distinct+normalize pass,
+    # the exact tier re-derives it again, and ``matched`` (referenced
+    # three times in the final join) replays the WHOLE
+    # blocking+levenshtein pipeline per reference, multiplicatively.
+    # All three relations are bounded — distinct-KEY scale for the
+    # key sides, match-fan-in scale for the pairs — so the caches are
+    # small and each input is left with exactly two scans
+    # (distinct-key build + row relation). Released via the standard
+    # ``release_cache`` hook on the returned DataFrame.
+    lall = (left.select(lk).distinct()
+            .withColumn("__lnorm", linkage_key(lk))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    rall = (right.select(rk).distinct()
+            .withColumn("__rnorm", linkage_key(rk))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     lkeys = lall.filter(ln.isNotNull() & (ln != ""))
     rkeys = rall.filter(rn.isNotNull() & (rn != ""))
     l = lkeys.withColumn("__lpre", F.substring(ln, 1, block_chars)) \
@@ -115,12 +131,21 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                  .select(right_key)
     exact = (lempty.join(rempty, lk == rk)
              .withColumn("dist", F.lit(0)))
-    matched = matched.unionByName(exact)
+    matched = (matched.unionByName(exact)
+               .persist(StorageLevel.MEMORY_AND_DISK))
     lrows = (left.join(matched.select(left_key).distinct(),
                        left_key, "semi").distinct())
     rrows = (right.join(matched.select(right_key).distinct(),
                         right_key, "semi").distinct())
-    return lrows.join(matched, left_key).join(rrows, right_key)
+    out = lrows.join(matched, left_key).join(rrows, right_key)
+
+    def _release() -> None:
+        matched.unpersist()
+        lall.unpersist()
+        rall.unpersist()
+
+    out.release_cache = _release
+    return out
 
 
 def best_match(pairs: DataFrame, left_id: str, right_id: str) -> DataFrame:
