@@ -3465,13 +3465,16 @@ def q_cross_modal_pairs(spark, sf):
     pairs = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
                                          k=12, bands=4)
     ea = emb.select(F.col("vec_id").alias("id_a"),
-                    F.col("embedding").alias("__va"))
+                    F.col("embedding").alias("__va"),
+                    vectors.norm_fast("embedding").alias("__na"))
     eb = emb.select(F.col("vec_id").alias("id_b"),
-                    F.col("embedding").alias("__vb"))
+                    F.col("embedding").alias("__vb"),
+                    vectors.norm_fast("embedding").alias("__nb"))
     half = ea.join(F.broadcast(pairs), "id_a")
     return (eb.join(F.broadcast(half), "id_b")
             .select("id_a", "id_b", "est_jaccard",
-                    F.round(vectors.cosine(F.col("__va"), F.col("__vb")), 6)
+                    F.round(vectors.cosine_prenorm("__va", "__vb",
+                                                   "__na", "__nb"), 6)
                     .alias("cosine")))
 
 

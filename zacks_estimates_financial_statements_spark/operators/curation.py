@@ -354,21 +354,23 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
     scored. Self-pairs (same id in both frames) are excluded so a
     benchmark drawn from the corpus does not flag itself.
     """
+    from zacks_estimates_financial_statements_spark.functions import vectors as V
     bench = benchmark.select(
-        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec"))
+        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec"),
+        V.norm_fast(f"`{vec_col}`").alias("__bn"))
+    withn = corpus.select(F.col(id_col), F.col(vec_col),
+                          V.norm_fast(f"`{vec_col}`").alias("__n"))
     if candidates is None:
-        pairs = corpus.select(F.col(id_col), F.col(vec_col)) \
-            .crossJoin(F.broadcast(bench))
+        pairs = withn.crossJoin(F.broadcast(bench))
     else:
         pairs = (candidates.select(F.col(id_col),
                                    F.col("bench_id").alias("__bid"))
-                 .join(corpus.select(F.col(id_col), F.col(vec_col)),
-                       id_col)
+                 .join(withn, id_col)
                  .join(bench, "__bid"))
-    from zacks_estimates_financial_statements_spark.functions import vectors as V
     scored = (pairs.filter(F.col(id_col) != F.col("__bid"))
               .select(F.col(id_col), F.col("__bid"),
-                      F.round(V.cosine(F.col(vec_col), F.col("__bvec")),
+                      F.round(V.cosine_prenorm(f"`{vec_col}`", "__bvec",
+                                               "__n", "__bn"),
                               6).alias("__cos"))
               .filter(F.col("__cos").isNotNull()))
     best = (scored.groupBy(id_col)

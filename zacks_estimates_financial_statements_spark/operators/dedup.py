@@ -109,9 +109,13 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
     the i<j member pairs, score each map-side, dedup the narrow result.
 
     ``buckets``: one row per (doc, bucket) carrying ``payload_col`` (the
-    signature/sketch the scorer needs). ``score(pa, pb)`` returns the
-    aliased score Column from the two payload columns. Output:
-    (id_a, id_b, <score>), distinct, id_a < id_b.
+    signature/sketch the scorer needs). ``score(pa, pb)`` receives the
+    SQL NAMES of the two flat payload columns (so scorers can build
+    whole-stage-codegen flat expressions — ``V.cosine_fast`` etc.; a
+    scorer evaluated inside a ``transform`` lambda would run interpreted
+    per pair, the repo's higher-order-function tax) and returns the
+    aliased score Column. Output: (id_a, id_b, <score>), distinct,
+    id_a < id_b.
 
     One shuffle (the bucket groupBy) + the final distinct; the upstream
     sketch lineage is evaluated exactly once — a bucket self-join would
@@ -143,15 +147,20 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
     anchored = grouped.select(
         F.col("m"),
         F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i"))
-    pair_structs = F.transform(
-        F.slice(F.col("m"), F.col("i") + 1, F.size("m") - F.col("i")),
-        lambda mj: F.struct(
-            F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
-            mj["id"].alias("id_b"),
-            score(F.element_at(F.col("m"), F.col("i"))["payload"],
-                  mj["payload"])))
-    return (anchored.select(F.explode(pair_structs).alias("p"))
-            .select("p.*")
+    # anchor fields + the j>i tail project BEFORE the pair explode, so
+    # each pair row carries exactly two payloads (never the whole m)
+    # and the scorer runs in a FLAT projection — whole-stage codegen,
+    # with CSE across score subterms (both impossible inside the
+    # transform-lambda formulation this replaces).
+    heads = anchored.select(
+        F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+        F.element_at(F.col("m"), F.col("i"))["payload"].alias("__pa"),
+        F.slice(F.col("m"), F.col("i") + 1,
+                F.size("m") - F.col("i")).alias("__tail"))
+    flat = (heads.select("id_a", "__pa", F.explode("__tail").alias("__mj"))
+            .select(F.col("id_a"), F.col("__mj.id").alias("id_b"),
+                    F.col("__pa"), F.col("__mj.payload").alias("__pb")))
+    return (flat.select("id_a", "id_b", score("__pa", "__pb"))
             .filter(F.col("id_a") != F.col("id_b"))
             .distinct())
 
@@ -327,10 +336,7 @@ def incremental_minhash_pairs(index: DataFrame, batch: DataFrame,
             index = index.filter(F.col("bucket").isin(keys))
         # else: key set too large to ship/prune — full index scan, the
         # join's bucket equi-keys still bound the matching work
-    est = (F.aggregate(
-        F.zip_with(F.col("sig"), F.col("__bsig"),
-                   lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0), lambda acc, v: acc + v) / F.lit(float(k)))
+    est = V.agree_frac_fast("sig", "__bsig", k)
     probe_side = F.broadcast(probe) if probe_fits else probe
     return (index.join(probe_side, ["band", "bucket"])
             .filter(F.col(id_col) != F.col("__bid"))
@@ -398,11 +404,7 @@ def minhash_pairs_from_index(index: DataFrame, id_col: str, k: int = 12,
     sequential-consumer pattern)."""
     return _bucket_pairs(
         index, id_col, "sig", ["band", "bucket"], max_bucket_size,
-        lambda sa, sb: (F.aggregate(
-            F.zip_with(sa, sb,
-                       lambda x, y: F.when(x == y, 1).otherwise(0)),
-            F.lit(0), lambda acc, v: acc + v)
-            / F.lit(float(k))).alias("est_jaccard"))
+        lambda sa, sb: V.agree_frac_fast(sa, sb, k).alias("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -508,7 +510,8 @@ def hamming_near_dup_pairs(sketches: DataFrame, id_col: str,
                        F.col("bb.bits").alias("bits")))
     pairs = _bucket_pairs(
         buckets, id_col, sketch_col, ["band", "bits"], max_bucket_size,
-        lambda sa, sb: F.bit_count(sa.bitwiseXOR(sb)).alias("hamming"))
+        lambda sa, sb: F.bit_count(F.col(sa).bitwiseXOR(F.col(sb)))
+        .alias("hamming"))
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
@@ -860,14 +863,24 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                       & F.col(vec_col).isNotNull())
             .select(F.col(id_col), F.col(vec_col)))
     if bucket_bits > 0:
+        # payload = (vector, hoisted norm): the scorer then does ONE
+        # dot per pair instead of dot + 2 norms (3x the multiply-adds
+        # and generated code for per-row-invariant values)
         buckets = base.withColumn("__bucket",
-                                  V.sign_bits(F.col(vec_col), bucket_bits))
+                                  V.sign_bits_fast(f"`{vec_col}`",
+                                                   bucket_bits))
+        buckets = buckets.select(
+            F.col(id_col), F.col("__bucket"),
+            F.struct(F.col(vec_col).alias("v"),
+                     V.norm_fast(f"`{vec_col}`").alias("n")).alias("__p"))
         pairs = _bucket_pairs(
-            buckets, id_col, vec_col, ["__bucket"], max_bucket_size,
-            lambda va, vb: V.cosine(va, vb).alias("cosine"))
+            buckets, id_col, "__p", ["__bucket"], max_bucket_size,
+            lambda pa, pb: V.cosine_prenorm(
+                f"{pa}.v", f"{pb}.v", f"{pa}.n", f"{pb}.n")
+            .alias("cosine"))
         return pairs.filter(F.col("cosine") >= min_cosine)
     a, b = base.alias("a"), base.alias("b")
-    cos = V.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = V.cosine_fast(f"a.`{vec_col}`", f"b.`{vec_col}`")
     return (a.crossJoin(b)
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
@@ -919,9 +932,15 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
 
     assign, _ = ivf_assign(df, n_centroids, id_col, vec_col, kmeans_iters)
     clustered = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    # payload = (vector, hoisted norm): one dot per pair, norms per row
+    withn = clustered.select(
+        F.col(id_col), F.col("centroid_id"),
+        F.struct(F.col(vec_col).alias("v"),
+                 V.norm_fast(f"`{vec_col}`").alias("n")).alias("__p"))
     pairs = _bucket_pairs(
-        clustered, id_col, vec_col, ["centroid_id"], max_cluster_size,
-        lambda va, vb: V.cosine(va, vb).alias("cosine"))
+        withn, id_col, "__p", ["centroid_id"], max_cluster_size,
+        lambda pa, pb: V.cosine_prenorm(
+            f"{pa}.v", f"{pb}.v", f"{pa}.n", f"{pb}.n").alias("cosine"))
     drops = (pairs.filter(F.col("cosine") >= min_cosine)
              .groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
              .withColumnRenamed("id_b", id_col))

@@ -143,10 +143,21 @@ def hybrid_search(docs: DataFrame, id_col: str, text_col: str,
            .limit(top_n))
     lex = lex.withColumn("rank", F.row_number().over(
         Window.orderBy(F.col("s").desc(), F.col(id_col).asc())))
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    sem = (emb.select(F.col(vec_id_col).alias(id_col),
-                      F.round(vectors.cosine(F.col(vec_col), qv), 6)
-                      .alias("s"))
+    # literal query vector (CAST-from-repr is an exact double
+    # round-trip), MATERIALIZED as a column before the flat fragments
+    # reference it: inlining the array literal into 128+ flat terms
+    # builds a ~200 KB expression text (measured: hybrid_search +80%
+    # from parse/analysis alone). Norms hoisted per row on both sides.
+    qv_sql = "array({})".format(", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in query_vec))
+    sem = (emb.select(F.col(vec_id_col).alias(id_col), F.col(vec_col),
+                      vectors.norm_fast(f"`{vec_col}`").alias("__n"))
+           .withColumn("__qv", F.expr(qv_sql))
+           .withColumn("__qn", vectors.norm_fast("__qv"))
+           .select(F.col(id_col),
+                   F.round(vectors.cosine_prenorm(
+                       f"`{vec_col}`", "__qv", "__n", "__qn"),
+                       6).alias("s"))
            .filter(F.col("s").isNotNull())
            # duplicate-id contract (r9 fuzz): a candidate list is KEYED
            # — physical copies of one id collapse to (id, best score)

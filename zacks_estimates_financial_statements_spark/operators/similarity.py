@@ -135,10 +135,13 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """Exact cosine top-k per query: (query_id, vec_id, cosine, rank).
     Ties break deterministically by id. NULL-id/NULL-vector rows are
     excluded on both sides (see ``_scorable``)."""
-    corpus = _scorable(corpus, id_col, vec_col)
-    queries = _scorable(queries, query_id_col, query_vec_col)
+    corpus = (_scorable(corpus, id_col, vec_col)
+              .withColumn("__cn", V.norm_fast(f"`{vec_col}`")))
+    queries = (_scorable(queries, query_id_col, query_vec_col)
+               .withColumn("__qn", V.norm_fast(f"`{query_vec_col}`")))
     joined = corpus.crossJoin(F.broadcast(queries))
-    cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
+    cos = V.cosine_prenorm(f"`{vec_col}`", f"`{query_vec_col}`",
+                           "__cn", "__qn")
     scored = joined.select(F.col(query_id_col), F.col(id_col),
                            cos.alias("cosine"))
     return _rank_topk(scored, query_id_col, k,
@@ -179,13 +182,18 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     per-query fan-out for a hash join the corpus side never loops over.
     """
     c = (_scorable(corpus, id_col, vec_col)
-         .withColumn("__bucket", V.sign_bits(F.col(vec_col), bucket_bits)))
+         .withColumn("__bucket", V.sign_bits_fast(f"`{vec_col}`",
+                                                   bucket_bits))
+         .withColumn("__cn", V.norm_fast(f"`{vec_col}`")))
     q = (_scorable(queries, query_id_col, query_vec_col)
          .withColumn("__qbucket",
-                     V.sign_bits(F.col(query_vec_col), bucket_bits)))
+                     V.sign_bits_fast(f"`{query_vec_col}`",
+                                      bucket_bits))
+         .withColumn("__qn", V.norm_fast(f"`{query_vec_col}`")))
     masks = F.array(*[F.lit(m) for m in
                       _hamming_ball_masks(bucket_bits, probe_hamming)])
     probes = (q.select(F.col(query_id_col), F.col(query_vec_col),
+                       F.col("__qn"),
                        F.explode(masks).alias("__mask"),
                        F.col("__qbucket"))
               .withColumn("__bucket",
@@ -197,7 +205,8 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # sets — pass broadcast_queries=False)
     cand = c.join(F.broadcast(probes) if broadcast_queries else probes,
                   "__bucket")
-    cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
+    cos = V.cosine_prenorm(f"`{vec_col}`", f"`{query_vec_col}`",
+                           "__cn", "__qn")
     scored = cand.select(F.col(query_id_col), F.col(id_col),
                          cos.alias("cosine"))
     return _rank_topk(scored, query_id_col, k,
@@ -208,9 +217,12 @@ def _nearest_centroid(corpus: DataFrame, centroids: DataFrame,
                       id_col: str, vec_col: str) -> DataFrame:
     """(id, centroid_id): each vector's nearest centroid by cosine
     (centroids broadcast; corpus never shuffles for the scoring)."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    withn = corpus.withColumn("__cn", V.norm_fast(f"`{vec_col}`"))
+    cents = centroids.withColumn("__ctn", V.norm_fast("centroid_vec"))
+    scored = withn.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col("centroid_id"),
-        V.cosine(F.col(vec_col), F.col("centroid_vec")).alias("__cos"))
+        V.cosine_prenorm(f"`{vec_col}`", "centroid_vec",
+                         "__cn", "__ctn").alias("__cos"))
     w = Window.partitionBy(id_col).orderBy(F.desc("__cos"),
                                            F.col("centroid_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
@@ -337,17 +349,21 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     queries = _scorable(queries, query_id_col, query_vec_col)
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"),
-        V.cosine(F.col(query_vec_col), F.col("centroid_vec")).alias("__cos"))
+        V.cosine_fast(f"`{query_vec_col}`", "centroid_vec").alias("__cos"))
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"),
                                                   F.col("centroid_id"))
     probes = (qc.withColumn("__rn", F.row_number().over(wq))
               .filter(F.col("__rn") <= nprobe)
-              .select(query_id_col, query_vec_col, "centroid_id"))
-    cand = corpus_assigned.join(
-        F.broadcast(probes) if broadcast_queries else probes, "centroid_id")
+              .withColumn("__qn", V.norm_fast(f"`{query_vec_col}`"))
+              .select(query_id_col, query_vec_col, "__qn", "centroid_id"))
+    cand = (corpus_assigned
+            .withColumn("__cn", V.norm_fast(f"`{vec_col}`"))
+            .join(F.broadcast(probes) if broadcast_queries else probes,
+                  "centroid_id"))
     scored = cand.select(
         F.col(query_id_col), F.col(id_col),
-        V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"))
+        V.cosine_prenorm(f"`{vec_col}`", f"`{query_vec_col}`",
+                         "__cn", "__qn").alias("cosine"))
     return _rank_topk(scored, query_id_col, k,
                       [F.desc("cosine"), F.col(id_col)])
 
@@ -361,34 +377,57 @@ def quantize_embeddings(df: DataFrame, id_col: str,
     lands in [-127, 127] (no clip branch needed), and the zero vector
     maps to all-zeros with scale 0.
 
-    Everything is higher-order array expressions folding left-to-right
-    (the DuckDB-matching order), computed in ONE projection — zero
-    shuffles at any corpus size. The scale is materialized as a column
-    before the lambdas reference it: Catalyst does not eliminate common
-    subexpressions through lambda functions, so an inline scale would
-    recompute the abs-max fold per element (the 25×-measured CLAUDE.md
-    rule). Returns ``(id, scale, qvec, mae)`` with scale and the
+    Everything folds left-to-right (the DuckDB-matching order) in ONE
+    projection — zero shuffles at any corpus size. The per-row work
+    runs as guarded FLAT expressions (whole-stage codegen; the exact
+    higher-order fold is the off-dims ELSE branch — the ``V.*_fast``
+    pattern, r13). The scale is materialized as a column before the
+    quantize/mae expressions reference it: Catalyst does not eliminate
+    common subexpressions through lambda functions (the 25×-measured
+    CLAUDE.md rule), and even flat, one materialized scale beats 64
+    inlined abs-max chains. Returns ``(id, scale, qvec, mae)`` with scale and the
     mean-abs reconstruction error rounded to 6 digits for cross-engine
     hashing. NULL-id/NULL-vector rows are excluded (``_scorable``) —
     there is no int8 representation of an absent vector.
     """
     df = _scorable(df, id_col, vec_col)
-    absmax = F.aggregate(
-        F.col(vec_col), F.lit(0.0),
-        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    d = V.EMB_DIMS
+    # flat (codegen) forms, guarded on size(vec) = EMB_DIMS with the
+    # exact fold as the ELSE branch (the V.*_fast pattern): each fold
+    # here runs per CORPUS row, the interpreted-HOF tax class. The
+    # nested GREATEST chain replays the fold's exact pairwise order
+    # (max is order-sensitive for NaN/-0.0 ties only through pairing).
+    am = "0.0D"
+    for i in range(d):
+        am = f"GREATEST({am}, ABS(CAST(`{vec_col}`[{i}] AS DOUBLE)))"
+    am_fold = (f"aggregate(`{vec_col}`, 0.0D, (acc, v) -> "
+               "greatest(acc, ABS(CAST(v AS DOUBLE))))")
+    absmax = F.expr(f"CASE WHEN size(`{vec_col}`) = {d} THEN {am} "
+                    f"ELSE {am_fold} END")
     staged = df.select(F.col(id_col), F.col(vec_col).alias("__v"),
                        (absmax / 127.0).alias("__scale"))
-    qvec = F.when(
-        F.col("__scale") == 0.0,
-        F.transform("__v", lambda x: F.lit(0))).otherwise(
-        F.transform("__v", lambda x: F.floor(
-            x.cast("double") / F.col("__scale") + 0.5).cast("int")))
+    q_flat = "array({})".format(", ".join(
+        f"CAST(FLOOR(CAST(__v[{i}] AS DOUBLE) / __scale + 0.5D) AS INT)"
+        for i in range(d)))
+    zero_flat = "array({})".format(", ".join(["0"] * d))
+    q_fold = ("transform(__v, x -> "
+              "CAST(FLOOR(CAST(x AS DOUBLE) / __scale + 0.5D) AS INT))")
+    zero_fold = "transform(__v, x -> 0)"
+    qvec = F.expr(
+        f"CASE WHEN size(__v) = {d} THEN "
+        f"(CASE WHEN __scale = 0.0D THEN {zero_flat} ELSE {q_flat} END) "
+        f"ELSE (CASE WHEN __scale = 0.0D THEN {zero_fold} "
+        f"ELSE {q_fold} END) END")
     staged = staged.withColumn("qvec", qvec)
-    mae = (F.aggregate(
-        F.zip_with("__v", "qvec",
-                   lambda v, q: F.abs(v.cast("double")
-                                      - q.cast("double") * F.col("__scale"))),
-        F.lit(0.0), lambda acc, x: acc + x) / F.size("__v"))
+    mae_flat = "0.0D + " + " + ".join(
+        f"ABS(CAST(__v[{i}] AS DOUBLE) - CAST(qvec[{i}] AS DOUBLE)"
+        " * __scale)" for i in range(d))
+    mae_fold = ("aggregate(zip_with(__v, qvec, (v, q) -> "
+                "ABS(CAST(v AS DOUBLE) - CAST(q AS DOUBLE) * __scale)), "
+                "0.0D, (acc, x) -> acc + x)")
+    mae = F.expr(
+        f"(CASE WHEN size(__v) = {d} AND size(qvec) = {d} "
+        f"THEN {mae_flat} ELSE {mae_fold} END) / size(__v)")
     return staged.select(
         F.col(id_col), F.round("__scale", 6).alias("scale"),
         F.col("qvec"), F.round(mae, 6).alias("mae"))
@@ -503,7 +542,7 @@ def pq_codebook(corpus: DataFrame, dims: int, n_subspaces: int = 4,
                          .alias("v"))
                 for m in range(n_subspaces)])).alias("p")
         ).select(id_col, "p.subspace", "p.v")
-        d = F.round(V.sq_l2(F.col("v"), F.col("code_vec")), 6)
+        d = F.round(V.sq_l2_fast("v", "code_vec", sub), 6)
         assign = (sliced.join(F.broadcast(book), "subspace")
                   .groupBy(id_col, "subspace")
                   .agg(F.min(F.struct(d.alias("d"),
@@ -545,7 +584,7 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, dims: int,
                      F.slice(F.col(vec_col), m * sub + 1, sub).alias("v"))
             for m in range(n_subspaces)])).alias("p")
     ).select(id_col, "p.subspace", "p.v")
-    d = F.round(V.sq_l2(F.col("v"), F.col("code_vec")), 6)
+    d = F.round(V.sq_l2_fast("v", "code_vec", sub), 6)
     best = (sliced.join(F.broadcast(codebook), "subspace")
             .groupBy(id_col, "subspace")
             .agg(F.min(F.struct(d.alias("d"),
@@ -596,8 +635,8 @@ def topk_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .select(query_id_col, "subspace", "code_id",
                       # sq_l2 of user vectors can square to inf /
                       # beyond the decimal domain (r12 extreme dial)
-                      dec6(F.round(V.sq_l2(F.col("qv"),
-                                           F.col("code_vec")), 6))
+                      dec6(F.round(V.sq_l2_fast("qv", "code_vec",
+                                                sub), 6))
                       .alias("__d")))
     probe = (codes.select(id_col,
                           F.posexplode("codes").alias("__m", "__c"))
@@ -619,8 +658,8 @@ def topk_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                                 query_vec_col)),
                      query_id_col)
                .select(query_id_col, id_col,
-                       F.round(V.sq_l2(F.col(vec_col),
-                                       F.col(query_vec_col)), 6)
+                       F.round(V.sq_l2_fast(f"`{vec_col}`",
+                                            f"`{query_vec_col}`", dims), 6)
                        .alias("exact_dist")))
     return _rank_topk(refined, query_id_col, k,
                       [F.asc("exact_dist"), F.col(id_col)])
