@@ -765,15 +765,18 @@ def _shared_shingle_counts(df: DataFrame, id_col: str, text_col: str,
     anchored = (grouped.select(
         F.col("m"),
         F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i")))
-    pair_structs = F.transform(
-        F.slice(F.col("m"), F.col("i") + 1, F.size("m") - F.col("i")),
-        lambda mj: F.struct(
-            F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
-            mj["id"].alias("id_b"),
-            F.element_at(F.col("m"), F.col("i"))["n"].alias("n_a"),
-            mj["n"].alias("n_b")))
-    shared = (anchored.select(F.explode(pair_structs).alias("p"))
-              .select("p.*")
+    # anchor fields + tail project BEFORE the pair explode (the
+    # _bucket_pairs r13 shape): no struct-packing transform lambda,
+    # pair rows come out of a plain explode + flat projections
+    heads = anchored.select(
+        F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+        F.element_at(F.col("m"), F.col("i"))["n"].alias("n_a"),
+        F.slice(F.col("m"), F.col("i") + 1,
+                F.size("m") - F.col("i")).alias("__tail"))
+    shared = (heads.select("id_a", "n_a",
+                           F.explode("__tail").alias("__mj"))
+              .select(F.col("id_a"), F.col("__mj.id").alias("id_b"),
+                      F.col("n_a"), F.col("__mj.n").alias("n_b"))
               .filter(F.col("id_a") != F.col("id_b"))
               .groupBy("id_a", "id_b")
               .agg(F.count("*").alias("shared"),
@@ -1079,17 +1082,21 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
     anchored = (grouped.select(
         F.col("m"),
         F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i")))
-    pair_structs = F.transform(
-        F.slice(F.col("m"), F.col("i") + 1, F.size("m") - F.col("i")),
-        lambda mj: F.struct(
-            F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
-            mj["id"].alias("id_b"),
-            F.round(F.element_at(F.col("m"), F.col("i"))["w"] * mj["w"],
-                    6).cast(dec).alias("p"),
-            F.element_at(F.col("m"), F.col("i"))["n2"].alias("n2_a"),
-            mj["n2"].alias("n2_b")))
-    dots = (anchored.select(F.explode(pair_structs).alias("p"))
-            .select("p.*")
+    # same r13 flat-pair shape as _bucket_pairs: the per-pair product
+    # round(w_a * w_b, 6) now evaluates in a codegen projection, not
+    # inside a transform lambda
+    heads = anchored.select(
+        F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+        F.element_at(F.col("m"), F.col("i"))["w"].alias("__wa"),
+        F.element_at(F.col("m"), F.col("i"))["n2"].alias("n2_a"),
+        F.slice(F.col("m"), F.col("i") + 1,
+                F.size("m") - F.col("i")).alias("__tail"))
+    dots = (heads.select("id_a", "__wa", "n2_a",
+                         F.explode("__tail").alias("__mj"))
+            .select(F.col("id_a"), F.col("__mj.id").alias("id_b"),
+                    F.round(F.col("__wa") * F.col("__mj.w"), 6)
+                    .cast(dec).alias("p"),
+                    F.col("n2_a"), F.col("__mj.n2").alias("n2_b"))
             .filter(F.col("id_a") != F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.sum("p").alias("dot"),
