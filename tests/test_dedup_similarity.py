@@ -275,6 +275,46 @@ def test_bucket_pairs_hot_bucket_streams_bounded_rows(spark):
     assert pairs.count() == n * (n - 1) // 2
 
 
+def test_pair_generators_stream_outside_codegen(spark):
+    """The pair explodes must stay OFF whole-stage codegen: a codegen
+    GenerateExec cannot yield mid-loop, so one hot bucket's ENTIRE
+    C(m,2) pair output buffers at the codegen-stage boundary (measured
+    r13: a 3000-member bucket OOMs a 1 GiB heap; a cap-sized bucket
+    would need gigabytes at any row width). The identity ``transform``
+    wrapper is CodegenFallback — THE thing that keeps the generators
+    streaming — so pin the generator shape: a "simplification" to a
+    bare sequence explode must fail here, not OOM at scale. Same pin
+    for a caller's score filter: the non-determinism barrier must keep
+    it ABOVE the scorer projection (a pushed copy would re-evaluate
+    the scorer, interpreted, per pair)."""
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*([F.lit(1.0)] * 64)).cast("array<float>")
+        .alias("embedding"))
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"))
+    cases = {
+        "bucket_pairs": dedup.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", min_cosine=0.0, bucket_bits=1),
+        "shared_shingles": dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=2, min_jaccard=0.0),
+        "tfidf": dedup.tfidf_cosine_pairs(
+            docs, "doc_id", "text", min_cosine=0.0),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("explode(transform(sequence(") == 2, name
+        assert "explode(sequence(" not in plan, name
+    # barrier check: the min_cosine filter references the scorer's
+    # OUTPUT attribute, not an inlined copy of the scorer — i.e. no
+    # Filter line carries the guarded fold ("aggregate(zip_with")
+    bp = cases["bucket_pairs"]._jdf.queryExecution().optimizedPlan().toString()
+    filter_lines = [ln for ln in bp.splitlines() if "Filter" in ln]
+    assert filter_lines and all(
+        "aggregate(zip_with" not in ln for ln in filter_lines)
+
+
 def test_simhash_bands_must_exceed_hamming(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="pigeonhole"):

@@ -117,20 +117,43 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
     aliased score Column. Output: (id_a, id_b, <score>), distinct,
     id_a < id_b.
 
+    STREAMING INVARIANT (do not "simplify" this away): the two pair
+    generators MUST stay OUT of whole-stage codegen. A codegen
+    ``GenerateExec`` cannot yield mid-loop, so a whole-stage ending at
+    (or containing) the pair explode buffers one input row's ENTIRE
+    generated output in ``BufferedRowIterator``'s row list — a hot
+    bucket materializes all C(m,2) pair rows at once (measured: a
+    3000-member bucket OOMs a 1 GiB heap at ~84 bytes/buffered row;
+    a cap-sized 10⁴ bucket would need gigabytes at ANY row width). A
+    non-codegen ``GenerateExec`` is a lazy ``flatMap`` — true
+    streaming, rows never buffered, ``m`` crossed by reference. The
+    identity ``transform(sequence(...), x -> x)`` wrappers below exist
+    SOLELY to force that: higher-order functions are CodegenFallback,
+    which keeps the generator expressions (and with them both
+    GenerateExecs) off whole-stage codegen while costing one
+    interpreted int-array pass per generated SEQUENCE (not per pair).
+    The scorer still compiles: the flat-branch CASE runs through
+    expression codegen inside the row-streaming ProjectExec above.
+
     One shuffle (the bucket groupBy) + the final distinct; the upstream
     sketch lineage is evaluated exactly once — a bucket self-join would
     evaluate it per side because Spark does not reuse the exchange
     across aliases of this shape. Hot buckets are dropped with a free
     ``size()`` filter.
 
-    Memory shape: the anchor index ``i`` explodes FIRST (one row per
-    bucket member), then only that anchor's slice is transformed — so no
-    single row ever materializes more than O(m) pair structs. The
-    flattened all-i form would build all C(m,2) structs inside one
-    unspillable row (~5×10⁷ at the default cap — an executor OOM, not a
-    spillable shuffle). ``max_bucket_size`` therefore bounds *quadratic
-    work*, not survival: a cap-sized bucket is ~5×10⁷ narrow pair rows
-    streamed through the explode, never one giant array value.
+    Memory shape: BOTH explodes generate INDEX sequences (arrays of
+    ints — ~8 bytes/element), and the two payloads are resolved per
+    pair row with ``element_at(m, i/j)`` O(1) lookups in the flat
+    projection. No intermediate ever copies payload structs: the
+    earlier ``slice(m, i+1, …)`` tail formulation materialized an O(m)
+    STRUCT array per anchor row (O(m²) struct copies per bucket), and
+    the flattened all-i form would build all C(m,2) pair structs
+    inside ONE unspillable row. The member array ``m`` itself crosses
+    the generates as a reference, not a copy. ``max_bucket_size``
+    therefore bounds *quadratic work*, not survival: a cap-sized
+    bucket is ~5×10⁷ narrow pair rows streamed through the explode,
+    never a giant array value — see the STREAMING INVARIANT below for
+    why "streamed" holds.
 
     With duplicate ids in the input (testdata PKs are documented
     non-unique) the sorted member array holds the id twice; the
@@ -146,22 +169,45 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
         grouped = grouped.filter(F.size("m") <= max_bucket_size)
     anchored = grouped.select(
         F.col("m"),
-        F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i"))
-    # anchor fields + the j>i tail project BEFORE the pair explode, so
-    # each pair row carries exactly two payloads (never the whole m)
-    # and the scorer runs in a FLAT projection — whole-stage codegen,
-    # with CSE across score subterms (both impossible inside the
-    # transform-lambda formulation this replaces).
-    heads = anchored.select(
+        F.explode(F.transform(F.sequence(F.lit(1), F.size("m") - 1),
+                              lambda x: x)).alias("i"))
+    # the j>i partner index explodes as a SECOND int sequence (i ranges
+    # 1..size-1, so i+1 <= size and the sequence never counts down);
+    # payloads resolve per pair row via element_at — the scorer runs in
+    # a FLAT projection (expression codegen, CSE across score subterms;
+    # both impossible inside the transform-lambda formulation this
+    # replaced) and no payload array is ever copied along the way.
+    idx = anchored.select(
+        F.col("m"), F.col("i"),
+        F.explode(F.transform(F.sequence(F.col("i") + 1, F.size("m")),
+                              lambda x: x)).alias("j"))
+    flat = idx.select(
         F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+        F.element_at(F.col("m"), F.col("j"))["id"].alias("id_b"),
         F.element_at(F.col("m"), F.col("i"))["payload"].alias("__pa"),
-        F.slice(F.col("m"), F.col("i") + 1,
-                F.size("m") - F.col("i")).alias("__tail"))
-    flat = (heads.select("id_a", "__pa", F.explode("__tail").alias("__mj"))
-            .select(F.col("id_a"), F.col("__mj.id").alias("id_b"),
-                    F.col("__pa"), F.col("__mj.payload").alias("__pb")))
-    return (flat.select("id_a", "id_b", score("__pa", "__pb"))
-            .filter(F.col("id_a") != F.col("id_b"))
+        F.element_at(F.col("m"), F.col("j"))["payload"].alias("__pb"))
+    scored = flat.select("id_a", "id_b", score("__pa", "__pb"))
+    score_name = scored.columns[2]
+    # Pushdown barrier (guide §4.4's non-determinism trick, applied to
+    # an expression instead of a UDF): a caller's score filter would
+    # otherwise be pushed below this projection, substituting the full
+    # scorer into a Filter over the pre-projection generate rows —
+    # evaluating the scorer TWICE per pair, and (because the
+    # substituted CASE contains the CodegenFallback fold branch)
+    # evaluating the filter copy INTERPRETED, the repo's 10x
+    # higher-order-function tax on the hottest path.
+    # ``spark_partition_id() >= 0`` is always true, so the value is
+    # bit-identical; the expression is merely *classified*
+    # non-deterministic, which stops predicate pushdown below this
+    # projection. (``rand() >= 0`` would read nicer, but Spark 4
+    # constant-folds rand's value bounds.) Score filters still push
+    # through the distinct (score is a grouping key), so they run on
+    # the narrow pair rows BEFORE the shuffle.
+    barrier = scored.select(
+        "id_a", "id_b",
+        F.when(F.spark_partition_id() >= 0, F.col(score_name))
+        .alias(score_name))
+    return (barrier.filter(F.col("id_a") != F.col("id_b"))
             .distinct())
 
 
@@ -760,23 +806,28 @@ def _shared_shingle_counts(df: DataFrame, id_col: str, text_col: str,
                .filter(F.size("m") >= 2))
     if max_shingle_df is not None:
         grouped = grouped.filter(F.size("m") <= max_shingle_df)
-    # anchor-first explode: per-row pair-struct size stays O(m) even for
-    # an uncapped hot shingle (same memory rationale as _bucket_pairs)
+    # index-pair explode (the _bucket_pairs r13 shape): both generators
+    # emit INT sequences and member fields resolve per pair row via
+    # element_at — no struct-packing transform lambda, no O(m) slice
+    # copy per anchor row, pair rows from plain explodes + flat
+    # projections (memory stays O(1) per row even for an uncapped hot
+    # shingle). The identity transform keeps the generators off
+    # whole-stage codegen so a hot shingle's C(m,2) pairs STREAM
+    # instead of buffering at a codegen-stage boundary — see
+    # _bucket_pairs' STREAMING INVARIANT.
     anchored = (grouped.select(
         F.col("m"),
-        F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i")))
-    # anchor fields + tail project BEFORE the pair explode (the
-    # _bucket_pairs r13 shape): no struct-packing transform lambda,
-    # pair rows come out of a plain explode + flat projections
-    heads = anchored.select(
-        F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
-        F.element_at(F.col("m"), F.col("i"))["n"].alias("n_a"),
-        F.slice(F.col("m"), F.col("i") + 1,
-                F.size("m") - F.col("i")).alias("__tail"))
-    shared = (heads.select("id_a", "n_a",
-                           F.explode("__tail").alias("__mj"))
-              .select(F.col("id_a"), F.col("__mj.id").alias("id_b"),
-                      F.col("n_a"), F.col("__mj.n").alias("n_b"))
+        F.explode(F.transform(F.sequence(F.lit(1), F.size("m") - 1),
+                              lambda x: x)).alias("i")))
+    idx = anchored.select(
+        F.col("m"), F.col("i"),
+        F.explode(F.transform(F.sequence(F.col("i") + 1, F.size("m")),
+                              lambda x: x)).alias("j"))
+    shared = (idx.select(
+                  F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+                  F.element_at(F.col("m"), F.col("j"))["id"].alias("id_b"),
+                  F.element_at(F.col("m"), F.col("i"))["n"].alias("n_a"),
+                  F.element_at(F.col("m"), F.col("j"))["n"].alias("n_b"))
               .filter(F.col("id_a") != F.col("id_b"))
               .groupBy("id_a", "id_b")
               .agg(F.count("*").alias("shared"),
@@ -1079,24 +1130,28 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
                    F.col(id_col).alias("id"), F.col("w").alias("w"),
                    F.col("n2").alias("n2")))).alias("m"))
                .filter(F.size("m") >= 2))
+    # same r13 index-pair shape as _bucket_pairs: both generators emit
+    # INT sequences (identity-transform-wrapped to keep the explodes
+    # off whole-stage codegen — see _bucket_pairs' STREAMING
+    # INVARIANT), member fields resolve via element_at, and the
+    # per-pair product round(w_a * w_b, 6) evaluates in a codegen
+    # projection — no struct-packing lambda, no O(m) slice copy
     anchored = (grouped.select(
         F.col("m"),
-        F.explode(F.sequence(F.lit(1), F.size("m") - 1)).alias("i")))
-    # same r13 flat-pair shape as _bucket_pairs: the per-pair product
-    # round(w_a * w_b, 6) now evaluates in a codegen projection, not
-    # inside a transform lambda
-    heads = anchored.select(
-        F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
-        F.element_at(F.col("m"), F.col("i"))["w"].alias("__wa"),
-        F.element_at(F.col("m"), F.col("i"))["n2"].alias("n2_a"),
-        F.slice(F.col("m"), F.col("i") + 1,
-                F.size("m") - F.col("i")).alias("__tail"))
-    dots = (heads.select("id_a", "__wa", "n2_a",
-                         F.explode("__tail").alias("__mj"))
-            .select(F.col("id_a"), F.col("__mj.id").alias("id_b"),
-                    F.round(F.col("__wa") * F.col("__mj.w"), 6)
-                    .cast(dec).alias("p"),
-                    F.col("n2_a"), F.col("__mj.n2").alias("n2_b"))
+        F.explode(F.transform(F.sequence(F.lit(1), F.size("m") - 1),
+                              lambda x: x)).alias("i")))
+    idx = anchored.select(
+        F.col("m"), F.col("i"),
+        F.explode(F.transform(F.sequence(F.col("i") + 1, F.size("m")),
+                              lambda x: x)).alias("j"))
+    dots = (idx.select(
+                F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
+                F.element_at(F.col("m"), F.col("j"))["id"].alias("id_b"),
+                F.round(F.element_at(F.col("m"), F.col("i"))["w"]
+                        * F.element_at(F.col("m"), F.col("j"))["w"], 6)
+                .cast(dec).alias("p"),
+                F.element_at(F.col("m"), F.col("i"))["n2"].alias("n2_a"),
+                F.element_at(F.col("m"), F.col("j"))["n2"].alias("n2_b"))
             .filter(F.col("id_a") != F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.sum("p").alias("dot"),
