@@ -259,34 +259,44 @@ def test_bucket_pairs_duplicate_ids_emit_no_self_pairs(spark):
 
 
 def test_bucket_pairs_hot_bucket_streams_bounded_rows(spark):
-    """A bucket near the cap must stream O(m) pair structs per row, not
+    """A bucket near the cap must keep per-row memory bounded, not
     materialize C(m,2) in a single array value: n=3000 cohabitants →
-    4,498,500 pairs flow through the explode and land exactly."""
+    4,498,500 pairs flow through the explode and land exactly. Run
+    BOTH hybrid legs (r14): capped → codegen j-generator (per-ANCHOR
+    bounded buffer, ≤ n narrow rows); uncapped → fully streaming
+    (lazy flatMap, the r13 shape). Either leg OOMs the test heap if
+    its boundedness argument is wrong."""
     n = 3000
     df = spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.array(F.lit(1.0), F.lit(0.5)).cast("array<float>")
         .alias("embedding"))
-    pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding",
-                                           min_cosine=0.0, bucket_bits=1,
-                                           max_bucket_size=n)
-    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
-    assert "flatten" not in plan.lower()  # the all-i single-row shape
-    assert pairs.count() == n * (n - 1) // 2
+    for cap in (n, None):   # codegen leg, then streaming leg
+        pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                               min_cosine=0.0,
+                                               bucket_bits=1,
+                                               max_bucket_size=cap)
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        assert "flatten" not in plan.lower()  # the all-i single-row shape
+        assert pairs.count() == n * (n - 1) // 2, cap
 
 
 def test_pair_generators_stream_outside_codegen(spark):
-    """The pair explodes must stay OFF whole-stage codegen: a codegen
-    GenerateExec cannot yield mid-loop, so one hot bucket's ENTIRE
-    C(m,2) pair output buffers at the codegen-stage boundary (measured
-    r13: a 3000-member bucket OOMs a 1 GiB heap; a cap-sized bucket
-    would need gigabytes at any row width). The identity ``transform``
-    wrapper is CodegenFallback — THE thing that keeps the generators
-    streaming — so pin the generator shape: a "simplification" to a
-    bare sequence explode must fail here, not OOM at scale. Same pin
-    for a caller's score filter: the non-determinism barrier must keep
-    it ABOVE the scorer projection (a pushed copy would re-evaluate
-    the scorer, interpreted, per pair)."""
+    """The r14 hybrid generator contract. The i-generator ALWAYS stays
+    OFF whole-stage codegen (identity ``transform`` wrapper =
+    CodegenFallback): a codegen i-generator would buffer m-1 anchor
+    rows EACH COPYING the member array at the span boundary. The
+    j-generator runs as a bare codegen explode ONLY when the caller's
+    cap bounds the per-anchor buffer (cap <= PAIR_CODEGEN_MAX_CAP);
+    uncapped callers keep both generators streaming (r13: a
+    3000-member bucket's C(m,2) pairs OOM a 1 GiB heap when buffered
+    per BUCKET). Also pin the two barriers: a caller's score filter
+    must stay ABOVE the scorer projection (a pushed copy would
+    re-evaluate the scorer, interpreted, per pair), and on the codegen
+    leg the fallback scorer projection must NOT have swallowed the
+    narrowing element_at projection (a collapsed projection would end
+    the codegen span at the j-generator, whose boundary rows carry the
+    whole member array — the r13 cliff)."""
     emb = spark.range(50).select(
         F.col("id").alias("vec_id"),
         F.array(*([F.lit(1.0)] * 64)).cast("array<float>")
@@ -294,25 +304,62 @@ def test_pair_generators_stream_outside_codegen(spark):
     docs = spark.range(50).select(
         F.col("id").alias("doc_id"),
         F.lit("alpha beta gamma delta epsilon zeta").alias("text"))
-    cases = {
+    capped = {
         "bucket_pairs": dedup.embedding_near_dup_pairs(
             emb, "vec_id", "embedding", min_cosine=0.0, bucket_bits=1),
         "shared_shingles": dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", shingle_k=2, min_jaccard=0.0),
+            docs, "doc_id", "text", shingle_k=2, min_jaccard=0.0,
+            max_shingle_df=100),
         "tfidf": dedup.tfidf_cosine_pairs(
             docs, "doc_id", "text", min_cosine=0.0),
+        "minhash": dedup.minhash_near_dup_pairs(docs, "doc_id", "text"),
+        "simhash": dedup.simhash_near_dup_pairs(docs, "doc_id", "text"),
     }
-    for name, df in cases.items():
+    uncapped = {
+        "bucket_pairs_uncapped": dedup.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", min_cosine=0.0, bucket_bits=1,
+            max_bucket_size=None),
+        "shared_shingles_uncapped": dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=2, min_jaccard=0.0),
+        "over_cap": dedup.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", min_cosine=0.0, bucket_bits=1,
+            max_bucket_size=dedup.PAIR_CODEGEN_MAX_CAP + 1),
+    }
+    for name, df in capped.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("explode(transform(sequence(") == 1, name
+        assert plan.count("explode(sequence(") == 1, name
+    for name, df in uncapped.items():
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("explode(transform(sequence(") == 2, name
         assert "explode(sequence(" not in plan, name
-    # barrier check: the min_cosine filter references the scorer's
-    # OUTPUT attribute, not an inlined copy of the scorer — i.e. no
-    # Filter line carries the guarded fold ("aggregate(zip_with")
-    bp = cases["bucket_pairs"]._jdf.queryExecution().optimizedPlan().toString()
-    filter_lines = [ln for ln in bp.splitlines() if "Filter" in ln]
-    assert filter_lines and all(
-        "aggregate(zip_with" not in ln for ln in filter_lines)
+    for source in (capped, uncapped):
+        # barrier 1: the min_cosine filter references the scorer's
+        # OUTPUT attribute, not an inlined copy of the scorer — i.e.
+        # no Filter line carries the guarded fold
+        bp = (source["bucket_pairs"] if "bucket_pairs" in source
+              else source["bucket_pairs_uncapped"]
+              )._jdf.queryExecution().optimizedPlan().toString()
+        filter_lines = [ln for ln in bp.splitlines() if "Filter" in ln]
+        assert filter_lines and all(
+            "aggregate(zip_with" not in ln for ln in filter_lines)
+    # barrier 2 (codegen leg, the _bucket_pairs scorer contract): no
+    # projection may hold a CodegenFallback scorer branch AND the
+    # narrowing element_at lookups — a merged fallback projection
+    # would end the codegen span at the j-generator, whose boundary
+    # rows carry the whole member array (O(m·cap) bytes per anchor).
+    # Multi-reference flat-CASE scorers keep the projections separate
+    # (CollapseProject refuses non-cheap duplication); pure-codegen
+    # scorers (simhash's bit_count) may merge — that projection stays
+    # inside the span, so it is exempt here.
+    for name in ("bucket_pairs", "minhash", "tfidf"):
+        plan = capped[name]._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        fallback_lines = [ln for ln in plan.splitlines()
+                          if ("aggregate(" in ln or "zip_with(" in ln)
+                          and "Generate" not in ln
+                          and "collect_list" not in ln]
+        assert all("element_at(" not in ln for ln in fallback_lines), name
 
 
 def test_simhash_bands_must_exceed_hamming(spark):

@@ -101,6 +101,56 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+#: Largest group cap for which the j-generator may run INSIDE
+#: whole-stage codegen (r14 hybrid; VERDICT r13 item 1). A codegen
+#: GenerateExec cannot yield mid-loop, so the whole-stage span buffers
+#: one INPUT row's entire generated output at the span boundary
+#: (``BufferedRowIterator`` — the r13 OOM mechanism). In the hybrid the
+#: i-generator stays streaming (non-codegen), so the codegen span
+#: begins AT the j-generator and one input row is one (m, i) ANCHOR:
+#: the buffer holds at most (m - i) <= cap rows of the NARROWING
+#: projection's output (ids + the two payloads — the scorer contract
+#: in ``_bucket_pairs`` keeps that projection below the
+#: CodegenFallback scorer, so a row at the boundary never carries the
+#: member array ``m``). At this
+#: cap the worst caller (64-float struct payloads, ~1 KiB/row) buffers
+#: ~18 MiB per task — bounded at any scale, vs. the C(m,2)-rows
+#: per-BUCKET buffer (gigabytes) that made r13 pin both generators
+#: streaming. Uncapped callers (max df/bucket size None) still stream.
+PAIR_CODEGEN_MAX_CAP = 16384
+
+
+def _pair_indices(grouped: DataFrame, cap: int | None):
+    """The shared pair-index generator over a ``(bucket_cols..., m)``
+    grouped relation: anchor index ``i`` (1..size-1) then partner
+    ``j`` (i+1..size), returning ``(idx_df, codegen)``.
+
+    STREAMING INVARIANT (r13 — do not "simplify" away): a whole-stage
+    codegen GenerateExec buffers one input row's ENTIRE generated
+    output at the stage boundary. The i-generator therefore ALWAYS
+    streams (its identity ``transform(sequence(...), x -> x)`` wrapper
+    is CodegenFallback, keeping that GenerateExec a lazy flatMap — a
+    codegen i-generator would buffer m-1 anchor rows EACH CARRYING A
+    COPY of the member array, O(m²) payload bytes per bucket). The
+    j-generator is the quadratic one — its wrapper costs one
+    interpreted int-array pass PER PAIR — so when ``cap`` bounds the
+    group size it runs as a bare codegen explode instead: the codegen
+    span then starts at the j-generator and buffers at most one
+    ANCHOR's (m - i) <= cap narrow rows (see ``PAIR_CODEGEN_MAX_CAP``
+    for the budget; measured r14: ~20% of the pair family's sf0.1
+    seconds). Uncapped callers keep the fully-streaming shape."""
+    codegen = cap is not None and cap <= PAIR_CODEGEN_MAX_CAP
+    anchored = grouped.select(
+        F.col("m"),
+        F.explode(F.transform(F.sequence(F.lit(1), F.size("m") - 1),
+                              lambda x: x)).alias("i"))
+    jseq = F.sequence(F.col("i") + 1, F.size("m"))
+    jgen = F.explode(jseq) if codegen else \
+        F.explode(F.transform(jseq, lambda x: x))
+    idx = anchored.select(F.col("m"), F.col("i"), jgen.alias("j"))
+    return idx, codegen
+
+
 def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
                   bucket_cols: list[str],
                   max_bucket_size: int | None,
@@ -117,23 +167,18 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
     aliased score Column. Output: (id_a, id_b, <score>), distinct,
     id_a < id_b.
 
-    STREAMING INVARIANT (do not "simplify" this away): the two pair
-    generators MUST stay OUT of whole-stage codegen. A codegen
-    ``GenerateExec`` cannot yield mid-loop, so a whole-stage ending at
-    (or containing) the pair explode buffers one input row's ENTIRE
-    generated output in ``BufferedRowIterator``'s row list — a hot
-    bucket materializes all C(m,2) pair rows at once (measured: a
-    3000-member bucket OOMs a 1 GiB heap at ~84 bytes/buffered row;
-    a cap-sized 10⁴ bucket would need gigabytes at ANY row width). A
-    non-codegen ``GenerateExec`` is a lazy ``flatMap`` — true
-    streaming, rows never buffered, ``m`` crossed by reference. The
-    identity ``transform(sequence(...), x -> x)`` wrappers below exist
-    SOLELY to force that: higher-order functions are CodegenFallback,
-    which keeps the generator expressions (and with them both
-    GenerateExecs) off whole-stage codegen while costing one
-    interpreted int-array pass per generated SEQUENCE (not per pair).
-    The scorer still compiles: the flat-branch CASE runs through
-    expression codegen inside the row-streaming ProjectExec above.
+    MEMORY SHAPE (r13 streaming invariant, r14 capped-codegen hybrid):
+    a whole-stage-codegen ``GenerateExec`` cannot yield mid-loop — it
+    buffers one input row's ENTIRE generated output in
+    ``BufferedRowIterator``'s row list (measured r13: a 3000-member
+    bucket's C(m,2) pairs OOM a 1 GiB heap). The i-generator therefore
+    ALWAYS streams (identity ``transform(sequence(...), x -> x)``
+    wrapper = CodegenFallback = lazy flatMap); the quadratic
+    j-generator runs in codegen ONLY when ``max_bucket_size`` bounds
+    the per-anchor buffer (≤ cap narrow rows — see ``_pair_indices``
+    and ``PAIR_CODEGEN_MAX_CAP`` for the full argument), and streams
+    for uncapped callers. The scorer's flat-branch CASE compiles
+    either way (expression codegen inside its ProjectExec).
 
     One shuffle (the bucket groupBy) + the final distinct; the upstream
     sketch lineage is evaluated exactly once — a bucket self-join would
@@ -141,19 +186,17 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
     across aliases of this shape. Hot buckets are dropped with a free
     ``size()`` filter.
 
-    Memory shape: BOTH explodes generate INDEX sequences (arrays of
-    ints — ~8 bytes/element), and the two payloads are resolved per
-    pair row with ``element_at(m, i/j)`` O(1) lookups in the flat
-    projection. No intermediate ever copies payload structs: the
-    earlier ``slice(m, i+1, …)`` tail formulation materialized an O(m)
-    STRUCT array per anchor row (O(m²) struct copies per bucket), and
-    the flattened all-i form would build all C(m,2) pair structs
-    inside ONE unspillable row. The member array ``m`` itself crosses
-    the generates as a reference, not a copy. ``max_bucket_size``
-    therefore bounds *quadratic work*, not survival: a cap-sized
-    bucket is ~5×10⁷ narrow pair rows streamed through the explode,
-    never a giant array value — see the STREAMING INVARIANT below for
-    why "streamed" holds.
+    Both explodes generate INDEX sequences (arrays of ints — ~8
+    bytes/element), and the two payloads are resolved per pair row
+    with ``element_at(m, i/j)`` O(1) lookups in the flat projection.
+    No intermediate ever copies payload structs: the earlier
+    ``slice(m, i+1, …)`` tail formulation materialized an O(m) STRUCT
+    array per anchor row (O(m²) struct copies per bucket), and the
+    flattened all-i form would build all C(m,2) pair structs inside
+    ONE unspillable row. The member array ``m`` itself crosses the
+    generates as a reference, not a copy. ``max_bucket_size``
+    therefore bounds *quadratic work* and (on the codegen leg) the
+    anchor buffer, never survival.
 
     With duplicate ids in the input (testdata PKs are documented
     non-unique) the sorted member array holds the id twice; the
@@ -167,20 +210,29 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, payload_col: str,
                .filter(F.size("m") >= 2))
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("m") <= max_bucket_size)
-    anchored = grouped.select(
-        F.col("m"),
-        F.explode(F.transform(F.sequence(F.lit(1), F.size("m") - 1),
-                              lambda x: x)).alias("i"))
     # the j>i partner index explodes as a SECOND int sequence (i ranges
     # 1..size-1, so i+1 <= size and the sequence never counts down);
     # payloads resolve per pair row via element_at — the scorer runs in
     # a FLAT projection (expression codegen, CSE across score subterms;
     # both impossible inside the transform-lambda formulation this
     # replaced) and no payload array is ever copied along the way.
-    idx = anchored.select(
-        F.col("m"), F.col("i"),
-        F.explode(F.transform(F.sequence(F.col("i") + 1, F.size("m")),
-                              lambda x: x)).alias("j"))
+    # _pair_indices dispatches the j-generator codegen/streaming on the
+    # cap. SCORER CONTRACT for the codegen leg (pinned by
+    # test_pair_generators_stream_outside_codegen): a scorer must
+    # either reference each payload name MORE THAN ONCE (CollapseProject
+    # then refuses to substitute this narrowing projection into the
+    # scorer's CodegenFallback projection — all flat-CASE scorers
+    # qualify) or be pure-codegen (bit_count-style; a merged projection
+    # then stays INSIDE the whole-stage span). A single-reference
+    # scorer WITH a fallback branch would collapse the narrowing into a
+    # non-codegen projection, end the span at the j-generator, and put
+    # the full member array on every span-boundary row — O(m·cap)
+    # bytes per anchor, the cliff the hybrid must not reopen. (A
+    # ``when(spark_partition_id() >= 0, payload)`` guard would make
+    # this structural, but it was measured to copy the payload struct
+    # per pair: +25% kernel time — not paid while no such scorer
+    # exists.)
+    idx, _ = _pair_indices(grouped, max_bucket_size)
     flat = idx.select(
         F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
         F.element_at(F.col("m"), F.col("j"))["id"].alias("id_b"),
@@ -806,23 +858,15 @@ def _shared_shingle_counts(df: DataFrame, id_col: str, text_col: str,
                .filter(F.size("m") >= 2))
     if max_shingle_df is not None:
         grouped = grouped.filter(F.size("m") <= max_shingle_df)
-    # index-pair explode (the _bucket_pairs r13 shape): both generators
-    # emit INT sequences and member fields resolve per pair row via
-    # element_at — no struct-packing transform lambda, no O(m) slice
-    # copy per anchor row, pair rows from plain explodes + flat
-    # projections (memory stays O(1) per row even for an uncapped hot
-    # shingle). The identity transform keeps the generators off
-    # whole-stage codegen so a hot shingle's C(m,2) pairs STREAM
-    # instead of buffering at a codegen-stage boundary — see
-    # _bucket_pairs' STREAMING INVARIANT.
-    anchored = (grouped.select(
-        F.col("m"),
-        F.explode(F.transform(F.sequence(F.lit(1), F.size("m") - 1),
-                              lambda x: x)).alias("i")))
-    idx = anchored.select(
-        F.col("m"), F.col("i"),
-        F.explode(F.transform(F.sequence(F.col("i") + 1, F.size("m")),
-                              lambda x: x)).alias("j"))
+    # index-pair explode (the _bucket_pairs r13/r14 shape, via
+    # _pair_indices): member fields resolve per pair row via element_at
+    # — no struct-packing transform lambda, no O(m) slice copy per
+    # anchor row. With a finite max_shingle_df the j-generator runs in
+    # codegen (the downstream projection/filter/partial-aggregate are
+    # pure codegen, so pair rows are absorbed into the spillable agg
+    # hash map inside the span — nothing buffers); uncapped callers
+    # stream a hot shingle's C(m,2) pairs through the lazy flatMap.
+    idx, _ = _pair_indices(grouped, max_shingle_df)
     shared = (idx.select(
                   F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
                   F.element_at(F.col("m"), F.col("j"))["id"].alias("id_b"),
@@ -1130,20 +1174,14 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
                    F.col(id_col).alias("id"), F.col("w").alias("w"),
                    F.col("n2").alias("n2")))).alias("m"))
                .filter(F.size("m") >= 2))
-    # same r13 index-pair shape as _bucket_pairs: both generators emit
-    # INT sequences (identity-transform-wrapped to keep the explodes
-    # off whole-stage codegen — see _bucket_pairs' STREAMING
-    # INVARIANT), member fields resolve via element_at, and the
-    # per-pair product round(w_a * w_b, 6) evaluates in a codegen
-    # projection — no struct-packing lambda, no O(m) slice copy
-    anchored = (grouped.select(
-        F.col("m"),
-        F.explode(F.transform(F.sequence(F.lit(1), F.size("m") - 1),
-                              lambda x: x)).alias("i")))
-    idx = anchored.select(
-        F.col("m"), F.col("i"),
-        F.explode(F.transform(F.sequence(F.col("i") + 1, F.size("m")),
-                              lambda x: x)).alias("j"))
+    # same index-pair shape as _bucket_pairs (via _pair_indices):
+    # member fields resolve via element_at and the per-pair product
+    # round(w_a * w_b, 6) evaluates in a codegen projection — no
+    # struct-packing lambda, no O(m) slice copy. A finite max_token_df
+    # bounds every cohabitant group (dfreq IS the group size), so the
+    # j-generator runs in codegen and pair rows are absorbed straight
+    # into the partial aggregate inside the whole-stage span.
+    idx, _ = _pair_indices(grouped, max_token_df)
     dots = (idx.select(
                 F.element_at(F.col("m"), F.col("i"))["id"].alias("id_a"),
                 F.element_at(F.col("m"), F.col("j"))["id"].alias("id_b"),
