@@ -1150,13 +1150,22 @@ def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
     toks = (df.select(F.col(id_col), _word_array(text_col).alias("__t"))
             .filter(F.size("__t") >= 2))
     n1 = F.size("__t") - 1
+    # ONE corpus scan (r14, VERDICT r13 item 4): the occurrence-bigram
+    # relation is consumed twice SEQUENTIALLY — the model build (the
+    # maybe_broadcast localCheckpoint below is a driver-synchronous
+    # job) and then the probe — so without a persist the regex-heavy
+    # tokenize → bigram lineage replays per consumer. Persist it once;
+    # the model side projects (w1, w2) from the cache, the probe reads
+    # (id, w1, w2). Released via the output's ``release_cache`` hook
+    # (bench and every gate tool call it per query).
     bi = (toks.select(
         F.col(id_col),
         F.explode_outer(F.arrays_zip(
             F.slice("__t", 1, n1).alias("w1"),
             F.slice("__t", 2, n1).alias("w2"))).alias("__b"))
         .select(F.col(id_col), F.col("__b.w1").alias("w1"),
-                F.col("__b.w2").alias("w2")))
+                F.col("__b.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     # ONE corpus aggregation feeds every model (r13, third-decade
     # exponent fix): the bigram-TYPE relation C(w1 w2) determines all
     # four KN count models exactly — C(w1 ·) = Σ_w2 C(w1 w2) (a token
@@ -1202,10 +1211,12 @@ def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
     scored = (bi.join(maybe_broadcast(type_nll, est_bytes_per_row=48),
                       ["w1", "w2"])
               .select(F.col(id_col), F.col("__nll")))
-    return (scored.groupBy(id_col)
-            .agg(F.count("*").alias("n_bigrams"),
-                 F.round(F.exp(F.sum("__nll").cast("double")
-                               / F.count("*")), 6).alias("ppl")))
+    out = (scored.groupBy(id_col)
+           .agg(F.count("*").alias("n_bigrams"),
+                F.round(F.exp(F.sum("__nll").cast("double")
+                              / F.count("*")), 6).alias("ppl")))
+    out.release_cache = bi.unpersist
+    return out
 
 
 def classifier_quality_score(df: DataFrame, id_col: str, text_col: str,
