@@ -5597,11 +5597,25 @@ def q_pq_adc_topk(spark, sf):
     codebook slicing, argmin encoding, table build, and the
     decimal-summed ADC ranking."""
     emb = _emb(spark, sf)
-    queries = (_emb1(spark, sf).orderBy("vec_id").limit(5)
+    # ONE fused seed relation (r14, VERDICT r13 item 6): the query
+    # anchors (LIMIT 5) and the codebook seeds (LIMIT 16) both draw
+    # from the same unique-id sorted prefix, so materialize that
+    # ≤4096-row prefix once (localCheckpoint — a single TakeOrdered
+    # job) and feed both consumers from it. unique_seed_prefix is
+    # idempotent for every k ≪ prefetch (a second application can only
+    # drop the prefix's own boundary id), so pq_codebook's internal
+    # prefix over this relation selects the identical 16 seeds the
+    # corpus-wide prefix would — the oracle twin is unchanged and
+    # attests it.
+    pre = _emb1(spark, sf).localCheckpoint()
+    queries = (pre.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
+    book = similarity.pq_codebook(pre, dims=64, n_subspaces=4,
+                                  n_codes=16)
     return similarity.topk_pq_adc(emb, queries, k=3, dims=64,
-                                  n_subspaces=4, n_codes=16)
+                                  n_subspaces=4, n_codes=16,
+                                  codebook=book)
 
 
 _SQ_SQL = """
