@@ -1069,8 +1069,16 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
     scale where the hottest head token carries ~3-5% of all bigrams.
     """
 
+    # The token relation feeds THREE stage subtrees (the pair-model
+    # aggregation, the head-model/vocab aggregation, and the probe),
+    # each of which would otherwise replay the regex tokenize — the
+    # most expensive projection in the lineage. Persist it once (r14,
+    # the kn_perplexity single-scan pattern); the downstream bigram /
+    # posexplode derivations replay from the cache. Released via the
+    # output's ``release_cache`` hook (chained by perplexity_buckets).
     toks = (df.select(F.col(id_col), _word_array(text_col).alias("__t"))
-            .filter(F.size("__t") >= 2))
+            .filter(F.size("__t") >= 2)
+            .persist(StorageLevel.MEMORY_AND_DISK))
     n1 = F.size("__t") - 1
     # explode_OUTER everywhere below: the >= 2 filter already
     # guarantees non-empty arrays, and plain explode triggers
@@ -1104,10 +1112,12 @@ def bigram_lm_perplexity(df: DataFrame, id_col: str, text_col: str,
               .withColumn("__k", F.lit(1))
               .join(F.broadcast(vocab), "__k")
               .select(F.col(id_col), nll.alias("__nll")))
-    return (scored.groupBy(id_col)
-            .agg(F.count("*").alias("n_bigrams"),
-                 F.round(F.exp(F.sum("__nll").cast("double")
-                               / F.count("*")), 6).alias("ppl")))
+    out = (scored.groupBy(id_col)
+           .agg(F.count("*").alias("n_bigrams"),
+                F.round(F.exp(F.sum("__nll").cast("double")
+                              / F.count("*")), 6).alias("ppl")))
+    out.release_cache = toks.unpersist
+    return out
 
 
 def kn_perplexity(df: DataFrame, id_col: str, text_col: str,
@@ -1645,6 +1655,7 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
     if not 0.0 <= q1 < q2 <= 1.0:
         raise ValueError(f"cuts must satisfy 0 <= q1 < q2 <= 1: {cuts}")
     ppl = bigram_lm_perplexity(df, id_col, text_col, alpha=alpha)
+    ppl_release = getattr(ppl, "release_cache", None)
     scored = (ppl.join(df.select(F.col(id_col), F.col(strata_col)),
                        id_col)
               .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1663,7 +1674,13 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
                    .when(F.col("ppl") <= F.col("middle_cut"),
                          F.lit(mid))
                    .otherwise(F.lit(hi)).alias("bucket")))
-    out.release_cache = scored.unpersist
+
+    def _release(blocking: bool = False) -> None:
+        scored.unpersist(blocking)
+        if ppl_release is not None:   # chain the LM's token cache
+            ppl_release(blocking)
+
+    out.release_cache = _release
     return out
 
 
