@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -5518,8 +5519,18 @@ def q_bpe_encode(spark, sf):
     out-of-order reassembly flips the value hash."""
     from zacks_estimates_financial_statements_spark.functions import tokenize as TK
     docs = _t(spark, sf, "documents")
-    merges = TK.bpe_train(docs, "text", n_merges=6)
-    return TK.bpe_encode(docs, "doc_id", "text", merges)
+    # ONE shared word-count relation (r14): the trainer's vocabulary
+    # aggregation and the encoder's distinct-word segmentation source
+    # are the same relation — persist it once (bpe_train's merge
+    # collect materializes it; the encode job reads the cache), so the
+    # corpus regex-tokenizes twice (counts + the position-carrying
+    # occurrence join) instead of three times.
+    wc = TK.bpe_word_counts(docs, "text").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    merges = TK.bpe_train(docs, "text", n_merges=6, words=wc)
+    out = TK.bpe_encode(docs, "doc_id", "text", merges, words=wc)
+    out.release_cache = wc.unpersist
+    return out
 
 
 def _oracle_bpe_encode(n_merges: int = 6) -> str:
@@ -5561,9 +5572,14 @@ def q_tokenizer_fertility(spark, sf):
     encode; ONE |strata|-row aggregation after an id-equi join."""
     from zacks_estimates_financial_statements_spark.functions import tokenize as TK
     docs = _t(spark, sf, "documents")
-    merges = TK.bpe_train(docs, "text", n_merges=6)
-    enc = TK.bpe_encode(docs, "doc_id", "text", merges)
-    return TK.tokenizer_fertility(docs, enc, "doc_id", "text", "lang")
+    # same shared word-count relation as q_bpe_encode (r14)
+    wc = TK.bpe_word_counts(docs, "text").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    merges = TK.bpe_train(docs, "text", n_merges=6, words=wc)
+    enc = TK.bpe_encode(docs, "doc_id", "text", merges, words=wc)
+    out = TK.tokenizer_fertility(docs, enc, "doc_id", "text", "lang")
+    out.release_cache = wc.unpersist
+    return out
 
 
 def _oracle_tokenizer_fertility() -> str:

@@ -144,9 +144,25 @@ def wordpiece_encode(df: DataFrame, id_col: str, text_col: str,
         df.select(id_col, text_col).mapInPandas(encode_batches, schema))
 
 
+def bpe_word_counts(df: DataFrame, text_col: str,
+                    min_word_count: int = 1) -> DataFrame:
+    """The ``(w, cnt)`` vocabulary relation ``bpe_train`` aggregates —
+    exposed so a caller running train AND encode over the same corpus
+    can build it once, persist it, and pass it to both via their
+    ``words=`` parameter (one corpus tokenize instead of three: the
+    trainer's word count, the encoder's distinct-word segmentation
+    source, and — still paid — the encoder's occurrence join each
+    replay the regex split otherwise). The persist/release contract is
+    the caller's."""
+    return (df.select(F.explode(_words(F.col(text_col))).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= min_word_count))
+
+
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 6,
               min_word_count: int = 1,
-              max_local_vocab: int = 2_000_000) -> list[tuple[str, str]]:
+              max_local_vocab: int = 2_000_000,
+              words: DataFrame | None = None) -> list[tuple[str, str]]:
     """Distributed BPE merge learning (Sennrich, Haddow, Birch, ACL
     2016 §3.2): learn ``n_merges`` symbol-pair merges from the corpus.
 
@@ -191,9 +207,8 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 6,
     shorter than ``n_merges`` if the pair space is exhausted). Feed
     the resulting pieces to ``wordpiece_encode`` as the vocabulary.
     """
-    words = (df.select(F.explode(_words(F.col(text_col))).alias("w"))
-             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-             .filter(F.col("cnt") >= min_word_count))
+    if words is None:   # ``words=``: see bpe_word_counts
+        words = bpe_word_counts(df, text_col, min_word_count)
     seg = (words.select(
         "cnt",
         F.concat(F.lit("  "),
@@ -280,7 +295,8 @@ def _words(text: F.Column) -> F.Column:
 
 
 def bpe_encode(df: DataFrame, id_col: str, text_col: str,
-               merges: list[tuple[str, str]]) -> DataFrame:
+               merges: list[tuple[str, str]],
+               words: DataFrame | None = None) -> DataFrame:
     """Apply a learned BPE merge list (``bpe_train``'s artifact) to a
     corpus — the inference half of the tokenizer pair.
 
@@ -303,11 +319,20 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     w = df.select(F.col(id_col),
                   F.posexplode(_words(F.col(text_col)))
                   .alias("__wp", "__w"))
-    seg = (w.select(F.col("__w").alias("w")).distinct()
-           .withColumn("seg",
-                       F.concat(F.lit("  "),
-                                F.regexp_replace(F.col("w"),
-                                                 r"(.)", "$1  "))))
+    # ``words=`` (r14): a caller that already built the (w, cnt)
+    # vocabulary relation (bpe_word_counts, typically persisted and
+    # shared with bpe_train) supplies it here, replacing this leg's
+    # corpus tokenize + distinct exchange with a cache read. It MUST
+    # cover every corpus word (min_word_count=1) — the occurrence
+    # join below is inner, so a pruned vocabulary would silently drop
+    # rare-word occurrences from the encoding. The
+    # occurrence leg ``w`` above still tokenizes once — it needs the
+    # per-document positions no vocabulary relation carries.
+    vocab_src = (w.select(F.col("__w").alias("w")).distinct()
+                 if words is None else words.select("w"))
+    seg = vocab_src.withColumn(
+        "seg", F.concat(F.lit("  "),
+                        F.regexp_replace(F.col("w"), r"(.)", "$1  ")))
     for x, y in merges:
         seg = seg.withColumn(
             "seg", F.replace(F.col("seg"),
