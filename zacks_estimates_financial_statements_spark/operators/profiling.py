@@ -64,6 +64,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     """
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]
+    dist_aggs = []
     for c in cols:
         dt = df.schema[c].dataType
         q = F.col(c)
@@ -71,8 +72,18 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         if isinstance(dt, _ORDERED):
             nd = (F.countDistinct(q) if exact
                   else F.approx_count_distinct(q, rsd))
-            aggs += [nd.alias(f"{c}__nd"),
-                     _render(F.min(q), dt).alias(f"{c}__min"),
+            # EXACT distinct counts go into a SEPARATE aggregation
+            # (r14): Catalyst rewrites multi-column count(DISTINCT)
+            # with an Expand (one row replica per distinct column),
+            # and in a combined aggregation the gid-0 replica drags
+            # every min/max/avg buffer through the resulting
+            # (cols+1)-key SortAggregate — measured 1.86 s combined
+            # vs 0.37 + 0.17 s split at 100k rows. Two plain column-
+            # pruned scans beat one scan that sort-aggregates a 7x
+            # row expansion; the approximate sketch needs no Expand,
+            # so the single-scan form stays optimal there.
+            (dist_aggs if exact else aggs).append(nd.alias(f"{c}__nd"))
+            aggs += [_render(F.min(q), dt).alias(f"{c}__min"),
                      _render(F.max(q), dt).alias(f"{c}__max")]
         else:
             aggs += [F.lit(None).cast("long").alias(f"{c}__nd"),
@@ -86,6 +97,8 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         else:
             aggs.append(F.lit(None).cast("double").alias(f"{c}__al"))
     row = df.agg(*aggs)
+    if dist_aggs:
+        row = row.crossJoin(df.agg(*dist_aggs))   # 1 x 1 rows
     panels = F.array(*[
         F.struct(F.lit(c).alias("column"),
                  F.col("__n").alias("n_rows"),
