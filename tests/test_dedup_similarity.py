@@ -1155,6 +1155,36 @@ def test_unique_seed_prefix_matches_reference(spark):
     assert all(ref(200).count(v) == 1 for v in pre(50, 128))
 
 
+def test_unique_seed_prefix_exhaustion_guard(spark):
+    """r14 guard (VERDICT r13 #4/#9): a FULL prefix whose surviving
+    unique-id count collapses under duplicate concentration must abort
+    loudly instead of silently feeding consumers a truncated seed set;
+    a short prefix (whole relation seen) stays exact and never aborts."""
+    from zacks_estimates_financial_statements_spark.operators import (
+        similarity as sim)
+    # adversarial: every id in the sorted first-4096 rows appears twice
+    # (90%+ ambiguous prefix) -> 0 survivors in a FULL prefix -> raise
+    dup = spark.range(4096).select((F.col("id") / F.lit(2)).cast("long")
+                                   .alias("vec_id"),
+                                   F.lit("x").alias("p"))
+    tail = spark.range(10_000, 16_000).select(
+        F.col("id").alias("vec_id"), F.lit("x").alias("p"))
+    with pytest.raises(Exception, match="unique_seed_prefix exhausted"):
+        sim.unique_seed_prefix(dup.union(tail), "vec_id").collect()
+    # healthy full prefix: all-unique ids pass the guard, boundary id
+    # conservatively dropped
+    uniq = spark.range(5000).select(F.col("id").alias("vec_id"),
+                                    F.lit("x").alias("p"))
+    got = sim.unique_seed_prefix(uniq, "vec_id").collect()
+    assert len(got) == 4095
+    # short prefix (< prefetch): the whole relation was seen, so even
+    # 100% ambiguity is exact (empty), never an abort
+    all_dup = spark.range(300).select((F.col("id") / F.lit(2))
+                                      .cast("long").alias("vec_id"),
+                                      F.lit("x").alias("p"))
+    assert sim.unique_seed_prefix(all_dup, "vec_id").count() == 0
+
+
 def test_minhash_pairs_from_index_matches_sweep(docs):
     """r13 incremental_cc fusion: the pair sweep derived from an
     already-built minhash_index relation must equal the one-shot

@@ -123,10 +123,15 @@ GATES = [
     # sf0.1 → synthesized sf1 (fixture built on demand). The narrow
     # two-decade window cannot see super-linear onset — the r10 tfidf
     # df-cap OOM was only visible here.
+    # --cores-leg 8 (r14, VERDICT r13 #7): the same top-10 queries
+    # re-timed at local[8] on the synthetic decade, gated on a >= 2x
+    # speedup from 8 -> 32 cores for queries with >= 10 s of low-core
+    # work — at sf0.1 every 8-vs-32 ratio sits at ~1 (fixed costs), so
+    # a parallelism regression was previously invisible to any gate.
     ("scale_study_sf1", [sys.executable, "tools/scale_study.py",
                          "--small", "/root/testdata/sf0.1",
                          "--big", "/tmp/sf1_synth", "--synth-big",
-                         "--top-bench", "10"]),
+                         "--top-bench", "10", "--cores-leg", "8"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
 ]
 

@@ -50,6 +50,22 @@ def main() -> int:
     ap.add_argument("--synth-big", action="store_true",
                     help="build --big via tools/synth_scale.py if the "
                          "directory is missing")
+    ap.add_argument("--cores-leg", type=int, default=None, metavar="C",
+                    help="after the two-scale table, re-time the --big "
+                         "queries in a fresh local[C] session (shuffle "
+                         "partitions scaled to C) and gate core-scaling: "
+                         "sub-second sf0.1 queries cannot distinguish "
+                         "parallel from serial work (r13 verdict: every "
+                         "8-vs-32-core ratio sat at ~1), so this leg "
+                         "belongs on the synthetic third decade where "
+                         "per-query work is tens of seconds")
+    ap.add_argument("--cores-floor", type=float, default=10.0,
+                    help="gate only queries whose low-core time is at "
+                         "least this many seconds (smaller ones are "
+                         "fixed-cost dominated)")
+    ap.add_argument("--cores-min-speedup", type=float, default=2.0,
+                    help="minimum t_low/t_high speedup for gated "
+                         "queries (4x the cores should buy >= 2x)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -132,10 +148,67 @@ def main() -> int:
                      "ratio": round(ratio, 2), "exp": round(exp, 2)}
         print(f"| {name} | {med[args.small]:.2f} | {med[args.big]:.2f} "
               f"| {ratio:.2f}x | {exp:.2f} |", flush=True)
-    print(json.dumps({"small": args.small, "big": args.big,
-                      "n": args.n, "queries": out}), file=sys.stderr)
-    worst = max(out.values(), key=lambda d: d["exp"])
-    return 0 if worst["exp"] <= 1.0 else 1
+    doc = {"small": args.small, "big": args.big,
+           "n": args.n, "queries": out}
+    rc = 0 if max(out.values(), key=lambda d: d["exp"])["exp"] <= 1.0 \
+        else 1
+
+    if args.cores_leg:
+        # Fresh low-core session for the SAME --big queries. Shuffle
+        # partitions scale with the core count in BOTH directions of
+        # the comparison (a constant tuned for either count would
+        # penalize the other; AQE re-coalesces, so the number only
+        # sets the pre-coalesce task grain).
+        high_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark.stop()
+        low = get_spark(
+            master=f"local[{args.cores_leg}]",
+            extra_conf={**extra,
+                        "spark.sql.shuffle.partitions":
+                            str(max(args.cores_leg * 2, 8))})
+        cores_out = {}
+        print(f"\n| query | t{args.cores_leg}c | t{high_cores}c "
+              f"| speedup |")
+        print("|---|---|---|---|")
+        for name in names:
+            def force_low():
+                df = qs[name](low, args.big)
+                df.write.format("noop").mode("overwrite").save()
+                release = getattr(df, "release_cache", None)
+                if release is not None:
+                    try:
+                        release()
+                    except Exception:  # noqa: BLE001
+                        pass
+                low.catalog.clearCache()
+            force_low()   # warm
+            ts = []
+            for _ in range(args.n):
+                t0 = time.time()
+                force_low()
+                ts.append(time.time() - t0)
+            t_low = statistics.median(ts)
+            t_high = out[name]["big_s"]
+            speedup = t_low / t_high if t_high else float("nan")
+            gated = t_low >= args.cores_floor
+            cores_out[name] = {"t_low": round(t_low, 3),
+                               "t_high": t_high,
+                               "speedup": round(speedup, 2),
+                               "gated": gated}
+            flag = ""
+            if gated and speedup < args.cores_min_speedup:
+                rc = 1
+                flag = "  <-- FAIL core-scaling gate"
+            print(f"| {name} | {t_low:.2f} | {t_high:.2f} "
+                  f"| {speedup:.2f}x |{flag}", flush=True)
+        doc["cores_leg"] = {"low_cores": args.cores_leg,
+                            "high_cores": high_cores,
+                            "floor_s": args.cores_floor,
+                            "min_speedup": args.cores_min_speedup,
+                            "queries": cores_out}
+
+    print(json.dumps(doc), file=sys.stderr)
+    return rc
 
 
 if __name__ == "__main__":

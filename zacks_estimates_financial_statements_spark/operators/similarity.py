@@ -72,6 +72,18 @@ def _unambiguous(df: DataFrame, id_col: str) -> DataFrame:
 #: any scale — while leaving >15x slack over the largest k.
 SEED_PREFIX = 4096
 
+#: exhaustion guard denominator (r14, VERDICT r13 #4/#9): the prefix
+#: equivalence argument needs >= k unique unambiguous ids inside the
+#: prefix, and the documented consumer bound is k <= prefetch/16. k is
+#: not visible here (consumers apply their own ``limit``), so a FULL
+#: prefix must keep at least prefetch/8 survivors — 2x the k bound —
+#: or the operator aborts loudly (raise_error) instead of silently
+#: feeding a consumer a truncated seed set (512 survivors at the
+#: default prefetch). A short (< prefetch) prefix saw the WHOLE
+#: relation — the dedup is then exact however few survive, so it
+#: never aborts.
+SEED_PREFIX_SURVIVOR_DIV = 8
+
 
 def unique_seed_prefix(df: DataFrame, id_col: str,
                        prefetch: int = SEED_PREFIX) -> DataFrame:
@@ -112,13 +124,33 @@ def unique_seed_prefix(df: DataFrame, id_col: str,
     pre = df.orderBy(F.col(id_col)).limit(prefetch)
     w_id = Window.partitionBy(id_col)
     w_all = Window.partitionBy()
-    return (pre.withColumn("__nv", F.count("*").over(w_id))
-            .withColumn("__mx", F.max(id_col).over(w_all))
-            .withColumn("__nr", F.count("*").over(w_all))
-            .filter((F.col("__nv") == 1) &
-                    ((F.col(id_col) < F.col("__mx"))
-                     | (F.col("__nr") < F.lit(prefetch))))
-            .drop("__nv", "__mx", "__nr"))
+    marked = (pre.withColumn("__nv", F.count("*").over(w_id))
+              .withColumn("__mx", F.max(id_col).over(w_all))
+              .withColumn("__nr", F.count("*").over(w_all)))
+    survives = ((F.col("__nv") == 1) &
+                ((F.col(id_col) < F.col("__mx"))
+                 | (F.col("__nr") < F.lit(prefetch))))
+    # exhaustion guard: count the survivors in one more prefix-bounded
+    # window pass (<= prefetch rows, same single partition the __mx/
+    # __nr windows already use) and abort loudly when a FULL prefix
+    # keeps fewer than prefetch/SEED_PREFIX_SURVIVOR_DIV unique ids —
+    # pathological duplicate concentration would otherwise silently
+    # hand a consumer a seed set the full-corpus dedup would not pick.
+    min_surv = max(1, prefetch // SEED_PREFIX_SURVIVOR_DIV)
+    marked = marked.withColumn(
+        "__ns", F.sum(survives.cast("int")).over(w_all))
+    guard_ok = ((F.col("__nr") < F.lit(prefetch))
+                | (F.col("__ns") >= F.lit(min_surv)))
+    return (marked
+            .filter(F.when(guard_ok, survives).otherwise(F.raise_error(
+                F.lit("unique_seed_prefix exhausted: a full "
+                      f"{prefetch}-row prefix kept fewer than "
+                      f"{min_surv} unique ids — duplicate "
+                      "concentration violates the prefix-dedup "
+                      "equivalence bound; dedup the corpus (or raise "
+                      "prefetch) before seed selection"))
+                .cast("boolean")))
+            .drop("__nv", "__mx", "__nr", "__ns"))
 
 
 def _rank_topk(scored: DataFrame, query_id: str, k: int,
