@@ -34,6 +34,16 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Parquet scans: split files for parallelism at local scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Generated-class cache (default 100 entries, static conf): a
+    # driver running this registry's ~125 query shapes evicts every
+    # compiled class between repetitions, so each re-execution pays
+    # Janino compile + fresh-JIT again — the r13/r14 driver benches'
+    # flaky 1.7-1.9x cold readings on the largest flat-expression
+    # queries (ann_lsh_topk, quantize_embeddings) are exactly this
+    # signature. 2000 entries covers the registry with slack at
+    # ~10-100 KB/class of metaspace; any long-lived production driver
+    # wants the same.
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 # Measured on this harness (A/B, full bench.py at sf0.1): a 16g driver
